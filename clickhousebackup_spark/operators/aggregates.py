@@ -1,0 +1,226 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+``agg_latest_pointer`` is the reference's `-latest` pointer
+maintenance (`backup.sh:99-115`): newest artifact per (db, generation)
+→ newest event per (user_id, event_type), with a total-order tiebreak
+so the hash-match is stable.
+
+Scale notes: every aggregate here compiles to Spark's two-phase hash
+aggregate (map-side partial + final after a key shuffle) — the same
+plan shape that scales to 100 TB; decimal sums don't change that.
+``countDistinct`` expands to a two-shuffle plan, which is why the HLL
+variant (`agg_approx_distinct`) exists as the at-scale default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import davg, dsum, oavg, osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {osum('l_quantity')} AS sum_qty,
+               {osum('l_extendedprice')} AS sum_base_price,
+               {osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {oavg('l_quantity')} AS avg_qty,
+               {oavg('l_extendedprice')} AS avg_price,
+               MIN(l_shipdate) AS min_shipdate,
+               MAX(l_shipdate) AS max_shipdate,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: partial+final hash agg.",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS distinct_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct (expand + two-phase agg).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimate is engine-specific → rows-only check
+    doc="HLL approximate distinct — the at-scale substitute for "
+    "countDistinct (single shuffle, fixed-size sketch).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               {osum('o_totalprice')} AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 8
+    """,
+    doc="Post-aggregation group filter (HAVING).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(c_custkey) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals; NULL subtotal keys coalesced to a "
+    "sentinel so both engines hash identically.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {osum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (all 4 grouping sets).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {osum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL surface.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {osum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_latest_pointer",
+    oracle="""
+        SELECT user_id, event_type, event_id AS latest_event_id,
+               ts AS latest_ts
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="`-latest` pointer per (db, generation) — backup.sh:99-115 — "
+    "as max_by with a (ts, event_id) total-order tiebreak.",
+)
+def agg_latest_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("event_id", key).alias("latest_event_id"),
+        F.max("ts").alias("latest_ts"),
+    )

@@ -1,0 +1,289 @@
+"""Join operators (SURVEY.md §2.B "Joins").
+
+``join_anti`` is the reference's delete-set idiom (`backup.sh:119-122`:
+rows on disk minus rows to keep); ``join_asof`` generalizes its
+`-latest`-pointer-at-time-T maintenance (`backup.sh:99-115`).
+
+Scale notes:
+- Equi joins are left to Catalyst (sort-merge vs shuffled-hash vs
+  broadcast, switched at runtime by AQE). ``join_broadcast`` pins the
+  dim chain with explicit ``broadcast()`` hints — at 100 TB the fact
+  side must never shuffle for a kB-sized dim.
+- ``join_range`` keeps the band predicate *with* an equi key
+  (user_id), so it runs as a shuffled equi join + residual filter,
+  not a broadcast-nested-loop over the whole table.
+- ``join_asof`` deliberately avoids the O(n·m) "join then keep rn=1"
+  plan: it unions both sides, sorts within (user) partitions once,
+  and propagates the last right-side row with
+  ``last(ignorenulls=True)`` — linear work, one shuffle, the same
+  plan shape merge_asof would use on a sorted bucketed table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Equi inner join; strategy picked by Catalyst/AQE.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_totalprice > 150000
+    """,
+    doc="Left outer join with null extension (non-matching customers kept).",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 150000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+        SELECT a.o_custkey AS cust_o, a.n_open, b.o_custkey AS cust_f, b.n_closed
+        FROM (SELECT o_custkey, COUNT(*) AS n_open FROM orders
+              WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+        FULL JOIN (SELECT o_custkey, COUNT(*) AS n_closed FROM orders
+                   WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+          ON a.o_custkey = b.o_custkey
+    """,
+    doc="Full outer join of two aggregated slices (nulls on both sides).",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .withColumnRenamed("o_custkey", "cust_o")
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+        .withColumnRenamed("o_custkey", "cust_f")
+    )
+    return a.join(b, a.cust_o == b.cust_f, "full").select(
+        "cust_o", "n_open", "cust_f", "n_closed"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 150000)
+    """,
+    doc="Left semi join: customers having a large order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000)
+    """,
+    doc="Delete-set idiom (backup.sh:119-122): rows NOT in the keep set.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+        SELECT r_name, COUNT(*) AS n_orders, {osum('o_totalprice')} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc="Fact ⋈ broadcast(dim chain): the fact side never shuffles for "
+    "the join — mandatory shape at 100 TB.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Bounded cartesian product (5 × 25 rows).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.user_id
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+    doc="Band/range self-join: pairs of same-user events within 1 h. "
+    "Keeps the equi key in the join so it shuffles, not BNLJ.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return e1.join(e2, cond).select(
+        F.col("e1.event_id").alias("a_id"),
+        F.col("e2.event_id").alias("b_id"),
+        F.col("e1.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+               c.event_id AS c_id, c.ts AS c_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join: for each purchase, the latest click of the same "
+    "user at-or-before it (the `-latest` pointer of backup.sh:99-115 "
+    "generalized to 'latest at time T'). Implemented as union + "
+    "sort-within-user + last(ignorenulls) — linear, one shuffle.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Right side deduped to newest event_id per (user, ts) so at-equal-ts
+    # ties resolve identically to DuckDB's ASOF (which sees one candidate).
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("c_event_id"),
+            F.lit(0).alias("is_left"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.lit(1).alias("is_left"),
+    )
+    unioned = clicks.withColumn("p_event_id", F.lit(None).cast("long")).select(
+        "user_id", "ts", "p_event_id", "c_event_id", "is_left"
+    ).unionByName(
+        purchases.withColumn("c_event_id", F.lit(None).cast("long")).select(
+            "user_id", "ts", "p_event_id", "c_event_id", "is_left"
+        )
+    )
+    # At equal ts the right row sorts first (is_left=0) → "at-or-before"
+    # includes it, matching ASOF's p.ts >= c.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_match = unioned.select(
+        "user_id",
+        "ts",
+        "p_event_id",
+        "is_left",
+        F.last("c_event_id", ignorenulls=True).over(w).alias("c_id"),
+        F.last(
+            F.when(F.col("c_event_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        ).over(w).alias("c_ts"),
+    )
+    return with_match.filter(F.col("is_left") == 1).select(
+        F.col("p_event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "c_id",
+        "c_ts",
+    )

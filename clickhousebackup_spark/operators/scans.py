@@ -1,0 +1,67 @@
+"""Scan / source / sink operators (SURVEY.md §2.B "Scans / sources / sinks").
+
+Reference anchor: the read side of the one real data movement in the
+reference, ``BACKUP DATABASE`` (`backup.sh:38-45`) — our engine's scan
+path is ``spark.read.parquet`` with Catalyst pushdown.
+
+Scale notes: a bare ``spark.read.parquet(path)`` is already the
+100 TB-correct call — file listing is distributed, row-group pruning
+and column pruning happen in the scan node, and
+``spark.sql.files.maxPartitionBytes`` controls split sizing. The
+projected scan exists to *prove* pruning: its physical plan must show
+``ReadSchema`` with only the three columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+    doc="Full parquet scan of lineitem (read side of backup.sh:38-45).",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+    doc="Column-pruned scan — ReadSchema must carry only 3 columns.",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+CSV_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
+    doc="CSV sink + explicit-schema source roundtrip (no inference).",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="cbs_csv_") + "/lineitem_csv"
+    df = load_table(spark, sf_dir, "lineitem").select(*CSV_COLS)
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(out)

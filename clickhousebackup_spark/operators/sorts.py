@@ -1,0 +1,87 @@
+"""Sort / limit / top-k operators (SURVEY.md §2.B "Sort / limit / top-k").
+
+Scale notes: ``topk_limit`` compiles to TakeOrderedAndProject — each
+partition keeps only its local top-k, the driver merges k·p rows; no
+global sort. ``topk_per_group`` shuffles once on the group key. The
+global position column in ``sort_multi`` is the one deliberately
+non-scalable construct here (single-partition window) — it exists to
+make the sort order *observable* to the order-insensitive hash; at
+scale you'd range-partition (``repartitionByRange``) and zip local
+ranks, as the docstring of the driver notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "sort_multi",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS pos
+        FROM orders
+    """,
+    doc="Multi-key total-order sort, materialized as an explicit "
+    "position column so the order-insensitive hash still verifies it.",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.row_number().over(w).alias("pos"),
+    ).orderBy("pos")
+
+
+@register(
+    "topk_limit",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc="Top-100 orders by totalprice (tiebroken) — "
+    "TakeOrderedAndProject, the scalable top-k plan.",
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank_in_cust
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer via partitioned row_number.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )

@@ -1,0 +1,201 @@
+"""Window-function operators (SURVEY.md §2.B "Window functions").
+
+``win_keep_newest`` is the reference's keep-newest-per-period
+semantics (`backup.sh:90-97`: re-running within a period hardlinks
+over — newest snapshot wins per (db, period)).
+
+Scale notes: window functions shuffle on their partition keys; every
+window here partitions on a real key (user_id / custkey / segment) so
+parallelism survives scale-up — no global unpartitioned windows except
+``sort_multi``'s explicitly-documented rank (see sorts.py). Frames use
+epoch-µs longs for range windows so both engines see identical
+ordering values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "win_keep_newest",
+    oracle="""
+        SELECT user_id, day, event_id, ts
+        FROM (
+            SELECT user_id, strftime(ts, '%Y%m%d') AS day, event_id, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, strftime(ts, '%Y%m%d')
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Keep-newest-per-period (backup.sh:90-97 `ln -f` overwrite): "
+    "row_number over (user, day) desc with event_id tiebreak.",
+)
+def win_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_id", "ts")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+        FROM orders
+    """,
+    doc="rank + dense_rank of order totals per customer.",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER w AS prev_ts,
+               LEAD(ts) OVER w AS next_ts,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Previous/next event per user; gap in integer µs (epoch-µs "
+    "longs, not float seconds, for cross-engine equality).",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    doc="Running revenue per customer (rowsBetween frame); decimal "
+    "running sum so every prefix is exact in both engines.",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "win_sliding_avg",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w AS moving_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Moving average per user over a 1-hour range frame keyed on "
+    "epoch-µs; avg = exact decimal sum / count.",
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_ntile_firstlast",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS top_orderkey,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS bottom_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="ntile(4) + first/last value with an explicit full frame "
+    "(default frame would make last_value = current row).",
+)
+def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    w = Window.partitionBy("o_orderstatus").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("top_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("bottom_orderkey"),
+    )

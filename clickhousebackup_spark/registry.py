@@ -1,0 +1,93 @@
+"""Operator registry — the bridge between the engine package and the
+driver contract (``__spark_entry__.py``).
+
+Every operator from SURVEY.md §2 Part B registers itself here with a
+callable ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible)
+the equivalent DuckDB oracle SQL. The driver hash-matches the pair at
+sf0.01; our pytest harness does the same at sf0.001.
+
+Hash-stability conventions every registered query follows:
+
+- every computed column carries an explicit, matching alias;
+- double aggregation goes through exact decimal: ``CAST(SUM(CAST(x AS
+  DECIMAL(38,6))) AS DOUBLE)`` — decimal sums are order-independent
+  (Spark's double sum is partition-order nondeterministic) and the
+  final decimal→double cast is IEEE-identical in both engines; avgs
+  are expressed as that sum divided by a count (identical double
+  division both sides) rather than engine-native AVG;
+- array folds (norms, dot products) run left-to-right over the array
+  in both engines, so double results are bit-identical;
+- anything that keeps "one row of several" (top-k, keep-newest,
+  dedup) carries a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+#: Modules that register operators on import (SURVEY.md §2 Part B groups).
+_OPERATOR_MODULES = (
+    "clickhousebackup_spark.operators.scans",
+    "clickhousebackup_spark.operators.filters",
+    "clickhousebackup_spark.operators.joins",
+    "clickhousebackup_spark.operators.aggregates",
+    "clickhousebackup_spark.operators.windows",
+    "clickhousebackup_spark.operators.sorts",
+    "clickhousebackup_spark.operators.setops",
+    "clickhousebackup_spark.functions.strings",
+    "clickhousebackup_spark.functions.dates",
+    "clickhousebackup_spark.functions.maths",
+    "clickhousebackup_spark.functions.arrays",
+    "clickhousebackup_spark.functions.maps_json",
+    "clickhousebackup_spark.functions.hashes",
+    "clickhousebackup_spark.functions.udfs",
+    "clickhousebackup_spark.streaming.batch_equiv",
+    "clickhousebackup_spark.backup.queries",
+    "clickhousebackup_spark.extensions.dedup",
+    "clickhousebackup_spark.extensions.similarity",
+    "clickhousebackup_spark.extensions.text",
+    "clickhousebackup_spark.extensions.multimodal",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get_spec(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]

@@ -1,0 +1,49 @@
+"""Fixture-table loaders (FIXTURES.md §1).
+
+``load_table`` is the single read path for every operator: parquet
+scan + the one normalization the fixtures need (events.ts arrives as
+Parquet TIMESTAMP(NANOS) which Spark reads as a nanosecond long under
+``nanosAsLong``; we convert with integer division — double division
+would lose precision above 2^53 ns).
+
+At 100 TB these reads stay exactly the same calls: Catalyst pushes
+filters/column pruning into the parquet scan, and partition discovery
+parallelizes across the cluster. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; normalizes events.ts to a µs timestamp."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs losslessly (fixture emits whole microseconds); `div` is
+        # integer division — `/` would round-trip through double and wobble.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so operators can use spark.sql(...) directly."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
