@@ -1,1 +1,89 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Array function family over embeddings (SURVEY.md §2.B).
+
+Float arrays are cast to double element-wise before any arithmetic on
+both engines (float→double is exact), and folds run left-to-right in
+both (Spark ``aggregate`` starts at 0.0 — IEEE 0+x = x — DuckDB
+``list_reduce`` seeds with the first element), so doubles match
+bitwise.
+
+Scale note: higher-order functions evaluate inside whole-stage
+codegen on the JVM — no Python boundary; a 64-dim fold is ~64 fused
+instructions per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "array_funcs",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(embedding[1] AS DOUBLE) AS first_dim,
+               list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+               CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_dim,
+               CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_dim
+        FROM embeddings
+    """,
+    doc="size / element_at / slice / array_max / array_min.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")).alias(
+            "head3"
+        ),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.array_min("embedding").cast("double").alias("min_dim"),
+    )
+
+
+#: Left-fold sum-of-squares over a float array, as double — Spark side.
+def l2_norm_expr(col: str):
+    return F.sqrt(
+        F.aggregate(
+            F.col(col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+        SELECT vec_id, label,
+               sqrt(list_reduce(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) AS l2_norm,
+               list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           (a, b) -> a + b) AS dim_sum,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+        FROM embeddings
+    """,
+    doc="transform/filter/aggregate lambdas: L2 norm, sum, positive "
+    "count — deterministic left folds in both engines.",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        l2_norm_expr("embedding").alias("l2_norm"),
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("dim_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+    )

@@ -1,1 +1,83 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Date/time function family (SURVEY.md §2.B).
+
+``date_buckets`` computes all four period-key grammars of the
+reference's filename scheme (`backup.sh:26-29`):
+``%Y%m%d-%H%M%S`` (last), ``%Y%m%d`` (daily), ISO ``%G%V`` (weekly),
+``%Y%m`` (monthly). Spark 3+ refuses week-based-year pattern letters
+under the default policy, so the weekly key composes
+``extract(YEAROFWEEK)`` + zero-padded ``weekofyear`` (SURVEY.md §1.2).
+
+``date_arith`` carries the retention-window arithmetic of
+`env.sh:26-29` (minutes / days / weeks·7+1 / months·31+1) as interval
+literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "date_buckets",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y%m%d-%H%M%S') AS key_last,
+               strftime(ts, '%Y%m%d') AS key_daily,
+               concat(CAST(isoyear(ts) AS VARCHAR),
+                      lpad(CAST(week(ts) AS VARCHAR), 2, '0')) AS key_weekly,
+               strftime(ts, '%Y%m') AS key_monthly
+        FROM events
+    """,
+    doc="The four period keys of backup.sh:26-29; ISO week composed "
+    "from YEAROFWEEK + weekofyear.",
+)
+def date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso_week = F.concat(
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("string"),
+        F.lpad(F.weekofyear("ts").cast("string"), 2, "0"),
+    )
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd-HHmmss").alias("key_last"),
+        F.date_format("ts", "yyyyMMdd").alias("key_daily"),
+        iso_week.alias("key_weekly"),
+        F.date_format("ts", "yyyyMM").alias("key_monthly"),
+    )
+
+
+@register(
+    "date_arith",
+    oracle="""
+        SELECT event_id, ts,
+               date_trunc('month', ts) AS month_start,
+               date_trunc('week', ts) AS week_start,
+               ts + INTERVAL 7 DAY AS keep_days_horizon,
+               ts - INTERVAL 1440 MINUTE AS keep_mins_cutoff,
+               ts + INTERVAL 29 DAY AS keep_weeks_horizon,
+               ts + INTERVAL 187 DAY AS keep_months_horizon,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_epoch0
+        FROM events
+    """,
+    doc="date_trunc, ts ± INTERVAL with the reference's retention "
+    "windows (env.sh:26-29: 1440 min, 7 d, 4·7+1 d, 6·31+1 d), datediff.",
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("keep_days_horizon"),
+        (F.col("ts") - F.expr("INTERVAL 1440 MINUTES")).alias("keep_mins_cutoff"),
+        (F.col("ts") + F.expr("INTERVAL 29 DAYS")).alias("keep_weeks_horizon"),
+        (F.col("ts") + F.expr("INTERVAL 187 DAYS")).alias("keep_months_horizon"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch0"
+        ),
+    )

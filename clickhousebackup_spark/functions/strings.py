@@ -1,1 +1,94 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""String function family (SURVEY.md §2.B "Scalar functions").
+
+``str_funcs`` reproduces the reference's filename grammar
+``<db>-<period_key><suffix>`` (`backup.sh:26-34`); ``str_split_explode``
+is the ``CLICKHOUSE_DB`` comma-list split (`env.sh:24`) as a
+lateral explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "str_funcs",
+    oracle="""
+        SELECT p_partkey,
+               concat('db', '-', lower(p_brand), '.zip') AS artifact_name,
+               upper(p_type) AS type_upper,
+               substring(p_name, 1, 8) AS name_prefix,
+               trim(concat('  ', p_name, '  ')) AS name_trimmed,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               length(p_name) AS name_len
+        FROM part
+    """,
+    doc="concat/lower/upper/substring/trim/lpad/length — incl. the "
+    "backup filename grammar of backup.sh:26-34.",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.lit("db"), F.lit("-"), F.lower("p_brand"), F.lit(".zip")).alias(
+            "artifact_name"
+        ),
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+        SELECT r_regionkey,
+               unnest(string_split(concat('db0_', r_name, ',db1_', r_name, ',db2_', r_name), ',')) AS db
+        FROM region
+    """,
+    doc="Comma-list → rows (the CLICKHOUSE_DB split, env.sh:24) as "
+    "explode(split(...)) over a synthesized csv column.",
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    csv = F.concat(
+        F.lit("db0_"), F.col("r_name"),
+        F.lit(",db1_"), F.col("r_name"),
+        F.lit(",db2_"), F.col("r_name"),
+    )
+    return r.select(
+        "r_regionkey", F.explode(F.split(csv, ",")).alias("db")
+    )
+
+
+@register(
+    "str_regexp",
+    oracle="""
+        SELECT event_id,
+               regexp_extract(event_type, '^([a-z]+)', 1) AS type_word,
+               regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+               CASE WHEN regexp_matches(event_type, '^(click|view)$')
+                    THEN 1 ELSE 0 END AS is_browse
+        FROM events
+    """,
+    doc="regexp_extract / regexp_replace (DuckDB needs the 'g' flag to "
+    "match Spark's replace-all) / rlike.",
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("event_type", r"^([a-z]+)", 1).alias("type_word"),
+        F.regexp_replace("props", r"[0-9]+", "#").alias("props_masked"),
+        F.when(F.col("event_type").rlike(r"^(click|view)$"), 1)
+        .otherwise(0)
+        .alias("is_browse"),
+    )

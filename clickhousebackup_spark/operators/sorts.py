@@ -37,7 +37,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         "o_orderdate",
-        F.row_number().over(w).alias("pos"),
+        F.row_number().over(w).cast("long").alias("pos"),
     ).orderBy("pos")
 
 
@@ -81,7 +81,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rank_in_cust", F.row_number().over(w))
+        o.withColumn("rank_in_cust", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_cust") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
     )

@@ -25,7 +25,7 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
