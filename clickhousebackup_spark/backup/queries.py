@@ -1,1 +1,182 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Registry entries for the backup vertical (SURVEY.md §7 P4) — the
+reference's snapshot / generation / latest / retention semantics as
+oracle-checked queries over the derived snapshot catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.backup.catalog import CATALOG_ORACLE_CTE, build_catalog
+from clickhousebackup_spark.backup.config import RetentionPolicy
+from clickhousebackup_spark.backup.retention import (
+    keep_newest_per_period,
+    latest_pointers,
+    retention_plan,
+)
+from clickhousebackup_spark.backup.snapshot import snapshot_table
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+CATALOG_COLS = (
+    "db",
+    "generation",
+    "period_key",
+    "snapshot_ts",
+    "snapshot_id",
+    "path",
+    "content_hash",
+    "size_bytes",
+)
+_CATALOG_COLS_SQL = ", ".join(CATALOG_COLS)
+
+
+@register(
+    "snapshot_write",
+    oracle="SELECT * FROM orders",
+    doc="A10/A11: snapshot a table (staged-atomic parquet publish, "
+    "backup.sh:38-52) then reread it — result ≡ the source table.",
+)
+def snapshot_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    res = snapshot_table(
+        o, tempfile.mkdtemp(prefix="cbs_snap_"), db="db0", table="orders",
+        period_key="19970101-000000",
+    )
+    return spark.read.parquet(res.path)
+
+
+@register(
+    "snapshot_partitioned",
+    oracle="""
+        SELECT event_id, user_id, event_type, value,
+               strftime(ts, '%Y%m%d') AS gen_day
+        FROM events
+    """,
+    doc="A7/A14: snapshot partitioned by day (partitionBy on write = "
+    "the generation-dir layout of backup.sh:21); partition pruning on "
+    "reread is the find -maxdepth analog.",
+)
+def snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "gen_day", F.date_format("ts", "yyyyMMdd")
+    )
+    res = snapshot_table(
+        ev.select("event_id", "user_id", "event_type", "value", "gen_day"),
+        tempfile.mkdtemp(prefix="cbs_snap_"),
+        db="db0",
+        table="events",
+        period_key="part",
+        partition_by=["gen_day"],
+    )
+    back = spark.read.parquet(res.path)
+    # Spark type-infers partition dir values (20240101 → int); pin string.
+    return back.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("gen_day").cast("string").alias("gen_day"),
+    )
+
+
+@register(
+    "backup_catalog",
+    oracle=f"WITH {CATALOG_ORACLE_CTE} SELECT {_CATALOG_COLS_SQL} FROM catalog_full",
+    doc="The reference's directory-of-artifacts state as an explicit "
+    "catalog DataFrame (SURVEY.md §1.1) — filename grammar, period "
+    "keys, content hashes.",
+)
+def backup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_catalog(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "backup_keep_newest",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE}
+        SELECT {_CATALOG_COLS_SQL} FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY db, generation, period_key
+                ORDER BY snapshot_ts DESC, snapshot_id DESC) AS rn
+            FROM catalog_full
+        ) WHERE rn = 1
+    """,
+    doc="A14: newest snapshot wins per (db, generation, period).",
+)
+def backup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_newest_per_period(
+        build_catalog(load_table(spark, sf_dir, "events"))
+    )
+
+
+@register(
+    "backup_latest_pointers",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE}
+        SELECT db, generation, path AS latest_target, snapshot_ts AS latest_ts,
+               concat(db, '-latest', '.zip') AS pointer_name
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY db, generation
+                ORDER BY snapshot_ts DESC, snapshot_id DESC) AS rn
+            FROM catalog_full
+        ) WHERE rn = 1
+    """,
+    doc="A15: `-latest` pointer per (db, generation) via max_by.",
+)
+def backup_latest_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_pointers(
+        build_catalog(load_table(spark, sf_dir, "events"))
+    ).select("db", "generation", "latest_target", "latest_ts", "pointer_name")
+
+
+@register(
+    "backup_retention_plan",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE}
+        SELECT {_CATALOG_COLS_SQL},
+               (epoch_us((SELECT max(snapshot_ts) FROM catalog_full))
+                - epoch_us(snapshot_ts)) / 60000000.0 AS age_minutes,
+               CAST((epoch_us((SELECT max(snapshot_ts) FROM catalog_full))
+                     - epoch_us(snapshot_ts)) / 60000000.0 <=
+                    CASE generation
+                        WHEN 'last' THEN 1440
+                        WHEN 'daily' THEN 10080
+                        WHEN 'weekly' THEN 41760
+                        ELSE 269280 END AS BIGINT) AS keep
+        FROM catalog_full
+    """,
+    doc="A16+A3: age-based keep/delete classification with the "
+    "reference's default windows (1440 min / 7 d / 29 d / 187 d), "
+    "anchored at max(snapshot_ts) for determinism.",
+)
+def backup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = retention_plan(
+        build_catalog(load_table(spark, sf_dir, "events")), RetentionPolicy()
+    )
+    return plan.select(*CATALOG_COLS, "age_minutes", "keep")
+
+
+def flagship_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry()'s query: the reference's whole per-run pipeline in one
+    plan — catalog → keep-newest-per-period (A14) → retention keep flag
+    (A16) → per (db, generation) summary with latest pointer (A15)."""
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    newest = keep_newest_per_period(cat)
+    plan = retention_plan(newest, RetentionPolicy())
+    key = F.struct(F.col("snapshot_ts"), F.col("snapshot_id"))
+    return (
+        plan.groupBy("db", "generation")
+        .agg(
+            F.count(F.lit(1)).alias("n_artifacts"),
+            F.sum("keep").alias("n_keep"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_delete"),
+            F.max_by("path", key).alias("latest_target"),
+            F.max("snapshot_ts").alias("latest_ts"),
+            F.sum("size_bytes").alias("total_bytes"),
+        )
+        .orderBy("db", "generation")
+    )
