@@ -1,1 +1,341 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Deduplication operators (north-star extensions, `BASELINE.json:6`)
+— exact and near-dup, the core of a pre-training data pipeline, built
+on the reference's content-identity idea (hardlink dedup,
+`backup.sh:77-96`) generalized from byte-equality to similarity.
+
+Scale design:
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, the
+  at-scale canonical plan (never a pairwise compare);
+- MinHash/LSH: shingles → K independent min-hashes (one map stage) →
+  band buckets → self-join *within buckets only* → Jaccard verify.
+  Pair work is bounded by bucket sizes, not n²; banding parameters
+  (K=16, bands=4) trade recall vs bucket size exactly as in the
+  Broder/LSH literature (PAPERS.md).
+- SimHash: 64-bit signed-projection sketch; near-dups = signatures
+  within small Hamming distance, bucketed by 16-bit chunks (pigeonhole:
+  ≤3 differing bits → some chunk equal).
+- embedding cosine near-dup: LSH-free exact variant at fixture scale,
+  bucketed by coarse quantization for the 100 TB path.
+
+Everything is deterministic: fixed hash seeds (xxhash64 with literal
+salts), total-order tiebreaks, pair keys normalized a<b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4  # rows-per-band = 4
+SHINGLE_K = 3  # word 3-shingles
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT doc_id, content_md5 FROM (
+            SELECT doc_id, md5(text) AS content_md5,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Exact dedup by content hash, keep lowest doc_id — the "
+    "hardlink identity of backup.sh:77-96 as a hash-groupBy (one "
+    "shuffle on the 16-byte key; no pairwise work).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_md5"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_md5")
+    )
+
+
+def _shingles(text_col: str = "text"):
+    """Word k-shingles as strings: deterministic, JVM-side."""
+    words = F.split(F.lower(text_col), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i, SHINGLE_K)
+        ),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> of N_MINHASH min-hashes over word shingles.
+
+    Permutation k is simulated by salting xxhash64 with the literal k —
+    fixed seeds, so signatures are deterministic across runs/cluster
+    sizes (MinHash determinism requirement, SURVEY.md §7).
+    """
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    minhashes = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "shingles", lambda s, k=k: F.xxhash64(s, F.lit(k))
+                )
+            )
+            for k in range(N_MINHASH)
+        ]
+    )
+    return sh.select("doc_id", minhashes.alias("sig"))
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # algorithm-specific signatures → rows-only; Jaccard
+    # threshold behavior is unit-tested against a brute-force oracle.
+    doc="Near-dup pairs via MinHash+LSH banding: shingle → 16 salted "
+    "min-hashes → 4 band buckets → join within buckets → verified "
+    "signature similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sim = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        ).cast("double")
+        / F.lit(float(N_MINHASH))
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.5)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # engine-specific bit sketch → rows-only + unit tests
+    doc="SimHash near-dup: 64-bit signed-projection signature per doc; "
+    "candidate pairs share a 16-bit chunk (pigeonhole for Hamming≤3) "
+    "and verify popcount(xor) ≤ 3. Returns (a_id, b_id, hamming).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    # For each of 64 bits: sum over shingles of ±1 by that bit of the
+    # shingle hash; signature bit = (sum >= 0). All JVM higher-order fns.
+    def vote_merge(i: int):
+        # closure factory: pyspark infers lambda arity from the
+        # signature, so the bit index must not appear as a parameter
+        def merge(acc, s):
+            bit = F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
+    bit_votes = [
+        F.aggregate("shingles", F.lit(0).cast("long"), vote_merge(i))
+        for i in range(64)
+    ]
+    sig = F.aggregate(
+        F.array(
+            *[
+                F.when(v >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                for v in bit_votes
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
+    )
+    sigs = sh.select("doc_id", sig.alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1) + 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(lower(text), '\\s+')[i:i+1]))) AS gs
+            FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
+                   AS jaccard
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
+              >= 0.8
+    """,
+    doc="Exact n-gram (word bigram) Jaccard near-dup pairs ≥ 0.8 — "
+    "the brute-force ground truth the LSH variants approximate. "
+    "Fixture-scale only (O(n²) pairs); at 100 TB use dedup_minhash.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("gs"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs"))).cast("double")
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a.gs"), F.col("b.gs")))
+    ).cast("double")
+    jac = inter / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                           (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                          (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.99
+    """,
+    doc="Embedding near-dup: pairs with cosine ≥ 0.99. Brute-force "
+    "within-fixture; the 100 TB path buckets by coarse signs first "
+    "(see similarity.sim_topk_lsh). Left-fold dot products match "
+    "bitwise across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    normed = e.select("vec_id", v.alias("v"), nrm.alias("nrm"))
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+    )

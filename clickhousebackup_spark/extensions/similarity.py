@@ -1,1 +1,151 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Similarity search over embeddings (north-star extension).
+
+Two tiers, per SURVEY.md §4.3:
+
+- ``sim_topk_cosine``: brute-force cosine top-k against a query vector
+  — a *linear* scan (the query vector rides along as a 1-row broadcast,
+  never collect()ed), finishing with TakeOrderedAndProject. This is
+  the exact baseline and is already the right plan for one-off queries
+  at any scale: it reads each vector once.
+- ``sim_topk_lsh``: the sublinear path — random-hyperplane (sign) LSH
+  buckets; the query probes only its own bucket. Recall is
+  probabilistic, so it is rows-only checked; bucket determinism comes
+  from fixed literal hyperplane seeds via xxhash64.
+
+Dot products fold left-to-right in both engines → bit-identical
+doubles (see functions/arrays.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+TOP_K = 10
+N_PLANES = 8  # LSH: 2^8 buckets
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS qn
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, cosine FROM (
+            SELECT e.vec_id, e.label,
+                   list_reduce(list_transform(
+                        list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+                        p -> p[1] * p[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, b) -> a + b)) * q.qn) AS cosine,
+                   ROW_NUMBER() OVER (ORDER BY
+                       list_reduce(list_transform(
+                            list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+                            p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)) * q.qn) DESC,
+                       e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} neighbors of vec {QUERY_VEC_ID}: "
+    "broadcast 1-row query vector, linear scan, TakeOrderedAndProject.",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
+    cos = (_dot(F.col("embedding"), F.col("qv")) / (_norm("embedding") * F.col("qn")))
+    return (
+        cand.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES):
+    """Sign-LSH bucket id: bit i = sign of <v, h_i> where hyperplane
+    h_i's components are deterministic pseudo-gaussians from
+    xxhash64(i, dim) — fixed literal seeds, no RNG state."""
+    dim_idx = F.sequence(F.lit(1), F.size(vec_col))
+
+    def plane_component(i: int):
+        # closure factory — keeps the zip_with lambda exactly 2-ary
+        def comp(x, d):
+            h = (F.xxhash64(d, F.lit(i)) % 1000).cast("double")
+            return x.cast("double") * (h / 500.0 - 1.0)
+
+        return comp
+
+    bits = []
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col, dim_idx, plane_component(i)),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return F.aggregate(
+        F.array(*bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    )
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=None,  # probabilistic recall → rows-only; recall-vs-exact is
+    # unit-tested against sim_topk_cosine's result.
+    doc="Sign-LSH bucketed ANN: candidates share the query's bucket "
+    "(probe widened by also matching Hamming-1 buckets), then exact "
+    "cosine re-rank. The sublinear 100 TB path for repeated queries.",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket_expr("embedding"))
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
+    # probe query bucket ∪ Hamming-1 neighbors (xor is a power of two)
+    xor = F.col("bucket").bitwiseXOR(F.col("qbucket"))
+    probe = (xor == 0) | (F.bit_count(xor) == 1)
+    cos = (_dot(F.col("embedding"), F.col("qv")) / (_norm("embedding") * F.col("qn")))
+    return (
+        cand.filter(probe)
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

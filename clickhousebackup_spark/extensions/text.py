@@ -1,1 +1,193 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Text-analysis operators over documents (north-star extensions,
+`BASELINE.json:6` — the text half of a training-data pipeline).
+
+All hot paths are JVM built-ins (split/regexp/aggregate); no Python
+in any per-row loop. At 100 TB: tokenization is map-only; the word
+count shuffles once on the word key (classic skew candidate — top
+words dominate — which partial aggregation absorbs: each partition
+pre-counts before the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import oavg
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "text_tokenize_count",
+    oracle="""
+        SELECT word, n FROM (
+            SELECT word, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+            FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+                FROM documents
+            ) WHERE word <> ''
+            GROUP BY word
+        ) WHERE rn <= 50
+    """,
+    doc="Tokenize + word frequencies, top-50 with word tiebreak.",
+)
+def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {oavg('n_chars')} AS avg_chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    doc="Per-language doc count, avg length, distinct sources.",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+                   AS n_punct,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+                   AS BIGINT) AS n_stopwords,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               (CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+                   AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS stopword_ratio
+        FROM documents
+    """,
+    doc="Quality-scoring signals: length, punctuation count, stopword "
+    "ratio — the usual pre-training heuristics, all JVM-side.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    n_stop = F.size(
+        F.filter(lower_words, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    n_words = F.size(words).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+        ).cast("long").alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        n_words.alias("n_words"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE
+                 WHEN len(list_filter(string_split(lower(text), ' '),
+                      w -> w IN ('the','and','of','to','is'))) >=
+                      len(list_filter(string_split(lower(text), ' '),
+                      w -> w IN ('le','la','et','de','est')))
+                 THEN 'en' ELSE 'fr' END AS lang_guess
+        FROM documents
+    """,
+    doc="Language-ID heuristic: stopword-family vote (n-gram-free "
+    "stand-in; a real pipeline would broadcast n-gram profiles and "
+    "score with the same array primitives).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lower_words = F.split(F.lower("text"), " ")
+
+    def votes(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(lower_words, lambda w: F.array_contains(arr, w)))
+
+    en = votes(("the", "and", "of", "to", "is"))
+    fr = votes(("le", "la", "et", "de", "est"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en >= fr, "en").otherwise("fr").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe_ish_tokens
+        FROM documents
+    """,
+    doc="Token counting: whitespace + a BPE-ish regex (letter runs, "
+    "short digit runs, single symbols) — the usual pre-tokenizer "
+    "approximation for budget estimates.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]', 0)")
+        ).cast("long").alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=None,  # per-engine hash() primitives differ → rows-only;
+    # determinism of the rolling hash is unit-tested instead.
+    doc="Document fingerprint: rolling hash (base-31 mod 1e9+7) over "
+    "xxhash64 token hashes — order-sensitive near-identity for "
+    "shingle-level dedup.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(
+        F.split(F.lower("text"), r"\s+"),
+        lambda w: (F.xxhash64(w) % 1000000007 + 1000000007) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            token_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 31 + h) % 1000000007,
+        ).alias("fingerprint"),
+    )

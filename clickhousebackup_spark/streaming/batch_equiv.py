@@ -1,1 +1,174 @@
-"""(placeholder — filled in a later milestone this round)"""
+"""Batch-checkable forms of the streaming operators (SURVEY.md §2.B
+"Streaming-only").
+
+Spark's time-window functions (`window`, `session_window`) evaluate
+identically in batch and streaming, so the driver's batch oracle can
+hash-check the *semantics*; the streaming execution itself (watermarks,
+memory-source micro-batches, foreachBatch sinks) lives in
+streaming/engine.py and is unit-tested in tests/test_streaming.py.
+
+Reference anchor: the daily cadence of A18 (`Dockerfile:20`
+SCHEDULE=@daily) is the tumbling window; A20's webhook is the
+foreachBatch sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               COUNT(*) AS n_events,
+               {osum('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="Per-day tumbling window counts (A18's @daily cadence); "
+    "streaming form adds withWatermark — same window semantics.",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+        SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT date_trunc('hour', ts) AS window_start, event_id FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_id FROM events
+        ) GROUP BY window_start
+    """,
+    doc="2h-window / 1h-slide counts: each event lands in exactly two "
+    "windows (the SQL oracle materializes that expansion).",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Session windows per user, 30-min gap (session_window in "
+    "batch = the gaps-and-islands oracle; streaming form is stateful).",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc="Stateful dedup on event_id (unique in fixtures → identity in "
+    "batch; the watermarked streaming form drops late duplicates and "
+    "is unit-tested with a memory source).",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return ev.dropDuplicates(["event_id"])
+
+
+@register(
+    "stream_late_data",
+    oracle=None,  # late-data semantics need event-time progress —
+    # unit-tested with a micro-batch memory source instead.
+    doc="Watermark cutoff analog in batch: events within 1 h of the "
+    "max ts (what a 1 h watermark would admit at end-of-stream).",
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("cutoff")
+    )
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .select("event_id", "ts", "user_id")
+    )
+
+
+@register(
+    "stream_foreach_sink",
+    oracle=None,  # side-effecting sink → rows-only; delivery behavior
+    # unit-tested via streaming/engine.run_foreach_webhook.
+    doc="A20's webhook as a sink: per-batch summary rows that "
+    "foreachBatch would POST ({'status': …} + counts).",
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("post-backup").alias("status"),
+            F.col("w.start").alias("batch_start"),
+            "n_events",
+        )
+    )
