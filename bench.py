@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}``.
+
+Each query is forced with a count() (full plan execution, no
+driver-side result materialization cost). A warmup pass on the
+smallest table absorbs JVM/codegen startup so measurements reflect
+steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = (
+    "agg_basic",          # TPC-H Q1 shape: scan + 2-key hash agg
+    "join_broadcast",     # fact ⋈ broadcast dim chain + agg
+    "join_inner",         # shuffle equi join
+    "win_keep_newest",    # the reference's keep-newest-per-period
+    "topk_per_group",     # partitioned window top-k
+    "backup_retention_plan",  # catalog derivation + age classification
+    "dedup_exact",        # hash-groupBy dedup
+    "dedup_minhash",      # MinHash+LSH banding
+    "sim_topk_cosine",    # brute-force ANN baseline
+    "text_tokenize_count",  # explode + skewed word count
+    "stream_session",     # session windows
+    "join_asof",          # union+last as-of join
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("cbs-bench")
+    specs = all_specs()
+
+    # Warmup: trigger codegen/JIT on a tiny read so q1 isn't billed for it.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

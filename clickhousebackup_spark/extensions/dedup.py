@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 N_MINHASH = 16
 N_BANDS = 4  # rows-per-band = 4
@@ -72,25 +72,60 @@ def _shingles(text_col: str = "text"):
     )
 
 
+# Odd 31-bit multipliers + offsets for the affine permutation family
+# h_k(x) = A_k·(x & 0xFFFFFFFF) + B_k — the standard one-hash MinHash:
+# each shingle is xxhash64'd ONCE and the K "permutations" are
+# arithmetic, ~K× cheaper than K salted hashes. The 32-bit masked
+# domain keeps every product below 2^63 (ANSI mode forbids silent long
+# wraparound); 32-bit per-doc shingle collisions are noise for min().
+_MINHASH_A = [(0x9E3779B9 * (k + 1)) % (1 << 31) | 1 for k in range(N_MINHASH)]
+_MINHASH_B = [(0x51E2D1FB * k) % (1 << 31) for k in range(N_MINHASH)]
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> of N_MINHASH min-hashes over word shingles.
 
-    Permutation k is simulated by salting xxhash64 with the literal k —
-    fixed seeds, so signatures are deterministic across runs/cluster
-    sizes (MinHash determinism requirement, SURVEY.md §7).
+    Deterministic across runs/cluster sizes: literal multiplier/offset
+    constants, no RNG state (MinHash determinism, SURVEY.md §7).
     """
-    sh = docs.select("doc_id", _shingles().alias("shingles"))
-    minhashes = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "shingles", lambda s, k=k: F.xxhash64(s, F.lit(k))
-                )
+    # Explode shingle hashes to rows and take K plain MIN aggregates:
+    # vectorized two-phase hash-agg with map-side combine (one partial
+    # row per doc per partition), trivial codegen. This beats both the
+    # K-unrolled array_min HOFs (seconds of Janino compile per query)
+    # and nested HOF lambdas (which drop off the codegen path entirely)
+    # — and it is the shape that scales: no per-doc array ever
+    # materializes, and the shuffle carries K longs per doc.
+    hs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _shingles(),
+                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
             )
-            for k in range(N_MINHASH)
-        ]
+        ).alias("h"),
     )
-    return sh.select("doc_id", minhashes.alias("sig"))
+    # mod 2^31-1 (Mersenne prime) — without the reduction the affine map
+    # is monotone and every permutation would share one argmin,
+    # collapsing all K signatures into one.
+    p = F.lit((1 << 31) - 1).cast("long")
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(_MINHASH_A[k]).cast("long")
+                + F.lit(_MINHASH_B[k]).cast("long"),
+                p,
+            )
+        ).alias(f"m{k}")
+        for k in range(N_MINHASH)
+    ]
+    return (
+        hs.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
+        )
+    )
 
 
 @register(
@@ -102,8 +137,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     "signature similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    import tempfile
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    # Materialize the sketch stage once: the self-join would otherwise
+    # recompute every signature per side. A parquet roundtrip (not
+    # .persist(): InMemoryRelation builds fall back to interpreted
+    # expression eval for this plan) — exactly the sketch/join stage
+    # boundary you'd checkpoint at 100 TB; signatures are K longs/doc.
+    sig_path = tempfile.mkdtemp(prefix="cbs_minhash_") + "/sigs"
+    minhash_signatures(d).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
     rows_per_band = N_MINHASH // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -170,34 +214,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and verify popcount(xor) ≤ 3. Returns (a_id, b_id, hamming).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles().alias("shingles"))
-    # For each of 64 bits: sum over shingles of ±1 by that bit of the
-    # shingle hash; signature bit = (sum >= 0). All JVM higher-order fns.
-    def vote_merge(i: int):
-        # closure factory: pyspark infers lambda arity from the
-        # signature, so the bit index must not appear as a parameter
-        def merge(acc, s):
-            bit = F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
-
-        return merge
-
-    bit_votes = [
-        F.aggregate("shingles", F.lit(0).cast("long"), vote_merge(i))
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    # Explode shingle hashes to rows; each of the 64 bit-votes is a
+    # plain SUM aggregate of ±1 (same explode+hash-agg shape as
+    # minhash_signatures — vectorized, map-side combined, small codegen).
+    hs = d.select(
+        "doc_id",
+        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
         for i in range(64)
     ]
+    voted = hs.groupBy("doc_id").agg(*votes)
+    # signature bit i = (vote_i >= 0); assemble the 64-bit long.
     sig = F.aggregate(
         F.array(
             *[
-                F.when(v >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-                for v in bit_votes
+                F.when(F.col(f"v{i}") >= 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(64)
             ]
         ),
         F.lit(0).cast("long"),
         lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
     )
-    sigs = sh.select("doc_id", sig.alias("simhash"))
+    sigs = voted.select("doc_id", sig.alias("simhash"))
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -262,7 +307,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Fixture-scale only (O(n²) pairs); at 100 TB use dedup_minhash.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), r"\s+")
     n = F.size(words)
     grams = F.array_distinct(
@@ -314,7 +359,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitwise across engines.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
     v = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(

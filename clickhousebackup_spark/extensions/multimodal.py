@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 
 @register(
@@ -93,7 +93,7 @@ def fake_features(payload: bytes, n: int = 4) -> list[float]:
     "with the decode step stubbed deterministically.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(parallelize(load_table(spark, sf_dir, "documents")))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
 TOP_K = 10
@@ -79,7 +79,7 @@ def _norm(a):
     "broadcast 1-row query vector, linear scan, TakeOrderedAndProject.",
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
         _norm("embedding").alias("qn"),
@@ -131,7 +131,7 @@ def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES):
     "cosine re-rank. The sublinear 100 TB path for repeated queries.",
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.withColumn("bucket", lsh_bucket_expr("embedding"))
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),

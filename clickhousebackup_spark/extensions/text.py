@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import oavg
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 
 @register(
@@ -34,7 +34,7 @@ from clickhousebackup_spark.tables import load_table
     doc="Tokenize + word frequencies, top-50 with word tiebreak.",
 )
 def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     words = d.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
@@ -89,7 +89,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio — the usual pre-training heuristics, all JVM-side.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     words = F.split(F.col("text"), " ")
     lower_words = F.split(F.lower("text"), " ")
@@ -128,7 +128,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score with the same array primitives).",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     lower_words = F.split(F.lower("text"), " ")
 
     def votes(markers):
@@ -159,7 +159,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximation for budget estimates.",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
@@ -178,7 +178,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle-level dedup.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize(load_table(spark, sf_dir, "documents"))
     token_hashes = F.transform(
         F.split(F.lower("text"), r"\s+"),
         lambda w: (F.xxhash64(w) % 1000000007 + 1000000007) % 1000000007,

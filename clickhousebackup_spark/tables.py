@@ -43,6 +43,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure a scan fans out to the full core count.
+
+    The fixture files carry a single parquet row group, so Spark reads
+    each in ONE task — a CPU-heavy expression downstream then runs on
+    1 of 32 cores. This repartitions ONLY when the current partition
+    count is below the session's parallelism; on production data (many
+    files / row groups) the check is a no-op and no shuffle is added.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so operators can use spark.sql(...) directly."""
     for name in names:
