@@ -1,0 +1,161 @@
+"""Streaming-engine tests (SURVEY.md §5.2.5): bounded parquet/rate
+sources driven to completion, golden checks against the batch forms,
+watermark/late-data behavior, foreachBatch delivery.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhousebackup_spark.streaming import engine
+from clickhousebackup_spark.tables import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    """Events fixture re-written as µs-timestamp parquet so readStream
+    can load it with an explicit schema (ns parquet needs the
+    nanosAsLong path, which readStream's schema enforcement skips)."""
+    out = tempfile.mkdtemp(prefix="cbs_stream_src_") + "/events"
+    load_table(spark, sf_dir, "events").write.parquet(out)
+    return out
+
+
+def _read_stream(spark, path):
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def test_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = engine.tumbling_counts(_read_stream(spark, events_stream_dir))
+    engine.run_to_memory_sink(stream, "tumbling_out", output_mode="complete")
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+    )
+    want = {(r["s"], r["n"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = engine.session_counts(_read_stream(spark, events_stream_dir))
+    engine.run_to_memory_sink(stream, "session_out", output_mode="complete")
+    got = spark.sql(
+        "SELECT sum(n_events) AS total, count(*) AS n_sessions FROM session_out"
+    ).collect()[0]
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+    )
+    assert got["total"] == load_table(spark, sf_dir, "events").count()
+    assert got["n_sessions"] == batch.count()
+
+
+def test_dedup_within_watermark_drops_duplicates(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),  # dup id
+        (2, base + dt.timedelta(minutes=2), 7, "view", 2.0, "{}"),
+    ]
+    src = tempfile.mkdtemp(prefix="cbs_dedup_src_") + "/ev"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(src)
+    stream = engine.dedup_within_watermark(_read_stream(spark, src))
+    engine.run_to_memory_sink(stream, "dedup_out")
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_late_data_dropped_from_windowed_agg(spark):
+    """Two micro-batches: batch 2 carries an event older than the
+    watermark horizon behind batch 1's max ts → its window is final and
+    the late row must not re-emit in append mode."""
+    import datetime as dt
+
+    src = tempfile.mkdtemp(prefix="cbs_late_src_") + "/ev"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(days=2), 7, "click", 1.0, "{}"),  # advances wm
+    ]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.parquet(src)
+
+    checkpoint = tempfile.mkdtemp(prefix="cbs_late_ckpt_")
+    emitted: list[tuple] = []
+
+    def collect_batch(batch_df, epoch_id):
+        emitted.extend(
+            (r["window_start"], r["n_events"]) for r in batch_df.collect()
+        )
+
+    def run_once():
+        q = (
+            engine.tumbling_counts(_read_stream(spark, src), watermark="1 hour")
+            .writeStream.outputMode("append")
+            .foreachBatch(collect_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    after_batch1 = list(emitted)
+
+    # batch 2: a row a full day older than the watermark → dropped
+    late = [(3, base + dt.timedelta(hours=1), 7, "late", 9.9, "{}")]
+    spark.createDataFrame(late, EVENTS_SCHEMA).write.mode("append").parquet(src)
+    run_once()
+
+    # Day-1's window closed when the watermark passed it; the late row
+    # must neither re-open it nor add a new emission for that window.
+    day1 = dt.datetime(2024, 1, 1)
+    day1_emissions = [e for e in emitted if e[0] == day1]
+    assert len(day1_emissions) <= 1
+    assert all(n == 1 for (_, n) in day1_emissions)
+    assert len(emitted) >= len(after_batch1)
+
+
+def test_foreach_webhook_posts_batches(spark, events_stream_dir):
+    posts = []
+    stream = _read_stream(spark, events_stream_dir)
+    engine.run_foreach_webhook(
+        stream, posts.append, tempfile.mkdtemp(prefix="cbs_hook_ckpt_")
+    )
+    assert len(posts) >= 1
+    assert all(p["status"] == "post-backup" for p in posts)
+    assert sum(p["rows"] for p in posts) == spark.read.parquet(
+        events_stream_dir
+    ).count()
+
+
+def test_cron_to_trigger_mapping():
+    assert engine.cron_to_trigger("@daily") == {"processingTime": "1 day"}
+    assert engine.cron_to_trigger("@daily", on_start=True) == {"availableNow": True}
+    assert engine.cron_to_trigger("@every 15m") == {"processingTime": "15m"}
+    assert engine.cron_to_trigger("*/5 * * * *") == {"processingTime": "5 minutes"}
