@@ -26,7 +26,12 @@ from clickhousebackup_spark.tables import load_table, parallelize
 
 QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
 TOP_K = 10
-N_PLANES = 8  # LSH: 2^8 buckets
+# 4 hyperplanes → 16 buckets: at fixture dimensionality/correlation the
+# recall of 8 planes with Hamming-1 probing collapses (weakly-correlated
+# neighbors disagree on ≥2 signs); 16 buckets still prunes ~94% of
+# candidates. At 100 TB you'd raise planes AND probe breadth together
+# (multi-probe LSH), or switch to IVF centroids.
+N_PLANES = 4
 
 
 def _dot(a, b):

@@ -1,0 +1,51 @@
+"""Plan-shape asserts (SURVEY.md §5.2.3): the physical plans our scale
+story depends on — broadcasts actually broadcast, pruning actually
+prunes, top-k never globally sorts.
+"""
+
+from __future__ import annotations
+
+from clickhousebackup_spark.plans import inspect
+from clickhousebackup_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    df = SPECS["join_broadcast"].fn(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+
+
+def test_scan_projected_prunes_columns(spark, sf_dir):
+    df = SPECS["scan_projected"].fn(spark, sf_dir)
+    schema = inspect.read_schema(df)
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema  # unused column never read
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    pushed = inspect.pushed_filters(df)
+    assert "o_totalprice" in pushed
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = SPECS["topk_limit"].fn(spark, sf_dir)
+    assert inspect.uses_take_ordered(df)
+
+
+def test_agg_basic_single_shuffle(spark, sf_dir):
+    # partial+final hash agg: exactly one exchange on the group keys
+    df = SPECS["agg_basic"].fn(spark, sf_dir)
+    assert inspect.count_shuffles(df) == 1
+
+
+def test_set_union_all_no_shuffle(spark, sf_dir):
+    df = SPECS["set_union_all"].fn(spark, sf_dir)
+    assert inspect.count_shuffles(df) == 0
