@@ -1,0 +1,126 @@
+"""End-to-end engine facade test: a full reference-lifecycle run —
+config → hooks → snapshot loop → catalog → generations → latest →
+retention → prune — against real fixture tables.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+
+from clickhousebackup_spark.backup.config import BackupConfig, RetentionPolicy
+from clickhousebackup_spark.engine import BackupEngine
+from clickhousebackup_spark.sources import readers
+from clickhousebackup_spark.tables import load_table
+
+
+@pytest.fixture()
+def engine(spark):
+    cfg = BackupConfig(
+        host="localhost",
+        dbs="db0,db1",
+        user="u",
+        password="p",
+        backup_dir=tempfile.mkdtemp(prefix="cbs_engine_"),
+    )
+    return BackupEngine(spark, cfg)
+
+
+def test_full_backup_lifecycle(spark, sf_dir, engine):
+    calls = []
+    engine.add_hook(lambda a: calls.append(a))
+
+    orders = load_table(spark, sf_dir, "orders")
+    region = load_table(spark, sf_dir, "region")
+    now = dt.datetime(2024, 2, 1, 12, 0, 0)
+    results = engine.run_backup(
+        {"db0": {"orders": orders}, "db1": {"region": region}}, now=now
+    )
+
+    # lifecycle fired in order (backup.sh:16-18,127-130)
+    assert calls == ["pre-backup", "post-backup"]
+    # one snapshot per (db, table), verified row counts
+    assert {(r.db, r.table) for r in results} == {("db0", "orders"), ("db1", "region")}
+    by_table = {r.table: r for r in results}
+    assert by_table["orders"].n_rows == orders.count()
+
+    # catalog carries all four generations per snapshot (backup.sh:21)
+    cat = engine.catalog()
+    assert cat.count() == 2 * 4
+    gens = {r["generation"] for r in cat.collect()}
+    assert gens == {"last", "daily", "weekly", "monthly"}
+
+    # reread a snapshot — content identical to source
+    reread = spark.read.parquet(by_table["orders"].path)
+    assert reread.count() == orders.count()
+
+    # second run same period: keep-newest dedups to one per period
+    engine.run_backup({"db0": {"orders": orders}, "db1": {"region": region}}, now=now)
+    state = engine.generation_state()
+    assert state.count() == 2 * 4  # newest wins per (db, gen, period)
+
+    # latest pointers exist per (db, generation) and honor 'none'
+    latest = engine.latest()
+    assert latest.count() == 2 * 4
+    engine.config = BackupConfig(
+        host="h", dbs="db0", user="u", password="p",
+        backup_dir=engine.config.backup_dir, latest_type="none",
+    )
+    assert engine.latest().count() == 0
+
+    # retention plan: fresh snapshots are all kept; prune set is empty
+    plan = engine.retention_plan()
+    assert plan.filter("keep = 1").count() == state.count()
+    assert engine.prune(plan).count() == 0
+
+
+def test_retention_prunes_old_snapshots(spark, sf_dir, engine):
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+    old = dt.datetime(2023, 1, 1, 0, 0, 0)
+    new = dt.datetime(2024, 2, 1, 0, 0, 0)
+    engine.run_backup({"db0": {"orders": orders}}, now=old)
+    engine.run_backup({"db0": {"orders": orders}}, now=new)
+
+    plan = engine.retention_plan()
+    delete = engine.prune(plan)
+    # the 13-month-old `last`/`daily`/`weekly`/`monthly` artifacts all
+    # exceed their windows (max 187 d) → exactly the old run is pruned
+    assert delete.count() == 4
+    assert all(r["snapshot_ts"] == old for r in delete.collect())
+
+
+def test_engine_sql_surface(spark, sf_dir, engine):
+    from clickhousebackup_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["region"])
+    assert engine.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+    assert engine.table(sf_dir, "nation").count() == 25
+
+
+def test_sources_roundtrips(spark, sf_dir):
+    import tempfile as tf
+
+    from pyspark.sql import types as T
+
+    df = load_table(spark, sf_dir, "region")
+    base = tf.mkdtemp(prefix="cbs_sources_")
+
+    readers.write_json(df, base + "/j")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = readers.read_json(spark, base + "/j", schema)
+    assert back.count() == df.count()
+
+    readers.write_orc(df, base + "/o")
+    assert readers.read_orc(spark, base + "/o").count() == df.count()
+
+
+def test_jdbc_stub_raises_actionable(spark):
+    with pytest.raises(readers.ConnectorUnavailable):
+        readers.read_jdbc(spark, "jdbc:postgresql://x/db", "t")
