@@ -1,0 +1,111 @@
+"""Scale-pattern operators: the explicit shuffle-management idioms the
+brief calls out (salting for skew, bucketing for co-located joins,
+partition-pruned scans). Each is oracle-checked to prove the
+rewritten plan computes the SAME relation as the naive one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT o_custkey, COUNT(*) AS n_lines, {osum('l_quantity')} AS total_qty
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    """,
+    doc="Skew-salted join: the fact side salts its key into N_SALTS "
+    "sub-keys and the dim side explodes across all salts, so one hot "
+    "key spreads over N reducers instead of stalling one. Result is "
+    "oracle-identical to the unsalted join; AQE's skew-join does this "
+    "adaptively, this operator is the explicit form for engines/configs "
+    "without it.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_SALTS))
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+    )
+    from clickhousebackup_spark.exprs import dsum
+
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity").alias("total_qty"),
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+        SELECT o_orderkey, o_custkey, n_lines FROM orders
+        JOIN (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+              GROUP BY l_orderkey) l
+          ON l.l_orderkey = o_orderkey
+    """,
+    doc="Bucketed co-located join: both sides written bucketBy(8, key) "
+    "as tables, so the join reads pre-hashed buckets and needs NO "
+    "shuffle exchange on either side — the 100 TB idiom for a fact "
+    "table joined on the same key every day.",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketBy requires saveAsTable → rows land in the session's
+    # spark-warehouse dir (warehouse.dir is a static conf; unique table
+    # names below keep reruns and scale factors isolated).
+    suffix = abs(hash(sf_dir)) % 10**8
+    o_tbl, l_tbl = f"orders_b{suffix}", f"linecounts_b{suffix}"
+    for t in (o_tbl, l_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_tbl)
+    load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l_tbl)
+
+    o = spark.table(o_tbl)
+    line_counts = spark.table(l_tbl)
+    return o.join(line_counts, o.o_orderkey == line_counts.l_orderkey).select(
+        "o_orderkey", "o_custkey", "n_lines"
+    )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT event_id, user_id, strftime(ts, '%Y%m%d') AS day
+        FROM events
+        WHERE strftime(ts, '%Y%m%d') = '20240115'
+    """,
+    doc="Partition-pruned scan: events snapshotted partitionBy(day), "
+    "then a day-filtered read — Spark prunes to the one matching "
+    "directory (PartitionFilters, the find -maxdepth analog of "
+    "backup.sh:119-122) instead of scanning all days.",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    out = tempfile.mkdtemp(prefix="cbs_pruned_") + "/events_by_day"
+    ev.select("event_id", "user_id", "day").write.partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "20240115")
+    return back.select(
+        "event_id", "user_id", F.col("day").cast("string").alias("day")
+    )

@@ -49,3 +49,21 @@ def test_agg_basic_single_shuffle(spark, sf_dir):
 def test_set_union_all_no_shuffle(spark, sf_dir):
     df = SPECS["set_union_all"].fn(spark, sf_dir)
     assert inspect.count_shuffles(df) == 0
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    # both sides pre-bucketed on the join key → zero exchanges
+    df = SPECS["join_bucketed"].fn(spark, sf_dir)
+    assert inspect.count_shuffles(df) == 0
+    assert inspect.uses_sort_merge_join(df) or "BroadcastHashJoin" in inspect.physical_plan(df)
+
+
+def test_partition_pruned_scan(spark, sf_dir):
+    df = SPECS["scan_partition_pruned"].fn(spark, sf_dir)
+    plan = inspect.formatted(df)
+    assert "PartitionFilters" in plan
+    # the day predicate must appear as a partition filter, not a data filter
+    assert any(
+        "day" in line and "PartitionFilters" in line
+        for line in plan.splitlines()
+    )
