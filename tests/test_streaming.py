@@ -159,3 +159,54 @@ def test_cron_to_trigger_mapping():
     assert engine.cron_to_trigger("@daily", on_start=True) == {"availableNow": True}
     assert engine.cron_to_trigger("@every 15m") == {"processingTime": "15m"}
     assert engine.cron_to_trigger("*/5 * * * *") == {"processingTime": "5 minutes"}
+
+
+def test_stateful_running_totals_across_batches(spark):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two appends to the source must produce monotonically-growing totals
+    whose final values equal the batch aggregate."""
+    import datetime as dt
+    import math
+
+    from clickhousebackup_spark.streaming.stateful import running_totals
+
+    src = tempfile.mkdtemp(prefix="cbs_state_src_") + "/ev"
+    ckpt = tempfile.mkdtemp(prefix="cbs_state_ckpt_")
+    base = dt.datetime(2024, 1, 1)
+    b1 = [(i, base + dt.timedelta(minutes=i), i % 2, "e", float(i), "{}") for i in range(10)]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).write.parquet(src)
+
+    emitted = []
+
+    def collect(batch_df, epoch_id):
+        emitted.extend(batch_df.collect())
+
+    def run_once():
+        q = (
+            running_totals(_read_stream(spark, src))
+            .writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    b2 = [(100 + i, base + dt.timedelta(hours=1, minutes=i), i % 2, "e", 1000.0, "{}") for i in range(4)]
+    spark.createDataFrame(b2, EVENTS_SCHEMA).write.mode("append").parquet(src)
+    run_once()
+
+    final = {}
+    for r in emitted:  # last update per key wins
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        u: (
+            sum(1 for row in b1 + b2 if row[2] == u),
+            math.fsum(row[4] for row in b1 + b2 if row[2] == u),
+        )
+        for u in (0, 1)
+    }
+    for u in (0, 1):
+        assert final[u][0] == want[u][0]
+        assert abs(final[u][1] - want[u][1]) < 1e-9
