@@ -21,6 +21,9 @@ import time
 
 HEADLINE = (
     "agg_basic",          # TPC-H Q1 shape: scan + 2-key hash agg
+    "q3_shipping_priority",   # TPC-H Q3: 3-way join + top-k
+    "q5_local_supplier_volume",  # TPC-H Q5: 6-way join, 2-year window
+    "q10_returned_items",     # TPC-H Q10: 4-way join top-20
     "join_broadcast",     # fact ⋈ broadcast dim chain + agg
     "join_inner",         # shuffle equi join
     "win_keep_newest",    # the reference's keep-newest-per-period

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.scale_patterns",
     "clickhousebackup_spark.operators.quantiles",
     "clickhousebackup_spark.operators.casts",
+    "clickhousebackup_spark.operators.analytics",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
     "clickhousebackup_spark.functions.maths",
