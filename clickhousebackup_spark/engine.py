@@ -159,6 +159,27 @@ class BackupEngine:
             self.generation_state(), self.config.retention, now_col
         )
 
+    def restore(self, db: str, table: str, period_key: str | None = None) -> DataFrame:
+        """Read a snapshot back — the restore path the reference leaves
+        to manual `RESTORE` invocation. Defaults to the newest snapshot
+        of (db, table); pass a period_key for point-in-time restore."""
+        cat = self.catalog().filter(
+            (F.col("db") == db) & F.col("path").contains(f"/{table}-")
+        )
+        if period_key is not None:
+            cat = cat.filter(F.col("path").contains(f"{table}-{period_key}"))
+        newest = (
+            cat.orderBy(F.col("snapshot_ts").desc(), F.col("snapshot_id").desc())
+            .select("path")
+            .limit(1)
+            .collect()
+        )
+        if not newest:
+            raise FileNotFoundError(
+                f"no snapshot found for ({db}, {table}, {period_key or 'latest'})"
+            )
+        return self.spark.read.parquet(newest[0]["path"])
+
     def prune(self, plan: DataFrame | None = None) -> DataFrame:
         """The delete set (find…rm analog). Returns it; removing the
         snapshot dirs is the caller's side effect to apply, mirroring

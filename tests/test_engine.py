@@ -124,3 +124,18 @@ def test_sources_roundtrips(spark, sf_dir):
 def test_jdbc_stub_raises_actionable(spark):
     with pytest.raises(readers.ConnectorUnavailable):
         readers.read_jdbc(spark, "jdbc:postgresql://x/db", "t")
+
+
+def test_restore_roundtrip_and_point_in_time(spark, sf_dir, engine):
+    orders = load_table(spark, sf_dir, "orders")
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    engine.run_backup({"db0": {"orders": orders.limit(100)}}, now=t1)
+    engine.run_backup({"db0": {"orders": orders}}, now=t2)
+
+    # default restore = newest snapshot
+    assert engine.restore("db0", "orders").count() == orders.count()
+    # point-in-time restore by period key
+    assert engine.restore("db0", "orders", t1.strftime("%Y%m%d-%H%M%S")).count() == 100
+    with pytest.raises(FileNotFoundError):
+        engine.restore("db9", "orders")
