@@ -119,7 +119,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # synthetic frame explosion → rows-only + unit tests
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0 THEN 'image/png'
+                        WHEN CAST(doc_id % 3 AS INTEGER) = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   least(4, greatest(octet_length(encode(text)) // 8, 1)) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, media_type, n_bytes,
+               unnest(range(0, n_frames)) AS frame_idx,
+               unnest(range(0, n_frames)) * CAST(n_bytes // n_frames AS BIGINT)
+                   AS frame_offset
+        FROM sized
+    """,
     doc="Frame-sampling plumbing: one row per sampled 'frame' index "
     "(every n_bytes/8 step, ≤4 frames) — the explode shape a video "
     "pipeline needs, without a codec.",

@@ -66,7 +66,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketBy requires saveAsTable → rows land in the session's
     # spark-warehouse dir (warehouse.dir is a static conf; unique table
     # names below keep reruns and scale factors isolated).
-    suffix = abs(hash(sf_dir)) % 10**8
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
+    # processes (hash() is salted per interpreter → junk-table buildup)
     o_tbl, l_tbl = f"orders_b{suffix}", f"linecounts_b{suffix}"
     for t in (o_tbl, l_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

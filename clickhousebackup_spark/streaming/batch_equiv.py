@@ -137,8 +137,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data",
-    oracle=None,  # late-data semantics need event-time progress —
-    # unit-tested with a micro-batch memory source instead.
+    oracle="""
+        SELECT event_id, ts, user_id FROM events
+        WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,  # the end-of-stream watermark admission set is deterministic;
+    # the *incremental* drop behavior is unit-tested with micro-batches.
     doc="Watermark cutoff analog in batch: events within 1 h of the "
     "max ts (what a 1 h watermark would admit at end-of-stream).",
 )
@@ -156,8 +159,13 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_foreach_sink",
-    oracle=None,  # side-effecting sink → rows-only; delivery behavior
-    # unit-tested via streaming/engine.run_foreach_webhook.
+    oracle="""
+        SELECT 'post-backup' AS status,
+               date_trunc('day', ts) AS batch_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 2
+    """,  # the summary rows the sink would POST are deterministic;
+    # actual delivery is unit-tested via streaming/engine.run_foreach_webhook.
     doc="A20's webhook as a sink: per-batch summary rows that "
     "foreachBatch would POST ({'status': …} + counts).",
 )
