@@ -6,6 +6,8 @@ rewritten plan computes the SAME relation as the naive one.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,8 +73,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
     # processes (hash() is salted per interpreter → junk-table buildup)
     o_tbl, l_tbl = f"orders_b{suffix}", f"linecounts_b{suffix}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     for t in (o_tbl, l_tbl):
+        # DROP covers this session's catalog; the rmtree covers orphaned
+        # location dirs from previous sessions (the in-memory catalog
+        # forgets them but LOCATION_ALREADY_EXISTS still fires).
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        import shutil
+
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
 
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
