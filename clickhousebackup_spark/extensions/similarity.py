@@ -154,3 +154,82 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_assignments(e: DataFrame) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids.
+
+    Production IVF runs k-means; for reproducibility (and because the
+    driver re-runs this at different scale factors) the centroids are
+    the first N_CENTROIDS vectors by vec_id — fixed, data-derived, no
+    RNG. Assignment = argmax cosine against the broadcast centroid set;
+    at 100 TB this is the standard two-level layout: a kB-sized
+    centroid table broadcast to every executor, one linear pass to
+    bucket, then queries probe N_PROBE inverted lists instead of the
+    whole collection.
+    """
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+            _norm("embedding").alias("cn"),
+        )
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        (_dot(F.col("embedding"), F.col("cv")) / (_norm("embedding") * F.col("cn"))).alias(
+            "cent_cos"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    return scored.withColumn("cent_rank", F.row_number().over(w))
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=None,  # probe subset is algorithm-specific → rows-only;
+    # recall + determinism are unit-tested against sim_topk_cosine.
+    doc=f"IVF-bucketed ANN: vectors assigned to {N_CENTROIDS} "
+    "deterministic centroids (argmax cosine, tie on cent_id); the "
+    f"query probes its {N_PROBE} nearest lists then re-ranks with "
+    "exact cosine. The two-level inverted-file layout that makes "
+    "repeated similarity queries sublinear at 100 TB.",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assignments(e).filter(F.col("cent_rank") == 1).select(
+        "vec_id", "label", "embedding", "cent_id"
+    )
+    q_lists = (
+        ivf_assignments(e.filter(F.col("vec_id") == QUERY_VEC_ID))
+        .filter(F.col("cent_rank") <= N_PROBE)
+        .select(F.col("cent_id").alias("probe_cent"))
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    cand = (
+        assigned.join(F.broadcast(q_lists), F.col("cent_id") == F.col("probe_cent"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (_norm("embedding") * F.col("qn"))
+    return (
+        cand.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

@@ -138,3 +138,19 @@ def test_query_rerun_hash_stability(spark, sf_dir):
         df1 = sorted(map(repr, SPECS[key].fn(spark, sf_dir).collect()))
         df2 = sorted(map(repr, SPECS[key].fn(spark, sf_dir).collect()))
         assert df1 == df2, key
+
+
+def test_ivf_deterministic_and_rerankd_exact(spark, sf_dir):
+    """IVF probes a centroid subset then re-ranks with exact cosine:
+    assignments must be rerun-stable and every returned cosine must
+    equal the brute-force value for that vector."""
+    rows1 = SPECS["sim_topk_ivf"].fn(spark, sf_dir).collect()
+    rows2 = SPECS["sim_topk_ivf"].fn(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in rows1] == [r["vec_id"] for r in rows2]
+    assert rows1  # the query's own list is never empty
+    exact = {r["vec_id"]: r["cosine"] for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()}
+    for r in rows1:
+        if r["vec_id"] in exact:
+            assert abs(r["cosine"] - exact[r["vec_id"]]) < 1e-12
+    cosines = [r["cosine"] for r in rows1]
+    assert cosines == sorted(cosines, reverse=True)
