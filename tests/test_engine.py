@@ -10,7 +10,7 @@ import tempfile
 
 import pytest
 
-from clickhousebackup_spark.backup.config import BackupConfig, RetentionPolicy
+from clickhousebackup_spark.backup.config import BackupConfig
 from clickhousebackup_spark.engine import BackupEngine
 from clickhousebackup_spark.sources import readers
 from clickhousebackup_spark.tables import load_table
