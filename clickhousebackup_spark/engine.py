@@ -132,7 +132,12 @@ class BackupEngine:
         return os.path.join(self.config.backup_dir, "_catalog")
 
     def _append_catalog(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.catalog_path)
+        # partitioned by generation (SURVEY §1.2/§4.1: the reference's
+        # last/daily/weekly/monthly dirs) so retention scans prune to
+        # one generation directory instead of reading the full catalog.
+        df.write.mode("append").partitionBy("generation").parquet(
+            self.catalog_path
+        )
 
     def catalog(self) -> DataFrame:
         if not os.path.exists(self.catalog_path):

@@ -67,3 +67,12 @@ def test_partition_pruned_scan(spark, sf_dir):
         "day" in line and "PartitionFilters" in line
         for line in plan.splitlines()
     )
+
+
+def test_range_join_keeps_equi_key(spark, sf_dir):
+    # the band predicate must ride on a user_id equi join (SMJ/SHJ),
+    # never degrade to a broadcast-nested-loop over the whole table
+    df = SPECS["join_range"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
