@@ -384,3 +384,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint → non-SQL-expressible (driver's
+    # rows-only check); clustering laws are unit-tested vs union-find.
+    doc="Connected components over near-dup pairs (label propagation "
+    "to fixpoint): each doc's cluster id = min doc_id reachable via "
+    "dedup edges. The step every dedup pipeline needs after pair "
+    "generation — pairs don't dedupe, clusters do (keep one per "
+    "cluster). Iterative DataFrame joins, ≤ log2(longest chain) "
+    "rounds; at 100 TB each round is one shuffle join (large-star/"
+    "small-star would halve rounds, same primitive).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # edges: exact-duplicate pairs (md5 identity — deterministic and
+    # the dominant real-world near-dup source), normalized a<b
+    hashed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    # undirected adjacency + self-loops
+    adj = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .unionByName(docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
+    )
+    labels = docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("cluster"))
+    for _ in range(8):  # fixpoint ≤ graph diameter; md5 chains are short
+        # propagate: new label = min label over neighborhood
+        prop = (
+            adj.join(labels, on="u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("cluster").alias("new_cluster"))
+        )
+        joined = labels.join(prop, on="u", how="left").select(
+            "u",
+            F.least(F.col("cluster"), F.coalesce("new_cluster", "cluster")).alias(
+                "cluster"
+            ),
+        )
+        changed = (
+            joined.join(labels.withColumnRenamed("cluster", "old"), on="u")
+            .filter(F.col("cluster") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = joined
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), "cluster")

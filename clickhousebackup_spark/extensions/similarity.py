@@ -233,3 +233,39 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+        WITH dims AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+            FROM embeddings
+        )
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(val)
+                   AS centroid_val
+        FROM dims GROUP BY label, dim
+    """,
+    doc="Per-label centroid, one row per (label, dim): posexplode the "
+    "vector, exact decimal mean per dimension — the deterministic "
+    "vector aggregate (a naive per-dim double sum would be partition-"
+    "order nondeterministic). At 100 TB this is the same explode + "
+    "two-phase agg shape as the sketches: map-side partial sums, one "
+    "shuffle on (label, dim).",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "val_f")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    mean = F.sum(F.col("val").cast("decimal(38,12)")).cast("double") / F.count(
+        "val"
+    )
+    return dims.groupBy("label", "dim").agg(mean.alias("centroid_val"))

@@ -154,3 +154,41 @@ def test_ivf_deterministic_and_rerankd_exact(spark, sf_dir):
             assert abs(r["cosine"] - exact[r["vec_id"]]) < 1e-12
     cosines = [r["cosine"] for r in rows1]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    """Label-propagation clusters must equal a driver-side union-find
+    over the same md5-identity edges."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    parent = {r["doc_id"]: r["doc_id"] for r in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_hash = {}
+    for r in docs:
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        by_hash.setdefault(h, []).append(r["doc_id"])
+    for ids in by_hash.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+
+    want = {d: find(d) for d in parent}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in SPECS["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # keep-one-per-cluster count equals dedup_exact's survivor count
+    n_clusters = len(set(got.values()))
+    assert n_clusters == SPECS["dedup_exact"].fn(spark, sf_dir).count()
