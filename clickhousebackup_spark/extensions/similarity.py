@@ -245,8 +245,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT label, CAST(dim AS BIGINT) AS dim,
-               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(val)
-                   AS centroid_val
+               CAST(SUM(CAST(floor(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                   / (1099511627776.0 * COUNT(val)) AS centroid_val
         FROM dims GROUP BY label, dim
     """,
     doc="Per-label centroid, one row per (label, dim): posexplode the "
@@ -265,7 +265,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.col("val_f").cast("double").alias("val"),
     )
-    mean = F.sum(F.col("val").cast("decimal(38,12)")).cast("double") / F.count(
-        "val"
+    # Embeddings are arbitrary binary floats — a decimal cast would
+    # quantize the engines' differing decimal renderings differently at
+    # the last digit. Scaling by 2^40 is EXACT for doubles (power-of-
+    # two multiply), floor+long makes the sum integer-exact, and the
+    # final double division is bit-identical in both engines.
+    scale = F.lit(2.0**40)
+    mean = F.sum(F.floor(F.col("val") * scale).cast("long")).cast("double") / (
+        scale * F.count("val")
     )
     return dims.groupBy("label", "dim").agg(mean.alias("centroid_val"))
