@@ -147,3 +147,40 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         per_user, schema="user_id long, mean_value double, n_events long"
     )
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+        SELECT event_id,
+               unnest(json_keys(props)) AS prop_key,
+               json_extract_string(props,
+                   concat('$.', unnest(json_keys(props)))) AS prop_value
+        FROM events
+    """,
+    doc="Spark 3.5+ native Python UDTF (@udtf class) applied via "
+    "LATERAL join — the arbitrary-fan-out extension point; the "
+    "explode(from_json) form (udtf_explode_props) is its zero-"
+    "Python-boundary fast path.",
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_value string")
+    class ExplodeProps:
+        def eval(self, props: str):
+            import json
+
+            if props is None:
+                return
+            for k, v in json.loads(props).items():
+                yield (k, str(v))
+
+    spark.udtf.register("cbs_explode_props", ExplodeProps)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, p.prop_key, p.prop_value
+        FROM events, LATERAL cbs_explode_props(props) p
+        """
+    )
