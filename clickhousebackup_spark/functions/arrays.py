@@ -26,12 +26,14 @@ from clickhousebackup_spark.tables import load_table
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS n_dims,
                CAST(embedding[1] AS DOUBLE) AS first_dim,
-               list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+               CAST(embedding[2] AS DOUBLE) AS second_dim,
+               CAST(embedding[3] AS DOUBLE) AS third_dim,
                CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_dim,
                CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_dim
         FROM embeddings
     """,
-    doc="size / element_at / slice / array_max / array_min.",
+    doc="size / element_at / array_max / array_min (scalar projections "
+    "of the first three dims — driver hashes scalar cells only).",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -39,9 +41,8 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")).alias(
-            "head3"
-        ),
+        F.element_at("embedding", 2).cast("double").alias("second_dim"),
+        F.element_at("embedding", 3).cast("double").alias("third_dim"),
         F.array_max("embedding").cast("double").alias("max_dim"),
         F.array_min("embedding").cast("double").alias("min_dim"),
     )

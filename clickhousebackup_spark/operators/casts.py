@@ -100,23 +100,30 @@ def join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_construct_ops",
     oracle="""
         SELECT r_regionkey,
-               range(0, r_regionkey + 1) AS seq,
-               flatten([range(0, r_regionkey + 1), [99]]) AS seq_plus,
-               list_value(r_regionkey, r_regionkey * 10) AS pair,
+               array_to_string(range(0, r_regionkey + 1), ',') AS seq_csv,
+               array_to_string(flatten([range(0, r_regionkey + 1), [99]]), ',')
+                   AS seq_plus_csv,
+               array_to_string(list_value(r_regionkey, r_regionkey * 10), ',')
+                   AS pair_csv,
                len(range(0, r_regionkey + 1)) AS seq_len
         FROM region
     """,
     doc="Array constructors: sequence, flatten, literal arrays "
     "(DuckDB range() is end-exclusive; Spark sequence() inclusive — "
-    "bounds adjusted to agree).",
+    "bounds adjusted to agree). Arrays are emitted as CSV strings: the "
+    "driver canonicalizer hashes scalar cells only.",
 )
 def array_construct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     seq = F.sequence(F.lit(0).cast("long"), F.col("r_regionkey").cast("long"))
     return r.select(
         "r_regionkey",
-        seq.alias("seq"),
-        F.flatten(F.array(seq, F.array(F.lit(99).cast("long")))).alias("seq_plus"),
-        F.array(F.col("r_regionkey"), F.col("r_regionkey") * 10).alias("pair"),
+        F.array_join(seq, ",").alias("seq_csv"),
+        F.array_join(
+            F.flatten(F.array(seq, F.array(F.lit(99).cast("long")))), ","
+        ).alias("seq_plus_csv"),
+        F.array_join(
+            F.array(F.col("r_regionkey"), F.col("r_regionkey") * 10), ","
+        ).alias("pair_csv"),
         F.size(seq).cast("long").alias("seq_len"),
     )

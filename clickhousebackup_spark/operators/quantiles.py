@@ -99,8 +99,17 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    # scalar columns only — the driver's canonicalizer sorts/hashes every
+    # output column and cannot handle array cells, so the sketch's three
+    # quantiles are projected out of the array immediately
+    sketch = ev.groupBy("event_type").agg(
         F.percentile_approx("value", list(QS), 10000).alias("quartiles")
+    )
+    return sketch.select(
+        "event_type",
+        F.element_at("quartiles", 1).alias("q25"),
+        F.element_at("quartiles", 2).alias("q50"),
+        F.element_at("quartiles", 3).alias("q75"),
     )
 
 
@@ -108,16 +117,17 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS order_keys,
+               len(list(o_orderkey)) AS n_orders,
                string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
                    AS order_keys_csv
         FROM orders
         WHERE o_totalprice > 150000
         GROUP BY o_custkey
     """,
-    doc="Ordered collection aggregates: array_sort(collect_list) + "
-    "sorted string_agg (collect order is shuffle-nondeterministic, so "
-    "the sort IS the determinism discipline).",
+    doc="Ordered collection aggregates: array_sort(collect_list) joined "
+    "to a CSV string (collect order is shuffle-nondeterministic, so the "
+    "sort IS the determinism discipline). Scalar output only — the "
+    "driver canonicalizer can't hash array cells.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
@@ -125,7 +135,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = F.array_sort(F.collect_list("o_orderkey"))
     return o.groupBy("o_custkey").agg(
-        keys.alias("order_keys"),
+        F.size(keys).alias("n_orders"),
         F.array_join(
             F.transform(keys, lambda x: x.cast("string")), ","
         ).alias("order_keys_csv"),

@@ -83,6 +83,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+#: Explicit key ordering for the verification driver, which checks the
+#: FIRST 50 keys of ``all_specs()`` per round. Round 1 verified slots
+#: 1-50 of the old module order (CORRECTNESS_r01.json); this round the
+#: never-checked keys move to the front so every SURVEY §2 Part B key
+#: earns a driver row. Keys listed here come first, in this order; any
+#: registered key not listed follows in module registration order.
+#: Rotate per round until the whole registry has green rows.
+_CHECK_PRIORITY: tuple[str, ...] = (
+    # -- SURVEY §2 Part B keys with no CORRECTNESS row yet (28) --
+    "str_funcs",
+    "str_split_explode",
+    "str_regexp",
+    "date_buckets",
+    "date_arith",
+    "math_funcs",
+    "array_funcs",
+    "array_higher_order",
+    "map_json_funcs",
+    "hash_funcs",
+    "udf_python",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_explode_props",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "stream_foreach_sink",
+    "snapshot_write",
+    "snapshot_partitioned",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk_cosine",
+    "text_tokenize_count",
+    "text_lang_stats",
+    "multimodal_join",
+    # -- round-1 driver ERRORs, now scalar-only (2) --
+    "agg_percentile_approx",
+    "agg_collect_sorted",
+    # -- Part C keys with oracles, no row yet (20) --
+    "agg_corr",
+    "safe_casts",
+    "union_by_name_evolved",
+    "join_exists_correlated",
+    "array_construct_ops",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "udtf_python_native",
+    "backup_catalog",
+    "backup_keep_newest",
+    "backup_latest_pointers",
+    "backup_retention_plan",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "emb_label_centroids",
+    "text_quality_score",
+    "text_lang_id",
+    "text_token_count",
+    "multimodal_frame_sample",
+    # -- slots 51+: rows-only Part C keys (weakest driver check) defer
+    #    to round 3's window --
+    "posexplode_words",
+    "dedup_simhash",
+    "dedup_clusters",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "text_fingerprint",
+    "multimodal_features",
+)
+
+
 def _load_all() -> None:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
@@ -90,7 +163,13 @@ def _load_all() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    prio = {k: i for i, k in enumerate(_CHECK_PRIORITY)}
+    reg_pos = {k: i for i, k in enumerate(_REGISTRY)}
+    ordered = sorted(
+        _REGISTRY,
+        key=lambda k: (prio.get(k, len(prio)), reg_pos[k]),
+    )
+    return {k: _REGISTRY[k] for k in ordered}
 
 
 def get_spec(name: str) -> QuerySpec:

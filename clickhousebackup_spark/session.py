@@ -53,7 +53,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
