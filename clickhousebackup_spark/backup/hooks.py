@@ -60,13 +60,28 @@ class LifecycleHooks:
 
 
 def webhook_hook(
-    url: str,
+    url: str | None = None,
     timeout_s: float = 10.0,
     retries: int = 5,
     poster: Callable | None = None,
+    *,
+    error_url: str | None = None,
+    pre_backup_url: str | None = None,
+    post_backup_url: str | None = None,
 ) -> Hook:
-    """POST {"status": action} per hooks/00-webhook:13,37,50 with the
-    reference's delivery bounds (10 s max, 5 retries)."""
+    """POST {"status": action} with the reference's per-action routing
+    (hooks/00-webhook:6-63):
+
+    - ``pre-backup`` → ``pre_backup_url`` (WEBHOOK_PRE_BACKUP_URL);
+    - ``post-backup`` → ``url`` then ``post_backup_url``
+      (WEBHOOK_URL + WEBHOOK_POST_BACKUP_URL — both fire when set);
+    - ``error`` → ``url`` then ``error_url``
+      (WEBHOOK_URL + WEBHOOK_ERROR_URL).
+
+    Unset URLs are skipped (the reference's ``**None**`` guard).
+    Delivery bounds per curl: 10 s max, ``--retry 5`` = one initial
+    attempt plus 5 retries = 6 total attempts per URL.
+    """
 
     def _default_poster(u: str, body: bytes):
         req = urllib.request.Request(
@@ -75,16 +90,29 @@ def webhook_hook(
         urllib.request.urlopen(req, timeout=timeout_s)
 
     post = poster or _default_poster
+    routes: dict[str, tuple[str | None, ...]] = {
+        "pre-backup": (pre_backup_url,),
+        "post-backup": (url, post_backup_url),
+        "error": (url, error_url),
+    }
 
     def hook(action: str) -> None:
         body = json.dumps({"status": action}).encode()
-        last = None
-        for _ in range(retries):
-            try:
-                post(url, body)
-                return
-            except Exception as e:  # curl --retry 5
-                last = e
-        raise HookError(f"webhook delivery failed after {retries} tries: {last}")
+        for u in routes.get(action, ()):
+            if u is None:
+                continue
+            last = None
+            for _ in range(retries + 1):  # curl --retry N = N+1 attempts
+                try:
+                    post(u, body)
+                    last = None
+                    break
+                except Exception as e:
+                    last = e
+            if last is not None:
+                raise HookError(
+                    f"webhook delivery to {u} failed after {retries + 1} "
+                    f"attempts: {last}"
+                )
 
     return hook

@@ -39,12 +39,12 @@ _CATALOG_COLS_SQL = ", ".join(CATALOG_COLS)
     "backup.sh:38-52) then reread it — result ≡ the source table.",
 )
 def snapshot_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from clickhousebackup_spark.scratch import scratch_path
 
     o = load_table(spark, sf_dir, "orders")
     res = snapshot_table(
-        o, tempfile.mkdtemp(prefix="cbs_snap_"), db="db0", table="orders",
-        period_key="19970101-000000",
+        o, scratch_path(spark, "snap_orders", sf_dir), db="db0",
+        table="orders", period_key="19970101-000000",
     )
     return spark.read.parquet(res.path)
 
@@ -61,14 +61,14 @@ def snapshot_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reread is the find -maxdepth analog.",
 )
 def snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from clickhousebackup_spark.scratch import scratch_path
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "gen_day", F.date_format("ts", "yyyyMMdd")
     )
     res = snapshot_table(
         ev.select("event_id", "user_id", "event_type", "value", "gen_day"),
-        tempfile.mkdtemp(prefix="cbs_snap_"),
+        scratch_path(spark, "snap_events", sf_dir),
         db="db0",
         table="events",
         period_key="part",

@@ -44,14 +44,23 @@ def snapshot_table(
     staging = final + "-new"  # the `*-new` staging suffix, backup.sh:68-70
     if os.path.exists(staging):
         shutil.rmtree(staging)
+    expected = df.count()
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    # A11 verify: reread before publishing; a missing/corrupt artifact
-    # aborts (the reference's `[ ! -f … ] && exit 1`).
+    # A11 verify: reread before publishing and compare against the
+    # source row count; a missing/truncated artifact (e.g. a lost part
+    # file that still parses) aborts the publish — the reference's
+    # `[ ! -f … ] && exit 1` strengthened from existence to cardinality.
     n = df.sparkSession.read.parquet(staging).count()
+    if n != expected:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"snapshot verify failed for {db}.{table}-{period_key}: "
+            f"staged artifact has {n} rows, source has {expected}"
+        )
 
     if os.path.exists(final):  # backup.sh:80: replace existing period artifact
         shutil.rmtree(final)

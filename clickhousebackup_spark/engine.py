@@ -95,6 +95,7 @@ class BackupEngine:
                     )
                     results.append(res)
                     self._register(db, tname, res, now)
+            self.materialize_latest()  # backup.sh:99-115, per run
             return results
 
         return self.hooks.run_job(job)  # pre/post/error per backup.sh
@@ -185,9 +186,136 @@ class BackupEngine:
             )
         return self.spark.read.parquet(newest[0]["path"])
 
-    def prune(self, plan: DataFrame | None = None) -> DataFrame:
-        """The delete set (find…rm analog). Returns it; removing the
-        snapshot dirs is the caller's side effect to apply, mirroring
-        how backup.sh separates listing from rm."""
+    def prune(
+        self, plan: DataFrame | None = None, apply: bool = False
+    ) -> DataFrame:
+        """The delete set (find…rm analog of backup.sh:119-122).
+
+        With ``apply=False`` (default) only returns the delete set,
+        mirroring how backup.sh separates listing (``find``) from
+        action (``rm``). With ``apply=True`` it also removes the
+        snapshot dirs and rewrites the catalog without them — the
+        `-exec rm -rvf` side. One path is registered under all four
+        generations (backup.sh's hardlink fan-out), so a dir is only
+        removed when NO kept generation row still references it.
+
+        The collects here are catalog-scale (one row per snapshot
+        artifact), never data-scale.
+        """
         plan = plan if plan is not None else self.retention_plan()
-        return prune_delete_set(self.generation_state(), plan)
+        delete_df = prune_delete_set(self.generation_state(), plan)
+        if not apply:
+            return delete_df
+        # Materialize before mutating storage: the lazy plan reads the
+        # catalog files the rewrite below replaces.
+        delete_df = delete_df.localCheckpoint(eager=True)
+        kept_paths = {
+            r["path"]
+            for r in plan.filter(F.col("keep") == 1)
+            .select("path")
+            .distinct()
+            .collect()
+        }
+        doomed = {
+            r["path"]
+            for r in delete_df.select("path").distinct().collect()
+            if r["path"] not in kept_paths
+        }
+        backup_root = os.path.realpath(self.config.backup_dir)
+        for path in sorted(doomed):
+            real = os.path.realpath(path)
+            # refuse to rm anything that escaped the backup volume
+            if os.path.commonpath([backup_root, real]) != backup_root:
+                raise ValueError(f"prune path outside backup_dir: {path}")
+            if os.path.isdir(real):
+                import shutil
+
+                shutil.rmtree(real)
+            elif os.path.exists(real):
+                os.remove(real)
+        self._rewrite_catalog_excluding(delete_df, doomed)
+        return delete_df
+
+    def _rewrite_catalog_excluding(
+        self, delete_df: DataFrame, doomed_paths: set[str]
+    ) -> None:
+        """Staged-atomic catalog rewrite dropping the deleted rows (by
+        snapshot_id — the per-generation "hardlink" entries, mirroring
+        the per-generation-dir rm) plus any row whose backing path was
+        removed (superseded rows that would otherwise dangle)."""
+        import shutil
+
+        survivors = self.catalog().join(
+            delete_df.select("snapshot_id"), on="snapshot_id", how="left_anti"
+        ).select(*self.catalog().columns)
+        if doomed_paths:
+            survivors = survivors.filter(
+                ~F.col("path").isin(list(doomed_paths))
+            )
+        staging = self.catalog_path + "-new"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        survivors.write.partitionBy("generation").parquet(staging)
+        # Read fully before swapping — survivors lazily reads the old dir.
+        self.spark.read.parquet(staging).count()
+        shutil.rmtree(self.catalog_path)
+        os.rename(staging, self.catalog_path)
+
+    # -- latest pointers on storage (backup.sh:99-115) --
+
+    def materialize_latest(self) -> list[str]:
+        """Write ``<backup_dir>/<generation>/<db>-latest<suffix>``
+        pointers at the newest artifact per (db, generation), honoring
+        ``latest_type``:
+
+        - ``symlink``: ``ln -sf`` (backup.sh:101-103);
+        - ``hardlink``: directory artifacts get a per-file hardlink
+          mirror dir (the ``ln -f`` loop of backup.sh:67-80);
+        - ``none``: nothing is written (backup.sh:113).
+
+        Returns the pointer paths written, so ``restore_latest`` can
+        resolve "latest" from the filesystem alone.
+        """
+        import shutil
+
+        if self.config.latest_type == "none":
+            return []
+        written: list[str] = []
+        for r in self.latest().collect():  # catalog-scale
+            gen_dir = os.path.join(self.config.backup_dir, r["generation"])
+            os.makedirs(gen_dir, exist_ok=True)
+            ptr = os.path.join(gen_dir, r["pointer_name"])
+            if os.path.islink(ptr) or os.path.isfile(ptr):
+                os.remove(ptr)
+            elif os.path.isdir(ptr):
+                shutil.rmtree(ptr)
+            target = r["latest_target"]
+            if self.config.latest_type == "symlink":
+                os.symlink(target, ptr)
+            else:  # hardlink
+                os.makedirs(ptr)
+                for root, _, files in os.walk(target):
+                    rel = os.path.relpath(root, target)
+                    dst = ptr if rel == "." else os.path.join(ptr, rel)
+                    os.makedirs(dst, exist_ok=True)
+                    for fn in files:
+                        os.link(os.path.join(root, fn), os.path.join(dst, fn))
+            written.append(ptr)
+        return written
+
+    def restore_latest(self, db: str, generation: str = "last") -> DataFrame:
+        """Restore by convention: read the on-disk ``<db>-latest``
+        pointer (no catalog needed — the property backup.sh's symlinks
+        exist to provide)."""
+        ptr = os.path.join(
+            self.config.backup_dir,
+            generation,
+            f"{db}-latest{self.config.suffix}",
+        )
+        real = os.path.realpath(ptr)
+        if not os.path.exists(real):
+            raise FileNotFoundError(
+                f"no latest pointer for ({db}, {generation}) at {ptr} "
+                f"(latest_type={self.config.latest_type!r})"
+            )
+        return self.spark.read.parquet(real)

@@ -137,7 +137,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     "signature similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from clickhousebackup_spark.scratch import roundtrip_parquet, scratch_path
 
     d = parallelize(load_table(spark, sf_dir, "documents"))
     # Materialize the sketch stage once: the self-join would otherwise
@@ -145,9 +145,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .persist(): InMemoryRelation builds fall back to interpreted
     # expression eval for this plan) — exactly the sketch/join stage
     # boundary you'd checkpoint at 100 TB; signatures are K longs/doc.
-    sig_path = tempfile.mkdtemp(prefix="cbs_minhash_") + "/sigs"
-    minhash_signatures(d).write.parquet(sig_path)
-    sigs = spark.read.parquet(sig_path)
+    # The path comes from the session's scratch conf (shared storage on
+    # a cluster) and is deterministic per input — reruns overwrite it.
+    sigs = roundtrip_parquet(
+        minhash_signatures(d), scratch_path(spark, "minhash_sigs", sf_dir)
+    )
     rows_per_band = N_MINHASH // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -353,12 +355,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
                           (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.99
     """,
-    doc="Embedding near-dup: pairs with cosine ≥ 0.99. Brute-force "
-    "within-fixture; the 100 TB path buckets by coarse signs first "
-    "(see similarity.sim_topk_lsh). Left-fold dot products match "
-    "bitwise across engines.",
+    doc="Embedding near-dup: pairs with cosine ≥ 0.99, found via a "
+    "sign-LSH bucket prefilter (equi-key join on bucket, probe widened "
+    "to Hamming-1 neighbor buckets — cosine ≥ 0.99 means ≤ 8° apart, "
+    "so signatures almost never differ by ≥ 2 of 4 sign bits; a recall "
+    "test pins this against the brute-force pair set) then verified "
+    "with the exact cosine. The oracle stays all-pairs — the candidate "
+    "set only PREfilters; every surviving pair is exact. Left-fold dot "
+    "products match bitwise across engines.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.extensions.similarity import lsh_bucket_expr
+    from clickhousebackup_spark.scratch import roundtrip_parquet, scratch_path
+
     e = parallelize(load_table(spark, sf_dir, "embeddings"))
     v = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(
@@ -366,8 +375,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
-    normed = e.select("vec_id", v.alias("v"), nrm.alias("nrm"))
-    a = normed.alias("a")
+    # Materialize (vec, norm, bucket) once: the 4-plane projection is
+    # the expensive expression and both join sides need it.
+    normed = roundtrip_parquet(
+        e.select(
+            "vec_id",
+            v.alias("v"),
+            nrm.alias("nrm"),
+            lsh_bucket_expr("embedding").alias("bucket"),
+        ),
+        scratch_path(spark, "emb_cosine_bucketed", sf_dir),
+    )
+    # Probe set = own bucket ∪ its 4 Hamming-1 neighbors, exploded on
+    # the left side only → the join is pure equi-key (shuffle hash /
+    # sort-merge, never a nested-loop cartesian), the property that
+    # keeps this operator alive at 100 TB.
+    n_buckets_bits = 4
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_buckets_bits)
+        ],
+    )
+    a = normed.select(
+        "vec_id", "v", "nrm", F.explode(probes).alias("probe")
+    ).alias("a")
     b = normed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -376,13 +409,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, F.col("a.probe") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -417,6 +452,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v")))
     )
     labels = docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("cluster"))
+    # The adjacency is reused by every round — materialize it once.
+    adj = adj.localCheckpoint(eager=True)
     for _ in range(8):  # fixpoint ≤ graph diameter; md5 chains are short
         # propagate: new label = min label over neighborhood
         prop = (
@@ -430,6 +467,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster"
             ),
         )
+        # localCheckpoint per round truncates lineage (otherwise the
+        # plan doubles each iteration and the convergence probe below
+        # re-executes the whole prefix) and materializes this round's
+        # labels exactly once.
+        joined = joined.localCheckpoint(eager=True)
         changed = (
             joined.join(labels.withColumnRenamed("cluster", "old"), on="u")
             .filter(F.col("cluster") != F.col("old"))

@@ -112,13 +112,15 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "backup.sh:119-122) instead of scanning all days.",
 )
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from clickhousebackup_spark.scratch import scratch_path
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyyMMdd")
     )
-    out = tempfile.mkdtemp(prefix="cbs_pruned_") + "/events_by_day"
-    ev.select("event_id", "user_id", "day").write.partitionBy("day").parquet(out)
+    out = scratch_path(spark, "events_by_day", sf_dir)
+    ev.select("event_id", "user_id", "day").write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
     back = spark.read.parquet(out).filter(F.col("day") == "20240115")
     return back.select(
         "event_id", "user_id", F.col("day").cast("string").alias("day")

@@ -59,9 +59,9 @@ _CSV_SCHEMA = T.StructType(
     doc="CSV sink + explicit-schema source roundtrip (no inference).",
 )
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from clickhousebackup_spark.scratch import scratch_path
 
-    out = tempfile.mkdtemp(prefix="cbs_csv_") + "/lineitem_csv"
+    out = scratch_path(spark, "lineitem_csv", sf_dir)
     df = load_table(spark, sf_dir, "lineitem").select(*CSV_COLS)
     df.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(out)

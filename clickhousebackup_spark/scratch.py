@@ -1,0 +1,66 @@
+"""Cluster-safe scratch space for query-internal materialization.
+
+Some registered queries materialize an intermediate: sketch tables
+(dedup_minhash), snapshot targets (snapshot_write), partitioned
+rewrites (scan_partition_pruned). On a real cluster that storage must
+be on a shared filesystem (HDFS/S3A/NFS) — a driver-local
+``tempfile.mkdtemp`` path is invisible to executors, which is exactly
+how the reference treats its backup volume (a mounted shared dir,
+Dockerfile:40). The base directory is therefore read from the session
+conf ``spark.cbs.scratch.dir``; set it to shared storage on a real
+cluster. Locally it defaults to one fixed directory under the system
+temp root.
+
+Leak control: paths are DETERMINISTIC per (key, input-dir) and every
+write replaces the previous artifact (mode=overwrite or staged
+replace), so reruns reuse the same path instead of accumulating fresh
+``mkdtemp`` dirs. ``clean_scratch`` removes the whole base for
+explicit cleanup (tests, post-run hooks). Concurrent *distinct*
+sessions should set distinct ``spark.cbs.scratch.dir`` values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Session conf naming the shared scratch base directory.
+SCRATCH_CONF = "spark.cbs.scratch.dir"
+
+
+def scratch_base(spark: SparkSession) -> str:
+    """The scratch base dir: session conf, else <tmp>/cbs_scratch."""
+    try:
+        base = spark.conf.get(SCRATCH_CONF, None)
+    except Exception:
+        base = None
+    return base or os.path.join(tempfile.gettempdir(), "cbs_scratch")
+
+
+def scratch_path(spark: SparkSession, key: str, sf_dir: str = "") -> str:
+    """Deterministic scratch path for one query key on one input dir.
+
+    Determinism (not uniqueness) is the leak fix: the same (key,
+    input) always lands on the same path and the writer replaces it.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] if sf_dir else "global"
+    return os.path.join(scratch_base(spark), f"{key}_{tag}")
+
+
+def roundtrip_parquet(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` at ``path`` (replacing any prior run) and
+    reread it — the explicit stage boundary used where a plan would
+    otherwise recompute an expensive subtree per consumer."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def clean_scratch(spark: SparkSession) -> None:
+    """Remove the scratch base entirely (local-filesystem bases only)."""
+    base = scratch_base(spark)
+    if os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)

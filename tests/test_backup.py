@@ -102,7 +102,8 @@ def test_webhook_retries_then_fails():
     hook = webhook_hook("http://x/", retries=5, poster=flaky_poster)
     with pytest.raises(HookError):
         hook("post-backup")
-    assert len(attempts) == 5  # curl --retry 5 (hooks/00-webhook:15)
+    # curl --retry 5 = 1 initial + 5 retries (hooks/00-webhook:15)
+    assert len(attempts) == 6
 
 
 def test_webhook_success_posts_status_json():
@@ -113,6 +114,55 @@ def test_webhook_success_posts_status_json():
 
     webhook_hook("http://x/", poster=poster)("error")
     assert seen["body"] == b'{"status": "error"}'  # hooks/00-webhook:13
+
+
+def test_webhook_per_action_routing():
+    """hooks/00-webhook:6-63: pre-backup fires only the pre URL; post
+    and error fire the default URL plus their dedicated URL; unset URLs
+    are skipped (**None** guard)."""
+    posts = []
+
+    def poster(url, body):
+        posts.append((url, body))
+
+    hook = webhook_hook(
+        "http://default/",
+        poster=poster,
+        error_url="http://err/",
+        pre_backup_url="http://pre/",
+        post_backup_url="http://post/",
+    )
+    hook("pre-backup")
+    assert posts == [("http://pre/", b'{"status": "pre-backup"}')]
+    posts.clear()
+    hook("post-backup")
+    assert [u for u, _ in posts] == ["http://default/", "http://post/"]
+    posts.clear()
+    hook("error")
+    assert [u for u, _ in posts] == ["http://default/", "http://err/"]
+
+
+def test_webhook_pre_backup_skipped_without_dedicated_url():
+    """WEBHOOK_URL alone never fires on pre-backup (the reference's
+    pre-backup case checks only WEBHOOK_PRE_BACKUP_URL)."""
+    posts = []
+    hook = webhook_hook("http://default/", poster=lambda u, b: posts.append(u))
+    hook("pre-backup")
+    assert posts == []
+
+
+def test_webhook_error_action_never_raises_through_lifecycle():
+    """trap-on-ERR semantics: a dead error webhook must not mask the
+    original job failure (fire(..., exit_on_error=False))."""
+
+    def dead_poster(url, body):
+        raise OSError("down")
+
+    hooks = LifecycleHooks().add(
+        webhook_hook("http://x/", retries=0, poster=dead_poster)
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        hooks.run_job(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
 
 
 # ---------- snapshot publish (A10/A11/A13) ----------

@@ -139,3 +139,111 @@ def test_restore_roundtrip_and_point_in_time(spark, sf_dir, engine):
     assert engine.restore("db0", "orders", t1.strftime("%Y%m%d-%H%M%S")).count() == 100
     with pytest.raises(FileNotFoundError):
         engine.restore("db9", "orders")
+
+
+def test_prune_apply_removes_dirs_and_catalog_rows(spark, sf_dir, engine):
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+    old = dt.datetime(2023, 1, 1, 0, 0, 0)
+    new = dt.datetime(2024, 2, 1, 0, 0, 0)
+    engine.run_backup({"db0": {"orders": orders}}, now=old)
+    engine.run_backup({"db0": {"orders": orders}}, now=new)
+    paths = {
+        r["snapshot_ts"]: r["path"]
+        for r in engine.catalog().select("snapshot_ts", "path").collect()
+    }
+    old_path, new_path = paths[old], paths[new]
+    assert os.path.isdir(old_path) and os.path.isdir(new_path)
+
+    delete = engine.prune(apply=True)
+    assert delete.count() == 4  # all four generations of the old run
+    # the rm actually happened (backup.sh:119-122) — and only for the
+    # fully-expired artifact
+    assert not os.path.exists(old_path)
+    assert os.path.isdir(new_path)
+    # catalog rewrote itself without the deleted artifact
+    remaining = {r["path"] for r in engine.catalog().select("path").collect()}
+    assert remaining == {new_path}
+    # restore still resolves the surviving snapshot
+    assert engine.restore("db0", "orders").count() == 10
+    # idempotent: a second apply finds nothing to delete
+    assert engine.prune(apply=True).count() == 0
+
+
+def test_prune_apply_keeps_shared_paths(spark, sf_dir, engine):
+    """A path whose `last` row expired but whose daily/weekly/monthly
+    rows are kept must NOT be removed (one dir backs all generations)."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").limit(5)
+    # 2 days old: past the 1440-min `last` window, inside daily/weekly/monthly
+    t0 = dt.datetime(2024, 1, 30, 0, 0, 0)
+    t1 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    engine.run_backup({"db0": {"orders": orders}}, now=t0)
+    engine.run_backup({"db0": {"orders": orders}}, now=t1)
+    paths = {
+        r["snapshot_ts"]: r["path"]
+        for r in engine.catalog().select("snapshot_ts", "path").collect()
+    }
+    delete = engine.prune(apply=True)
+    deleted_rows = delete.collect()
+    assert all(r["snapshot_ts"] == t0 for r in deleted_rows)
+    assert {r["generation"] for r in deleted_rows} == {"last"}
+    # dir survives because daily/weekly/monthly still reference it
+    assert os.path.isdir(paths[t0])
+    remaining = engine.catalog().filter(f"path = '{paths[t0]}'")
+    assert {r["generation"] for r in remaining.collect()} == {
+        "daily", "weekly", "monthly",
+    }
+
+
+def test_latest_pointer_symlink_resolves_newest(spark, sf_dir, engine):
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    engine.run_backup({"db0": {"orders": orders.limit(100)}}, now=t1)
+    engine.run_backup({"db0": {"orders": orders}}, now=t2)
+
+    for gen in ("last", "daily", "weekly", "monthly"):
+        ptr = os.path.join(
+            engine.config.backup_dir, gen, "db0-latest.zip"
+        )
+        assert os.path.islink(ptr)  # backup.sh:101: ln -s
+        # pointer targets the NEWEST artifact (max_by snapshot_ts)
+        assert os.path.realpath(ptr).endswith(t2.strftime("%Y%m%d-%H%M%S"))
+    # restore-by-convention reads storage alone — no catalog involved
+    assert engine.restore_latest("db0").count() == orders.count()
+    assert engine.restore_latest("db0", "monthly").count() == orders.count()
+
+
+def test_latest_pointer_hardlink_and_none(spark, sf_dir, engine):
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").limit(50)
+    base = engine.config.backup_dir
+    engine.config = BackupConfig(
+        host="h", dbs="db0", user="u", password="p",
+        backup_dir=base, latest_type="hardlink",
+    )
+    engine.run_backup(
+        {"db0": {"orders": orders}}, now=dt.datetime(2024, 2, 1)
+    )
+    ptr = os.path.join(base, "last", "db0-latest.zip")
+    # hardlink mode: a real mirror dir (backup.sh:67-80's ln -f loop)
+    assert os.path.isdir(ptr) and not os.path.islink(ptr)
+    assert engine.restore_latest("db0").count() == 50
+
+    # none: nothing is written (backup.sh:113)
+    engine.config = BackupConfig(
+        host="h", dbs="db1", user="u", password="p",
+        backup_dir=base, latest_type="none",
+    )
+    engine.run_backup(
+        {"db1": {"orders": orders}}, now=dt.datetime(2024, 2, 1)
+    )
+    assert not os.path.exists(os.path.join(base, "last", "db1-latest.zip"))
+    with pytest.raises(FileNotFoundError):
+        engine.restore_latest("db1")

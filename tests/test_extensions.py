@@ -192,3 +192,59 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     # keep-one-per-cluster count equals dedup_exact's survivor count
     n_clusters = len(set(got.values()))
     assert n_clusters == SPECS["dedup_exact"].fn(spark, sf_dir).count()
+
+
+def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
+    """The sign-LSH bucket prefilter (equi-key join + Hamming-1 probe)
+    must not lose any true cosine ≥ 0.99 pair. The shipped fixtures
+    have no qualifying pairs (max pairwise cosine ≈ 0.48), so this
+    plants near-dup clusters and compares against a numpy brute force.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_dup_each = 16, 40, 3
+    vecs, vid = [], 0
+    for _ in range(n_base):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        vecs.append((vid, [float(x) for x in base], 0))
+        vid += 1
+        for _ in range(n_dup_each):
+            # tiny perturbation → cosine ≈ 0.999; moderate → ~0.95-0.98
+            eps = rng.choice([0.02, 0.25])
+            d = base + rng.normal(size=dim) * eps / np.sqrt(dim)
+            vecs.append((vid, [float(x) for x in d], 0))
+            vid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    # numpy ground truth over the float32-rounded values (what parquet
+    # stores and both engines read)
+    arr = np.array(
+        [np.array(v, dtype=np.float32).astype(np.float64) for _, v, _ in vecs]
+    )
+    norms = np.linalg.norm(arr, axis=1)
+    sims = (arr @ arr.T) / np.outer(norms, norms)
+    want = {
+        (i, j)
+        for i in range(vid)
+        for j in range(i + 1, vid)
+        if sims[i, j] >= 0.99
+    }
+    assert len(want) >= n_base  # the planting actually produced pairs
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in SPECS["dedup_embedding_cosine"].fn(spark, sf).collect()
+    }
+    # allow boundary disagreement between numpy's fused dot and the
+    # engines' left-fold only within 1e-9 of the threshold
+    missed = want - got
+    for i, j in missed:
+        assert abs(sims[i, j] - 0.99) < 1e-9, (i, j, sims[i, j])
+    extra = got - want
+    for i, j in extra:
+        assert abs(sims[i, j] - 0.99) < 1e-9, (i, j, sims[i, j])

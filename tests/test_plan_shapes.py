@@ -76,3 +76,25 @@ def test_range_join_keeps_equi_key(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_join_is_equi_key(spark, sf_dir):
+    """The LSH bucket prefilter must compile to an equi-key join
+    (broadcast/shuffled hash or sort-merge) — never a nested-loop
+    cartesian, which is the all-pairs scale-killer it replaces."""
+    df = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_dedup_clusters_plan_is_checkpoint_truncated(spark, sf_dir):
+    """Each label-propagation round localCheckpoints, so the returned
+    plan must scan checkpointed partitions rather than nesting all
+    rounds' joins (lineage would double per iteration otherwise)."""
+    df = SPECS["dedup_clusters"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
