@@ -303,6 +303,25 @@ class BackupEngine:
             written.append(ptr)
         return written
 
+    def health(self) -> dict:
+        """A19 analog of go-cron's HEALTHCHECK_PORT endpoint: config
+        validity, catalog reachability, and the status/lastProgress of
+        every active streaming query in the session."""
+        from clickhousebackup_spark.streaming.engine import session_health
+
+        streams = session_health(self.spark)
+        ok = True
+        try:
+            validate_backup_dir(self.config.backup_dir)
+        except Exception:
+            ok = False
+        return {
+            "ok": ok and streams["ok"],
+            "backup_dir": self.config.backup_dir,
+            "catalog_rows": self.catalog().count(),
+            "streams": streams,
+        }
+
     def restore_latest(self, db: str, generation: str = "last") -> DataFrame:
         """Restore by convention: read the on-disk ``<db>-latest``
         pointer (no catalog needed — the property backup.sh's symlinks

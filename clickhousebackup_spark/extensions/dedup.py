@@ -106,21 +106,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
     # mod 2^31-1 (Mersenne prime) — without the reduction the affine map
     # is monotone and every permutation would share one argmin,
-    # collapsing all K signatures into one.
+    # collapsing all K signatures into one. The affine transforms live
+    # in a PROJECTION so the aggregate codegen sees 16 plain min(col)
+    # updates — smaller generated aggregate code (Janino compile is the
+    # dominant cold cost of this query, NOTES.md §4), same plan shape.
     p = F.lit((1 << 31) - 1).cast("long")
-    mins = [
-        F.min(
+    projected = hs.select(
+        "doc_id",
+        *[
             F.pmod(
                 F.col("h") * F.lit(_MINHASH_A[k]).cast("long")
                 + F.lit(_MINHASH_B[k]).cast("long"),
                 p,
-            )
-        ).alias(f"m{k}")
-        for k in range(N_MINHASH)
-    ]
+            ).alias(f"p{k}")
+            for k in range(N_MINHASH)
+        ],
+    )
     return (
-        hs.groupBy("doc_id")
-        .agg(*mins)
+        projected.groupBy("doc_id")
+        .agg(*[F.min(f"p{k}").alias(f"m{k}") for k in range(N_MINHASH)])
         .select(
             "doc_id",
             F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
@@ -137,20 +141,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     "signature similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhousebackup_spark.scratch import roundtrip_parquet, scratch_path
-
     d = parallelize(load_table(spark, sf_dir, "documents"))
     # Materialize the sketch stage once: the self-join would otherwise
-    # recompute every signature per side. A parquet roundtrip (not
-    # .persist(): InMemoryRelation builds fall back to interpreted
-    # expression eval for this plan) — exactly the sketch/join stage
-    # boundary you'd checkpoint at 100 TB; signatures are K longs/doc.
-    # The path comes from the session's scratch conf (shared storage on
-    # a cluster) and is deterministic per input — reruns overwrite it.
-    sigs = roundtrip_parquet(
-        minhash_signatures(d), scratch_path(spark, "minhash_sigs", sf_dir)
-    )
+    # recompute every signature per side. localCheckpoint stores the
+    # K-longs-per-doc signature blocks on the executors — no
+    # filesystem committer in the loop (a parquet roundtrip costs a
+    # full write job; see scratch.roundtrip_parquet for the pattern
+    # when the artifact must outlive the query). Executor loss →
+    # recompute-from-scratch, an acceptable trade for a sketch that is
+    # ~1000× smaller than its input. (Not .persist(): InMemoryRelation
+    # builds fall back to interpreted expression eval for this plan.)
+    sigs = minhash_signatures(d).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
+    # One xxhash64 over each SLICED signature sub-array (hash
+    # expressions fold arrays natively) — 4 small expressions instead
+    # of 16 element_at's feeding string concats, which cut whole-stage
+    # codegen size (the dominant cold-start cost per NOTES.md §4).
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -160,13 +166,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -177,7 +177,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    # Verify BEFORE dedup: sim is deterministic per pair, so the
+    # distinct runs over three scalar columns (cheap agg buffers)
+    # instead of first()-buffering two signature arrays per pair. A
+    # pair sharing k bands is verified k≤4 times — trivially cheaper
+    # than the wide-buffer aggregate codegen it replaces.
+    sim = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+                ),
+                lambda eq: eq == 1,
+            )
+        ).cast("double")
+        / F.lit(float(N_MINHASH))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -187,24 +203,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            sim.alias("sim"),
         )
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    sim = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda eq: eq == 1,
-            )
-        ).cast("double")
-        / F.lit(float(N_MINHASH))
-    )
-    return (
-        pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= 0.5)
-        .select("a_id", "b_id", "sim")
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -120,6 +120,32 @@ def run_to_memory_sink(
     return q
 
 
+def query_health(query) -> dict:
+    """A19 analog: the probe-able status surface go-cron serves over
+    HTTP on HEALTHCHECK_PORT (init.sh:14, Dockerfile:29,44-45), as a
+    dict built from StreamingQuery.status/lastProgress — the payload a
+    liveness endpoint would serialize."""
+    return {
+        "id": str(query.id),
+        "run_id": str(query.runId),
+        "name": query.name,
+        "is_active": query.isActive,
+        "status": dict(query.status or {}),
+        "last_progress": dict(query.lastProgress or {}),
+    }
+
+
+def session_health(spark) -> dict:
+    """Health of every active streaming query in the session plus an
+    overall ok flag (any query that died with an exception → not ok)."""
+    queries = [query_health(q) for q in spark.streams.active]
+    return {
+        "ok": all(q["is_active"] for q in queries),
+        "n_active": len(queries),
+        "queries": queries,
+    }
+
+
 def run_foreach_webhook(
     stream_df: DataFrame,
     post: Callable[[dict], None],

@@ -210,3 +210,56 @@ def test_stateful_running_totals_across_batches(spark):
     for u in (0, 1):
         assert final[u][0] == want[u][0]
         assert abs(final[u][1] - want[u][1]) < 1e-9
+
+
+def test_health_surface_while_query_runs(spark):
+    """A19 analog: health() exposes status/lastProgress fields for an
+    active query and goes quiet after it stops."""
+    from clickhousebackup_spark.streaming.engine import (
+        query_health,
+        session_health,
+    )
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .writeStream.format("memory")
+        .queryName("health_probe")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        h = query_health(q)
+        assert h["is_active"] and h["name"] == "health_probe"
+        assert "message" in h["status"]  # StreamingQuery.status fields
+        sh = session_health(spark)
+        assert sh["ok"] and sh["n_active"] >= 1
+        assert any(x["name"] == "health_probe" for x in sh["queries"])
+    finally:
+        q.stop()
+    assert session_health(spark)["n_active"] == 0
+
+
+def test_engine_health_includes_streams_and_catalog(spark, sf_dir):
+    import tempfile as tf
+
+    from clickhousebackup_spark.backup.config import BackupConfig
+    from clickhousebackup_spark.engine import BackupEngine
+    from clickhousebackup_spark.tables import load_table
+
+    eng = BackupEngine(
+        spark,
+        BackupConfig(host="h", dbs="db0", user="u", password="p",
+                     backup_dir=tf.mkdtemp(prefix="cbs_health_")),
+    )
+    import datetime as dt
+
+    eng.run_backup(
+        {"db0": {"region": load_table(spark, sf_dir, "region")}},
+        now=dt.datetime(2024, 2, 1),
+    )
+    h = eng.health()
+    assert h["ok"] is True
+    assert h["catalog_rows"] == 4  # one snapshot × four generations
+    assert h["streams"]["n_active"] == 0
