@@ -1,0 +1,246 @@
+"""Training-data curation operators (north-star extensions, the
+pipeline stages that sit between raw documents and a training set):
+repetition scoring, benchmark-contamination checks, deterministic
+stratified sampling, token budgeting, and the end-to-end keep-set.
+
+Scale design: everything is explode + two-phase hash aggregation or an
+equi-key join — the same shapes as extensions/text.py and
+extensions/dedup.py. No Python per row, no collects, no non-equi
+joins. Word/gram skew is absorbed by map-side partial aggregation;
+contamination joins prefilter frequent grams (a stopword bigram would
+otherwise fan out quadratically).
+
+Determinism: sampling uses md5 hex prefixes (bit-identical in Spark
+and DuckDB) rather than engine RNGs; every keep-one carries a
+total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table, parallelize
+
+#: Bigram expression shared by repetition / contamination (the same
+#: shingle family as extensions/dedup.py:_shingles with K=2).
+def _bigrams(distinct: bool) -> F.Column:
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(string_split_regex(lower(text), "
+    "'\\s+')) - 1, 1) + 1), i -> concat_ws(' ', "
+    "string_split_regex(lower(text), '\\s+')[i:i+1]))"
+)
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM documents
+        ), per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS n
+            FROM grams GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_grams,
+               CAST(MAX(n) AS BIGINT) AS top_gram_n,
+               CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS top_gram_frac,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS dup_gram_frac
+        FROM per_gram GROUP BY doc_id
+    """,
+    doc="Repetition signals per doc (the Gopher-style quality gates): "
+    "most-frequent-bigram fraction and duplicate-bigram fraction. "
+    "Two-phase agg on (doc_id, gram) then doc_id — map-side combine "
+    "absorbs within-doc repetition itself.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    per_gram = (
+        d.select("doc_id", F.explode(_bigrams(distinct=False)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_grams"),
+        F.max("n").cast("long").alias("top_gram_n"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_gram_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")
+        ).alias("dup_gram_frac"),
+    )
+
+
+#: Benchmark membership + contamination thresholds.
+_BENCH_MOD = 97
+_MIN_SHARED = 3
+#: Grams present in more than this many docs are dropped before the
+#: contamination join — a stopword bigram ("of the") would otherwise
+#: pair every doc with every benchmark doc (the quadratic blowup).
+#: Exact for the ≥ _MIN_SHARED rare-gram definition used here; a real
+#: pipeline tunes this df cap alongside its n-gram order (8-grams at
+#: df≤10 in the usual decontamination setups).
+_MAX_DF = 50
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct({_BIGRAMS_SQL})) AS gram
+            FROM documents
+        ), rare AS (
+            SELECT gram FROM grams GROUP BY gram
+            HAVING COUNT(*) <= {_MAX_DF}
+        ), g AS (
+            SELECT grams.doc_id, grams.gram FROM grams
+            JOIN rare ON grams.gram = rare.gram
+        )
+        SELECT t.doc_id, b.doc_id AS benchmark_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM g t JOIN g b ON t.gram = b.gram
+        WHERE b.doc_id % {_BENCH_MOD} = 0 AND t.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY t.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+    doc=f"Benchmark-contamination check: training docs sharing ≥ "
+    f"{_MIN_SHARED} rare bigrams (df ≤ {_MAX_DF}) with a benchmark "
+    f"doc (doc_id % {_BENCH_MOD} = 0 stands in for the eval set). "
+    "Equi-key join on the gram with a frequency prefilter — the "
+    "decontamination shape that survives 100 TB because common grams "
+    "never enter the join.",
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(_bigrams(distinct=True)).alias("gram")
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("gram")
+    )
+    g = grams.join(rare, "gram")
+    bench = g.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("benchmark_id"), "gram"
+    )
+    train = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= _MIN_SHARED)
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+        SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              <= CASE WHEN lang = 'en' THEN '3f' ELSE '19' END
+    """,
+    doc="Deterministic stratified sample: per-language keep rates "
+    "(~25% en, ~10% other) decided by an md5 hex prefix of the key — "
+    "bit-identical across engines and cluster sizes, unlike RNG-based "
+    "Bernoulli sampling. Map-only (no shuffle); the idiom for "
+    "rebalancing language mix in a training set.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep_max = F.when(F.col("lang") == "en", F.lit("3f")).otherwise(
+        F.lit("19")
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") <= keep_max
+    )
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+        SELECT lang,
+               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                   AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                   AS bpe_ish_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    doc="Token budget per language: corpus-level sums of the "
+    "text_token_count tokenizers — the number every dataset card "
+    "quotes. Integer sums are order-independent, so no decimal bridge "
+    "is needed.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), r"\s+")))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.sum(
+            F.size(
+                F.expr(
+                    r"regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]', 0)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "curation_keep_set",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   len(string_split_regex(text, '\\s+')) AS n_words,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+        FROM scored
+        WHERE rn = 1 AND n_words >= 10
+    """,
+    doc="End-to-end curation keep-set: exact dedup (md5 keep-lowest, "
+    "the dedup_exact rule) composed with a minimum-length quality "
+    "gate — the final SELECT of a data pipeline, one window + one "
+    "filter, no extra shuffles beyond dedup itself.",
+)
+def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_words"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_words") >= 10))
+        .select("doc_id", "lang", "n_words")
+    )

@@ -306,11 +306,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
               >= 0.8
     """,
-    doc="Exact n-gram (word bigram) Jaccard near-dup pairs ≥ 0.8 — "
-    "the brute-force ground truth the LSH variants approximate. "
-    "Fixture-scale only (O(n²) pairs); at 100 TB use dedup_minhash.",
+    doc="EXACT n-gram (word bigram) Jaccard near-dup pairs ≥ 0.8 via "
+    "prefix filtering (PPJoin family): each doc indexes only its "
+    "|G| - ceil(0.8·|G|) + 1 globally-rarest grams; two docs with "
+    "Jaccard ≥ 0.8 MUST share a prefix gram (pigeonhole on the shared "
+    "canonical rarity order), so candidates come from an equi-key "
+    "self-join on prefix grams — never an all-pairs nested loop — and "
+    "every candidate is verified with the exact set Jaccard. Same "
+    "result as brute force (the oracle stays all-pairs), scale-safe "
+    "plan: rare-gram prefixes keep candidate buckets small because "
+    "frequent grams never enter the index.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.8
     d = parallelize(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), r"\s+")
     n = F.size(words)
@@ -321,21 +329,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = d.select("doc_id", grams.alias("gs"))
-    a = g.alias("a")
-    b = g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs"))).cast("double")
-    union = F.size(
-        F.array_distinct(F.concat(F.col("a.gs"), F.col("b.gs")))
-    ).cast("double")
-    jac = inter / union
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            jac.alias("jaccard"),
+    toks = g.select("doc_id", F.explode("gs").alias("gram"))
+    # global document frequency = the canonical rarity order (ties on
+    # the gram string itself → total order, deterministic prefixes)
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "gram"))).alias(
+                "by_rarity"
+            )
         )
-        .filter(F.col("jaccard") >= 0.8)
+    )
+    ng = F.size("by_rarity")
+    prefix_len = ng - F.ceil(ng * F.lit(t)).cast("int") + 1
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("by_rarity", 1, prefix_len), lambda s: s["gram"]
+            )
+        ).alias("gram"),
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "gram")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("a_id"),
+            F.col("pb.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    a = g.select(F.col("doc_id").alias("a_id"), F.col("gs").alias("gs_a"))
+    b = g.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("gs_a", "gs_b"))).cast("double")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
     )
 
 

@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.extensions.similarity",
     "clickhousebackup_spark.extensions.text",
     "clickhousebackup_spark.extensions.multimodal",
+    "clickhousebackup_spark.extensions.curation",
 )
 
 

@@ -248,3 +248,41 @@ def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
     extra = got - want
     for i, j in extra:
         assert abs(sims[i, j] - 0.99) < 1e-9, (i, j, sims[i, j])
+
+
+def test_ngram_jaccard_prefix_filter_exact_on_planted(spark, tmp_path):
+    """The prefix filter must be lossless: planted bigram near-dups
+    (one word changed out of 20 → Jaccard ≈ 0.86) are all found, and
+    the result equals a python brute force over the same documents."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs, did = [], 0
+    for _ in range(30):
+        base = [rng.choice(vocab) for _ in range(20)]
+        docs.append((did, " ".join(base), "en", 0)); did += 1
+        mut = list(base)
+        mut[rng.randrange(20)] = rng.choice(vocab)
+        docs.append((did, " ".join(mut), "en", 0)); did += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, label int"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def bigrams(s):
+        w = s.lower().split()
+        return set(" ".join(w[i:i+2]) for i in range(max(len(w)-1, 1)))
+
+    want = set()
+    for (i, ti, _, _), (j, tj, _, _) in itertools.combinations(docs, 2):
+        gi, gj = bigrams(ti), bigrams(tj)
+        if len(gi & gj) / len(gi | gj) >= 0.8:
+            want.add((min(i, j), max(i, j)))
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    assert want  # planting produced qualifying pairs
+    assert got == want

@@ -98,3 +98,11 @@ def test_dedup_clusters_plan_is_checkpoint_truncated(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ngram_jaccard_join_is_equi_key(spark, sf_dir):
+    """Prefix filtering replaces the all-pairs nested loop: candidate
+    generation and verify must both be equi-key joins."""
+    df = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
