@@ -458,30 +458,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=None,  # iterative fixpoint → non-SQL-expressible (driver's
-    # rows-only check); clustering laws are unit-tested vs union-find.
-    doc="Connected components over near-dup pairs (label propagation "
-    "to fixpoint): each doc's cluster id = min doc_id reachable via "
-    "dedup edges. The step every dedup pipeline needs after pair "
-    "generation — pairs don't dedupe, clusters do (keep one per "
-    "cluster). Iterative DataFrame joins, ≤ log2(longest chain) "
-    "rounds; at 100 TB each round is one shuffle join (large-star/"
-    "small-star would halve rounds, same primitive).",
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # edges: exact-duplicate pairs (md5 identity — deterministic and
-    # the dominant real-world near-dup source), normalized a<b
-    hashed = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("h")
-    )
-    a, b = hashed.alias("a"), hashed.alias("b")
-    edges = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
+def _propagate_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by label propagation to fixpoint: cluster =
+    min doc_id reachable over ``edges`` (src/dst, normalized a<b).
+    Shared by the exact- and near-dup cluster operators."""
     # undirected adjacency + self-loops
     adj = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -519,3 +499,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), "cluster")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # edges: exact-duplicate pairs (md5 identity — deterministic and
+    # the dominant real-world near-dup source), normalized a<b
+    hashed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return _propagate_clusters(docs, edges)
+
+
+dedup_clusters = register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint → non-SQL-expressible (driver's
+    # rows-only check); clustering laws are unit-tested vs union-find.
+    doc="Connected components over exact-dup (md5) pairs (label "
+    "propagation to fixpoint, per-round localCheckpoint): each doc's "
+    "cluster id = min doc_id reachable via dedup edges. The step "
+    "every dedup pipeline needs after pair generation — pairs don't "
+    "dedupe, clusters do (keep one per cluster). ≤ log2(longest "
+    "chain) rounds; at 100 TB each round is one shuffle join (large-"
+    "star/small-star would halve rounds, same primitive).",
+)(dedup_clusters)
+
+
+@register(
+    "dedup_clusters_neardup",
+    oracle=None,  # minhash edges are sketch-specific → rows-only;
+    # laws unit-tested vs union-find over the same edge set.
+    doc="Connected components over the UNION of exact (md5) and "
+    "near-dup (MinHash-LSH sim ≥ 0.5) edges — the cluster step a real "
+    "dedup pipeline runs before keep-one-per-cluster: transitive "
+    "near-duplicate chains collapse into one cluster even when the "
+    "endpoints' similarity is below threshold. Same propagation "
+    "machinery (checkpointed rounds) as dedup_clusters.",
+)
+def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    exact = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    near = dedup_minhash(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    edges = exact.unionByName(near).distinct()
+    return _propagate_clusters(docs, edges)

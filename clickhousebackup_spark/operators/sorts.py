@@ -28,17 +28,41 @@ from clickhousebackup_spark.tables import load_table
         FROM orders
     """,
     doc="Multi-key total-order sort, materialized as an explicit "
-    "position column so the order-insensitive hash still verifies it.",
+    "position column so the order-insensitive hash still verifies it. "
+    "Global rank WITHOUT a single-partition window: range-partition on "
+    "the sort key, rank within each partition, then add broadcast "
+    "per-partition offsets — the two-pass distributed rank that holds "
+    "at any scale. (Correct because Spark's range sampler is "
+    "deterministically seeded: both evaluations of the ranged subtree "
+    "see identical partition boundaries, and the total-order tiebreak "
+    "makes ranks boundary-independent anyway.)",
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.row_number().over(w).cast("long").alias("pos"),
-    ).orderBy("pos")
+    keys = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    ranged = (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the (tiny, n_partitions-row) count table
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )
+    wl = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            (F.col("_off") + F.row_number().over(wl)).cast("long").alias("pos"),
+        )
+        .orderBy("pos")
+    )
 
 
 @register(

@@ -286,3 +286,42 @@ def test_ngram_jaccard_prefix_filter_exact_on_planted(spark, tmp_path):
     }
     assert want  # planting produced qualifying pairs
     assert got == want
+
+
+def test_neardup_clusters_match_union_find(spark, sf_dir):
+    """Near-dup clustering must equal a driver-side union-find over the
+    union of md5-exact and minhash edges (whatever the sketch found —
+    the law is transitive closure, not the edge set)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    parent = {r["doc_id"]: r["doc_id"] for r in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_hash = {}
+    for r in docs:
+        by_hash.setdefault(
+            hashlib.md5(r["text"].encode()).hexdigest(), []
+        ).append(r["doc_id"])
+    for ids in by_hash.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+    for r in SPECS["dedup_minhash"].fn(spark, sf_dir).collect():
+        union(r["a_id"], r["b_id"])
+
+    want = {d: find(d) for d in parent}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in SPECS["dedup_clusters_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

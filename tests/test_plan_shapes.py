@@ -106,3 +106,12 @@ def test_ngram_jaccard_join_is_equi_key(spark, sf_dir):
     df = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sort_multi_ranks_via_range_partitioning(spark, sf_dir):
+    """Global rank must be the two-pass range-partitioned plan, not a
+    single-partition window over the full table (the tiny per-partition
+    offset table is the only single-partition piece)."""
+    df = SPECS["sort_multi"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "rangepartitioning" in plan
