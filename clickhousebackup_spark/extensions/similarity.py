@@ -275,3 +275,70 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale * F.count("val")
     )
     return dims.groupBy("label", "dim").agg(mean.alias("centroid_val"))
+
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+@register(
+    "emb_kmeans",
+    oracle=None,  # iterative argmin over float distances → rows-only;
+    # determinism/inertia laws are unit-tested.
+    doc=f"Deterministic k-means (k={KMEANS_K}, exactly {KMEANS_ROUNDS} "
+    "Lloyd rounds, no RNG): init = first k vectors by vec_id, assign "
+    "= argmin L2 against the BROADCAST centroid table (tie on the "
+    "lower centroid id), update = per-dimension mean via posexplode + "
+    "two-phase agg. The production layout for IVF/clustering at "
+    "100 TB: centroids are kBs broadcast everywhere, each round is "
+    "one linear pass + one (cluster, dim) shuffle, assignments "
+    "localCheckpoint between rounds so lineage stays flat.",
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    from pyspark.sql import Window as _W
+
+    # init: first k vectors by vec_id, re-labelled 0..k-1 (the k-row
+    # window is trivially single-partition — it IS the broadcast table)
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(_W.orderBy("vec_id")) - 1).alias("cent_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(KMEANS_ROUNDS):
+        w = _W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cent_id"))
+        assigned = (
+            e.join(F.broadcast(centroids))
+            .select("vec_id", "v", "cent_id", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id")
+            .localCheckpoint(eager=True)
+        )
+        dims = assigned.select(
+            "cent_id", F.posexplode("v").alias("dim", "val")
+        )
+        new_cents = (
+            dims.groupBy("cent_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        centroids = new_cents.localCheckpoint(eager=True)
+    return assigned.select("vec_id", "cent_id")

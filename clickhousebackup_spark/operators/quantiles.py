@@ -198,3 +198,39 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(words).alias("pos", "word")
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """,
+    doc="Mode (most frequent value) per group with a total-order "
+    "tiebreak (count desc, value asc) — two-phase count then a "
+    "group-limit window; never a collect-and-count.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

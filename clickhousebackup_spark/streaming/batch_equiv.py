@@ -180,3 +180,45 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT a.event_id AS a_event, b.event_id AS b_event, a.user_id,
+               (epoch_us(b.ts) - epoch_us(a.ts)) / 60000000.0
+                   AS delta_minutes
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join semantics, batch-checkable: each "
+    "event pairs with the same user's events in the following 30 "
+    "minutes. Equi-key on user_id (shuffle/broadcast join; the range "
+    "bound is a post-join filter, never a nested loop over time). The "
+    "streaming execution — watermarks on BOTH sides bounding the join "
+    "state buffer — lives in streaming/engine.interval_join and is "
+    "golden-tested against this exact result.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("a.event_id").alias("a_event"),
+            F.col("b.event_id").alias("b_event"),
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+                / F.lit(60_000_000.0)
+            ).alias("delta_minutes"),
+        )
+    )

@@ -167,3 +167,28 @@ def run_foreach_webhook(
     )
     q.awaitTermination()
     return q
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    interval: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: same-user events within
+    ``interval`` after the left event. Both sides carry a watermark so
+    Spark can bound the join state buffer (without one the left buffer
+    grows forever); the time-interval condition is what lets the state
+    manager evict rows past the horizon."""
+    a = left.withWatermark("ts", watermark).alias("a")
+    b = right.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {interval}")),
+    ).select(
+        F.col("a.event_id").alias("a_event"),
+        F.col("b.event_id").alias("b_event"),
+        F.col("a.user_id").alias("user_id"),
+    )

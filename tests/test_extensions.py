@@ -325,3 +325,18 @@ def test_neardup_clusters_match_union_find(spark, sf_dir):
         for r in SPECS["dedup_clusters_neardup"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_kmeans_deterministic_partition(spark, sf_dir):
+    """Fixed-round Lloyd with deterministic init: reruns must agree
+    exactly, every vector is assigned exactly once, and ids stay in
+    [0, k)."""
+    from clickhousebackup_spark.extensions.similarity import KMEANS_K
+
+    r1 = SPECS["emb_kmeans"].fn(spark, sf_dir).collect()
+    r2 = SPECS["emb_kmeans"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    ids = [r["vec_id"] for r in r1]
+    assert len(ids) == len(set(ids))
+    clusters = {r["cent_id"] for r in r1}
+    assert clusters <= set(range(KMEANS_K)) and len(clusters) > 1

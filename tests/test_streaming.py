@@ -263,3 +263,23 @@ def test_engine_health_includes_streams_and_catalog(spark, sf_dir):
     assert h["ok"] is True
     assert h["catalog_rows"] == 4  # one snapshot × four generations
     assert h["streams"]["n_active"] == 0
+
+
+def test_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Watermarked stream-stream interval join, driven to completion,
+    must produce exactly the batch join's pairs."""
+    left = _read_stream(spark, events_stream_dir)
+    right = _read_stream(spark, events_stream_dir)
+    stream = engine.interval_join(left, right)
+    engine.run_to_memory_sink(stream, "ssjoin_out", output_mode="append")
+    got = {
+        (r["a_event"], r["b_event"])
+        for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+    }
+    from clickhousebackup_spark.registry import get_spec
+
+    want = {
+        (r["a_event"], r["b_event"])
+        for r in get_spec("stream_stream_join").fn(spark, sf_dir).collect()
+    }
+    assert got == want
