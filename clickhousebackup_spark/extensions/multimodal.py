@@ -150,3 +150,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "frame_offset", F.col("frame_idx") * (F.col("n_bytes") / n_frames).cast("long")
     )
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+        SELECT doc_id, md5(text) AS payload_md5,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text),
+                                      octet_length(encode(text))
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Binary-payload dedup: keep the lowest doc_id per (md5, size) "
+    "of the opaque payload — dedup_exact lifted to the multimodal "
+    "column (Spark hashes the binary directly; the oracle hashes the "
+    "identical utf-8 bytes via md5(text)). One shuffle on the 16-byte "
+    "key; the first gate of any image/audio ingest.",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = with_binary_payload(
+        parallelize(load_table(spark, sf_dir, "documents"))
+    )
+    w = Window.partitionBy(F.md5("payload"), "n_bytes").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.md5("payload").alias("payload_md5"),
+            "n_bytes",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "payload_md5", "n_bytes")
+    )

@@ -342,3 +342,51 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centroids = new_cents.localCheckpoint(eager=True)
     return assigned.select("vec_id", "cent_id")
+
+
+@register(
+    "emb_normalize_quantize",
+    oracle="""
+        WITH prep AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm,
+                   greatest(CAST(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE),
+                        1e-12) / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, nrm, scale,
+               array_to_string(list_transform(v,
+                   x -> CAST(CAST(floor(x / scale) AS BIGINT) AS VARCHAR)),
+                   ',') AS q_csv
+        FROM prep
+    """,
+    doc="Embedding storage prep: L2 norm + symmetric int8 quantization "
+    "(per-vector max-abs scale, floor to integer grid) — the step "
+    "that shrinks an ANN index 4× before serving. All arithmetic is "
+    "engine-agnostic (power-free double ops + floor); quantized "
+    "values emitted as CSV (driver hashes scalar cells only).",
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = _norm("embedding")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+        / F.lit(127.0)
+    )
+    prep = e.select(
+        "vec_id", v.alias("v"), nrm.alias("nrm"), scale.alias("scale")
+    )
+    q = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale")).cast("long").cast("string")
+    )
+    return prep.select(
+        "vec_id", "nrm", "scale", F.array_join(q, ",").alias("q_csv")
+    )

@@ -287,3 +287,83 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         "c_ts",
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        cand AS (
+            SELECT p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts, c.event_id) AS rn
+            FROM purchases p JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts >= p.ts
+        )
+        SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+               cand.c_id, cand.c_ts
+        FROM purchases p
+        LEFT JOIN (SELECT * FROM cand WHERE rn = 1) cand
+          ON p.event_id = cand.p_id
+    """,
+    doc="Forward as-of join: for each purchase, the EARLIEST click of "
+    "the same user at-or-after it (next-event attribution). Same "
+    "linear union + sorted-scan plan as join_asof, mirrored: first("
+    "ignorenulls) over the FOLLOWING frame — one shuffle on user_id, "
+    "never the O(n·m) join-then-filter.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # dedup clicks to LOWEST event_id per (user, ts): the tie rule the
+    # oracle's (c.ts, c.event_id) ordering applies
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("c_event_id"),
+            F.lit(1).alias("is_click"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.lit(0).alias("is_click"),
+    )
+    rows = clicks.unionByName(purchases, allowMissingColumns=True)
+    # sort purchases BEFORE clicks at equal ts (is_click asc) so an
+    # at-the-same-instant click is inside the purchase's FOLLOWING frame
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "c_event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        rows.withColumn(
+            "c_id", F.first("c_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn("c_ts", F.first(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w))
+        .filter(F.col("p_event_id").isNotNull())
+        .select(
+            F.col("p_event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "c_id",
+            "c_ts",
+        )
+    )

@@ -199,3 +199,36 @@ def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("top_orderkey"),
         F.last("o_orderkey").over(w_full).alias("bottom_orderkey"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS sum_last_hour
+        FROM events
+    """,
+    doc="Time-RANGE window frame: per event, the same user's value sum "
+    "over the trailing hour — ordered by epoch-µs so the frame bound "
+    "is engine-agnostic arithmetic, decimal-summed so partition order "
+    "can't wobble the double. The rows-vs-range distinction matters: "
+    "a ROWS frame counts rows, this counts TIME.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
