@@ -48,8 +48,11 @@ def main() -> None:
     spark = get_spark("cbs-bench")
     specs = all_specs()
 
-    # Warmup: trigger codegen/JIT on a tiny read so q1 isn't billed for it.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warmup: a tiny read + a tiny shuffle, so the first timed query
+    # isn't billed for JVM/codegen/shuffle-service/AQE one-time init.
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region.count()
+    region.groupBy("r_regionkey").count().count()
 
     timings: dict[str, float] = {}
     total = 0.0

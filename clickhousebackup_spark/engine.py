@@ -126,6 +126,69 @@ class BackupEngine:
             )
         )
 
+    def run_incremental(
+        self, tables_by_db: dict[str, dict[str, DataFrame]], now=None
+    ) -> list[SnapshotResult]:
+        """Incremental run: snapshot only the rows NOT present in the
+        previous snapshot of the same (db, table) — row identity = md5
+        of the concatenated row. The reference only does full backups
+        (backup.sh:45); this is the capability a 100 TB corpus needs:
+        the anti-join on a 16-byte hash is one shuffle, and restore
+        composes snapshots by unioning them in period order.
+
+        Rows deleted upstream are not tracked (append-only semantics,
+        matching the fixture tables and most log/corpus workloads).
+        """
+        import datetime as dt
+
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+        def row_hash(df: DataFrame):
+            return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+
+        def job() -> list[SnapshotResult]:
+            results: list[SnapshotResult] = []
+            for db in self.config.db_list:
+                for tname, df in tables_by_db.get(db, {}).items():
+                    new_rows = df
+                    try:
+                        # diff against the COMPOSED state (base + all
+                        # deltas), not just the newest snapshot
+                        prev = self.restore_incremental(db, tname)
+                        new_rows = df.withColumn("_h", row_hash(df)).join(
+                            prev.select(row_hash(prev).alias("_h")),
+                            on="_h",
+                            how="left_anti",
+                        ).drop("_h")
+                    except FileNotFoundError:
+                        pass  # first run = full snapshot
+                    key = now.strftime("%Y%m%d-%H%M%S")
+                    res = snapshot_table(
+                        new_rows, self.config.backup_dir, db, tname, key
+                    )
+                    results.append(res)
+                    self._register(db, tname, res, now)
+            self.materialize_latest()
+            return results
+
+        return self.hooks.run_job(job)
+
+    def restore_incremental(self, db: str, table: str) -> DataFrame:
+        """Union every snapshot of (db, table) in period order — the
+        read side of run_incremental (full state = base + deltas)."""
+        paths = [
+            r["path"]
+            for r in self.catalog()
+            .filter((F.col("db") == db) & F.col("path").contains(f"/{table}-"))
+            .select("path")
+            .distinct()
+            .orderBy("path")
+            .collect()
+        ]
+        if not paths:
+            raise FileNotFoundError(f"no snapshots for ({db}, {table})")
+        return self.spark.read.parquet(*paths)
+
     # -- catalog state (the reference's directory listing, explicit) --
 
     @property

@@ -247,3 +247,27 @@ def test_latest_pointer_hardlink_and_none(spark, sf_dir, engine):
     assert not os.path.exists(os.path.join(base, "last", "db1-latest.zip"))
     with pytest.raises(FileNotFoundError):
         engine.restore_latest("db1")
+
+
+def test_incremental_backup_writes_only_new_rows(spark, sf_dir, engine):
+    orders = load_table(spark, sf_dir, "orders")
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    first = engine.run_incremental(
+        {"db0": {"orders": orders.filter("o_orderkey <= 1000")}}, now=t1
+    )
+    assert first[0].n_rows == orders.filter("o_orderkey <= 1000").count()
+
+    # second run sees the full table → only the unseen rows are written
+    second = engine.run_incremental({"db0": {"orders": orders}}, now=t2)
+    n_total = orders.count()
+    assert second[0].n_rows == n_total - first[0].n_rows
+
+    # restore composes base + delta back to the full table, no dupes
+    restored = engine.restore_incremental("db0", "orders")
+    assert restored.count() == n_total
+    assert restored.select("o_orderkey").distinct().count() == n_total
+
+    # a third run with identical input writes an empty delta
+    third = engine.run_incremental({"db0": {"orders": orders}}, now=dt.datetime(2024, 3, 1))
+    assert third[0].n_rows == 0
