@@ -36,3 +36,33 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partition_hash"
         ),
     )
+
+
+@register(
+    "bit_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 4096 AS with_flag,
+               xor(o_orderkey, 21845) AS xored,
+               (o_orderkey & 255) << 4 AS shifted_l,
+               o_orderkey >> 2 AS shifted_r,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        FROM orders
+    """,
+    doc="Bitwise function family: and/or/xor, shifts, popcount — the "
+    "flag-mask vocabulary (shift input masked to a byte first so ANSI "
+    "overflow can't fire).",
+)
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k.bitwiseAND(F.lit(255)), 4).cast("long").alias("shifted_l"),
+        F.shiftright(k, 2).cast("long").alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

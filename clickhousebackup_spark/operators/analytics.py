@@ -149,3 +149,41 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, {osum('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {osum('l_quantity')} > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem "
+    "per order with a HAVING gate, then join orders + customer. The "
+    "pre-agg-before-join ordering is the scale decision — the join "
+    "sees only qualifying orders, not 4 rows per lineitem.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
