@@ -1,0 +1,185 @@
+"""Behavioral-analytics operators — the ClickHouse event-analytics
+vocabulary (windowFunnel, retention, topK, histogram) re-expressed as
+Spark window/aggregate plans over the ``events`` fixture table.
+
+The reference (clickhouse-backup) delegates all querying to ClickHouse
+itself; these are the behavioral aggregates a ClickHouse user runs
+daily, so the engine must cover them (BASELINE.json north star:
+"full relational surface").
+
+Scale notes: every operator here shuffles exactly once on ``user_id``
+(the natural partition key for per-user sequences); the funnel's three
+window passes share one Exchange because the partition key never
+changes. No driver-side iteration, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), w2 AS (
+            SELECT user_id, ts, event_type, t1,
+                   min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM w1
+        ), w3 AS (
+            SELECT user_id, t1, t2,
+                   min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM w2
+        )
+        SELECT DISTINCT user_id,
+               CAST(CASE WHEN t1 IS NULL THEN 0
+                         WHEN t2 IS NULL THEN 1
+                         WHEN t3 IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS funnel_depth
+        FROM w3
+    """,
+    doc="windowFunnel analog: per-user max depth through the ordered "
+    "chain view -> click -> purchase (each step strictly after the "
+    "previous step's FIRST occurrence). Three conditional-min window "
+    "passes over one user_id partition — a single shuffle, no joins; "
+    "ClickHouse computes the same thing with a per-user sorted scan.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ev = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    ev = ev.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    ev = ev.withColumn("t3", t3)
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("funnel_depth")
+    )
+    return ev.select("user_id", depth).distinct()
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(datediff('week', f.cohort_week,
+                                 date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM activity
+        WHERE week_offset <= 4
+        GROUP BY cohort_week, week_offset
+    """,
+    doc="retention analog: cohort users by first-activity ISO week, "
+    "count distinct users active at each week offset 0..4. One "
+    "groupBy(user) + a user-key join (exchange reused) + one "
+    "count-distinct agg — the standard cohort triangle.",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            # whole-week difference between week-truncated stamps: exact
+            # integer arithmetic on day deltas, no calendar ambiguity.
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "agg_topk_freq",
+    oracle="""
+        SELECT event_type, user_id, n FROM (
+            SELECT event_type, user_id, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY count(*) DESC, user_id
+                   ) AS rk
+            FROM events GROUP BY event_type, user_id
+        ) WHERE rk <= 3
+    """,
+    doc="topK analog (exact form): the 3 most frequent users per "
+    "event_type. count groupBy is two-phase (map-side combine absorbs "
+    "heavy hitters), then a per-type row_number keeps k — at scale the "
+    "approximate ClickHouse topK trades this exactness for one pass; "
+    "the exact plan is still shuffle-bounded by the distinct key count, "
+    "not the row count. Total-order tiebreak on user_id.",
+)
+def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY bucket
+    """,
+    doc="histogram analog with fixed-width buckets over o_totalprice: "
+    "bucket id via floor division (exact IEEE double op, safe for the "
+    "value hash per exprs.py), per-bucket count/min/max. Single "
+    "two-phase hash aggregate; bucket count is bounded so the reduce "
+    "side is tiny regardless of input scale.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long").alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

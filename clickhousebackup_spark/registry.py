@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.quantiles",
     "clickhousebackup_spark.operators.casts",
     "clickhousebackup_spark.operators.analytics",
+    "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
     "clickhousebackup_spark.functions.maths",
