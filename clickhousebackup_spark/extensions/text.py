@@ -191,3 +191,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, h: (acc * 31 + h) % 1000000007,
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "text_pii_mask",
+    oracle="""
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked_props,
+               regexp_replace(
+                   concat('user', CAST(user_id AS VARCHAR), '@example.com'),
+                   '[a-z0-9.]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'
+               ) AS masked_contact,
+               CAST(length(regexp_extract_all(props, '[0-9]+'))
+                    AS BIGINT) AS n_digit_runs
+        FROM events
+    """,
+    doc="Training-data PII scrub: mask digit runs and email-shaped "
+    "tokens via regexp_replace, count the masked spans. Pure JVM "
+    "regex per row — embarrassingly parallel, no shuffle; the regex "
+    "subset used ([0-9]+, char-class email) behaves identically in "
+    "Java regex and RE2 so the oracle is exact. The contact column is "
+    "synthesized from user_id so the fixture exercises the email path.",
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    contact = F.concat(F.lit("user"), F.col("user_id").cast("string"), F.lit("@example.com"))
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("masked_props"),
+        F.regexp_replace(contact, r"[a-z0-9.]+@[a-z]+\.[a-z]+", "<EMAIL>").alias(
+            "masked_contact"
+        ),
+        F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )
