@@ -65,3 +65,32 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem").select(*CSV_COLS)
     df.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(out)
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem",
+    doc="JSON-lines sink + explicit-schema source roundtrip — the "
+    "interchange format the reference's ClickHouse server speaks "
+    "(JSONEachRow). Explicit read schema (no inference pass: schema "
+    "inference is a second full scan at 100 TB) and scratch-dir "
+    "staging shared with the CSV sink.",
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import scratch_path
+
+    out = scratch_path(spark, "lineitem_json", sf_dir)
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(_JSON_SCHEMA).json(out)
