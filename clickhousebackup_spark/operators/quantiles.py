@@ -135,7 +135,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = F.array_sort(F.collect_list("o_orderkey"))
     return o.groupBy("o_custkey").agg(
-        F.size(keys).alias("n_orders"),
+        F.size(keys).cast("long").alias("n_orders"),
         F.array_join(
             F.transform(keys, lambda x: x.cast("string")), ","
         ).alias("order_keys_csv"),
@@ -195,8 +195,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.slice(F.split(F.lower("text"), r"\s+"), 1, 5)
-    return d.select(
-        "doc_id", F.posexplode(words).alias("pos", "word")
+    return (
+        d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        # posexplode's ordinal is int32; the oracle's range() is int64 —
+        # pin the driver-visible type.
+        .withColumn("pos", F.col("pos").cast("long"))
     )
 
 
