@@ -214,3 +214,34 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_ema",
+    oracle="""
+        SELECT user_id,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> acc * 0.5 + x * 0.5) AS ema_value
+        FROM events GROUP BY user_id
+    """,
+    doc="exponentialMovingAverage analog (alpha=0.5): per-user ordered "
+    "left fold over the event-value sequence. The collect is sorted by "
+    "(ts, event_id) — a total order — so the fold order is identical "
+    "in both engines and the double result is bit-exact (registry "
+    "conventions: left-to-right array folds). One shuffle on user_id; "
+    "per-user sequences are bounded, so the collected array is safe.",
+)
+def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.transform(seq, lambda s: s["value"]).alias("vals"))
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+                " element_at(vals, 1), (acc, x) -> acc * 0.5D + x * 0.5D)"
+            ).alias("ema_value"),
+        )
+    )
