@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhousebackup_spark.exprs import dsum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -244,4 +245,27 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " element_at(vals, 1), (acc, x) -> acc * 0.5D + x * 0.5D)"
             ).alias("ema_value"),
         )
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               (CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+                     AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE))
+                   AS avg_price_weighted
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="avgWeighted analog: quantity-weighted mean price per return "
+    "flag. Both the weighted sum and the weight sum go through exact "
+    "decimals (order-free), then one double division — deterministic "
+    "across engines and partition orders. Single two-phase hash agg.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        (dsum(p * q) / dsum(q)).alias("avg_price_weighted")
     )
