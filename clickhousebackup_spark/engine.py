@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.backup.catalog import period_key_expr
@@ -44,8 +44,9 @@ from clickhousebackup_spark.backup.snapshot import SnapshotResult, snapshot_tabl
 from clickhousebackup_spark.tables import load_table
 
 CATALOG_SCHEMA = (
-    "db string, generation string, period_key string, snapshot_ts timestamp, "
-    "snapshot_id long, path string, content_hash string, size_bytes long"
+    "db string, table_name string, generation string, period_key string, "
+    "snapshot_ts timestamp, snapshot_id long, path string, content_hash string, "
+    "size_bytes long"
 )
 
 
@@ -104,7 +105,7 @@ class BackupEngine:
         rows = []
         for gen in GENERATIONS:
             rows.append(
-                (db, gen, "", now, self._snapshot_seq, res.path, "", res.n_rows)
+                (db, table, gen, "", now, self._snapshot_seq, res.path, "", res.n_rows)
             )
             self._snapshot_seq += 1
         new = self.spark.createDataFrame(rows, CATALOG_SCHEMA).withColumn(
@@ -116,6 +117,7 @@ class BackupEngine:
         self._append_catalog(
             new.select(
                 "db",
+                "table_name",
                 "generation",
                 "period_key",
                 "snapshot_ts",
@@ -138,13 +140,30 @@ class BackupEngine:
 
         Rows deleted upstream are not tracked (append-only semantics,
         matching the fixture tables and most log/corpus workloads).
+
+        Row identity is md5 of the JSON-serialized row struct with
+        explicit nulls — NOT concat_ws, which silently skips NULL
+        columns so (a, NULL, b) and (a, b, NULL) would collide; JSON
+        field markers + escaping make the hash injective per row. The
+        diff is multiplicity-aware: rows are numbered within each hash
+        and only occurrences BEYOND the previously-snapshotted count
+        are captured, so a table holding k copies of a row round-trips
+        all k (a plain anti-join would silently drop every duplicate).
         """
         import datetime as dt
 
         now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
-        def row_hash(df: DataFrame):
-            return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+        def row_hash(df: DataFrame, cols: list[str]):
+            # Columns absent in an older snapshot hash as nulls, so the
+            # diff stays well-defined across schema evolution.
+            fields = [
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                for c in cols
+            ]
+            return F.md5(
+                F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
+            )
 
         def job() -> list[SnapshotResult]:
             results: list[SnapshotResult] = []
@@ -155,11 +174,26 @@ class BackupEngine:
                         # diff against the COMPOSED state (base + all
                         # deltas), not just the newest snapshot
                         prev = self.restore_incremental(db, tname)
-                        new_rows = df.withColumn("_h", row_hash(df)).join(
-                            prev.select(row_hash(prev).alias("_h")),
-                            on="_h",
-                            how="left_anti",
-                        ).drop("_h")
+                        cols = list(df.columns)
+                        prev_counts = (
+                            prev.groupBy(row_hash(prev, cols).alias("_h"))
+                            .agg(F.count(F.lit(1)).alias("_n_prev"))
+                        )
+                        # occurrence index among identical rows: any
+                        # order works — rows within a hash are
+                        # byte-identical, so which copies survive the
+                        # filter is unobservable.
+                        w_occ = Window.partitionBy("_h").orderBy(F.lit(1))
+                        new_rows = (
+                            df.withColumn("_h", row_hash(df, cols))
+                            .withColumn("_occ", F.row_number().over(w_occ))
+                            .join(prev_counts, on="_h", how="left")
+                            .filter(
+                                F.col("_occ")
+                                > F.coalesce(F.col("_n_prev"), F.lit(0))
+                            )
+                            .drop("_h", "_occ", "_n_prev")
+                        )
                     except FileNotFoundError:
                         pass  # first run = full snapshot
                     key = now.strftime("%Y%m%d-%H%M%S")
@@ -173,21 +207,42 @@ class BackupEngine:
 
         return self.hooks.run_job(job)
 
-    def restore_incremental(self, db: str, table: str) -> DataFrame:
+    def restore_incremental(
+        self, db: str, table: str, until_period_key: str | None = None
+    ) -> DataFrame:
         """Union every snapshot of (db, table) in period order — the
-        read side of run_incremental (full state = base + deltas)."""
+        read side of run_incremental (full state = base + deltas).
+
+        Matches on the catalog's ``table_name`` column (NOT a path
+        substring — 'orders' must never swallow 'orders-archive'
+        snapshots). Snapshots are unioned with
+        ``unionByName(allowMissingColumns=True)`` so a column added
+        between base and delta restores as null in pre-evolution rows;
+        pass ``until_period_key`` for a point-in-time restore of the
+        state as of that snapshot (inclusive).
+        """
+        cat = self.catalog().filter(
+            (F.col("db") == db) & (F.col("table_name") == table)
+        )
+        if until_period_key is not None:
+            # the `last` generation's period_key IS the snapshot key
+            # (yyyyMMdd-HHmmss — lexicographic == temporal)
+            cat = cat.filter(
+                (F.col("generation") == "last")
+                & (F.col("period_key") <= until_period_key)
+            )
         paths = [
             r["path"]
-            for r in self.catalog()
-            .filter((F.col("db") == db) & F.col("path").contains(f"/{table}-"))
-            .select("path")
-            .distinct()
-            .orderBy("path")
-            .collect()
+            for r in cat.select("path").distinct().orderBy("path").collect()
         ]
         if not paths:
             raise FileNotFoundError(f"no snapshots for ({db}, {table})")
-        return self.spark.read.parquet(*paths)
+        out = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(
+                self.spark.read.parquet(p), allowMissingColumns=True
+            )
+        return out
 
     # -- catalog state (the reference's directory listing, explicit) --
 
@@ -233,10 +288,10 @@ class BackupEngine:
         to manual `RESTORE` invocation. Defaults to the newest snapshot
         of (db, table); pass a period_key for point-in-time restore."""
         cat = self.catalog().filter(
-            (F.col("db") == db) & F.col("path").contains(f"/{table}-")
+            (F.col("db") == db) & (F.col("table_name") == table)
         )
         if period_key is not None:
-            cat = cat.filter(F.col("path").contains(f"{table}-{period_key}"))
+            cat = cat.filter(F.col("period_key") == period_key)
         newest = (
             cat.orderBy(F.col("snapshot_ts").desc(), F.col("snapshot_id").desc())
             .select("path")

@@ -392,14 +392,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
                           (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.99
     """,
-    doc="Embedding near-dup: pairs with cosine ≥ 0.99, found via a "
-    "sign-LSH bucket prefilter (equi-key join on bucket, probe widened "
-    "to Hamming-1 neighbor buckets — cosine ≥ 0.99 means ≤ 8° apart, "
-    "so signatures almost never differ by ≥ 2 of 4 sign bits; a recall "
-    "test pins this against the brute-force pair set) then verified "
-    "with the exact cosine. The oracle stays all-pairs — the candidate "
-    "set only PREfilters; every surviving pair is exact. Left-fold dot "
-    "products match bitwise across engines.",
+    doc="Embedding near-dup: EXACT pairs with cosine ≥ 0.99. Candidate "
+    "generation probes ALL 16 sign-LSH buckets (left side exploded "
+    "×16, right side bucketed), so every pair is verified exactly once "
+    "through a pure equi-key join — 16-way-parallel blocked all-pairs, "
+    "never a nested-loop cartesian. Exact near-dup is inherently "
+    "quadratic in verify count (a Hamming-1 probe would silently miss "
+    "pairs whose signatures differ in ≥2 bits — both vectors near two "
+    "hyperplanes); the sub-quadratic SCALE path is the approximate "
+    "sketch family (dedup_simhash / sim_topk_lsh, rows-only + "
+    "recall-tested), while this operator is the oracle-checkable exact "
+    "baseline. Left-fold dot products match bitwise across engines.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.extensions.similarity import lsh_bucket_expr
@@ -423,17 +426,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scratch_path(spark, "emb_cosine_bucketed", sf_dir),
     )
-    # Probe set = own bucket ∪ its 4 Hamming-1 neighbors, exploded on
-    # the left side only → the join is pure equi-key (shuffle hash /
-    # sort-merge, never a nested-loop cartesian), the property that
-    # keeps this operator alive at 100 TB.
+    # Probe set = ALL 16 buckets, exploded on the left side only → the
+    # join stays pure equi-key (shuffle hash / sort-merge, never a
+    # nested-loop cartesian) and EVERY pair is verified exactly once —
+    # the exactness contract. 4 sign bits → 16 buckets.
     n_buckets_bits = 4
     probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(n_buckets_bits)
-        ],
+        *[F.lit(b).cast("long") for b in range(1 << n_buckets_bits)]
     )
     a = normed.select(
         "vec_id", "v", "nrm", F.explode(probes).alias("probe")

@@ -217,26 +217,53 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EMA horizon: with alpha=0.5 the K-th-oldest term's weight is 2^-K;
+#: at K=100 that is ~8e-31 — below double ulp for any realistic value
+#: scale, so the trailing-K EMA equals the full-history EMA in double
+#: precision while bounding per-group state by construction.
+EMA_HORIZON = 100
+
+
 @register(
     "agg_ema",
-    oracle="""
+    oracle=f"""
+        WITH recent AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
         SELECT user_id,
                list_reduce(list(value ORDER BY ts, event_id),
                            (acc, x) -> acc * 0.5 + x * 0.5) AS ema_value
-        FROM events GROUP BY user_id
+        FROM recent WHERE rn <= {EMA_HORIZON} GROUP BY user_id
     """,
     doc="exponentialMovingAverage analog (alpha=0.5): per-user ordered "
-    "left fold over the event-value sequence. The collect is sorted by "
-    "(ts, event_id) — a total order — so the fold order is identical "
-    "in both engines and the double result is bit-exact (registry "
-    "conventions: left-to-right array folds). One shuffle on user_id; "
-    "per-user sequences are bounded, so the collected array is safe.",
+    "left fold over the TRAILING-100 event values (older terms carry "
+    "weight ≤ 2^-100, below double ulp — same EMA, bounded state). The "
+    "row_number window is an external (spill-safe) sort, and the "
+    "collect after the rn<=K filter holds ≤ K structs per group, so no "
+    "aggregation buffer ever sees a whole user history — a hot user "
+    "with billions of events costs a sort, never an OOM. The fold is "
+    "sorted by (ts, event_id) — a total order — so the fold order is "
+    "identical in both engines and the double result is bit-exact "
+    "(registry conventions: left-to-right array folds). One shuffle on "
+    "user_id, reused by the window and the groupBy.",
 )
 def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= EMA_HORIZON)
+        .drop("rn")
+    )
     seq = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
     return (
-        ev.groupBy("user_id")
+        recent.groupBy("user_id")
         .agg(F.transform(seq, lambda s: s["value"]).alias("vals"))
         .select(
             "user_id",

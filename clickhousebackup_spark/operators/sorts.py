@@ -32,10 +32,12 @@ from clickhousebackup_spark.tables import load_table
     "Global rank WITHOUT a single-partition window: range-partition on "
     "the sort key, rank within each partition, then add broadcast "
     "per-partition offsets — the two-pass distributed rank that holds "
-    "at any scale. (Correct because Spark's range sampler is "
-    "deterministically seeded: both evaluations of the ranged subtree "
-    "see identical partition boundaries, and the total-order tiebreak "
-    "makes ranks boundary-independent anyway.)",
+    "at any scale. The ranged subtree is materialized ONCE "
+    "(localCheckpoint) before both consumers read it: the count branch "
+    "and the rank branch MUST observe identical partition boundaries "
+    "and ids, and RangePartitioner's sampling seed varies with RDD id, "
+    "so relying on Spark's exchange reuse to dedupe the two "
+    "evaluations is a race, not a contract.",
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -45,6 +47,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(*keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over the (tiny, n_partitions-row) count table

@@ -48,13 +48,24 @@ def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
 
     The fixture files carry a single parquet row group, so Spark reads
     each in ONE task — a CPU-heavy expression downstream then runs on
-    1 of 32 cores. This repartitions ONLY when the current partition
+    1 of 32 cores. This repartitions ONLY when the scan's input file
     count is below the session's parallelism; on production data (many
     files / row groups) the check is a no-op and no shuffle is added.
+
+    The probe is ``df.inputFiles()`` — a driver-side file listing —
+    NOT ``df.rdd.getNumPartitions()``, which forces a full plan→RDD
+    conversion on the driver per call. A single file larger than
+    ``spark.sql.files.maxPartitionBytes`` still splits into multiple
+    scan tasks, so the file-count heuristic only ever adds a shuffle
+    for small single-file inputs, where it costs nothing.
     """
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. in-memory fixture)
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

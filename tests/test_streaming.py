@@ -155,10 +155,121 @@ def test_foreach_webhook_posts_batches(spark, events_stream_dir):
 
 
 def test_cron_to_trigger_mapping():
-    assert engine.cron_to_trigger("@daily") == {"processingTime": "1 day"}
+    assert engine.cron_to_trigger("@daily") == {"processingTime": "86400 seconds"}
     assert engine.cron_to_trigger("@daily", on_start=True) == {"availableNow": True}
-    assert engine.cron_to_trigger("@every 15m") == {"processingTime": "15m"}
-    assert engine.cron_to_trigger("*/5 * * * *") == {"processingTime": "5 minutes"}
+    assert engine.cron_to_trigger("@every 15m") == {"processingTime": "900 seconds"}
+    assert engine.cron_to_trigger("*/5 * * * *") == {"processingTime": "300 seconds"}
+
+
+def test_cron_next_fire_is_phase_aligned():
+    """`0 3 * * *` fires at 03:00 boundaries — not at an arbitrary
+    phase of a 24 h interval (init.sh:14 exact-cron semantics)."""
+    import datetime as dt
+
+    from clickhousebackup_spark.streaming.engine import CronSpec
+
+    spec = CronSpec.parse("0 3 * * *")
+    assert spec.next_fire(dt.datetime(2024, 3, 1, 12, 34, 56)) == dt.datetime(
+        2024, 3, 2, 3, 0
+    )
+    assert spec.next_fire(dt.datetime(2024, 3, 1, 1, 0)) == dt.datetime(
+        2024, 3, 1, 3, 0
+    )
+    # firing AT the boundary schedules the NEXT boundary
+    assert spec.next_fire(dt.datetime(2024, 3, 1, 3, 0)) == dt.datetime(
+        2024, 3, 2, 3, 0
+    )
+
+
+def test_cron_aliases_and_field_grammar():
+    import datetime as dt
+
+    from clickhousebackup_spark.streaming.engine import CronSpec
+
+    t0 = dt.datetime(2024, 5, 15, 7, 13)  # a Wednesday
+    assert CronSpec.parse("@daily").fire_times(t0, 3) == CronSpec.parse(
+        "0 0 * * *"
+    ).fire_times(t0, 3)
+    # dow: next Monday 00:00
+    assert CronSpec.parse("0 0 * * 1").next_fire(t0) == dt.datetime(2024, 5, 20)
+    # dow 7 == dow 0 == Sunday
+    assert CronSpec.parse("0 0 * * 7").next_fire(t0) == CronSpec.parse(
+        "0 0 * * 0"
+    ).next_fire(t0)
+    # standard cron OR rule when BOTH dom and dow are restricted:
+    # "13th of the month OR a Friday" — Fri May 17 precedes May 13+1mo
+    assert CronSpec.parse("0 0 13 * 5").next_fire(t0) == dt.datetime(2024, 5, 17)
+    # ranges + steps + business-hours spec
+    spec = CronSpec.parse("*/15 9-17 * * 1-5")
+    assert spec.next_fire(t0) == dt.datetime(2024, 5, 15, 9, 0)
+    assert spec.next_fire(dt.datetime(2024, 5, 17, 17, 45)) == dt.datetime(
+        2024, 5, 20, 9, 0
+    )  # Fri 17:45 → skip weekend → Mon 09:00
+    # month constraint rolls the year
+    assert CronSpec.parse("0 0 1 1 *").next_fire(t0) == dt.datetime(2025, 1, 1)
+
+
+def test_run_scheduled_on_start_and_alignment():
+    """BACKUP_ON_START → immediate run that does NOT consume a slot;
+    scheduled runs land exactly on the cron boundaries."""
+    import datetime as dt
+
+    from clickhousebackup_spark.streaming.engine import run_scheduled
+
+    clock = {"now": dt.datetime(2024, 3, 1, 12, 34)}
+    slept: list[float] = []
+    runs: list[int] = []
+
+    def fake_sleep(secs):
+        slept.append(secs)
+        clock["now"] = clock["now"] + dt.timedelta(seconds=secs)
+
+    fired = run_scheduled(
+        lambda: runs.append(1),
+        "0 3 * * *",
+        on_start=True,
+        now_fn=lambda: clock["now"],
+        sleep_fn=fake_sleep,
+        max_runs=2,
+    )
+    assert len(runs) == 3  # immediate + 2 scheduled
+    assert fired[0] == dt.datetime(2024, 3, 1, 12, 34)
+    assert fired[1:] == [dt.datetime(2024, 3, 2, 3, 0), dt.datetime(2024, 3, 3, 3, 0)]
+    assert slept[0] == (fired[1] - fired[0]).total_seconds()
+    assert slept[1] == 86400.0
+
+
+def test_session_health_reports_crashed_stream(spark, events_stream_dir):
+    """A crashed query vanishes from spark.streams.active — the tracked
+    registry must still surface its exception in the ok flag."""
+    from clickhousebackup_spark.streaming.engine import (
+        reset_tracking,
+        session_health,
+        track_query,
+    )
+
+    reset_tracking()
+
+    def boom(batch_df, epoch_id):
+        raise RuntimeError("sink exploded")
+
+    q = track_query(
+        _read_stream(spark, events_stream_dir)
+        .writeStream.foreachBatch(boom)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cbs_boom_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert not q.isActive  # gone from .active — the blind spot
+    sh = session_health(spark)
+    assert sh["ok"] is False
+    assert any(
+        x["exception"] and "sink exploded" in x["exception"] for x in sh["queries"]
+    )
+    reset_tracking()
+    assert session_health(spark)["ok"] is True
 
 
 def test_stateful_running_totals_across_batches(spark):
