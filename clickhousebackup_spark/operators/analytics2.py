@@ -1,0 +1,742 @@
+"""TPC-H suite completion (round 3) — the 16 query shapes not yet in
+analytics.py (Q1, Q2, Q4, Q7, Q8, Q9, Q11, Q13, Q14, Q15, Q16, Q17,
+Q19, Q20, Q21, Q22), adapted to the fixture schema (FIXTURES.md §1:
+no partsupp table, no commit/receipt dates, no comments/phone/
+container columns — each adaptation is noted on the operator).
+
+Together with analytics.py (Q3/Q5/Q6/Q10/Q12/Q18) this covers all 22
+TPC-H query shapes: scalar/correlated subqueries, EXISTS/NOT-EXISTS,
+left-join distributions, OR-of-ANDs pushdown, share-of-total, and
+min-per-group argmin joins — the full relational vocabulary a
+ClickHouse analytics user exercises (reference delegates it all behind
+backup.sh:38-45; BASELINE.json north star owns it).
+
+Scale conventions: every dimension join broadcasts (part/customer/
+supplier/nation/region); the only shuffles are fact-fact joins on
+their natural keys and the pre-aggregations, which all run partial+
+final (map-side combine). Scalar-subquery thresholds are computed as
+1-row aggregates and broadcast — never a driver-side collect. All
+checked doubles follow the exprs.py decimal-sum conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {osum('l_quantity')} AS sum_qty,
+               {osum('l_extendedprice')} AS sum_base_price,
+               {osum(_REV)} AS sum_disc_price,
+               {osum(_REV + ' * (1 + l_tax)')} AS sum_charge,
+               ({osum('l_quantity')} / COUNT(*)) AS avg_qty,
+               ({osum('l_extendedprice')} / COUNT(*)) AS avg_price,
+               ({osum('l_discount')} / COUNT(*)) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 (pricing summary report) — the canonical scan-"
+    "dominated aggregate: one pushed filter, one two-phase hash agg "
+    "over 6 groups, eight aggregates computed in a single pass. At "
+    "scale this is bandwidth-bound and the plan cannot be beaten: no "
+    "shuffle moves more than 6 rows per partition. Averages are "
+    "decimal-sum / count per exprs.py.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    rev = _rev_col()
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(rev).alias("sum_disc_price"),
+        dsum(rev * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_extendedprice") / n).alias("avg_price"),
+        (dsum("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH costs AS (
+            SELECT l_partkey, s_suppkey, s_name, n_name,
+                   l_extendedprice / l_quantity AS unit_cost
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), ranked AS (
+            SELECT l_partkey, s_name, n_name, unit_cost,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY unit_cost, s_suppkey) AS rn
+            FROM costs
+        )
+        SELECT p_partkey, p_name, s_name, n_name, unit_cost
+        FROM ranked JOIN part ON p_partkey = l_partkey
+        WHERE rn = 1 AND p_size >= 40 AND p_type = 'STANDARD'
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier). Adaptation: the fixture "
+    "has no partsupp, so supply cost = observed unit price "
+    "(l_extendedprice/l_quantity — exact IEEE division, hash-safe) "
+    "over lineitem, and the correlated min-subquery becomes the "
+    "equivalent argmin: row_number over partkey ordered by (cost, "
+    "suppkey tiebreak). One shuffle on partkey; supplier/nation/"
+    "region broadcast; the part filter prunes after the argmin join.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "STANDARD")
+    )
+    costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking). Adaptation: no "
+    "commit/receipt dates, so the lateness predicate is l_shipdate "
+    "more than 30 days after o_orderdate. The EXISTS compiles to a "
+    "LEFT SEMI join on orderkey with the lateness residual — one "
+    "shuffle, no row multiplication, the quarter filter pushes to the "
+    "orders scan.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {osum(_REV)} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping): bilateral trade between two "
+    "nations by year. Two aliased broadcast joins against nation (one "
+    "per side of the trade), the symmetric OR pair predicate after "
+    "them, one fact-fact shuffle on orderkey. Group key cardinality "
+    "is 2 x years — the reduce side is constant-size at any scale.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_rev_col()).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ({osum(f"CASE WHEN n2.n_name = 'NATION_3' THEN {_REV} ELSE 0 END")}
+                / {osum(_REV)}) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): NATION_3's share of ECONOMY-"
+    "part revenue sold into ASIA per year. Share-of-total via two "
+    "decimal sums in ONE aggregation pass (conditional numerator), "
+    "then a single exact double division — never a self-join against "
+    "the total. Five broadcast dims, one fact-fact shuffle.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = _rev_col()
+    num = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(num) / dsum(rev)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               {osum(_REV + ' - 0.5 * p_retailprice * l_quantity')} AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit). Adaptation: no "
+    "partsupp.ps_supplycost, so cost = 0.5 * p_retailprice * "
+    "l_quantity (deterministic proxy keeping the profit arithmetic "
+    "shape). Part/supplier/nation broadcast; profit folds through one "
+    "decimal sum per (nation, year).",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _rev_col() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+        WITH v AS (
+            SELECT l_partkey, {osum('l_extendedprice * l_quantity')} AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value
+        FROM v
+        WHERE value > (SELECT 2.0 * {osum('value')} / COUNT(*) FROM v)
+    """,
+    doc="TPC-H Q11 shape (important stock). Adaptation: partsupp value "
+    "becomes shipped value (extendedprice*quantity) from suppliers in "
+    "one region, and the fraction threshold is 2x the MEAN part value "
+    "(the original's 0.0001/SF constant made scale-relative, so the "
+    "predicate stays selective-but-nonempty at every sf). The "
+    "threshold is a 1-row aggregate broadcast into the filter — never "
+    "a driver round-trip. The per-part values are bit-identical "
+    "doubles in both engines, so the decimal re-sum of them is exact.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    thr = v.agg(
+        (F.lit(2.0) * dsum("value") / F.count(F.lit(1))).alias("_thr")
+    )
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (customer order distribution). Adaptation: the "
+    "o_comment NOT LIKE exclusion becomes an o_orderpriority "
+    "exclusion inside the join condition (same left-join-with-"
+    "residual shape: excluded orders count as zero, customers without "
+    "orders survive). One shuffle on custkey, then a tiny histogram "
+    "re-agg over at most max-orders-per-customer rows.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle=f"""
+        SELECT 100.0 * ({osum(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+               / {osum(_REV)}) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 (promotion effect): PROMO share of one month's "
+    "revenue as a percentage. Single broadcast join + single-row "
+    "conditional aggregate; the month filter pushes to the lineitem "
+    "scan so the join moves ~1/80th of the fact table.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * (dsum(promo) / dsum(rev))).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {osum(_REV)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 (top supplier): quarterly revenue view, then the "
+    "supplier(s) achieving the max — the scalar-subquery-against-a-"
+    "derived-view shape. The view is computed ONCE (localCheckpoint) "
+    "and reused by both the max probe and the final filter, so the "
+    "fact scan runs a single time; max over bit-identical doubles is "
+    "engine-stable.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev_col()).alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("_best"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_parts_suppliers",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship). Adaptation: "
+    "partsupp becomes the observed (part, supplier) pairs in lineitem "
+    "and the complaints exclusion becomes negative-balance suppliers "
+    "(same NOT-IN anti-join shape). Exact distinct-count expands then "
+    "two-phase aggregates; the anti set broadcasts.",
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+        WITH pk AS (
+            SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#3' AND p_size < 20
+        ), lf AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN pk ON l_partkey = p_partkey
+        ), thr AS (
+            SELECT l_partkey,
+                   0.5 * ({osum('l_quantity')} / COUNT(l_quantity)) AS part_thr
+            FROM lf GROUP BY l_partkey
+        )
+        SELECT ({osum('l_extendedprice')} / 7.0) AS avg_yearly
+        FROM lf JOIN thr USING (l_partkey)
+        WHERE l_quantity < part_thr
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue). Adaptation: "
+    "the container predicate becomes p_size. The correlated AVG "
+    "subquery decorrelates into a per-part threshold aggregate joined "
+    "back on partkey — both passes run over the part-filtered lines "
+    "only, and the threshold (decimal-sum/count then *0.5) is "
+    "bit-identical across engines so the < comparison is exact.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    lf = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = lf.groupBy("l_partkey").agg(
+        (F.lit(0.5) * (dsum("l_quantity") / F.count("l_quantity"))).alias("part_thr")
+    )
+    return (
+        lf.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("part_thr"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+        SELECT {osum(_REV)} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, OR-of-ANDs). Adaptation: "
+    "container/shipmode predicates become p_size bands. The disjunct "
+    "touches both sides of the join, so only the quantity bounds' "
+    "envelope could push to the scan; the composite predicate "
+    "evaluates post-join against the broadcast part row — the "
+    "classic Q19 plan.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(dsum(_rev_col()).alias("revenue"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle=f"""
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING {osum('l_quantity')} > 300)
+    """,
+    doc="TPC-H Q20 shape (potential part promotion). Adaptation: the "
+    "availqty>half-of-shipped partsupp gate becomes 'shipped more "
+    "than 300 units of PROMO parts in 1997'. The IN-subquery is a "
+    "pre-aggregated semi-join: lineitem aggregates to one row per "
+    "supplier BEFORE touching the supplier table, so the semi side is "
+    "tiny at any scale.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+        WITH ls AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ), agg AS (
+            SELECT l_orderkey,
+                   count(*) AS n_supp,
+                   CAST(sum(late) AS BIGINT) AS n_late,
+                   max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+            FROM ls GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM agg JOIN supplier ON s_suppkey = late_supp
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): for "
+    "finalized multi-supplier orders where EXACTLY ONE supplier "
+    "shipped late (>60 days after order date — the fixture's "
+    "commit/receipt analog), charge that supplier. The EXISTS / "
+    "NOT-EXISTS pair is rewritten as one per-(order,supplier) "
+    "aggregate + one per-order aggregate — two shuffles total, "
+    "instead of two correlated self-joins over the fact table; "
+    "`late_supp` via conditional max is well-defined because n_late=1.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    agg = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        agg.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle=f"""
+        WITH avg_bal AS (
+            SELECT ({osum('c_acctbal')} / COUNT(c_acctbal)) AS threshold
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               count(*) AS numcust,
+               {osum('c_acctbal')} AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > threshold
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity). Adaptation: phone "
+    "country codes become c_nationkey, and 'no orders at all' becomes "
+    "'no urgent orders since 2000' (the fixture assigns every customer "
+    "some order). Scalar avg threshold broadcast + anti-join against "
+    "the filtered orders — the anti side prunes at the scan, the "
+    "customer side never shuffles.",
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("c_acctbal")).alias("threshold")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.quantiles",
     "clickhousebackup_spark.operators.casts",
     "clickhousebackup_spark.operators.analytics",
+    "clickhousebackup_spark.operators.analytics2",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
@@ -62,6 +63,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.extensions.text",
     "clickhousebackup_spark.extensions.multimodal",
     "clickhousebackup_spark.extensions.curation",
+    "clickhousebackup_spark.extensions.recall",
 )
 
 
@@ -86,68 +88,42 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 #: Explicit key ordering for the verification driver, which checks the
-#: FIRST 50 keys of ``all_specs()`` per round. Round 1 verified slots
-#: 1-50 of the old module order (CORRECTNESS_r01.json); this round the
-#: never-checked keys move to the front so every SURVEY §2 Part B key
-#: earns a driver row. Keys listed here come first, in this order; any
-#: registered key not listed follows in module registration order.
-#: Rotate per round until the whole registry has green rows.
+#: FIRST 50 keys of ``all_specs()`` per round. Rounds 1+2 verified 98
+#: keys (CORRECTNESS_r01 ∪ r02, 0 failures); round 3's window holds
+#: the 33 keys never yet checked (round-2 additions + the rows-only
+#: keys deferred from round 2) plus the 17 new round-3 keys — exactly
+#: 50, closing out the whole registry. Keys listed here come first, in
+#: this order; any registered key not listed follows in module
+#: registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- SURVEY §2 Part B keys with no CORRECTNESS row yet (28) --
-    "str_funcs",
-    "str_split_explode",
-    "str_regexp",
-    "date_buckets",
-    "date_arith",
-    "math_funcs",
-    "array_funcs",
-    "array_higher_order",
-    "map_json_funcs",
-    "hash_funcs",
-    "udf_python",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_explode_props",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup_watermark",
-    "stream_late_data",
-    "stream_foreach_sink",
-    "snapshot_write",
-    "snapshot_partitioned",
-    "dedup_exact",
-    "dedup_minhash",
-    "sim_topk_cosine",
-    "text_tokenize_count",
-    "text_lang_stats",
-    "multimodal_join",
-    # -- round-1 driver ERRORs, now scalar-only (2) --
-    "agg_percentile_approx",
-    "agg_collect_sorted",
-    # -- Part C keys with oracles, no row yet (20) --
-    "agg_corr",
-    "safe_casts",
-    "union_by_name_evolved",
-    "join_exists_correlated",
-    "array_construct_ops",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "udtf_python_native",
-    "backup_catalog",
-    "backup_keep_newest",
-    "backup_latest_pointers",
-    "backup_retention_plan",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "emb_label_centroids",
-    "text_quality_score",
-    "text_lang_id",
-    "text_token_count",
-    "multimodal_frame_sample",
-    # -- slots 51+: rows-only Part C keys (weakest driver check) defer
-    #    to round 3's window --
+    # -- round-2 additions with no CORRECTNESS row yet (26) --
+    "sink_json_roundtrip",
+    "join_asof_forward",
+    "win_range_frame",
+    "agg_mode",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "q12_priority_lines",
+    "funnel_steps",
+    "retention_cohort",
+    "agg_topk_freq",
+    "agg_histogram",
+    "path_transitions",
+    "agg_ema",
+    "agg_weighted_avg",
+    "bit_funcs",
+    "stream_stream_join",
+    "dedup_clusters_neardup",
+    "emb_kmeans",
+    "emb_normalize_quantize",
+    "text_pii_mask",
+    "multimodal_dedup",
+    "text_repetition_score",
+    "contamination_overlap",
+    "sample_stratified",
+    "corpus_token_budget",
+    "curation_keep_set",
+    # -- rows-only keys deferred from round 2 (7) --
     "posexplode_words",
     "dedup_simhash",
     "dedup_clusters",
@@ -155,6 +131,25 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf",
     "text_fingerprint",
     "multimodal_features",
+    # -- round-3 additions (17): TPC-H suite completion + the sketch
+    #    recall probe --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "sketch_recall_probe",
 )
 
 
