@@ -65,35 +65,40 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table joined on the same key every day.",
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bucketBy requires saveAsTable → rows land in the session's
-    # spark-warehouse dir (warehouse.dir is a static conf; unique table
-    # names below keep reruns and scale factors isolated).
+    # bucketBy requires saveAsTable. warehouse.dir is a static conf we
+    # cannot set on the driver's vanilla session, so the tables live in
+    # a dedicated database whose LOCATION is under the system temp dir
+    # — repeated runs never accumulate residue inside the repo's
+    # working tree (the old behavior left spark-warehouse/ droppings).
     import hashlib
+    import shutil
+    import tempfile
 
+    wh = os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbs_scratch LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
     # processes (hash() is salted per interpreter → junk-table buildup)
     o_tbl, l_tbl = f"orders_b{suffix}", f"linecounts_b{suffix}"
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
     for t in (o_tbl, l_tbl):
         # DROP covers this session's catalog; the rmtree covers orphaned
         # location dirs from previous sessions (the in-memory catalog
         # forgets them but LOCATION_ALREADY_EXISTS still fires).
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        import shutil
-
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS cbs_scratch.{t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_tbl)
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        f"cbs_scratch.{o_tbl}"
+    )
     load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines")
-    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l_tbl)
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        f"cbs_scratch.{l_tbl}"
+    )
 
-    o = spark.table(o_tbl)
-    line_counts = spark.table(l_tbl)
+    o = spark.table(f"cbs_scratch.{o_tbl}")
+    line_counts = spark.table(f"cbs_scratch.{l_tbl}")
     return o.join(line_counts, o.o_orderkey == line_counts.l_orderkey).select(
         "o_orderkey", "o_custkey", "n_lines"
     )

@@ -64,6 +64,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.extensions.multimodal",
     "clickhousebackup_spark.extensions.curation",
     "clickhousebackup_spark.extensions.recall",
+    "clickhousebackup_spark.sources.readers",
 )
 
 

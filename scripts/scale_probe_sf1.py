@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""sf1 scale probe for the dedup/curation family (VERDICT r2 item #5).
+
+Emulates an sf1-sized corpus (~500k docs, 10x the bench sf0.1) by
+unioning ten perturbed copies of the sf0.1 documents table: copy i of
+doc d keeps d's text and appends ceil(|words|/3) tokens derived from
+(md5(text), i) — identical texts get identical filler WITHIN a copy
+(so each original duplicate pair survives in every copy: linear pair
+scaling), while cross-copy bigram Jaccard drops to ~0.6 < 0.8 (so no
+10-clique output explosion that would measure result size rather than
+algorithm scaling). doc_ids are offset per copy to stay unique.
+
+Measures wall time at sf0.1 and the emulated sf1 for:
+  dedup_minhash, dedup_ngram_jaccard, contamination_overlap,
+  dedup_clusters_neardup
+plus the candidate-bucket maxima that the "bounded buckets" scale
+claims rest on (max MinHash band-bucket size, max PPJoin prefix-gram
+bucket size). Prints one JSON object; results are recorded in
+NOTES.md (run of 2026-08-13).
+
+Usage: python scripts/scale_probe_sf1.py [base_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_sf1(spark, base_sf: str) -> str:
+    out_dir = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out_dir  # reuse: deterministic construction
+    docs = spark.read.parquet(f"{base_sf}/documents.parquet")
+    copies = []
+    for i in range(10):
+        filler = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        (F.size(F.split(F.col("text"), r"\s+")) / 3).cast("int"),
+                        F.lit(10),
+                    ),
+                ),
+                lambda j: F.concat(
+                    F.lit(f"u{i}c"), F.substring(F.md5("text"), 1, 8),
+                    F.lit("x"), j.cast("string"),
+                ),
+            ),
+        )
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat_ws(" ", "text", filler).alias("text"),
+                "lang",
+                "source",
+                F.col("n_chars"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(out)
+    return out_dir
+
+
+def bucket_maxima(spark, sf_dir: str) -> dict:
+    from clickhousebackup_spark.extensions.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        minhash_signatures,
+    )
+    from clickhousebackup_spark.tables import load_table, parallelize
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(d)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    minhash_max = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    # PPJoin prefix-gram bucket: replicate dedup_ngram_jaccard's prefix
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("gs"))
+    toks = g.select("doc_id", F.explode("gs").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("by_rarity"))
+    )
+    ng = F.size("by_rarity")
+    prefix_len = ng - F.ceil(ng * F.lit(0.8)).cast("int") + 1
+    prefix = per_doc.select(
+        F.explode(
+            F.transform(F.slice("by_rarity", 1, prefix_len), lambda s: s["gram"])
+        ).alias("gram")
+    )
+    prefix_max = (
+        prefix.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    return {"minhash_band_bucket_max": minhash_max, "ppjoin_prefix_bucket_max": prefix_max}
+
+
+def main() -> None:
+    base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("cbs-sf1-probe")
+    specs = all_specs()
+    keys = (
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "contamination_overlap",
+        "dedup_clusters_neardup",
+    )
+    report: dict = {"base_sf": base_sf}
+    sf1_dir = build_sf1(spark, base_sf)
+    for label, sf in (("sf0.1", base_sf), ("sf1_emulated", sf1_dir)):
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        entry = {"n_docs": n_docs, "timings": {}, "rows": {}}
+        for k in keys:
+            t0 = time.perf_counter()
+            rows = specs[k].fn(spark, sf).count()
+            entry["timings"][k] = round(time.perf_counter() - t0, 2)
+            entry["rows"][k] = rows
+            print(f"# {label} {k}: {entry['timings'][k]}s rows={rows}", file=sys.stderr)
+        entry["buckets"] = bucket_maxima(spark, sf)
+        report[label] = entry
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
