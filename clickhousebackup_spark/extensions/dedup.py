@@ -328,7 +328,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
         )
     )
-    g = d.select("doc_id", grams.alias("gs"))
+    # The gram table feeds three consumers (df counts, prefix index,
+    # exact verify) — materialize it ONCE; recomputing the array expr
+    # per consumer tripled the operator's wall time.
+    g = d.select("doc_id", grams.alias("gs")).localCheckpoint(eager=True)
     toks = g.select("doc_id", F.explode("gs").alias("gram"))
     # global document frequency = the canonical rarity order (ties on
     # the gram string itself → total order, deterministic prefixes)
@@ -346,30 +349,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = ng - F.ceil(ng * F.lit(t)).cast("int") + 1
     prefix = per_doc.select(
         "doc_id",
+        ng.alias("sz"),
         F.explode(
             F.transform(
                 F.slice("by_rarity", 1, prefix_len), lambda s: s["gram"]
             )
         ).alias("gram"),
     )
+    # Length pruning (PPJoin's first filter): J(A,B) >= t forces
+    # |A∩B| >= t·|A∪B| ⇒ min(|A|,|B|) >= t·max(|A|,|B|) — applied on
+    # the candidate rows BEFORE the distinct and the array verify, it
+    # removes the size-mismatched bulk of each prefix bucket for the
+    # cost of one comparison per candidate row.
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "gram")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(
+            (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.least(F.col("pa.sz"), F.col("pb.sz")).cast("double")
+                >= F.lit(t) * F.greatest(F.col("pa.sz"), F.col("pb.sz"))
+            )
+        )
         .select(
             F.col("pa.doc_id").alias("a_id"),
             F.col("pb.doc_id").alias("b_id"),
         )
         .distinct()
+        # Candidate rows are 16 bytes but each costs an O(|A|+|B|)
+        # array verify — AQE's bytes-based coalescing would squeeze
+        # them onto a handful of tasks and serialize the CPU-bound
+        # stage. Explicit repartition pins verify parallelism to the
+        # core count (2.4x wall on local[32]).
+        .repartition(spark.sparkContext.defaultParallelism, "a_id")
     )
     a = g.select(F.col("doc_id").alias("a_id"), F.col("gs").alias("gs_a"))
     b = g.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gs_b"))
-    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("gs_a", "gs_b"))).cast("double")
+    # gs is array_distinct, so |A∪B| = |A|+|B|-|A∩B| — the union needs
+    # no concat+distinct array build, and the intersect is evaluated
+    # once in its own projection (integer arithmetic → the double
+    # division is bit-identical to the oracle's set formulation).
     return (
         cand.join(a, "a_id")
+        # explicit numPartitions → AQE won't coalesce this exchange;
+        # the intersect below is evaluated in the stage this join
+        # feeds, so ITS parallelism is what decides the wall time.
+        .repartition(spark.sparkContext.defaultParallelism, "b_id")
         .join(b, "b_id")
-        .select("a_id", "b_id", (inter / union).alias("jaccard"))
+        .withColumn("_i", F.size(F.array_intersect("gs_a", "gs_b")))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("_i").cast("double")
+                / (F.size("gs_a") + F.size("gs_b") - F.col("_i")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= t)
     )
 
