@@ -244,3 +244,62 @@ def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("n_words") >= 10))
         .select("doc_id", "lang", "n_words")
     )
+
+
+#: Global token budget for the mix plan (tokens, ws-split).
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "corpus_mix_plan",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                        AS BIGINT) AS lang_tokens
+            FROM documents GROUP BY lang
+        ), k AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM per_lang
+        )
+        SELECT lang, lang_tokens,
+               least(1.0, (CAST({_MIX_BUDGET} AS DOUBLE) / n_langs)
+                          / CAST(lang_tokens AS DOUBLE)) AS sample_rate,
+               CAST(floor(CAST(lang_tokens AS DOUBLE)
+                    * least(1.0, (CAST({_MIX_BUDGET} AS DOUBLE) / n_langs)
+                            / CAST(lang_tokens AS DOUBLE))) AS BIGINT)
+                   AS expected_tokens
+        FROM per_lang, k
+    """,
+    doc=f"Corpus mix plan: given a global budget of {_MIX_BUDGET} "
+    "tokens split equally across languages, compute each language's "
+    "sampling rate (capped at 1.0 — you cannot upsample what you "
+    "don't have) and the expected token yield. The planning step "
+    "before sample_stratified executes a mix; all arithmetic is "
+    "exact-IEEE on integer token counts so the plan is deterministic. "
+    "Plan shape: one two-phase agg + a broadcast 1-row scalar "
+    "(language count) — no driver round-trip at any corpus size.",
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+"))
+    per_lang = d.groupBy("lang").agg(
+        F.sum(n_tokens).cast("long").alias("lang_tokens")
+    )
+    k = per_lang.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(_MIX_BUDGET)) / F.col("n_langs"))
+        / F.col("lang_tokens").cast("double"),
+    )
+    return (
+        per_lang.join(F.broadcast(k))
+        .withColumn("sample_rate", rate)
+        .select(
+            "lang",
+            "lang_tokens",
+            "sample_rate",
+            F.floor(F.col("lang_tokens").cast("double") * F.col("sample_rate"))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )

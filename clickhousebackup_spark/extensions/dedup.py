@@ -492,6 +492,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_WORDS = 16
+
+
+@register(
+    "dedup_passage",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id, ci.i AS chunk_idx,
+                   array_to_string(
+                       string_split_regex(lower(text), '\\s+')
+                           [(ci.i * {PASSAGE_WORDS} + 1):
+                            (ci.i * {PASSAGE_WORDS} + {PASSAGE_WORDS})],
+                       ' ') AS chunk
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ci
+            WHERE ci.i * {PASSAGE_WORDS}
+                  < len(string_split_regex(lower(text), '\\s+'))
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               md5(chunk) AS chunk_md5
+        FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    """,
+    doc=f"Passage-level dedup: split every document into fixed "
+    f"{PASSAGE_WORDS}-word chunks (the training-pipeline passage unit "
+    "— the fixture corpus has no sentence/newline structure) and keep "
+    "the FIRST corpus-wide occurrence of each distinct chunk, ordered "
+    "by (doc_id, chunk_idx). Catches boilerplate repeated inside "
+    "otherwise-distinct documents, which document-level dedup can "
+    "never see. Plan: one explode + one row_number over the 16-byte "
+    "chunk hash — same single-shuffle shape as dedup_exact, row count "
+    "scaled by chunks-per-doc.",
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower("text"), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(PASSAGE_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+        ),
+    )
+    rows = d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
 def _propagate_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
     """Connected components by label propagation to fixpoint: cluster =
     min doc_id reachable over ``edges`` (src/dst, normalized a<b).

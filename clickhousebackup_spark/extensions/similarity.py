@@ -235,6 +235,81 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+        WITH normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm
+            FROM embeddings
+        )
+        SELECT vec_id, nbr_id, cosine, rank_nbr FROM (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+                   list_reduce(list_transform(list_zip(a.v, b.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (a.nrm * b.nrm) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_reduce(list_transform(list_zip(a.v, b.v),
+                                    p -> p[1] * p[2]), (x, y) -> x + y)
+                                / (a.nrm * b.nrm) DESC,
+                                b.vec_id) AS rank_nbr
+            FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+        ) WHERE rank_nbr <= {KNN_K}
+    """,
+    doc=f"Batch k-NN self-join: the top-{KNN_K} cosine neighbors of "
+    "EVERY vector (the all-vectors shape behind near-dup clustering "
+    "and retrieval eval, vs sim_topk_*'s single query). Exact "
+    "baseline: candidate pairs stream through the 16-bucket blocked "
+    "equi-key join (all pairs verified once, never a nested-loop "
+    "cartesian), then one per-vector row_number keeps k. At 100 TB "
+    "the same query swaps the block walk for the IVF inverted lists "
+    "(sim_topk_ivf's layout) — candidate generation changes, the "
+    "rank-and-keep stays. Left-fold dot products → bit-exact doubles.",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    normed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        _norm("embedding").alias("nrm"),
+        lsh_bucket_expr("embedding").alias("bucket"),
+    ).localCheckpoint(eager=True)
+    probes = F.array(*[F.lit(x).cast("long") for x in range(1 << N_PLANES)])
+    a = normed.select(
+        "vec_id", "v", "nrm", F.explode(probes).alias("probe")
+    ).alias("a")
+    b = normed.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(b, F.col("a.probe") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rank_nbr", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_nbr") <= KNN_K)
+        .select("vec_id", "nbr_id", "cosine", "rank_nbr")
+    )
+
+
 @register(
     "emb_label_centroids",
     oracle="""

@@ -226,3 +226,59 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_digit_runs"),
     )
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1) + 1),
+                       i -> array_to_string(
+                            string_split_regex(lower(text), '\\s+')[i:i+1], ' '))))
+                       AS gram
+            FROM documents
+        ), freq AS (
+            SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(SUM(CAST(1000000 // f.df AS BIGINT)) AS BIGINT) AS rarity_raw,
+               CAST(SUM(CAST(1000000 // f.df AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS rarity_score
+        FROM grams g JOIN freq f ON g.gram = f.gram
+        GROUP BY g.doc_id
+    """,
+    doc="Per-document rarity score: mean inverse document frequency of "
+    "the doc's distinct bigrams, on an integer-scaled grid "
+    "(floor(1e6/df) — integer sums are order-free, so the score is "
+    "deterministic where a float idf sum would wobble; a log-idf "
+    "variant would hit cross-engine libm last-ulp differences). High "
+    "scores flag novel/rare content, low scores boilerplate — the "
+    "third curation axis next to quality (surface stats) and "
+    "repetition (self-similarity). Plan: explode + two-phase df "
+    "count + one groupBy — the standard sketch shape.",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    scaled = F.floor(F.lit(1000000) / F.col("df")).cast("long")
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(scaled).cast("long").alias("rarity_raw"),
+            (F.sum(scaled).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "rarity_score"
+            ),
+        )
+    )

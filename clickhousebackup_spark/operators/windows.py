@@ -232,3 +232,67 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_last_hour"),
     )
+
+
+@register(
+    "date_fill_forward",
+    oracle="""
+        WITH span AS (
+            SELECT min(date_trunc('day', ts)) AS d0,
+                   max(date_trunc('day', ts)) AS d1
+            FROM events
+        ), days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ), users AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+        ), daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+            FROM events WHERE user_id % 7 = 0
+            GROUP BY user_id, day
+        )
+        SELECT u.user_id, d.day,
+               last_value(dd.day_value IGNORE NULLS) OVER (
+                   PARTITION BY u.user_id ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM users u
+        CROSS JOIN days d
+        LEFT JOIN daily dd ON dd.user_id = u.user_id AND dd.day = d.day
+    """,
+    doc="Time-series gap fill (the ClickHouse ORDER BY ... WITH FILL "
+    "analog): densify each user's daily value series over the corpus's "
+    "full day span and forward-fill missing days with the last "
+    "observed value (null until first observation). The dense day "
+    "spine comes from a broadcast 1-row (min,max) aggregate + "
+    "sequence — never a driver-side date loop; the fill is one "
+    "last(ignorenulls) window per user partition. Users subsampled "
+    "(user_id % 7 = 0) to keep the densified fixture output bounded; "
+    "at scale the spine join is a broadcast of a few thousand days "
+    "against the user dimension.",
+)
+def date_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    span = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("day_value"))
+    spine = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .select("user_id", "day", "filled_value")
+    )
