@@ -5,6 +5,8 @@ prunes, top-k never globally sorts.
 
 from __future__ import annotations
 
+import pytest
+
 from clickhousebackup_spark.plans import inspect
 from clickhousebackup_spark.registry import all_specs
 
@@ -115,3 +117,38 @@ def test_sort_multi_ranks_via_range_partitioning(spark, sf_dir):
     df = SPECS["sort_multi"].fn(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "rangepartitioning" in plan
+
+
+# round-3 TPC-H suite: (max shuffle exchanges, min broadcast joins,
+# scalar-broadcast NLJ allowed). Shuffle budgets are the plan contract
+# — a regression that adds an exchange fails here before it ships.
+TPCH_R3_PLAN_BUDGET = {
+    "q1_pricing_summary": (1, 0, False),
+    "q2_min_cost_supplier": (1, 4, False),
+    "q4_order_priority": (1, 1, False),
+    "q7_volume_shipping": (1, 5, False),
+    "q8_market_share": (1, 7, False),
+    "q9_product_profit": (1, 3, False),
+    "q11_important_parts": (2, 6, True),  # 1-row threshold broadcast
+    "q13_customer_distribution": (2, 1, False),
+    "q14_promo_effect": (0, 1, False),
+    "q15_top_supplier": (0, 2, False),
+    "q16_parts_suppliers": (2, 2, False),
+    "q17_small_quantity": (2, 2, False),
+    "q19_discounted_revenue": (0, 1, False),
+    "q20_part_promotion": (1, 3, False),
+    "q21_waiting_suppliers": (3, 2, False),
+    "q22_global_sales": (1, 1, True),  # 1-row avg-threshold broadcast
+}
+
+
+@pytest.mark.parametrize("key", sorted(TPCH_R3_PLAN_BUDGET))
+def test_tpch_r3_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = TPCH_R3_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
