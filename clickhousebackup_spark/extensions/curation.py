@@ -303,3 +303,65 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_tokens"),
         )
     )
+
+
+@register(
+    "quality_linear_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   (CAST(concat('0x', substr(md5(word), 1, 3)) AS INTEGER)
+                    % 997) - 498 AS w
+            FROM toks WHERE word <> ''
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w) AS BIGINT) AS raw_score,
+               (CAST(SUM(w) AS DOUBLE)
+                / (997.0 * CAST(COUNT(*) AS DOUBLE))) AS score
+        FROM scored
+        GROUP BY doc_id
+    """,
+    doc="Hashing-trick linear-model inference at corpus scale (the "
+    "fastText-style quality-classifier shape): tokens hash to one of "
+    "4096 feature buckets (md5 hex prefix — bit-identical across "
+    "engines), each bucket carries a deterministic weight on an "
+    "integer grid ((bucket % 997) - 498), and a document's score is "
+    "the mean bucket weight. The Spark plan materializes the weight "
+    "VECTOR as a broadcast 4096-row table joined on bucket — the "
+    "exact layout a real exported linear model uses — then one "
+    "two-phase integer-sum agg per doc; the oracle computes the "
+    "weight inline, proving the join carries the same function. "
+    "Integer sums make the result exact; the only double math is one "
+    "final division. At 100 TB: explode + broadcast-hash join + "
+    "map-side-combined agg — no shuffle of the token stream beyond "
+    "the doc_id re-agg, no Python.",
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    bucket = F.conv(F.substring(F.md5(F.col("word")), 1, 3), 16, 10).cast("int")
+    toks = toks.select("doc_id", bucket.alias("bucket"))
+    weights = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.pmod(F.col("id"), F.lit(997)) - 498).cast("int").alias("w"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("long").alias("raw_score"),
+            (
+                F.sum("w").cast("double")
+                / (F.lit(997.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("score"),
+        )
+    )

@@ -282,3 +282,64 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_chunk_passages",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '\\s+') AS words
+            FROM documents
+        ), s AS (
+            SELECT doc_id, words, len(words) AS n FROM w
+        ), g AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(0,
+                       CAST(greatest(floor((n - 17) / 16.0), 0)
+                            AS BIGINT))) AS chunk_idx
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 16 AS BIGINT) AS start_word,
+               CAST(len(list_slice(words, chunk_idx * 16 + 1,
+                                   chunk_idx * 16 + 32)) AS BIGINT)
+                   AS chunk_len,
+               md5(array_to_string(
+                   list_slice(words, chunk_idx * 16 + 1,
+                              chunk_idx * 16 + 32), ' ')) AS chunk_md5
+        FROM g
+    """,
+    doc="RAG-style passage chunking: split each document into "
+    "32-word chunks with 16-word stride (50% overlap); emit "
+    "(doc_id, chunk_idx, start_word, chunk_len, md5(chunk)). The "
+    "chunk starts are a sequence+posexplode over a computed index "
+    "bound — every word lands in >=1 chunk, the final chunk may be "
+    "short, and a doc shorter than one chunk still yields chunk 0. "
+    "Map-side explode only (no shuffle, no UDF): at 100 TB chunking "
+    "runs at scan speed and the 2x row amplification streams "
+    "straight into the downstream writer; pairs with dedup_passage "
+    "for chunk-level dedup.",
+)
+def text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(words)
+    idx_max = (
+        F.greatest(F.floor((n - F.lit(17)) / F.lit(16)), F.lit(0)).cast("int")
+    )
+    d = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.sequence(F.lit(0), idx_max).alias("starts"),
+    )
+    d = d.select("doc_id", "words", F.posexplode("starts").alias("chunk_idx", "_i"))
+    chunk = F.slice(F.col("words"), F.col("chunk_idx") * 16 + 1, 32)
+    return d.select(
+        F.col("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * 16).cast("long").alias("start_word"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -296,3 +296,49 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         (dsum(p * q) / dsum(q)).alias("avg_price_weighted")
     )
+
+
+@register(
+    "sequence_count_pairs",
+    oracle="""
+        SELECT user_id, CAST(SUM(vb) AS BIGINT) AS n_pairs
+        FROM (
+            SELECT user_id, event_type,
+                   COALESCE(SUM(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS vb
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    doc="sequenceCount('(?1).*(?2)') analog: per user, the number of "
+    "(view, later purchase) ordered pairs. ClickHouse materializes "
+    "the per-user event list; the scale-safe Spark form is a running "
+    "count of views strictly before each row (ROWS frame ending at "
+    "1 PRECEDING, total-ordered by (ts, event_id)) summed over "
+    "purchase rows — one shuffle on user_id, O(1) window state, no "
+    "per-user collect, immune to hot-key skew.",
+)
+def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    views_before = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+        F.lit(0),
+    )
+    return (
+        ev.withColumn("vb", views_before)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("vb").cast("long").alias("n_pairs"))
+    )

@@ -130,3 +130,66 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "event_id", "user_id", F.col("day").cast("string").alias("day")
     )
+
+
+# 16-bit × 16-bit Morton (Z-order) interleave as one integer
+# expression, generated once and shared verbatim by the Spark plan
+# and the DuckDB oracle — bit semantics are identical 64-bit shifts
+# in both engines.
+_Z16 = " + ".join(
+    f"(((a >> {i}) & 1) * {1 << (2 * i + 1)})"
+    f" + (((b >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(16)
+)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zval
+        FROM (
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey, l_suppkey,
+                   CAST({_Z16} AS BIGINT) AS zval
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                       l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+                FROM lineitem
+            )
+        )
+        ORDER BY zval, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    doc="Z-order (Morton) clustering key: interleave the low 16 bits "
+    "of l_partkey and l_suppkey into one 32-bit z-value and emit the "
+    "first 100 rows of the clustered order (total-order tiebreak). "
+    "Writing a table sorted by zval gives every parquet file a tight "
+    "min/max envelope on BOTH dimensions, so predicates on either "
+    "column prune files — the multi-dimensional data-skipping layout "
+    "(Delta/Iceberg OPTIMIZE ZORDER, ClickHouse multi-column "
+    "ORDER BY analog). The interleave is 32 shift/mask terms of pure "
+    "64-bit integer arithmetic generated from one shared template — "
+    "fully codegen'd, map-only; the global sort is the same "
+    "range-partitioned TakeOrdered plan as topk_limit here, or a "
+    "full repartitionByRange before write in the layout job.",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    li = li.withColumn("a", F.pmod(F.col("l_partkey"), F.lit(65536))).withColumn(
+        "b", F.pmod(F.col("l_suppkey"), F.lit(65536))
+    )
+    li = li.withColumn("zval", F.expr(_Z16).cast("long"))
+    return (
+        li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_partkey",
+            "l_suppkey",
+            "zval",
+        )
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )

@@ -49,12 +49,14 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics",
     "clickhousebackup_spark.operators.analytics2",
     "clickhousebackup_spark.operators.behavior",
+    "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
     "clickhousebackup_spark.functions.maths",
     "clickhousebackup_spark.functions.arrays",
     "clickhousebackup_spark.functions.maps_json",
     "clickhousebackup_spark.functions.hashes",
+    "clickhousebackup_spark.functions.web",
     "clickhousebackup_spark.functions.udfs",
     "clickhousebackup_spark.streaming.batch_equiv",
     "clickhousebackup_spark.backup.queries",

@@ -1,0 +1,140 @@
+"""Property tests for the round-3b operators (MergeTree family,
+sequence counting, chunking, z-order) — semantics the DuckDB oracle
+equality alone doesn't pin down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.operators.mergetree import (
+    merge_aggregating_shards,
+    merge_collapsing_final,
+)
+from clickhousebackup_spark.operators.scale_patterns import _Z16
+from clickhousebackup_spark.extensions.text import text_chunk_passages
+from clickhousebackup_spark.operators.behavior import sequence_count_pairs
+from clickhousebackup_spark.tables import load_table
+
+
+def test_collapsing_final_keeps_only_latest_upserts(spark, sf_dir):
+    out = merge_collapsing_final(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # one row per surviving key, and it is the true per-key maximum
+    # (ts, event_id) — i.e. a later row never exists for that key.
+    later = (
+        out.alias("o")
+        .join(
+            ev.alias("e"),
+            (F.col("o.user_id") == F.col("e.user_id"))
+            & (F.col("o.event_type") == F.col("e.event_type"))
+            & (
+                (F.col("e.ts") > F.col("o.ts"))
+                | (
+                    (F.col("e.ts") == F.col("o.ts"))
+                    & (F.col("e.event_id") > F.col("o.event_id"))
+                )
+            ),
+        )
+        .count()
+    )
+    assert later == 0
+    # every surviving row is an upsert under the derived sign
+    assert out.filter(F.pmod("event_id", F.lit(4)) == 0).count() == 0
+    assert out.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+
+
+def test_shard_merge_invariant_to_shard_count(spark, sf_dir):
+    """Partial-state merging must give the same answer for ANY
+    sharding — rerun the shard plan with a different modulus by
+    recomputing inline and compare to the registered 8-shard form."""
+    base = merge_aggregating_shards(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    p3 = (
+        ev.withColumn("shard", F.pmod(F.col("user_id"), F.lit(3)))
+        .groupBy("shard", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("p_n").cast("long").alias("n_rows"),
+            F.sum("p_sum").cast("double").alias("total_value"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+        )
+    )
+    a = {r["event_type"]: r.asDict() for r in base.collect()}
+    b = {r["event_type"]: r.asDict() for r in p3.collect()}
+    assert a == b
+
+
+def test_chunking_covers_every_word_with_overlap(spark, sf_dir):
+    chunks = text_chunk_passages(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n_words")
+    )
+    cov = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_word") + F.col("chunk_len")).alias("covered"),
+            F.min("start_word").alias("first_start"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_len").alias("max_len"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = cov.filter(
+        (F.col("covered") < F.col("n_words"))
+        | (F.col("first_start") != 0)
+        | (F.col("max_len") > 32)
+    )
+    assert bad.count() == 0
+    # stride 16 < size 32 ⇒ consecutive chunks overlap by 16 words
+    assert chunks.filter(F.col("start_word") % 16 != 0).count() == 0
+
+
+def test_zorder_interleave_is_injective(spark):
+    grid = (
+        spark.range(64)
+        .select(
+            (F.col("id") % 8).alias("a"), (F.col("id") / 8).cast("long").alias("b")
+        )
+        .withColumn("z", F.expr(_Z16))
+    )
+    assert grid.select("z").distinct().count() == 64
+    # z(a,b) for a,b < 8 stays within 6 interleaved bits
+    assert grid.filter(F.col("z") >= 64).count() == 0
+
+
+def test_sequence_pairs_matches_bruteforce_quadratic(spark, sf_dir):
+    got = {
+        r["user_id"]: r["n_pairs"] for r in sequence_count_pairs(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    brute = (
+        v.join(
+            p,
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (
+                (F.col("v.ts") < F.col("p.ts"))
+                | (
+                    (F.col("v.ts") == F.col("p.ts"))
+                    & (F.col("v.event_id") < F.col("p.event_id"))
+                )
+            ),
+        )
+        .groupBy(F.col("v.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    brute_m = {r["user_id"]: r["n_pairs"] for r in brute.collect()}
+    # users whose pair count is zero appear in `got` iff they have a
+    # purchase; brute force omits zero rows — compare the nonzeros.
+    assert {k: n for k, n in got.items() if n > 0} == brute_m
