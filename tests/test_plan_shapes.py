@@ -152,3 +152,29 @@ def test_tpch_r3_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# Round-3b additions: shuffle budgets for the MergeTree family, web
+# functions, chunking, and scoring ops. (max_shuffles, min_broadcasts).
+R3B_PLAN_BUDGET = {
+    "merge_collapsing_final": (1, 0),   # one window exchange
+    "merge_aggregating_shards": (2, 0),  # shard partial + final merge
+    "mv_incremental_refresh": (3, 0),   # scalar agg + 2-level state agg
+    "agg_combinators": (2, 0),          # expand for count-distinct
+    "sequence_count_pairs": (2, 0),     # window + re-agg share user key
+    "url_funcs": (0, 0),                # map-only
+    "ip_funcs": (1, 0),                 # distinct only
+    "text_chunk_passages": (1, 0),      # parallelize() fan-out only
+    "quality_linear_score": (2, 1),     # fan-out + doc agg; weights bcast
+    "zorder_layout": (1, 0),            # TakeOrdered / range sort
+}
+
+
+@pytest.mark.parametrize("key", sorted(R3B_PLAN_BUDGET))
+def test_r3b_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast = R3B_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
