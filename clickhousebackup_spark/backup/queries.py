@@ -180,3 +180,55 @@ def flagship_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("db", "generation")
     )
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE.strip().lstrip()},
+        ordered AS (
+            SELECT db, generation, path, size_bytes,
+                   SUM(size_bytes) OVER (
+                       PARTITION BY db, generation
+                       ORDER BY size_bytes DESC, snapshot_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes
+            FROM catalog_full
+        )
+        SELECT db, generation, path, size_bytes,
+               CAST(floor(CAST(cum_bytes - size_bytes AS DOUBLE)
+                          / 262144.0) AS BIGINT) AS bin_id
+        FROM ordered
+    """,
+    doc="Small-file compaction planner (lakehouse OPTIMIZE / "
+    "ClickHouse merge-selection analog): within each (db, "
+    "generation), order artifacts largest-first with a snapshot_id "
+    "tiebreak and assign each to a ~256 KiB output bin by its "
+    "running-sum offset — a deterministic next-fit pack in ONE "
+    "window pass, no driver loop. The bin assignment is exactly "
+    "what a compaction job would feed to coalesced rewrite tasks; "
+    "at 100 TB the window partitions by (db, generation) so "
+    "planning parallelizes per table and never materializes more "
+    "than a partition of catalog rows per task.",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("db", "generation")
+        .orderBy(F.col("size_bytes").desc(), F.col("snapshot_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("size_bytes").over(w)
+    return cat.select(
+        "db",
+        "generation",
+        "path",
+        "size_bytes",
+        F.floor(
+            (cum - F.col("size_bytes")).cast("double") / F.lit(262144.0)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -342,3 +342,113 @@ def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("vb").cast("long").alias("n_pairs"))
     )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS dst,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+            FROM events
+        ), edges AS (
+            SELECT src, dst, COUNT(*) AS cnt
+            FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+        ), outw AS (
+            SELECT src, SUM(cnt) AS tot FROM edges GROUP BY src
+        ), enorm AS (
+            SELECT e.src, e.dst,
+                   CAST(e.cnt AS DOUBLE) / CAST(o.tot AS DOUBLE) AS w
+            FROM edges e JOIN outw o ON e.src = o.src
+        ), nodes AS (
+            SELECT DISTINCT event_type AS node FROM events
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ), r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ), r1 AS (
+            SELECT nd.node,
+                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                       SELECT CAST(SUM(CAST(floor(e.w * r.rank
+                                   * 1000000000000.0) AS BIGINT))
+                              AS DOUBLE) / 1000000000000.0
+                       FROM enorm e JOIN r0 r ON e.src = r.node
+                       WHERE e.dst = nd.node), 0.0) AS rank
+            FROM nodes nd
+        ), r2 AS (
+            SELECT nd.node,
+                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                       SELECT CAST(SUM(CAST(floor(e.w * r.rank
+                                   * 1000000000000.0) AS BIGINT))
+                              AS DOUBLE) / 1000000000000.0
+                       FROM enorm e JOIN r1 r ON e.src = r.node
+                       WHERE e.dst = nd.node), 0.0) AS rank
+            FROM nodes nd
+        )
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                   SELECT CAST(SUM(CAST(floor(e.w * r.rank
+                               * 1000000000000.0) AS BIGINT))
+                          AS DOUBLE) / 1000000000000.0
+                   FROM enorm e JOIN r2 r ON e.src = r.node
+                   WHERE e.dst = nd.node), 0.0) AS rank
+        FROM nodes nd
+    """,
+    doc="Deterministic PageRank (damping 0.85, 3 power iterations) "
+    "over the event-transition graph: nodes = event types, edges = "
+    "consecutive-event transitions per user (lag window), weights = "
+    "out-degree-normalized counts. Each iteration is one broadcast "
+    "join (the rank vector is node-sized) + an integer-grid "
+    "contribution sum (floor at 1e-12, exact 64-bit adds), so "
+    "results are bit-identical regardless of partitioning; dangling-node mass is dropped (the standard "
+    "simplified formulation, mirrored exactly in the oracle's "
+    "unrolled CTEs). At web-graph scale the same loop runs with the "
+    "rank vector as a shuffled (not broadcast) join plus per-round "
+    "localCheckpoint, as dedup_clusters does; 3 fixed rounds keeps "
+    "the oracle expressible.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    outw = edges.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    enorm = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # node spine + 1/N scalar: tiny and reused by all iterations —
+    # materialize once so the loop doesn't re-derive the distinct.
+    base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=True)
+    ranks = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(3):
+        contrib = enorm.join(
+            F.broadcast(ranks.select(F.col("node").alias("src"), "rank")), "src"
+        ).select(
+            "dst",
+            F.floor(F.col("w") * F.col("rank") * F.lit(1000000000000.0))
+            .cast("long")
+            .alias("c"),
+        )
+        acc = contrib.groupBy("dst").agg(
+            (F.sum("c").cast("double") / F.lit(1000000000000.0)).alias("acc")
+        )
+        ranks = (
+            base.join(F.broadcast(acc), base["node"] == acc["dst"], "left")
+            .select(
+                "node",
+                "n",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("acc"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

@@ -209,3 +209,113 @@ def agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniq_click_users"
         ),
     )
+
+
+@register(
+    "agg_sum_map",
+    oracle="""
+        WITH kv AS (
+            SELECT event_type,
+                   unnest(json_keys(props)) AS pkey,
+                   CAST(json_extract_string(props,
+                        concat('$.', unnest(json_keys(props)))) AS BIGINT)
+                       AS pval
+            FROM events
+        ), g AS (
+            SELECT event_type, pkey, CAST(SUM(pval) AS BIGINT) AS psum
+            FROM kv GROUP BY event_type, pkey
+        )
+        SELECT event_type,
+               list(pkey ORDER BY pkey) AS map_keys,
+               list(psum ORDER BY pkey) AS map_sums
+        FROM g GROUP BY event_type
+    """,
+    doc="ClickHouse sumMap: per group, element-wise sum of a map "
+    "column's values by key, emitted as parallel key/sum arrays in "
+    "key order. Two-phase: explode the parsed map, integer-sum per "
+    "(group, key) — map-side combine absorbs repeats — then "
+    "reassemble per group. The reassembly array is bounded by the "
+    "property VOCABULARY (distinct keys), not the row count — the "
+    "same output cardinality ClickHouse's sumMap state holds, so "
+    "the collect is safe at any scale.",
+)
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,long>")).alias("pkey", "pval"),
+    )
+    g = kv.groupBy("event_type", "pkey").agg(
+        F.sum("pval").cast("long").alias("psum")
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("pkey", "psum")))
+    return g.groupBy("event_type").agg(
+        F.transform(pairs, lambda x: x["pkey"]).alias("map_keys"),
+        F.transform(pairs, lambda x: x["psum"]).alias("map_sums"),
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'month', date_trunc('month', ts),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        FROM events GROUP BY 2
+    """,
+    doc="Hierarchical time rollup (continuous-aggregate / hypertable "
+    "rollup parity): hour-grain partial states aggregate from raw "
+    "rows ONCE; day states re-aggregate the hour states; month "
+    "states re-aggregate the day states — each coarser grain reads "
+    "the previous grain's output, never the raw table. The oracle "
+    "computes all three grains directly from raw rows, proving the "
+    "cascade is exact (counts add; decimal sums add). At 100 TB the "
+    "raw table is touched once per refresh instead of once per "
+    "grain — the standard continuous-aggregate maintenance shape.",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    # Each grain's state is MATERIALIZED (localCheckpoint — the
+    # local-mode analog of persisting the continuous aggregate), so
+    # the union below reuses it instead of recomputing the finer
+    # grain per branch: without this, Spark's union does no CSE and
+    # the raw scan would run once per grain.
+    hour = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.sum(F.col("value").cast(DEC)).alias("s_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(F.sum("s_n").alias("s_n"), F.sum("s_sum").alias("s_sum"))
+        .localCheckpoint(eager=True)
+    )
+    month = day.groupBy(F.date_trunc("month", "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("s_n").alias("s_n"), F.sum("s_sum").alias("s_sum")
+    )
+
+    def emit(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_ts",
+            F.col("s_n").cast("long").alias("n_events"),
+            F.col("s_sum").cast("double").alias("total_value"),
+        )
+
+    return emit(hour, "hour").unionByName(emit(day, "day")).unionByName(
+        emit(month, "month")
+    )

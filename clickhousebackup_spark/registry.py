@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.functions.web",
     "clickhousebackup_spark.functions.udfs",
     "clickhousebackup_spark.streaming.batch_equiv",
+    "clickhousebackup_spark.streaming.topic",
     "clickhousebackup_spark.backup.queries",
     "clickhousebackup_spark.extensions.dedup",
     "clickhousebackup_spark.extensions.similarity",

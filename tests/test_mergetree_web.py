@@ -138,3 +138,25 @@ def test_sequence_pairs_matches_bruteforce_quadratic(spark, sf_dir):
     # users whose pair count is zero appear in `got` iff they have a
     # purchase; brute force omits zero rows — compare the nonzeros.
     assert {k: n for k, n in got.items() if n > 0} == brute_m
+
+
+def test_pagerank_is_a_probability_like_vector(spark, sf_dir):
+    from clickhousebackup_spark.operators.behavior import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert all(v > 0 for v in ranks.values())
+    # mass <= 1 (dangling mass is dropped by the simplified model),
+    # and >= the pure-teleport floor 0.15.
+    assert 0.15 <= sum(ranks.values()) <= 1.0 + 1e-9
+    # deterministic rerun: bit-identical
+    again = {r["node"]: r["rank"] for r in graph_pagerank(spark, sf_dir).collect()}
+    assert again == ranks
+
+
+def test_sum_map_parallel_arrays_align(spark, sf_dir):
+    from clickhousebackup_spark.operators.mergetree import agg_sum_map
+
+    for r in agg_sum_map(spark, sf_dir).collect():
+        assert len(r["map_keys"]) == len(r["map_sums"])
+        assert r["map_keys"] == sorted(r["map_keys"])

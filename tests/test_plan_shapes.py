@@ -167,6 +167,10 @@ R3B_PLAN_BUDGET = {
     "text_chunk_passages": (1, 0),      # parallelize() fan-out only
     "quality_linear_score": (2, 1),     # fan-out + doc agg; weights bcast
     "zorder_layout": (1, 0),            # TakeOrdered / range sort
+    "agg_sum_map": (2, 0),              # (group,key) agg + group agg
+    "graph_pagerank": (5, 3),           # edges+outw+3 bcast rank joins
+    "rollup_time_hierarchy": (3, 0),    # one agg per grain, cascaded
+    "compaction_plan": (1, 0),          # one window pass
 }
 
 
