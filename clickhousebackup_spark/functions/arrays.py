@@ -88,3 +88,43 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_positive"
         ),
     )
+
+
+@register(
+    "array_cumsum",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding[1:8],
+                          x -> CAST(x AS DOUBLE))) AS x,
+                   unnest(range(1, len(embedding[1:8]) + 1)) AS i
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, i,
+                   SUM(x) OVER (PARTITION BY vec_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cs
+            FROM ex
+        )
+        SELECT vec_id, list(cs ORDER BY i) AS cums
+        FROM s GROUP BY vec_id
+    """,
+    doc="ClickHouse arrayCumSum: per-vector running sum over the "
+    "first 8 embedding dims. Spark side is a pure higher-order fold "
+    "(aggregate with an array accumulator — no explode, no shuffle); "
+    "the oracle unnests positionally and re-lists a window running "
+    "sum. Both are strict left-to-right double additions, so results "
+    "are bit-identical. Map-only in Spark: at any scale this runs at "
+    "scan speed inside codegen'd whole-stage eval.",
+)
+def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    cums = F.aggregate(
+        head,
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x)
+        ),
+    )
+    return e.select("vec_id", cums.alias("cums"))

@@ -193,3 +193,56 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+class runtime_bloom_join:
+    """Context manager enabling Spark's runtime bloom-filter join
+    pruning for big×big shuffle joins — the semi-join reduction that
+    matters at 100 TB: the filtered build side publishes a bloom
+    filter of its join keys, and the probe side's SCAN drops
+    non-matching rows before the shuffle, cutting exchange volume by
+    the build side's selectivity.
+
+    Not a registry key: the confs must be live at *execution* time
+    and are session-global, so wrapping a registered query would
+    leak `autoBroadcastJoinThreshold=-1` into unrelated queries.
+    Production clusters set these once in spark-defaults; here the
+    manager sets/restores them around a specific job. Plan-asserted
+    in tests/test_plan_shapes.py (might_contain + bloom_filter_agg).
+    """
+
+    #: (conf, forced value) — thresholds dropped so the tiny fixture
+    #: join exercises the same plan a 100 TB join would.
+    _CONFS = (
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"),
+        ("spark.sql.optimizer.runtimeFilter.number.threshold", "10"),
+        (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        ),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    )
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._saved: list[tuple[str, str | None]] = []
+
+    def __enter__(self):
+        for k, v in self._CONFS:
+            try:
+                old = self.spark.conf.get(k)
+            except Exception:
+                old = None
+            self._saved.append((k, old))
+            self.spark.conf.set(k, v)
+        return self.spark
+
+    def __exit__(self, *exc):
+        for k, old in self._saved:
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False

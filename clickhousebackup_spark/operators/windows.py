@@ -296,3 +296,110 @@ def date_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
         .select("user_id", "day", "filled_value")
     )
+
+
+@register(
+    "date_fill_interpolate",
+    oracle="""
+        WITH span AS (
+            SELECT min(date_trunc('day', ts)) AS d0,
+                   max(date_trunc('day', ts)) AS d1
+            FROM events
+        ), days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ), users AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+        ), daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+            FROM events WHERE user_id % 7 = 0
+            GROUP BY user_id, day
+        ), dense AS (
+            SELECT u.user_id, d.day, dd.day_value,
+                   last_value(dd.day_value IGNORE NULLS) OVER (
+                       PARTITION BY u.user_id ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_val,
+                   last_value(CASE WHEN dd.day_value IS NOT NULL
+                                   THEN d.day END IGNORE NULLS) OVER (
+                       PARTITION BY u.user_id ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_day,
+                   first_value(dd.day_value IGNORE NULLS) OVER (
+                       PARTITION BY u.user_id ORDER BY d.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_val,
+                   first_value(CASE WHEN dd.day_value IS NOT NULL
+                                    THEN d.day END IGNORE NULLS) OVER (
+                       PARTITION BY u.user_id ORDER BY d.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_day
+            FROM users u
+            CROSS JOIN days d
+            LEFT JOIN daily dd ON dd.user_id = u.user_id AND dd.day = d.day
+        )
+        SELECT user_id, day,
+               CASE WHEN day_value IS NOT NULL THEN day_value
+                    WHEN prev_val IS NULL THEN NULL
+                    WHEN next_val IS NULL THEN prev_val
+                    ELSE prev_val + (next_val - prev_val)
+                         * (CAST(datediff('day', prev_day, day) AS DOUBLE)
+                            / CAST(datediff('day', prev_day, next_day)
+                                   AS DOUBLE))
+               END AS filled_value
+        FROM dense
+    """,
+    doc="WITH FILL INTERPOLATE analog: densify each user's daily "
+    "series and LINEARLY interpolate interior gaps between the "
+    "previous and next observation ((next-prev) scaled by the day "
+    "fraction — identical IEEE expression order in both engines); "
+    "holds the last value after the final observation and stays NULL "
+    "before the first. Two symmetric ignore-nulls windows over one "
+    "user partition — same single-shuffle shape as "
+    "date_fill_forward, just a backward pass added.",
+)
+def date_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    span = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("day_value"))
+    spine = users.crossJoin(F.broadcast(days))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    dense = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("prev_val", F.last("day_value", ignorenulls=True).over(back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("next_val", F.first("day_value", ignorenulls=True).over(fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    filled = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("prev_val").isNull(), F.lit(None).cast("double"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+    )
+    return dense.select("user_id", "day", filled.alias("filled_value"))

@@ -152,6 +152,9 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "contamination_overlap",
         "dedup_clusters_neardup",
+        "text_chunk_passages",
+        "quality_linear_score",
+        "dedup_passage",
     )
     report: dict = {"base_sf": base_sf}
     sf1_dir = build_sf1(spark, base_sf)

@@ -171,6 +171,9 @@ R3B_PLAN_BUDGET = {
     "graph_pagerank": (5, 3),           # edges+outw+3 bcast rank joins
     "rollup_time_hierarchy": (3, 0),    # one agg per grain, cascaded
     "compaction_plan": (1, 0),          # one window pass
+    "date_fill_interpolate": (3, 1),    # daily agg + spine + window
+    "array_cumsum": (0, 0),             # map-only fold
+    "topic_roundtrip": (0, 0),          # scan of published segments
 }
 
 
@@ -182,3 +185,37 @@ def test_r3b_plan_budgets(spark, sf_dir, key):
     assert inspect.count_shuffles(df) <= max_shuffles, plan
     assert plan.count("BroadcastHashJoin") >= min_bcast, plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark, sf_dir):
+    """Big-x-big shuffle join with a selective build-side filter:
+    under runtime_bloom_join the probe side's scan gains a
+    might_contain(bloom) filter fed by a bloom_filter_agg subquery —
+    the 100 TB semi-join reduction — and results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.operators.scale_patterns import (
+        runtime_bloom_join,
+    )
+    from clickhousebackup_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = {r["o_orderstatus"]: r["n"] for r in j.collect()}
+
+    with runtime_bloom_join(spark):
+        j2 = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = inspect.physical_plan(j2)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert baseline == {r["o_orderstatus"]: r["n"] for r in j2.collect()}
+
+    # confs restored: broadcast joins work again afterwards
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
