@@ -452,3 +452,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", "rank")
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   (CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(value)) AS mu,
+                   sqrt(greatest(
+                       (CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                             AS DOUBLE) / COUNT(value))
+                       - ((CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                AS DOUBLE) / COUNT(value))
+                          * (CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                  AS DOUBLE) / COUNT(value))),
+                       0.0)) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value, s.mu, s.sigma
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE abs(e.value - s.mu) > 2.5 * s.sigma
+    """,
+    doc="Population z-score anomaly detection: per-type mean and "
+    "stddev from exact decimal sums (order-free; population variance "
+    "as E[x^2]-E[x]^2 with a greatest(...,0) clamp, sqrt is "
+    "exact-IEEE), broadcast back onto the stream, keep |value-mu| > "
+    "2.5 sigma. One two-phase agg + one broadcast join — the "
+    "monitoring-table shape (ClickHouse users run exactly this over "
+    "system.metrics); emitted rows carry the stats that flagged "
+    "them, deterministic to the bit in both engines.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value")
+    mu = dsum(v) / F.count(v)
+    ex2 = dsum(v * v) / F.count(v)
+    stats = ev.groupBy("event_type").agg(mu.alias("mu"), ex2.alias("ex2"))
+    stats = stats.select(
+        "event_type",
+        "mu",
+        F.sqrt(F.greatest(F.col("ex2") - F.col("mu") * F.col("mu"), F.lit(0.0))).alias(
+            "sigma"
+        ),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(v - F.col("mu")) > F.lit(2.5) * F.col("sigma"))
+        .select("event_id", "event_type", "value", "mu", "sigma")
+    )

@@ -319,3 +319,45 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit(hour, "hour").unionByName(emit(day, "day")).unionByName(
         emit(month, "month")
     )
+
+
+@register(
+    "agg_hll_merge",
+    oracle=None,  # sketch bytes aren't SQL-expressible; merge
+    # invariance + accuracy are pinned in tests/test_mergetree_web.py
+    doc="uniqMerge analog — mergeable HLL sketch states (Apache "
+    "DataSketches via hll_sketch_agg): per-shard sketches of "
+    "user_id per event_type are UNIONED (hll_union_agg) and "
+    "estimated, alongside the exact distinct count and a "
+    "within-2-percent flag. This is the AggregatingMergeTree "
+    "uniqState/uniqMerge contract: shard-local sketches (a few KB "
+    "each) combine into the global estimate without re-touching "
+    "rows — the only way distinct-count rollups stay cheap at "
+    "100 TB. Rows-only driver check; pytest asserts merged == "
+    "direct sketch estimate (merge invariance) and accuracy.",
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    shard = F.pmod(F.col("user_id"), F.lit(8)).alias("shard")
+    partial = ev.select(shard, "event_type", "user_id").groupBy(
+        "shard", "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniq_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "uniq_exact",
+        "uniq_est",
+        F.when(
+            F.abs(F.col("uniq_est") - F.col("uniq_exact"))
+            <= F.col("uniq_exact") * F.lit(0.02),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("within_2pct"),
+    )

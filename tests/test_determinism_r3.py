@@ -28,7 +28,8 @@ R3_KEYS = [
     "sequence_count_pairs", "graph_pagerank", "url_funcs", "ip_funcs",
     "text_chunk_passages", "quality_linear_score", "zorder_layout",
     "rollup_time_hierarchy", "compaction_plan", "topic_roundtrip",
-    "date_fill_interpolate", "array_cumsum",
+    "date_fill_interpolate", "array_cumsum", "agg_hll_merge",
+    "events_anomaly_zscore",
 ]
 
 

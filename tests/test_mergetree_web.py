@@ -160,3 +160,22 @@ def test_sum_map_parallel_arrays_align(spark, sf_dir):
     for r in agg_sum_map(spark, sf_dir).collect():
         assert len(r["map_keys"]) == len(r["map_sums"])
         assert r["map_keys"] == sorted(r["map_keys"])
+
+
+def test_hll_merge_invariant_and_accurate(spark, sf_dir):
+    """uniqMerge contract: merging shard sketches must equal the
+    direct (unsharded) sketch estimate, and land within 2% of exact
+    for every group."""
+    from clickhousebackup_spark.operators.mergetree import agg_hll_merge
+
+    out = {r["event_type"]: r.asDict() for r in agg_hll_merge(spark, sf_dir).collect()}
+    assert all(r["within_2pct"] == 1 for r in out.values())
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert {k: v["uniq_est"] for k, v in out.items()} == direct

@@ -174,6 +174,8 @@ R3B_PLAN_BUDGET = {
     "date_fill_interpolate": (3, 1),    # daily agg + spine + window
     "array_cumsum": (0, 0),             # map-only fold
     "topic_roundtrip": (0, 0),          # scan of published segments
+    "agg_hll_merge": (4, 1),            # shard sketch + union + exact
+    "events_anomaly_zscore": (1, 1),    # stats agg bcast onto stream
 }
 
 
