@@ -63,3 +63,79 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE = "start_us long, last_us long, n long"
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _sessionize(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    closed: list[tuple[int, int, int]] = []
+
+    if state.hasTimedOut:
+        # watermark passed last_event + gap with no new data: the open
+        # session can never be extended — flush it and clear state.
+        start_us, last_us, n = state.get
+        closed.append((start_us, last_us, n))
+        state.remove()
+    else:
+        start_us, last_us, n = state.get if state.exists else (0, 0, 0)
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        times.sort()
+        for t in times:
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > _GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        if n:
+            state.update((start_us, last_us, n))
+            # event-time timer: fire once the watermark clears the gap
+            state.setTimeoutTimestamp((last_us + _GAP_US) // 1000)
+
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s * 1000) for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e * 1000) for _, e, _ in closed],
+            "n_events": [n for _, _, n in closed],
+        }
+    )
+
+
+def sessionize(events: DataFrame, watermark_delay: str = "1 minute") -> DataFrame:
+    """Custom stateful sessionization: emit each user session when it
+    CLOSES — either a later event arrives past the 30-minute gap, or
+    the event-time watermark passes ``last_event + gap`` (timeout
+    flush), so quiet users' sessions still materialize without
+    waiting for their next visit.
+
+    This is the operator ``session_window`` can't express when the
+    output must be append-only closed sessions with custom state
+    (e.g. carrying running aggregates per session). State is
+    O(active users), partitioned by key in the state store; at scale
+    the timeout sweep is how the store stays bounded.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -394,3 +394,57 @@ def test_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
         for r in get_spec("stream_stream_join").fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stateful_sessionize_gap_close_and_timeout_flush(spark):
+    """sessionize emits a session when (a) a later event opens a new
+    one past the 30-min gap, and (b) the event-time watermark clears
+    last_event+gap (timeout flush for quiet users)."""
+    import datetime as dt
+
+    from clickhousebackup_spark.streaming.stateful import sessionize
+
+    src = tempfile.mkdtemp(prefix="cbs_sess_src_") + "/ev"
+    ckpt = tempfile.mkdtemp(prefix="cbs_sess_ckpt_")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "e", 1.0, "{}")
+
+    # user 7: cluster A (0,1,2 min) then cluster B (60,61) — A closes
+    # in-batch; user 9: one cluster (0,5) that only a timeout can close.
+    b1 = [ev(1, 0, 7), ev(2, 1, 7), ev(3, 2, 7), ev(4, 60, 7), ev(5, 61, 7),
+          ev(6, 0, 9), ev(7, 5, 9)]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).write.parquet(src)
+
+    emitted = []
+
+    def run_once():
+        q = (
+            sessionize(_read_stream(spark, src))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = {(r["user_id"], r["n_events"]) for r in emitted}
+    assert (7, 3) in got1  # cluster A closed by cluster B's arrival
+
+    # batch 2: user 7 reappears at +240 min → closes cluster B; the
+    # watermark advance (239 min) also fires user 9's timeout.
+    b2 = [ev(8, 240, 7)]
+    spark.createDataFrame(b2, EVENTS_SCHEMA).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["user_id"], r["n_events"]) for r in emitted}
+    assert {(7, 3), (7, 2), (9, 2)} <= got
+    ends = {
+        (r["user_id"], r["n_events"]): r["session_end"] for r in emitted
+    }
+    assert ends[(7, 3)] == t0 + dt.timedelta(minutes=2)
+    assert ends[(7, 2)] == t0 + dt.timedelta(minutes=61)
+    assert ends[(9, 2)] == t0 + dt.timedelta(minutes=5)
