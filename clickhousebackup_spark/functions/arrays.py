@@ -128,3 +128,40 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return e.select("vec_id", cums.alias("cums"))
+
+
+@register(
+    "array_difference",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding[1:8],
+                          x -> CAST(x AS DOUBLE))) AS x,
+                   unnest(range(1, len(embedding[1:8]) + 1)) AS i
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, i,
+                   COALESCE(x - lag(x) OVER (PARTITION BY vec_id ORDER BY i),
+                            0.0) AS d
+            FROM ex
+        )
+        SELECT vec_id, list(d ORDER BY i) AS deltas
+        FROM s GROUP BY vec_id
+    """,
+    doc="ClickHouse arrayDifference: per-position deltas within an "
+    "array (first element 0, matching ClickHouse). Spark side is an "
+    "index-aware transform (no explode, no shuffle); the oracle "
+    "re-lists a lag window. Each delta is ONE IEEE subtraction of "
+    "identical inputs — bit-identical across engines.",
+)
+def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    e = e.select("vec_id", head.alias("h"))
+    deltas = F.transform(
+        F.col("h"),
+        lambda x, i: F.when(i == 0, F.lit(0.0)).otherwise(
+            x - F.element_at(F.col("h"), i)
+        ),
+    )
+    return e.select("vec_id", deltas.alias("deltas"))

@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.functions.maps_json",
     "clickhousebackup_spark.functions.hashes",
     "clickhousebackup_spark.functions.web",
+    "clickhousebackup_spark.functions.geo",
     "clickhousebackup_spark.functions.udfs",
     "clickhousebackup_spark.streaming.batch_equiv",
     "clickhousebackup_spark.streaming.topic",

@@ -29,7 +29,7 @@ R3_KEYS = [
     "text_chunk_passages", "quality_linear_score", "zorder_layout",
     "rollup_time_hierarchy", "compaction_plan", "topic_roundtrip",
     "date_fill_interpolate", "array_cumsum", "agg_hll_merge",
-    "events_anomaly_zscore",
+    "events_anomaly_zscore", "array_difference", "geo_geohash",
 ]
 
 

@@ -179,3 +179,46 @@ def test_hll_merge_invariant_and_accurate(spark, sf_dir):
         .collect()
     }
     assert {k: v["uniq_est"] for k, v in out.items()} == direct
+
+
+def _ref_geohash(lat: float, lon: float, length: int = 8) -> str:
+    """Independent textbook geohash encoder (interval halving)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    bit_count = 0
+    for _ in range(length * 5):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        bit_count += 1
+        if bit_count == 5:
+            out.append(b32[bits])
+            bits, bit_count = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_textbook_encoder(spark, sf_dir):
+    from clickhousebackup_spark.functions.geo import geo_geohash
+
+    rows = geo_geohash(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["geohash8"] == _ref_geohash(r["lat"], r["lon"]), (
+            r["lat"],
+            r["lon"],
+        )

@@ -176,6 +176,8 @@ R3B_PLAN_BUDGET = {
     "topic_roundtrip": (0, 0),          # scan of published segments
     "agg_hll_merge": (4, 1),            # shard sketch + union + exact
     "events_anomaly_zscore": (1, 1),    # stats agg bcast onto stream
+    "array_difference": (0, 0),         # map-only transform
+    "geo_geohash": (1, 0),              # distinct users only
 }
 
 
