@@ -66,3 +66,34 @@ def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@register(
+    "encode_funcs",
+    oracle="""
+        SELECT doc_id,
+               base64(CAST(lang AS BLOB)) AS lang_b64,
+               upper(CAST(hex(CAST(source AS BLOB)) AS VARCHAR))
+                   AS source_hex,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                   AS text_bytes,
+               md5(concat(lang, '|', source)) AS pair_md5
+        FROM documents
+    """,
+    doc="Encoding family (ClickHouse base64Encode/hex/length parity): "
+    "base64 and hex of utf-8 bytes, byte length (≠ char length for "
+    "multibyte), and a composite-key md5. All JVM-side codegen'd "
+    "expressions; byte semantics pinned cross-engine via the BLOB "
+    "casts in the oracle.",
+)
+def encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.upper(F.hex(F.col("source").cast("binary"))).alias("source_hex"),
+        F.octet_length("text").cast("long").alias("text_bytes"),
+        F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))).alias(
+            "pair_md5"
+        ),
+    )

@@ -361,3 +361,40 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_2pct"),
     )
+
+
+@register(
+    "dict_encode_lowcard",
+    oracle="""
+        WITH dict AS (
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT)
+                       AS type_code
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT e.event_id, e.event_type, d.type_code
+        FROM events e JOIN dict d ON e.event_type = d.event_type
+    """,
+    doc="LowCardinality dictionary encoding: build the value "
+    "dictionary (distinct values, dense codes in value order — "
+    "deterministic, not first-seen order) and broadcast-join it back "
+    "to emit the coded column. This is the storage-layer encode "
+    "ClickHouse's LowCardinality and parquet dictionary pages do; "
+    "materialized as data it enables integer joins/group-bys on "
+    "high-frequency string columns. The dictionary agg is tiny "
+    "(vocabulary-sized) and the ROW_NUMBER runs over it, never over "
+    "the fact table — no single-partition window on the big side.",
+)
+def dict_encode_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dict_df = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.row_number().over(Window.orderBy("event_type")).cast("long"),
+        )
+    )
+    return ev.join(F.broadcast(dict_df), "event_type").select(
+        "event_id", "event_type", "type_code"
+    )

@@ -178,6 +178,8 @@ R3B_PLAN_BUDGET = {
     "events_anomaly_zscore": (1, 1),    # stats agg bcast onto stream
     "array_difference": (0, 0),         # map-only transform
     "geo_geohash": (1, 0),              # distinct users only
+    "encode_funcs": (0, 0),             # map-only
+    "dict_encode_lowcard": (2, 1),      # vocab distinct + tiny window
 }
 
 
