@@ -30,7 +30,8 @@ R3_KEYS = [
     "rollup_time_hierarchy", "compaction_plan", "topic_roundtrip",
     "date_fill_interpolate", "array_cumsum", "agg_hll_merge",
     "events_anomaly_zscore", "array_difference", "geo_geohash",
-    "encode_funcs", "dict_encode_lowcard",
+    "encode_funcs", "dict_encode_lowcard", "audio_fft_dominant",
+    "image_channel_stats",
 ]
 
 

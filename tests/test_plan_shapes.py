@@ -180,6 +180,8 @@ R3B_PLAN_BUDGET = {
     "geo_geohash": (1, 0),              # distinct users only
     "encode_funcs": (0, 0),             # map-only
     "dict_encode_lowcard": (2, 1),      # vocab distinct + tiny window
+    "audio_fft_dominant": (1, 0),       # parallelize fan-out only
+    "image_channel_stats": (1, 0),      # parallelize fan-out only
 }
 
 
