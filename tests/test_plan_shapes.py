@@ -227,3 +227,110 @@ def test_runtime_bloom_filter_prunes_probe_scan(spark, sf_dir):
 
     # confs restored: broadcast joins work again afterwards
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_dynamic_partition_pruning_injects(spark, sf_dir):
+    """Fact partitioned by a key x dim with a selective filter: the
+    fact scan gains a dynamicpruning subquery on the partition column
+    — the 100 TB date-partition pruning shape — and results match the
+    unpruned join."""
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = scratch_path(spark, "dpp_events", sf_dir)
+    ev.withColumn("etype", F.col("event_type")).write.mode(
+        "overwrite"
+    ).partitionBy("etype").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select(F.col("event_type").alias("etype2"), "user_id")
+        .distinct()
+        .filter(F.col("user_id") == 3)
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+            "10",
+        )
+        j = fact.join(dim, fact.etype == dim.etype2).groupBy("etype").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = inspect.physical_plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        got = {r["etype"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {
+        r["etype"]: r["n"]
+        for r in fact.join(dim, fact.etype == dim.etype2)
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A 90%-hot-key join under AQE skew handling: the final adaptive
+    plan shows SortMergeJoin(skew=true) + AQEShuffleRead skewed — the
+    hot partition was split across tasks instead of OOMing one
+    executor. Complements join_skew_salted (the manual strategy) with
+    the runtime one."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(2_000_000).select(
+        F.when(F.col("id") % 10 != 0, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    other = spark.range(300_000).select(
+        (F.col("id") % 50_000).alias("k"), F.col("id").alias("w")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(other, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        n = j.collect()[0]["n"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # hot key 7: 1.8M rows x 6 matches; cold keys are multiples of
+        # 10 that land in the other side's 0..49999 key range: 5000
+        # keys x 6 matches each
+        assert n == 1_800_000 * 6 + 5_000 * 6
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
