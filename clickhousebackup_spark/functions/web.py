@@ -168,3 +168,77 @@ def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_private"),
     )
+
+
+@register(
+    "dedup_url_normalize",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   concat(CASE WHEN doc_id % 2 = 0 THEN 'https://www.'
+                               ELSE 'HTTPS://' END,
+                          source, '.example.com/', lang, '/page-',
+                          CAST(doc_id % 40 AS VARCHAR),
+                          CASE WHEN doc_id % 3 = 0
+                               THEN concat('?utm_source=', lang,
+                                           '&ref=', source)
+                               WHEN doc_id % 3 = 1 THEN '?ref=feed'
+                               ELSE '' END) AS url
+            FROM documents
+        ), norm AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(lower(
+                       split_part(url, '?', 1)), '^https?://', ''),
+                       '^www\\.', '') AS norm_url
+            FROM u
+        )
+        SELECT norm_url,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+        FROM norm GROUP BY norm_url
+    """,
+    doc="URL-canonicalization dedup — the web-crawl preprocessing "
+    "step: synthesize messy URLs (mixed case scheme, optional www, "
+    "tracking query params), normalize (lowercase, strip scheme/www/"
+    "query), and dedup by canonical URL keeping the lowest doc_id. "
+    "The same page reached via http/https, with or without www or "
+    "utm tags, collapses to one representative — pure string "
+    "expressions + one hash agg; at crawl scale this runs before "
+    "any content dedup and removes the cheapest duplicate class "
+    "first.",
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://www.")).otherwise(
+            F.lit("HTTPS://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source="), F.col("lang"), F.lit("&ref="), F.col("source")
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("?ref=feed"))
+        .otherwise(F.lit("")),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.substring_index(url, "?", 1)), r"^https?://", ""
+        ),
+        r"^www\.",
+        "",
+    )
+    return (
+        d.select(norm.alias("norm_url"), "doc_id")
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+    )

@@ -156,6 +156,16 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q22_global_sales",
     "sketch_recall_probe",
 )
+# Round-4 rotation queue: after CORRECTNESS_r03, 148 of the registry's
+# keys will have driver rows (98 from r1∪r2 + the 50 above). The keys
+# registered AFTER the priority list — the round-3b additions, in
+# module registration order (mergetree/behavior/web/geo/text/curation/
+# scale_patterns/windows/arrays/hashes/streaming.topic/backup/
+# multimodal families) — have no driver row yet; round 4 should move
+# them into this list (they number ~32, leaving ~18 slots for
+# re-confirming previously-green keys against regressions). All of
+# them pass tests/test_oracle_parity.py at sf0.001 AND sf0.01 plus the
+# rerun-stability sweep (tests/test_determinism_r3.py) locally.
 
 
 def _load_all() -> None:

@@ -31,7 +31,7 @@ R3_KEYS = [
     "date_fill_interpolate", "array_cumsum", "agg_hll_merge",
     "events_anomaly_zscore", "array_difference", "geo_geohash",
     "encode_funcs", "dict_encode_lowcard", "audio_fft_dominant",
-    "image_channel_stats",
+    "image_channel_stats", "dedup_url_normalize",
 ]
 
 

@@ -182,6 +182,7 @@ R3B_PLAN_BUDGET = {
     "dict_encode_lowcard": (2, 1),      # vocab distinct + tiny window
     "audio_fft_dominant": (1, 0),       # parallelize fan-out only
     "image_channel_stats": (1, 0),      # parallelize fan-out only
+    "dedup_url_normalize": (1, 0),      # one hash agg
 }
 
 
