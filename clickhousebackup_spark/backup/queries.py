@@ -232,3 +232,60 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@register(
+    "backup_verify_integrity",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+               CAST(COUNT(*) AS BIGINT) AS n_restored,
+               CAST(0 AS BIGINT) AS n_missing,
+               CAST(0 AS BIGINT) AS n_extra
+        FROM orders
+    """,
+    doc="A11's write-then-verify made total: snapshot orders "
+    "(staged-atomic publish), reread, and diff source vs restored by "
+    "null-safe row hash (md5 of the JSON row struct — the same "
+    "identity run_incremental uses) with multiplicity via per-hash "
+    "counts: n_missing = rows whose count shrank, n_extra = rows "
+    "whose count grew. The oracle asserts the invariant (counts "
+    "equal, zero drift). Two scans + one hash-agg join — no "
+    "collect; at 100 TB this is the cheap post-backup audit that "
+    "catches a torn write before retention deletes the previous "
+    "snapshot.",
+)
+def backup_verify_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import scratch_path
+
+    src = load_table(spark, sf_dir, "orders")
+    res = snapshot_table(
+        src,
+        scratch_path(spark, "verify_orders", sf_dir),
+        db="db0",
+        table="orders",
+        period_key="19970101-000001",
+    )
+    restored = spark.read.parquet(res.path)
+
+    def hashed_counts(df: DataFrame, col: str) -> DataFrame:
+        h = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])))
+        return df.groupBy(h.alias("row_hash")).agg(
+            F.count(F.lit(1)).alias(col)
+        )
+
+    a = hashed_counts(src, "n_a")
+    b = hashed_counts(restored, "n_b")
+    d = a.join(b, "row_hash", "full").select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    return d.agg(
+        F.sum("n_a").cast("long").alias("n_source"),
+        F.sum("n_b").cast("long").alias("n_restored"),
+        F.sum(F.greatest(F.col("n_a") - F.col("n_b"), F.lit(0)))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.greatest(F.col("n_b") - F.col("n_a"), F.lit(0)))
+        .cast("long")
+        .alias("n_extra"),
+    )

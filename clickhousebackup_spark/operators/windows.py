@@ -403,3 +403,39 @@ def date_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dense.select("user_id", "day", filled.alias("filled_value"))
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+        SELECT event_id, user_id,
+               median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med5
+        FROM events
+    """,
+    doc="Centered 5-row moving median per user (the robust smoother "
+    "windowed mean can't give you): Spark has no median window "
+    "aggregate, so the frame is materialized as a sorted 5-element "
+    "array (bounded by the FRAME, not the data — safe at any scale) "
+    "and the median read out positionally, averaging the two middles "
+    "for even edge frames exactly as DuckDB's median() interpolates. "
+    "One window exchange on user_id.",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return ev.select("event_id", "user_id", med.alias("med5"))

@@ -31,7 +31,8 @@ R3_KEYS = [
     "date_fill_interpolate", "array_cumsum", "agg_hll_merge",
     "events_anomaly_zscore", "array_difference", "geo_geohash",
     "encode_funcs", "dict_encode_lowcard", "audio_fft_dominant",
-    "image_channel_stats", "dedup_url_normalize",
+    "image_channel_stats", "dedup_url_normalize", "win_moving_median",
+    "backup_verify_integrity",
 ]
 
 

@@ -183,6 +183,8 @@ R3B_PLAN_BUDGET = {
     "audio_fft_dominant": (1, 0),       # parallelize fan-out only
     "image_channel_stats": (1, 0),      # parallelize fan-out only
     "dedup_url_normalize": (1, 0),      # one hash agg
+    "win_moving_median": (1, 0),        # one window exchange
+    "backup_verify_integrity": (3, 0),  # 2 hash aggs + full join
 }
 
 
