@@ -740,3 +740,117 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM pairs GROUP BY p1, p2
+        ORDER BY n_orders DESC, p1, p2
+        LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: top-20 part pairs appearing in "
+    "the same order. NO self-join: each order's part set is "
+    "collected (bounded by the per-order line count, ~7) and the "
+    "p1<p2 pairs enumerated with array combinatorics inside the "
+    "row — two shuffles total (order agg + pair agg) versus the "
+    "three of the naive self-join, and the pair fanout (~21/order) "
+    "never touches the shuffle. Top-k via TakeOrderedAndProject "
+    "with full tiebreak. The association-mining primitive (frequent "
+    "itemsets' k=2 pass).",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = sets.select(F.explode(pairs_expr).alias("pr")).select(
+        F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "part_trigram_search",
+    oracle="""
+        WITH scored AS (
+            SELECT p_partkey, p_name,
+                   len(list_intersect(
+                       list_distinct(list_transform(
+                           generate_series(1, length(lower(p_name)) - 2),
+                           i -> substring(lower(p_name), i, 3))),
+                       ['ste', 'tee', 'eel'])) AS overlap,
+                   len(list_distinct(list_transform(
+                       generate_series(1, length(lower(p_name)) - 2),
+                       i -> substring(lower(p_name), i, 3)))) AS n_tris
+            FROM part
+        )
+        SELECT p_partkey, p_name,
+               CAST(overlap AS BIGINT) AS overlap,
+               (CAST(overlap AS DOUBLE)
+                / CAST(n_tris + 3 - overlap AS DOUBLE)) AS jaccard
+        FROM scored
+        WHERE overlap > 0
+        ORDER BY jaccard DESC, p_partkey
+        LIMIT 10
+    """,
+    doc="Fuzzy text search (ClickHouse ngramSearch / pg_trgm shape): "
+    "rank part names by trigram-Jaccard similarity to the query "
+    "'steel' — trigrams enumerated with the same sequence+substring "
+    "expression in both engines, overlap via array_intersect, one "
+    "scan + TakeOrdered. At index scale the same trigram sets drive "
+    "an inverted-list equi-join prefilter (the dedup_ngram_jaccard "
+    "machinery) instead of scoring every row; this is the "
+    "score-everything baseline that stays exact.",
+)
+def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    query = "steel"
+    qt = [query[i : i + 3] for i in range(len(query) - 2)]
+    p = load_table(spark, sf_dir, "part")
+    tris = F.expr(
+        "array_distinct(transform(sequence(1, length(lower(p_name)) - 2), "
+        "i -> substring(lower(p_name), i, 3)))"
+    )
+    overlap = F.size(F.array_intersect(tris, F.array(*[F.lit(t) for t in qt])))
+    n_tris = F.size(tris)
+    scored = p.select(
+        "p_partkey",
+        "p_name",
+        overlap.alias("overlap"),
+        n_tris.alias("n_tris"),
+    ).filter(F.col("overlap") > 0)
+    return (
+        scored.select(
+            "p_partkey",
+            "p_name",
+            F.col("overlap").cast("long").alias("overlap"),
+            (
+                F.col("overlap").cast("double")
+                / (F.col("n_tris") + 3 - F.col("overlap")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "p_partkey")
+        .limit(10)
+    )

@@ -32,7 +32,8 @@ R3_KEYS = [
     "events_anomaly_zscore", "array_difference", "geo_geohash",
     "encode_funcs", "dict_encode_lowcard", "audio_fft_dominant",
     "image_channel_stats", "dedup_url_normalize", "win_moving_median",
-    "backup_verify_integrity",
+    "backup_verify_integrity", "orders_market_basket",
+    "part_trigram_search",
 ]
 
 

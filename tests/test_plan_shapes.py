@@ -185,6 +185,8 @@ R3B_PLAN_BUDGET = {
     "dedup_url_normalize": (1, 0),      # one hash agg
     "win_moving_median": (1, 0),        # one window exchange
     "backup_verify_integrity": (3, 0),  # 2 hash aggs + full join
+    "orders_market_basket": (2, 0),     # distinct + pair agg share key
+    "part_trigram_search": (1, 0),      # scan + TakeOrdered
 }
 
 
