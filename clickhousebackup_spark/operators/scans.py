@@ -15,6 +15,7 @@ projected scan exists to *prove* pruning: its physical plan must show
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clickhousebackup_spark.registry import register
@@ -94,3 +95,32 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").json(out)
     return spark.read.schema(_JSON_SCHEMA).json(out)
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_returnflag, l_quantity, l_shipdate
+        FROM lineitem
+    """,
+    doc="ORC sink + source roundtrip — the third columnar interchange "
+    "format next to parquet and the text sinks; self-describing "
+    "schema (no inference pass needed), predicate-pushdown-capable "
+    "like parquet. Completes the format matrix: parquet (snapshots), "
+    "CSV/JSON (text interchange), ORC (columnar interchange), JDBC "
+    "(RDBMS), FileTopic (streaming segments).",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import scratch_path
+
+    out = scratch_path(spark, "lineitem_orc", sf_dir)
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        "l_quantity",
+        "l_shipdate",
+    )
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
