@@ -33,6 +33,25 @@ from pyspark.sql import functions as F
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
+#: Repo root, captured BY VALUE into worker closures: Python workers
+#: spawned by a driver whose cwd/PYTHONPATH doesn't include the repo
+#: (e.g. a harness run from another directory) can't import this
+#: package when unpickling module-referenced functions. Every
+#: mapInPandas closure below therefore prepends this path and imports
+#: its helpers AT RUNTIME inside the worker — self-contained under
+#: any driver environment.
+_REPO_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+)
+
+
+#: NOTE: the path-guard + import below is INLINED into every worker
+#: closure (not factored into a module helper): a module-level helper
+#: would itself be pickled by reference and defeat the guard. Each
+#: closure captures ``repo_root`` (a plain string) by value.
+
 
 @register(
     "multimodal_join",
@@ -176,9 +195,17 @@ def fake_features(payload: bytes, n: int = 4) -> list[float]:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(parallelize(load_table(spark, sf_dir, "documents")))
 
+    repo_root = _REPO_ROOT
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from clickhousebackup_spark.extensions import multimodal as mm
+
         for pdf in batches:
-            feats = [fake_features(p) for p in pdf["payload"]]
+            feats = [mm.fake_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -260,17 +287,25 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 != 2)
     )
 
+    repo_root = _REPO_ROOT
+
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from clickhousebackup_spark.extensions import multimodal as mm
+
         for pdf in batches:
             out = {"doc_id": [], "media_type": [], "dim1": [], "dim2": [], "mean_val": []}
             for d in pdf["doc_id"]:
                 d = int(d)
                 if d % 3 == 0:
                     mt = "image/x-portable-pixmap"
-                    w, h, mean = decode_media(encode_ppm(d), mt)
+                    w, h, mean = mm.decode_media(mm.encode_ppm(d), mt)
                 else:
                     mt = "audio/wav"
-                    w, h, mean = decode_media(encode_wav(d), mt)
+                    w, h, mean = mm.decode_media(mm.encode_wav(d), mt)
                 out["doc_id"].append(d)
                 out["media_type"].append(mt)
                 out["dim1"].append(w)
@@ -413,7 +448,15 @@ def audio_fft_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 1)
     )
 
+    repo_root = _REPO_ROOT
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from clickhousebackup_spark.extensions import multimodal as mm
+
         for pdf in batches:
             ids = [int(d) for d in pdf["doc_id"]]
             yield pd.DataFrame(
@@ -421,7 +464,8 @@ def audio_fft_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": ids,
                     "expected_bin": [16 + d % 48 for d in ids],
                     "detected_bin": [
-                        wav_dominant_bin(encode_sine_wav(d)) for d in ids
+                        mm.wav_dominant_bin(mm.encode_sine_wav(d))
+                        for d in ids
                     ],
                 }
             )
@@ -479,12 +523,20 @@ def image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
     )
 
+    repo_root = _REPO_ROOT
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from clickhousebackup_spark.extensions import multimodal as mm
+
         for pdf in batches:
             out = {"doc_id": [], "mean_r": [], "mean_g": [], "mean_b": []}
             for d in pdf["doc_id"]:
                 d = int(d)
-                r, g, b = ppm_channel_means(encode_ppm(d))
+                r, g, b = mm.ppm_channel_means(mm.encode_ppm(d))
                 out["doc_id"].append(d)
                 out["mean_r"].append(r)
                 out["mean_g"].append(g)
