@@ -82,3 +82,62 @@ def test_backfill_read_and_prune(spark, sf_dir, tmp_path):
     assert [d[-2:] for d in topic._segments()] == ["02"]
     # offsets never rewind after a prune
     assert topic.next_offset() == 3
+
+
+def test_topic_feeds_watermarked_window_agg(spark, sf_dir, tmp_path):
+    """Integration: FileTopic segments -> watermarked tumbling window
+    -> append sink. The streaming aggregate over the topic must equal
+    the batch aggregate over the same rows (windows closed by the
+    final watermark advance)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    topic = FileTopic(str(tmp_path / "t"))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=37 * i % 300), float(i)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    # Segments are time-bucketed, but a segment holds MULTIPLE part
+    # files and maxFilesPerTrigger trickles them out in file (not
+    # time) order — so the watermark DELAY must cover the
+    # intra-segment disorder (segment span = 100 min), exactly as a
+    # real pipeline sizes its delay to the producer's batch window.
+    # An undersized delay drops stragglers as late (verified: a
+    # 1-minute delay loses rows here — correct watermark semantics).
+    for i in range(3):
+        lo = t0 + dt.timedelta(minutes=100 * i)
+        hi = t0 + dt.timedelta(minutes=100 * (i + 1))
+        topic.publish(df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
+    # one far-future row so the watermark passes every real window
+    topic.publish(
+        spark.createDataFrame(
+            [(999, t0 + dt.timedelta(days=2), 0.0)],
+            "event_id long, ts timestamp, value double",
+        )
+    )
+
+    out = []
+    q = (
+        topic.consume(spark, "event_id long, ts timestamp, value double", 1)
+        .withWatermark("ts", "101 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _b: out.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["w"]["start"], r["n"]) for r in out}
+    want = {
+        (r["w"]["start"], r["n"])
+        for r in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every real window closed by the final watermark advance must
+    # carry the exact batch-aggregate count
+    assert want <= got
