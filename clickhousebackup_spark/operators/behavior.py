@@ -502,3 +502,50 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(v - F.col("mu")) > F.lit(2.5) * F.col("sigma"))
         .select("event_id", "event_type", "value", "mu", "sigma")
     )
+
+
+@register(
+    "user_active_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ), islands AS (
+            SELECT user_id, day,
+                   day - INTERVAL (ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day)) DAY AS island
+            FROM days
+        )
+        SELECT user_id,
+               CAST(max(streak_len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM (
+            SELECT user_id, island, COUNT(*) AS streak_len
+            FROM islands GROUP BY user_id, island
+        )
+        GROUP BY user_id
+    """,
+    doc="Longest consecutive-active-day streak per user — the "
+    "gaps-and-islands idiom: distinct active days, island key = "
+    "day minus row_number days (constant within a consecutive run), "
+    "then two cheap aggregations. All three steps share the user_id "
+    "partition so the plan re-uses one exchange; no self-join, no "
+    "sequence materialization — the engagement metric every "
+    "activity dashboard computes.",
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "island", F.expr("day - make_interval(0, 0, 0, rn)")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
