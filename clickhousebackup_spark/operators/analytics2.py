@@ -854,3 +854,56 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "p_partkey")
         .limit(10)
     )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders b
+            WHERE b.o_totalprice >= a.o_totalprice
+              AND b.o_orderdate >= a.o_orderdate
+              AND (b.o_totalprice > a.o_totalprice
+                   OR b.o_orderdate > a.o_orderdate)
+        )
+    """,
+    doc="2-D skyline (Pareto front) of orders maximizing (totalprice, "
+    "orderdate) — the skyline-in-Spark-SQL pattern from the PAPERS "
+    "corpus. Distributed algorithm, not the oracle's O(n^2) NOT "
+    "EXISTS: (1) per-bucket LOCAL skyline via the sort-and-running-"
+    "max sweep (ordered by price desc, a row survives iff its date "
+    "strictly exceeds every preceding date — one window inside each "
+    "pmod(orderkey,32) bucket), (2) GLOBAL skyline = same sweep over "
+    "the union of local survivors. Skylines are algebraic (global "
+    "skyline of local skylines == full skyline), so the single-"
+    "partition final sweep only ever sees the tiny candidate set, "
+    "never the table. Exact duplicates of a skyline point collapse "
+    "to one representative (lowest orderkey), matching the oracle's "
+    "strict-dominance semantics.",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def sweep(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(
+                F.col("o_totalprice").desc(),
+                F.col("o_orderdate").desc(),
+                F.col("o_orderkey"),
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_max = F.max("o_orderdate").over(w)
+        return df.withColumn("_pm", prev_max).filter(
+            F.col("_pm").isNull() | (F.col("o_orderdate") > F.col("_pm"))
+        ).drop("_pm")
+
+    local = sweep(
+        o.withColumn("_b", F.pmod(F.col("o_orderkey"), F.lit(32))), ["_b"]
+    ).drop("_b")
+    return sweep(local, [])

@@ -185,8 +185,10 @@ R3B_PLAN_BUDGET = {
     "dedup_url_normalize": (1, 0),      # one hash agg
     "win_moving_median": (1, 0),        # one window exchange
     "backup_verify_integrity": (3, 0),  # 2 hash aggs + full join
-    "orders_market_basket": (2, 0),     # distinct + pair agg share key
+    "orders_market_basket": (2, 0),     # order-set agg + pair agg
     "part_trigram_search": (1, 0),      # scan + TakeOrdered
+    "user_active_streaks": (2, 0),      # (user,day) distinct + user window
+    "skyline_orders": (2, 0),           # bucket sweep + candidate sweep
 }
 
 
