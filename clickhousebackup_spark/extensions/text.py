@@ -343,3 +343,58 @@ def text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word, COUNT(*) AS tf
+            FROM toks WHERE word <> '' GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+        ), scored AS (
+            SELECT t.doc_id, t.word,
+                   CAST(t.tf * (1000000 // df.df) AS BIGINT) AS weight,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf * (1000000 // df.df) DESC, t.word)
+                       AS rn
+            FROM tf t JOIN df df ON t.word = df.word
+        )
+        SELECT doc_id, word, weight FROM scored WHERE rn <= 3
+    """,
+    doc="Keyword extraction: top-3 terms per doc by tf x rarity, "
+    "where rarity is the integer grid floor(1e6/df) — the log-free "
+    "TF-IDF variant that stays bit-exact across engines (ln differs "
+    "by ulps between libms, so a real IDF could flip ranks at ties). "
+    "Plan: token explode -> (doc,word) tf agg -> word df agg -> "
+    "equi join back -> per-doc top-k window; every stage map-side "
+    "combines and the join key is the word, exactly the "
+    "text_tokenize_count shuffle pattern. Word tiebreak makes the "
+    "top-3 total-ordered.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    weight = (F.col("tf") * F.floor(F.lit(1000000) / F.col("df"))).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("word")
+    )
+    return (
+        tf.join(df, "word")
+        .select("doc_id", "word", weight.alias("weight"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "weight")
+    )

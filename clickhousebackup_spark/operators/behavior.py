@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import dsum
+from clickhousebackup_spark.exprs import DEC, dsum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -548,4 +548,59 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("streak_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, last_order, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY last_order, o_custkey)
+                    AS BIGINT) AS r_quartile,
+               CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_quartile,
+               CAST(ntile(4) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_quartile
+        FROM base
+    """,
+    doc="RFM customer segmentation: per-customer recency (last order "
+    "date), frequency (order count), monetary (decimal-exact spend), "
+    "each cut into quartiles with ntile(4) under a total order "
+    "(custkey tiebreak — ntile is rank-dependent, so the tiebreak is "
+    "what makes quartile labels deterministic). One hash agg, then "
+    "three global ntile windows over the CUSTOMER-grain table (small "
+    "relative to orders); at larger scale the exact ntile swaps for "
+    "percentile_approx thresholds broadcast back — same output "
+    "contract, no global sort.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+    )
+    def quart(col: str) -> F.Column:
+        return (
+            F.ntile(4)
+            .over(Window.orderBy(F.col(col), F.col("o_custkey")))
+            .cast("long")
+        )
+
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        quart("last_order").alias("r_quartile"),
+        quart("frequency").alias("f_quartile"),
+        quart("monetary").alias("m_quartile"),
     )

@@ -34,7 +34,7 @@ R3_KEYS = [
     "image_channel_stats", "dedup_url_normalize", "win_moving_median",
     "backup_verify_integrity", "orders_market_basket",
     "part_trigram_search", "sink_orc_roundtrip", "user_active_streaks",
-    "skyline_orders",
+    "skyline_orders", "text_top_terms", "orders_rfm_segments",
 ]
 
 

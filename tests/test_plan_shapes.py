@@ -189,6 +189,8 @@ R3B_PLAN_BUDGET = {
     "part_trigram_search": (1, 0),      # scan + TakeOrdered
     "user_active_streaks": (2, 0),      # (user,day) distinct + user window
     "skyline_orders": (2, 0),           # bucket sweep + candidate sweep
+    "text_top_terms": (5, 0),           # fan-out + tf/df aggs + join + window
+    "orders_rfm_segments": (3, 0),      # cust agg + ntile windows
 }
 
 
