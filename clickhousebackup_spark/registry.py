@@ -162,8 +162,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 # module registration order (mergetree/behavior/web/geo/text/curation/
 # scale_patterns/windows/arrays/hashes/streaming.topic/backup/
 # multimodal families) — have no driver row yet; round 4 should move
-# them into this list (they number ~32, leaving ~18 slots for
-# re-confirming previously-green keys against regressions). All of
+# them into this list (they number ~40; fill the window with the
+# most recently added first, re-confirming green keys as space allows). All of
 # them pass tests/test_oracle_parity.py at sf0.001 AND sf0.01 plus the
 # rerun-stability sweep (tests/test_determinism_r3.py) locally.
 
