@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.exprs import DEC, dsum, osum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -236,4 +236,162 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_priority"),
             F.col("n").cast("long").alias("n"),
         )
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2,
+                   (CAST(SUM(CAST(floor(value * value * value * 1000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1000000.0) AS s3,
+                   (CAST(SUM(CAST(floor(value * value * value * value
+                                        * 1000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1000000.0) AS s4
+            FROM events GROUP BY event_type
+        ), c AS (
+            SELECT event_type, n, s1 / n AS mu,
+                   (s2 / n) - ((s1 / n) * (s1 / n)) AS m2,
+                   (s3 / n) - (3.0 * (s1 / n) * (s2 / n))
+                       + (2.0 * (s1 / n) * (s1 / n) * (s1 / n)) AS m3,
+                   (s4 / n) - (4.0 * (s1 / n) * (s3 / n))
+                       + (6.0 * (s1 / n) * (s1 / n) * (s2 / n))
+                       - (3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                       AS m4
+            FROM m
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, mu, m2 AS variance_pop,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               (m4 / (m2 * m2)) - 3.0 AS excess_kurtosis
+        FROM c
+    """,
+    doc="Higher-moment statistics (ClickHouse skewPop/kurtPop): "
+    "population skewness and excess kurtosis per event type from "
+    "RAW moment sums, combined with the standard central-moment "
+    "identities. The 1st/2nd moments use the usual decimal-exact "
+    "sums; the 3rd/4th are summed on a FLOOR grid "
+    "(floor(v^k * 1e6), exact integers) because casting a computed "
+    "v^4 double to DECIMAL(38,6) ROUNDS at 1e-6 and Spark/DuckDB "
+    "disagreed on a boundary row (found by the parity suite — the "
+    "exprs.py never-ROUND rule in action); floor of an exact double "
+    "is unambiguous in both engines. Every post-agg step is plain "
+    "IEEE +,-,*,/ and sqrt on identical doubles — pow() is "
+    "deliberately written as m2*sqrt(m2), since pow itself is a "
+    "libm call engines may round differently. One two-phase hash "
+    "agg; moment sums are the mergeable state (shards combine by "
+    "addition, same contract as merge_aggregating_shards).",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+        (
+            F.sum(
+                F.floor(v * v * v * F.lit(1000000.0)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("s3"),
+        (
+            F.sum(
+                F.floor(v * v * v * v * F.lit(1000000.0)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = (F.col("s2") / F.col("n")) - (mu * mu)
+    m3 = (F.col("s3") / F.col("n")) - (F.lit(3.0) * mu * (F.col("s2") / F.col("n"))) + (
+        F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        (F.col("s4") / F.col("n"))
+        - (F.lit(4.0) * mu * (F.col("s3") / F.col("n")))
+        + (F.lit(6.0) * mu * mu * (F.col("s2") / F.col("n")))
+        - (F.lit(3.0) * mu * mu * mu * mu)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        mu.alias("mu"),
+        m2.alias("variance_pop"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        ((m4 / (m2 * m2)) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY event_type
+        ), st AS (
+            SELECT event_type, n, s1 / n AS mean,
+                   ((s2 - ((s1 / n) * s1)) / (n - 1.0)) / n AS sem2
+            FROM g
+        )
+        SELECT a.mean AS mean_click, b.mean AS mean_view,
+               CAST(a.n AS BIGINT) AS n_click, CAST(b.n AS BIGINT) AS n_view,
+               (a.mean - b.mean) / sqrt(a.sem2 + b.sem2) AS t_stat,
+               ((a.sem2 + b.sem2) * (a.sem2 + b.sem2))
+                   / ((a.sem2 * a.sem2) / (a.n - 1.0)
+                      + (b.sem2 * b.sem2) / (b.n - 1.0)) AS df_welch
+        FROM (SELECT * FROM st WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM st WHERE event_type = 'view') b
+    """,
+    doc="Welch two-sample t-test (ClickHouse welchTTest): click vs "
+    "view values — sample means and squared standard errors from "
+    "decimal-exact sums, t statistic and Welch-Satterthwaite degrees "
+    "of freedom as pure IEEE arithmetic (no pow, no distribution "
+    "lookup — the p-value belongs client-side). One filtered "
+    "two-group agg + a 1x1 cross of the two stat rows; at any scale "
+    "the heavy work is the same mergeable moment-sum state as the "
+    "other stats operators.",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sem2 = ((F.col("s2") - (mean * F.col("s1"))) / (F.col("n") - F.lit(1.0))) / F.col(
+        "n"
+    )
+    st = g.select("event_type", "n", mean.alias("mean"), sem2.alias("sem2"))
+    a = st.filter(F.col("event_type") == "click").alias("a")
+    b = st.filter(F.col("event_type") == "view").alias("b")
+    num = F.col("a.sem2") + F.col("b.sem2")
+    return a.crossJoin(b).select(
+        F.col("a.mean").alias("mean_click"),
+        F.col("b.mean").alias("mean_view"),
+        F.col("a.n").cast("long").alias("n_click"),
+        F.col("b.n").cast("long").alias("n_view"),
+        ((F.col("a.mean") - F.col("b.mean")) / F.sqrt(num)).alias("t_stat"),
+        (
+            (num * num)
+            / (
+                (F.col("a.sem2") * F.col("a.sem2")) / (F.col("a.n") - F.lit(1.0))
+                + (F.col("b.sem2") * F.col("b.sem2")) / (F.col("b.n") - F.lit(1.0))
+            )
+        ).alias("df_welch"),
     )

@@ -191,6 +191,8 @@ R3B_PLAN_BUDGET = {
     "skyline_orders": (2, 0),           # bucket sweep + candidate sweep
     "text_top_terms": (5, 0),           # fan-out + tf/df aggs + join + window
     "orders_rfm_segments": (3, 0),      # cust agg + ntile windows
+    "agg_skew_kurtosis": (1, 0),        # one two-phase moment agg
+    "stats_welch_ttest": (2, 0),        # per-branch agg + 1x1 cross
 }
 
 
