@@ -395,3 +395,165 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("df_welch"),
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle="""
+        WITH pooled AS (
+            SELECT event_type, value,
+                   RANK() OVER (ORDER BY value) AS rmin,
+                   RANK() OVER (ORDER BY value)
+                       + COUNT(*) OVER (PARTITION BY value) - 1 AS rmax
+            FROM events WHERE event_type IN ('click', 'view')
+        ), ranked AS (
+            SELECT event_type,
+                   (CAST(rmin AS DOUBLE) + CAST(rmax AS DOUBLE)) / 2.0
+                       AS avg_rank
+            FROM pooled
+        ), agg AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS DOUBLE) AS n1,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                        AS DOUBLE) AS n2,
+                   SUM(avg_rank * 2.0)
+                       FILTER (WHERE event_type = 'click') AS r1_doubled
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_click,
+               CAST(n2 AS BIGINT) AS n_view,
+               (r1_doubled / 2.0) AS rank_sum_click,
+               ((r1_doubled / 2.0) - (n1 * (n1 + 1.0) / 2.0)) AS u_click
+        FROM agg
+    """,
+    doc="Mann-Whitney U (ClickHouse mannWhitneyUTest): rank-sum of "
+    "the click sample over the pooled click/view values with "
+    "midrank tie handling — midranks are exact half-integers "
+    "((min_rank + max_rank)/2), so DOUBLING them before the sum "
+    "keeps every partial sum an exact integer-valued double "
+    "(order-free without any decimal detour); one halving at the "
+    "end. The pooled global RANK runs once over the two-group "
+    "subset; at bigger-than-memory scale the same midranks come "
+    "from the two-pass distributed rank used by sort_multi.",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "value")
+    w_rank = Window.orderBy("value")
+    w_ties = Window.partitionBy("value")
+    pooled = ev.select(
+        "event_type",
+        F.rank().over(w_rank).alias("rmin"),
+        (F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).alias(
+            "rmax"
+        ),
+    )
+    avg2 = F.col("rmin").cast("double") + F.col("rmax").cast("double")
+    is_click = F.col("event_type") == "click"
+    agg = pooled.select("event_type", avg2.alias("avg2")).agg(
+        F.count(F.when(is_click, 1)).cast("double").alias("n1"),
+        F.count(F.when(~is_click, 1)).cast("double").alias("n2"),
+        F.sum(F.when(is_click, F.col("avg2"))).alias("r1_doubled"),
+    )
+    r1 = F.col("r1_doubled") / F.lit(2.0)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        r1.alias("rank_sum_click"),
+        (r1 - (F.col("n1") * (F.col("n1") + F.lit(1.0)) / F.lit(2.0))).alias(
+            "u_click"
+        ),
+    )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT SUM(o) AS n,
+                   COUNT(DISTINCT event_type) AS kr,
+                   COUNT(DISTINCT ub) AS kc
+            FROM obs
+        ), rows_ AS (
+            SELECT event_type, SUM(o) AS ro FROM obs GROUP BY event_type
+        ), cols_ AS (
+            SELECT ub, SUM(o) AS co FROM obs GROUP BY ub
+        ), chi AS (
+            SELECT (CAST(SUM(CAST(floor(
+                       ((obs.o - (rows_.ro * cols_.co / tot.n))
+                        * (obs.o - (rows_.ro * cols_.co / tot.n)))
+                       / (rows_.ro * cols_.co / tot.n)
+                       * 1000000000000.0)
+                       AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1000000000000.0) AS chi2,
+                   min(tot.n) AS n, min(tot.kr) AS kr, min(tot.kc) AS kc
+            FROM obs
+            JOIN rows_ ON obs.event_type = rows_.event_type
+            JOIN cols_ ON obs.ub = cols_.ub
+            CROSS JOIN tot
+        )
+        SELECT chi2,
+               sqrt(chi2 / (n * (CAST(least(kr, kc) AS DOUBLE) - 1.0)))
+                   AS cramers_v
+        FROM chi
+    """,
+    doc="Cramer's V (ClickHouse cramersV): association strength "
+    "between event_type and a user bucket from the chi-squared "
+    "statistic over the contingency table. Observed and expected "
+    "counts are ratios of exact integer counts, per-cell chi2 terms "
+    "sum on a 1e-12 floor grid (exact 64-bit adds, order-free — the "
+    "same grid pagerank uses), and the sum runs "
+    "over at most |types|x|buckets| cells (vocabulary-sized, never "
+    "row-scaled), and the only non-arithmetic op is one final sqrt "
+    "— deterministic to the bit. Plan: one (type,bucket) count agg, "
+    "two marginal re-aggs of the CELL table, broadcast joins back.",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("ub")
+    )
+    # the cell table is vocabulary-sized and has FOUR consumers
+    # (totals, two marginals, the chi join) — materialize it once or
+    # every consumer rescans the event table.
+    obs = (
+        ev.groupBy("event_type", "ub")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("kr"),
+        F.countDistinct("ub").alias("kc"),
+    )
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("ro"))
+    cols_ = obs.groupBy("ub").agg(F.sum("o").alias("co"))
+    cell = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "ub")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ro") * F.col("co") / F.col("n")
+    term = ((F.col("o") - e) * (F.col("o") - e)) / e
+    chi = cell.agg(
+        (
+            F.sum(
+                F.floor(term * F.lit(1000000000000.0)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("chi2"),
+        F.min("n").alias("n"),
+        F.min("kr").alias("kr"),
+        F.min("kc").alias("kc"),
+    )
+    return chi.select(
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * (F.least("kr", "kc").cast("double") - F.lit(1.0)))
+        ).alias("cramers_v"),
+    )

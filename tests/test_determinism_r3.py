@@ -35,7 +35,8 @@ R3_KEYS = [
     "backup_verify_integrity", "orders_market_basket",
     "part_trigram_search", "sink_orc_roundtrip", "user_active_streaks",
     "skyline_orders", "text_top_terms", "orders_rfm_segments",
-    "agg_skew_kurtosis", "stats_welch_ttest",
+    "agg_skew_kurtosis", "stats_welch_ttest", "stats_mannwhitney_u",
+    "stats_cramers_v",
 ]
 
 

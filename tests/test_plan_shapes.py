@@ -193,6 +193,8 @@ R3B_PLAN_BUDGET = {
     "orders_rfm_segments": (3, 0),      # cust agg + ntile windows
     "agg_skew_kurtosis": (1, 0),        # one two-phase moment agg
     "stats_welch_ttest": (2, 0),        # per-branch agg + 1x1 cross
+    "stats_mannwhitney_u": (3, 0),      # pooled rank + tie counts + agg
+    "stats_cramers_v": (4, 2),          # cell agg + marginals bcast back
 }
 
 
