@@ -604,3 +604,91 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         quart("frequency").alias("f_quartile"),
         quart("monetary").alias("m_quartile"),
     )
+
+
+@register(
+    "agg_topk_weighted",
+    oracle="""
+        SELECT event_type, user_id, weight FROM (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS weight,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY SUM(CAST(value AS DECIMAL(38,6))) DESC,
+                                user_id) AS rk
+            FROM events GROUP BY event_type, user_id
+        ) WHERE rk <= 3
+    """,
+    doc="topKWeighted analog (exact): the 3 heaviest users per event "
+    "type by summed VALUE rather than row count — the revenue-"
+    "weighted variant of agg_topk_freq. Ranking happens on the "
+    "exact DECIMAL sum (not its double projection) so ties break "
+    "identically in both engines; user_id total-orders the rest. "
+    "Two-phase weighted agg + per-type row_number window.",
+)
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("w_dec")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("w_dec").desc(), F.col("user_id")
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("w_dec").cast("double").alias("weight"),
+        )
+    )
+
+
+@register(
+    "bitmap_set_ops",
+    oracle="""
+        WITH flags AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS has_click,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS has_view
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(has_click) AS BIGINT) AS n_click_users,
+               CAST(SUM(has_view) AS BIGINT) AS n_view_users,
+               CAST(SUM(has_click * has_view) AS BIGINT) AS n_and,
+               CAST(SUM(CASE WHEN has_click + has_view > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+               CAST(SUM(CASE WHEN has_click + has_view = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_xor
+        FROM flags
+    """,
+    doc="groupBitmap AND/OR/XOR cardinalities: audience overlap "
+    "between clickers and viewers computed from per-user membership "
+    "flags — one user-grain agg (the 'bitmap build': state is one "
+    "bit per set per user) + one scalar roll-up, no joins. This is "
+    "the exact form; ClickHouse's roaring bitmaps make the same "
+    "algebra sublinear in memory, which is the documented upgrade "
+    "path (the flags agg IS mergeable shard state).",
+)
+def bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_view"
+        ),
+    )
+    both = F.col("has_click") + F.col("has_view")
+    return flags.agg(
+        F.sum("has_click").cast("long").alias("n_click_users"),
+        F.sum("has_view").cast("long").alias("n_view_users"),
+        F.sum(F.col("has_click") * F.col("has_view")).cast("long").alias("n_and"),
+        F.sum(F.when(both > 0, 1).otherwise(0)).cast("long").alias("n_or"),
+        F.sum(F.when(both == 1, 1).otherwise(0)).cast("long").alias("n_xor"),
+    )

@@ -36,7 +36,7 @@ R3_KEYS = [
     "part_trigram_search", "sink_orc_roundtrip", "user_active_streaks",
     "skyline_orders", "text_top_terms", "orders_rfm_segments",
     "agg_skew_kurtosis", "stats_welch_ttest", "stats_mannwhitney_u",
-    "stats_cramers_v",
+    "stats_cramers_v", "agg_topk_weighted", "bitmap_set_ops",
 ]
 
 

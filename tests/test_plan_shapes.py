@@ -195,6 +195,8 @@ R3B_PLAN_BUDGET = {
     "stats_welch_ttest": (2, 0),        # per-branch agg + 1x1 cross
     "stats_mannwhitney_u": (3, 0),      # pooled rank + tie counts + agg
     "stats_cramers_v": (4, 2),          # cell agg + marginals bcast back
+    "agg_topk_weighted": (2, 0),        # weighted agg + type window
+    "bitmap_set_ops": (2, 0),           # user flags + scalar rollup
 }
 
 
