@@ -93,79 +93,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 #: Explicit key ordering for the verification driver, which checks the
-#: FIRST 50 keys of ``all_specs()`` per round. Rounds 1+2 verified 98
-#: keys (CORRECTNESS_r01 ∪ r02, 0 failures); round 3's window holds
-#: the 33 keys never yet checked (round-2 additions + the rows-only
-#: keys deferred from round 2) plus the 17 new round-3 keys — exactly
-#: 50, closing out the whole registry. Keys listed here come first, in
-#: this order; any registered key not listed follows in module
-#: registration order.
+#: FIRST 50 keys of ``all_specs()`` per round. Rounds 1–3 verified 148
+#: distinct keys (CORRECTNESS_r01 ∪ r02 ∪ r03, 0 failures). Round 4's
+#: window holds the 48 keys never yet checked — every round-3b
+#: addition — so CORRECTNESS_r04 closes the registry at 196/196
+#: driver rows. The 2 remaining window slots fall to the first new
+#: round-4 keys in module registration order. Keys listed here come
+#: first, in this order; any registered key not listed follows in
+#: module registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-2 additions with no CORRECTNESS row yet (26) --
-    "sink_json_roundtrip",
-    "join_asof_forward",
-    "win_range_frame",
-    "agg_mode",
-    "q18_large_orders",
-    "q6_forecast_revenue",
-    "q12_priority_lines",
-    "funnel_steps",
-    "retention_cohort",
-    "agg_topk_freq",
-    "agg_histogram",
-    "path_transitions",
-    "agg_ema",
-    "agg_weighted_avg",
-    "bit_funcs",
-    "stream_stream_join",
-    "dedup_clusters_neardup",
-    "emb_kmeans",
-    "emb_normalize_quantize",
-    "text_pii_mask",
-    "multimodal_dedup",
-    "text_repetition_score",
-    "contamination_overlap",
-    "sample_stratified",
-    "corpus_token_budget",
-    "curation_keep_set",
-    # -- rows-only keys deferred from round 2 (7) --
-    "posexplode_words",
-    "dedup_simhash",
-    "dedup_clusters",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "text_fingerprint",
-    "multimodal_features",
-    # -- round-3 additions (17): TPC-H suite completion + the sketch
-    #    recall probe --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "sketch_recall_probe",
+    # -- round-3b additions with no CORRECTNESS row yet (48) --
+    # MergeTree-semantics family
+    "merge_collapsing_final",
+    "merge_aggregating_shards",
+    "mv_incremental_refresh",
+    "agg_combinators",
+    "agg_sum_map",
+    "rollup_time_hierarchy",
+    "dict_encode_lowcard",
+    "agg_hll_merge",
+    # behavior / analytics
+    "sequence_count_pairs",
+    "graph_pagerank",
+    "events_anomaly_zscore",
+    "user_active_streaks",
+    "orders_rfm_segments",
+    "agg_topk_weighted",
+    "bitmap_set_ops",
+    "orders_market_basket",
+    "part_trigram_search",
+    "skyline_orders",
+    # statistics family
+    "agg_skew_kurtosis",
+    "stats_welch_ttest",
+    "stats_mannwhitney_u",
+    "stats_cramers_v",
+    # function families
+    "url_funcs",
+    "ip_funcs",
+    "geo_geohash",
+    "encode_funcs",
+    "array_cumsum",
+    "array_difference",
+    "date_fill_forward",
+    "date_fill_interpolate",
+    "win_moving_median",
+    # LLM-pipeline / text / curation
+    "text_chunk_passages",
+    "text_rarity_score",
+    "text_top_terms",
+    "quality_linear_score",
+    "corpus_mix_plan",
+    "dedup_passage",
+    "dedup_url_normalize",
+    "sim_knn_join",
+    # multimodal (REAL decode paths)
+    "multimodal_decode_stats",
+    "audio_fft_dominant",
+    "image_channel_stats",
+    # infrastructure / scale / sinks
+    "zorder_layout",
+    "compaction_plan",
+    "backup_verify_integrity",
+    "topic_roundtrip",
+    "sink_jdbc_roundtrip",
+    "sink_orc_roundtrip",
 )
-# Round-4 rotation queue: after CORRECTNESS_r03, 148 of the registry's
-# keys will have driver rows (98 from r1∪r2 + the 50 above). The keys
-# registered AFTER the priority list — the round-3b additions, in
-# module registration order (mergetree/behavior/web/geo/text/curation/
-# scale_patterns/windows/arrays/hashes/streaming.topic/backup/
-# multimodal families) — have no driver row yet; round 4 should move
-# them into this list (they number ~40; fill the window with the
-# most recently added first, re-confirming green keys as space allows). All of
-# them pass tests/test_oracle_parity.py at sf0.001 AND sf0.01 plus the
-# rerun-stability sweep (tests/test_determinism_r3.py) locally.
+# Round-5 rotation note: after CORRECTNESS_r04 every key registered
+# before round 4 has a driver row. Round-4 additions beyond the 2
+# spare window slots queue for the round-5 window; keep them
+# driver-SIMULATED green per .claude/skills/verify/SKILL.md before
+# relying on the rotation.
 
 
 def _load_all() -> None:
