@@ -1,0 +1,144 @@
+"""ClickHouse SELECT-dialect surfaces that have no one-keyword ANSI
+equivalent: ``LIMIT n BY col``, ``GROUP BY ... WITH TOTALS``, and the
+``argMin``/``argMax`` aggregate pair.
+
+The reference image is a ClickHouse server (`/root/reference/
+Dockerfile:2`); every table it backs up is queried through this
+dialect, so an engine replacing it must re-express these SELECT
+modifiers as Spark plans:
+
+- ``LIMIT n BY`` is a per-group offset+limit — one row_number window
+  over the group key (single shuffle). ClickHouse streams it with a
+  bounded per-key heap; Spark's window with a rank filter is the same
+  bounded state after WindowGroupLimit pushdown.
+- ``WITH TOTALS`` is GROUPING SETS ((keys), ()) — Catalyst expands it
+  to a single 2× Expand + one hash agg, not two scans of the fact
+  table. At 100 TB that matters: the naive union-of-two-aggs plan
+  reads the input twice.
+- ``argMin/argMax`` are ``min_by/max_by`` with a composite struct key
+  so ties break on a total order (ClickHouse's tie choice is
+  arbitrary; a hash-checked engine must pin it).
+
+All checked columns follow the exprs.py determinism conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "limit_by",
+    oracle="""
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn > 1 AND rn <= 3
+    """,
+    doc="ClickHouse `ORDER BY ts LIMIT 1, 2 BY user_id`: skip the "
+    "first row per user, keep the next two — per-group OFFSET+LIMIT, "
+    "which ANSI SQL cannot say without a window. (ts, event_id) is a "
+    "total order so the kept rows are deterministic. One shuffle on "
+    "user_id; Spark's WindowGroupLimit pushes the rank<=3 bound into "
+    "the sort so per-key state stays O(3), the same bounded-heap "
+    "shape ClickHouse streams with.",
+)
+def limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 1) & (F.col("rn") <= 3))
+        .drop("rn")
+    )
+
+
+@register(
+    "with_totals",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'TOTALS') AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {osum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+    doc="GROUP BY o_orderstatus WITH TOTALS: the per-status rows plus "
+    "one all-rows totals row, exactly GROUPING SETS ((k), ()). "
+    "Catalyst compiles this to ONE scan + Expand(2) + a single "
+    "two-phase hash agg — not a union of two aggregations, so the "
+    "100 TB fact table is read once. Decimal-exact sums per exprs.py.",
+)
+def with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_wt"
+    )
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'TOTALS') AS status,
+               COUNT(*) AS n_orders,
+               {osum('o_totalprice')} AS total_price
+        FROM orders_wt
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+        WITH mx AS (
+            SELECT l_returnflag, l_orderkey AS argmax_orderkey
+            FROM (
+                SELECT l_returnflag, l_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC,
+                                    l_orderkey DESC,
+                                    l_linenumber DESC) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        ), mn AS (
+            SELECT l_returnflag, l_orderkey AS argmin_orderkey
+            FROM (
+                SELECT l_returnflag, l_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice ASC,
+                                    l_orderkey ASC,
+                                    l_linenumber ASC) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        )
+        SELECT mx.l_returnflag, argmax_orderkey, argmin_orderkey
+        FROM mx JOIN mn ON mx.l_returnflag = mn.l_returnflag
+    """,
+    doc="argMax(l_orderkey, l_extendedprice) / argMin(...) per return "
+    "flag: which order carries the most/least expensive line item. "
+    "max_by/min_by with a composite struct key (price, orderkey, "
+    "linenumber) — a total order, so duplicated prices cannot flip "
+    "the answer between runs or engines (ClickHouse leaves the tie "
+    "arbitrary; the hash contract cannot). Struct min/max compares "
+    "lexicographically, so one two-phase hash agg computes both — no "
+    "window over the fact table, no join.",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kmax = F.struct(
+        F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", kmax).alias("argmax_orderkey"),
+        F.min_by("l_orderkey", kmax).alias("argmin_orderkey"),
+    )

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.exprs import DEC, dsum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -397,4 +397,102 @@ def dict_encode_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.join(F.broadcast(dict_df), "event_type").select(
         "event_id", "event_type", "type_code"
+    )
+
+
+@register(
+    "merge_replacing_final",
+    oracle="""
+        SELECT user_id, event_type, ts, event_id, value
+        FROM (
+            SELECT user_id, event_type, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="ReplacingMergeTree(ver) SELECT ... FINAL: keep the row with "
+    "the greatest VERSION per sorting key — here ver = event_id (the "
+    "monotone insert id), which is NOT the same row as the latest "
+    "event time (agg_latest_pointer orders by ts): ClickHouse "
+    "replaces by the ver column, not by wall clock. event_id is "
+    "unique, so the keep is a total order with no tiebreak needed. "
+    "One row_number window over the sorting key = one shuffle; "
+    "ClickHouse does this lazily at merge time, the Spark-native "
+    "trade is eager read-time dedup (same shape as win_keep_newest).",
+)
+def merge_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "merge_summing_final",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n_merged,
+               MIN(props) AS any_props
+        FROM events GROUP BY user_id, event_type
+    """,
+    doc="SummingMergeTree SELECT ... FINAL: numeric columns sum per "
+    "sorting key, non-summed columns keep an arbitrary surviving "
+    "value (pinned to MIN here so the hash-match is deterministic — "
+    "ClickHouse's 'any row of the merged set' is not). Exact decimal "
+    "sum per the exprs.py conventions; one two-phase hash agg, "
+    "map-side combine absorbs hot keys.",
+)
+def merge_summing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        dsum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.min("props").alias("any_props"),
+    )
+
+
+@register(
+    "dict_get_join",
+    oracle="""
+        SELECT c.c_custkey,
+               COALESCE(n.n_name, '') AS nation_name,
+               COALESCE(r.r_name, '') AS region_name
+        FROM customer c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="dictGet('nations_dict', 'name', key) as a Spark plan: a "
+    "ClickHouse external dictionary is a broadcast hash map — the "
+    "exact Spark equivalent is a broadcast LEFT join with the "
+    "dictionary default ('' for String) coalesced over misses. Two "
+    "chained broadcast joins (nation 25 rows, region 5 rows) means "
+    "the fact scan never shuffles: at 100 TB the dictGet chain stays "
+    "one map-side stage, which is why dictionaries exist.",
+)
+def dict_get_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left"
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_name", F.lit("")).alias("nation_name"),
+            F.coalesce("r_name", F.lit("")).alias("region_name"),
+        )
     )

@@ -45,11 +45,13 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.reshape",
     "clickhousebackup_spark.operators.scale_patterns",
     "clickhousebackup_spark.operators.quantiles",
+    "clickhousebackup_spark.operators.stats",
     "clickhousebackup_spark.operators.casts",
     "clickhousebackup_spark.operators.analytics",
     "clickhousebackup_spark.operators.analytics2",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
+    "clickhousebackup_spark.operators.ch_query",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
     "clickhousebackup_spark.functions.maths",
@@ -67,6 +69,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.extensions.text",
     "clickhousebackup_spark.extensions.multimodal",
     "clickhousebackup_spark.extensions.curation",
+    "clickhousebackup_spark.extensions.training",
     "clickhousebackup_spark.extensions.recall",
     "clickhousebackup_spark.sources.readers",
 )
