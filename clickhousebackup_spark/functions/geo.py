@@ -97,3 +97,123 @@ def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn("z", F.expr(_Z20).cast("long"))
     return d.select("user_id", "lat", "lon", F.expr(_GEOHASH8).alias("geohash8"))
+
+
+@register(
+    "geo_cell_radius_join",
+    oracle="""
+        WITH cust AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 7) % 1700 AS DOUBLE) / 10.0 - 85.0
+                       AS lat,
+                   CAST((c_custkey * 13) % 3600 AS DOUBLE) / 10.0 - 180.0
+                       AS lon
+            FROM customer
+        ), supp AS (
+            SELECT s_suppkey,
+                   CAST((s_suppkey * 11) % 1700 AS DOUBLE) / 10.0 - 85.0
+                       AS lat,
+                   CAST((s_suppkey * 17) % 3600 AS DOUBLE) / 10.0 - 180.0
+                       AS lon
+            FROM supplier
+        ), cgrid AS (
+            SELECT c_custkey, lat, lon,
+                   CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+                   CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon
+            FROM cust
+        ), sgrid AS (
+            SELECT s_suppkey, lat, lon,
+                   CAST(floor(lat / 10.0) AS BIGINT) + d.dlat AS cell_lat,
+                   CAST(floor(lon / 10.0) AS BIGINT) + d.dlon AS cell_lon
+            FROM supp, (
+                SELECT a.x AS dlat, b.x AS dlon
+                FROM (VALUES (-1), (0), (1)) a(x),
+                     (VALUES (-1), (0), (1)) b(x)
+            ) d
+        )
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.lat - s.lat) * (c.lat - s.lat)
+                   + (c.lon - s.lon) * (c.lon - s.lon) AS dist2
+        FROM cgrid c
+        JOIN sgrid s
+          ON c.cell_lat = s.cell_lat AND c.cell_lon = s.cell_lon
+        WHERE (c.lat - s.lat) * (c.lat - s.lat)
+                  + (c.lon - s.lon) * (c.lon - s.lon) <= 100.0
+    """,
+    doc="Spatial radius join (pointInRadius / KNN prefilter): customer "
+    "and supplier points within 10 planar degrees, via GRID-CELL "
+    "bucketing — the canonical distributed spatial join. One side "
+    "keys on its 10°×10° cell, the other explodes to its 3×3 "
+    "neighborhood (radius ≤ cell size ⇒ any qualifying pair shares "
+    "one of the 9 probes), so candidates come from a pure EQUI-KEY "
+    "join on (cell_lat, cell_lon) — never a cross join with a "
+    "distance predicate, which is the non-scalable shape Catalyst "
+    "would otherwise plan (BroadcastNestedLoop). Verification is the "
+    "exact squared planar distance — +,-,* only, no haversine trig "
+    "(libm-free per the exprs.py conventions; a production geo "
+    "distance would wrap the same candidate plan around a vetted "
+    "great-circle UDF). Coordinates synthesize deterministically "
+    "from the keys on a 0.1° grid; cell floors land only on exact "
+    "IEEE values, so bucketing is bit-identical across engines. The "
+    "3×3 explode costs 9× the SMALL side only; skewed cells (urban "
+    "hotspots) split under AQE like any other hot join key.",
+)
+def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 1700).cast("double") / 10.0 - 85.0).alias(
+            "lat"
+        ),
+        (((F.col("c_custkey") * 13) % 3600).cast("double") / 10.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 11) % 1700).cast("double") / 10.0 - 85.0).alias(
+            "lat"
+        ),
+        (((F.col("s_suppkey") * 17) % 3600).cast("double") / 10.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    c = cust.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.floor(F.col("lat") / 10.0).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon") / 10.0).cast("long").alias("cell_lon"),
+    )
+    neighbors = F.expr(
+        "flatten(transform(array(-1, 0, 1), "
+        " dlat -> transform(array(-1, 0, 1), "
+        "  dlon -> struct(dlat AS dlat, dlon AS dlon))))"
+    )
+    s = (
+        supp.select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            F.explode(neighbors).alias("d"),
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor(F.col("s_lat") / 10.0).cast("long") + F.col("d.dlat")).alias(
+                "cell_lat"
+            ),
+            (F.floor(F.col("s_lon") / 10.0).cast("long") + F.col("d.dlon")).alias(
+                "cell_lon"
+            ),
+        )
+    )
+    dla = F.col("c_lat") - F.col("s_lat")
+    dlo = F.col("c_lon") - F.col("s_lon")
+    dist2 = dla * dla + dlo * dlo
+    return (
+        c.join(s, ["cell_lat", "cell_lon"])
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= 100.0)
+        .select("c_custkey", "s_suppkey", "dist2")
+    )

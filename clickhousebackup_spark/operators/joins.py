@@ -367,3 +367,52 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ts",
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id, nullif(event_type, 'view') AS k FROM events
+        ), dim AS (
+            SELECT k, CAST(ROW_NUMBER() OVER (
+                       ORDER BY k NULLS FIRST) AS BIGINT) AS code
+            FROM (SELECT DISTINCT nullif(event_type, 'view') AS k
+                  FROM events)
+        )
+        SELECT e.event_id, e.k, d.code
+        FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    """,
+    doc="Null-safe equality join (Spark `<=>` / ANSI IS NOT DISTINCT "
+    "FROM): the fact side derives a NULLABLE key (nullif turns one "
+    "category into NULL — the 'unknown bucket' every star schema "
+    "has), the dim side carries one row per key INCLUDING the NULL "
+    "row, and `<=>` matches NULL to NULL where plain `=` would drop "
+    "those rows. Catalyst plans `<=>` as a proper hash-join key "
+    "(EqualNullSafe is an equi-join expression — check the plan: "
+    "no BroadcastNestedLoop), so the null bucket hashes and "
+    "shuffles like any other value; a skewed null bucket is an AQE "
+    "skew-split case, same as any hot key. Dim is vocabulary-sized "
+    "→ broadcast; codes are assigned in NULLS FIRST value order "
+    "(deterministic, not first-seen).",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("view")).alias("k")
+    )
+    dim = (
+        keyed.select("k")
+        .distinct()
+        .withColumn(
+            "code",
+            F.row_number()
+            .over(Window.orderBy(F.col("k").asc_nulls_first()))
+            .cast("long"),
+        )
+    )
+    return (
+        keyed.alias("e")
+        .join(F.broadcast(dim).alias("d"), F.col("e.k").eqNullSafe(F.col("d.k")))
+        .select("e.event_id", "e.k", "d.code")
+    )

@@ -246,3 +246,44 @@ class runtime_bloom_join:
             else:
                 self.spark.conf.set(k, old)
         return False
+
+
+@register(
+    "sink_bucketed_sorted",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders WHERE o_totalprice > 100000.0
+    """,
+    doc="Bucketed + sorted SINK: orders written bucketBy(8, "
+    "o_custkey).sortBy(o_custkey, o_orderkey) as a table, then read "
+    "back filtered. This is the write-side half of the bucketed-join "
+    "idiom (join_bucketed is the read side): pay one clustered write, "
+    "and every later join/groupBy on o_custkey skips its exchange, "
+    "while the within-bucket sort gives parquet row-group min/max "
+    "envelopes that make key-range predicates cheap. The roundtrip "
+    "re-emits the rows, so the oracle pins that bucketing LOSES "
+    "NOTHING — same multiset out as in. Same warehouse hygiene as "
+    "join_bucketed: dedicated temp-dir database, drop-and-rmtree "
+    "before write, nothing accumulates in the repo tree.",
+)
+def sink_bucketed_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    wh = os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbs_scratch LOCATION '{wh}'")
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"orders_sorted_b{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS cbs_scratch.{tbl}")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey", "o_orderkey"
+    ).saveAsTable(f"cbs_scratch.{tbl}")
+
+    return spark.table(f"cbs_scratch.{tbl}").filter(
+        F.col("o_totalprice") > 100000.0
+    )

@@ -439,3 +439,43 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid_lo + mid_hi) / 2
     )
     return ev.select("event_id", "user_id", med.alias("med5"))
+
+
+@register(
+    "win_cume_dist_nth",
+    oracle="""
+        SELECT event_id, event_type, value,
+               cume_dist() OVER (
+                   PARTITION BY event_type ORDER BY value) AS cd,
+               nth_value(event_id, 2) OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_event_id
+        FROM events
+    """,
+    doc="cume_dist + nth_value complete the rank-function family "
+    "(next to rank/dense_rank/ntile/percent_rank already covered): "
+    "cume_dist is tie-aware (depends only on the value column, so "
+    "ties can't wobble the hash), and nth_value(2) runs over an "
+    "EXPLICIT full-partition frame ordered by the (value, event_id) "
+    "total order — Spark and DuckDB default nth_value frames differ "
+    "(running vs full), so the frame is always spelled out. One "
+    "shuffle on event_type; both functions are O(1) state after the "
+    "per-group sort.",
+)
+def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_cd = Window.partitionBy("event_type").orderBy("value")
+    w_nth = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.cume_dist().over(w_cd).alias("cd"),
+        F.nth_value("event_id", 2).over(w_nth).alias("second_event_id"),
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.operators.ch_query",
+    "clickhousebackup_spark.operators.catalog_stats",
     "clickhousebackup_spark.functions.strings",
     "clickhousebackup_spark.functions.dates",
     "clickhousebackup_spark.functions.maths",
@@ -97,13 +98,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Rounds 1–3 verified 148
-#: distinct keys (CORRECTNESS_r01 ∪ r02 ∪ r03, 0 failures). Round 4's
-#: window holds the 48 keys never yet checked — every round-3b
-#: addition — so CORRECTNESS_r04 closes the registry at 196/196
-#: driver rows. The 2 remaining window slots fall to the first new
-#: round-4 keys in module registration order. Keys listed here come
-#: first, in this order; any registered key not listed follows in
-#: module registration order.
+#: distinct keys (CORRECTNESS_r01 ∪ r02 ∪ r03, 0 failures). 67 keys
+#: lack rows (47 oracled round-3b keys + agg_hll_merge + 19 round-4
+#: additions) — more than one 50-window, so the round-4 window holds
+#: the 47 r3b oracled keys plus the first 3 round-4 keys; the
+#: remaining 16 round-4 keys and agg_hll_merge (rows-only by design —
+#: its driver row is the weakest check, so it yields its slot to
+#: oracled keys) queue for the round-5 window. All 67 are
+#: driver-SIMULATED green (vanilla session, non-repo cwd, sf0.01,
+#: exact value compare). Keys listed here come first, in this order;
+#: any registered key not listed follows in module registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
     # -- round-3b additions with no CORRECTNESS row yet (48) --
     # MergeTree-semantics family
@@ -114,7 +118,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_sum_map",
     "rollup_time_hierarchy",
     "dict_encode_lowcard",
-    "agg_hll_merge",
     # behavior / analytics
     "sequence_count_pairs",
     "graph_pagerank",
@@ -161,12 +164,34 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "topic_roundtrip",
     "sink_jdbc_roundtrip",
     "sink_orc_roundtrip",
+    # -- round-4 additions (first 3 fit the round-4 window; the rest
+    #    queue for round 5, ahead of rows-only agg_hll_merge) --
+    "join_null_safe",
+    "win_cume_dist_nth",
+    "sink_bucketed_sorted",
+    "stats_spearman",
+    "stats_linregress",
+    "agg_gini_diversity",
+    "ts_autocorr_lag1",
+    "merge_replacing_final",
+    "merge_summing_final",
+    "dict_get_join",
+    "limit_by",
+    "with_totals",
+    "agg_argminmax",
+    "table_column_stats",
+    "geo_cell_radius_join",
+    "corpus_pack_sequences",
+    "text_ngram_lm_score",
+    "dedup_semantic",
+    "text_cdc_chunks",
+    "agg_hll_merge",
 )
-# Round-5 rotation note: after CORRECTNESS_r04 every key registered
-# before round 4 has a driver row. Round-4 additions beyond the 2
-# spare window slots queue for the round-5 window; keep them
-# driver-SIMULATED green per .claude/skills/verify/SKILL.md before
-# relying on the rotation.
+# Round-5 rotation note: the round-4 window ends at
+# sink_bucketed_sorted (key #50). Rotate the 17 deferred keys above
+# (stats_spearman .. agg_hll_merge) to the front for round 5, plus
+# any new round-4b/5 keys; keep everything driver-SIMULATED green per
+# .claude/skills/verify/SKILL.md before relying on the rotation.
 
 
 def _load_all() -> None:

@@ -36,22 +36,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; normalizes events.ts to a µs timestamp."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # ns → µs losslessly (fixture emits whole microseconds); `div`
-            # is integer division — `/` would round-trip through double
-            # and wobble.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # Newer Spark reads parquet TIMESTAMP(NANOS) natively as
-            # TIMESTAMP_NTZ (the nanosAsLong legacy conf no longer
-            # applies). Under the UTC session tz this cast is a pure
-            # retype — same wall values — and keeps every downstream
-            # unix_micros/window expression on the TIMESTAMP type the
-            # whole engine (and the recorded driver hashes) were built
-            # against.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs losslessly (fixture emits whole microseconds); `div`
+        # is integer division — `/` would round-trip through double
+        # and wobble.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Newer Spark reads the fixtures' parquet timestamps (µs and
+    # NANOS alike) as TIMESTAMP_NTZ — the nanosAsLong legacy conf no
+    # longer applies. Under the UTC session tz the cast below is a
+    # pure retype — same wall values — and keeps every downstream
+    # unix_micros/window expression on the TIMESTAMP type the whole
+    # engine (and the recorded driver hashes) were built against.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
