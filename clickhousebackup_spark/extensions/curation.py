@@ -365,3 +365,49 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+@register(
+    "corpus_split_train_eval",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS bucket
+            FROM documents
+        )
+        SELECT doc_id, n_chars, bucket,
+               CASE WHEN bucket < '08' THEN 'test'
+                    WHEN bucket < '10' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assigned
+    """,
+    doc="Deterministic train/val/test split — the first stage of "
+    "every training-data pipeline: each document hashes (salted "
+    "md5 of its id) into one of 256 hex buckets, and fixed bucket "
+    "ranges give ~3.1% test / ~3.1% val / ~93.8% train. "
+    "Hash-based assignment (never an RNG, never a global sort + "
+    "row_number) is the only split that is (a) reproducible across "
+    "engines and reruns, (b) STABLE under corpus growth — a doc's "
+    "split never changes when neighbors are added or removed, so "
+    "eval sets stay uncontaminated across dataset versions — and "
+    "(c) embarrassingly parallel: a narrow map stage, no shuffle, "
+    "no driver state, the same plan at 100 TB as at 1 MB. The salt "
+    "decorrelates this split from every other md5-keyed decision "
+    "in the pipeline (sampling, sharding), which all use distinct "
+    "salts for exactly that reason.",
+)
+def corpus_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        bucket.alias("bucket"),
+        F.when(bucket < "08", F.lit("test"))
+        .when(bucket < "10", F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -496,3 +496,112 @@ def dict_get_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("r_name", F.lit("")).alias("region_name"),
         )
     )
+
+
+@register(
+    "mutation_delete_update",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_totalprice > 200000.0 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+    """,
+    doc="ClickHouse mutations (`ALTER TABLE .. DELETE WHERE` then "
+    "`ALTER TABLE .. UPDATE .. WHERE`, reference server "
+    "Dockerfile:2) as one copy-on-write rewrite: mutations are "
+    "sequential, so the UPDATE's CASE applies to the DELETE's "
+    "survivors — exactly how CH replays its mutation log part by "
+    "part. Spark-side this is a single narrow map stage over the "
+    "scan (filter + projection, zero shuffles, fully codegen'd); "
+    "the at-scale deployment pairs it with partition pruning so "
+    "only parts whose min/max envelope intersects the predicates "
+    "are rewritten — untouched files are kept by reference, the "
+    "same economy CH's mutation machinery buys.",
+)
+def mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    deleted = o.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0))
+    )
+    return deleted.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") > 200000.0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+
+@register(
+    "dict_hierarchy_flatten",
+    oracle="""
+        WITH RECURSIVE chain AS (
+            SELECT p_partkey, p_partkey AS cur, 0 AS depth
+            FROM part
+            UNION ALL
+            SELECT p_partkey, cur // 10, depth + 1
+            FROM chain WHERE cur >= 10
+        )
+        SELECT p_partkey, CAST(cur AS BIGINT) AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM chain WHERE cur < 10
+    """,
+    doc="dictGetHierarchy / hierarchical dictionary flatten: every "
+    "part resolves its ROOT ancestor and DEPTH in a synthetic "
+    "category tree (parent(k) = k div 10; keys < 10 are roots). The "
+    "oracle walks the chain with a recursive CTE — O(depth) "
+    "sequential rounds. Spark has no recursive CTE, and the naive "
+    "translation (one self-join per level) is O(depth) SHUFFLES; "
+    "this implementation uses POINTER DOUBLING instead: the pointer "
+    "table starts as the edge list (roots as d=0 self-loops) and "
+    "each round joins the table to itself (a.ptr = b.key, distance "
+    "a.d + b.d), squaring the resolved path length — depth 2^i "
+    "after i rounds, so 4 rounds cover depth 16 (keys to 10^16; "
+    "the fixture maxes at depth 7). At 100 TB that is 4 shuffles "
+    "instead of ~7+, and the doubling join is equi-key all the way "
+    "down — the textbook distributed transitive-pointer pattern "
+    "(same family as the unrolled graph_pagerank rounds).",
+)
+def dict_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    # Edge list treated as opaque data from here on (parent(k) is
+    # closed-form ONLY because the fixture needs a deterministic
+    # tree; a real dictionary ships arbitrary (child, parent) rows).
+    reach = part.select(
+        F.col("p_partkey").alias("key"),
+        F.when(F.col("p_partkey") >= 10, F.col("p_partkey") / 10)
+        .otherwise(F.col("p_partkey"))
+        .cast("long")
+        .alias("ptr"),
+        F.when(F.col("p_partkey") >= 10, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    # Materialize each round: without it the lazy plan re-derives
+    # every prior round on both join sides (2^rounds scans of part).
+    reach = reach.localCheckpoint(eager=True)
+    for _ in range(4):
+        a = reach.alias("a")
+        b = reach.select(
+            F.col("key").alias("b_key"),
+            F.col("ptr").alias("b_ptr"),
+            F.col("d").alias("b_d"),
+        ).alias("b")
+        reach = (
+            a.join(b, F.col("a.ptr") == F.col("b.b_key"))
+            .select(
+                F.col("a.key").alias("key"),
+                F.col("b.b_ptr").alias("ptr"),
+                (F.col("a.d") + F.col("b.b_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return reach.select(
+        F.col("key").alias("p_partkey"),
+        F.col("ptr").alias("root"),
+        F.col("d").alias("depth"),
+    )
