@@ -605,3 +605,89 @@ def dict_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ptr").alias("root"),
         F.col("d").alias("depth"),
     )
+
+
+@register(
+    "merge_versioned_collapsing",
+    oracle="""
+        WITH signed AS (
+            SELECT user_id, event_type, ts AS version, event_id, value,
+                   CASE WHEN event_id % 4 = 0 THEN -1 ELSE 1 END AS sign
+            FROM events
+        ), net AS (
+            SELECT user_id, event_type, version,
+                   SUM(sign) AS net,
+                   MAX(CASE WHEN sign = 1 THEN event_id END)
+                       AS keep_event_id
+            FROM signed GROUP BY user_id, event_type, version
+        ), alive AS (
+            SELECT user_id, event_type, version, keep_event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY version DESC) AS rn
+            FROM net WHERE net > 0
+        )
+        SELECT a.user_id, a.event_type, a.version,
+               a.keep_event_id AS event_id, s.value
+        FROM alive a
+        JOIN signed s
+          ON s.user_id = a.user_id AND s.event_type = a.event_type
+         AND s.version = a.version AND s.event_id = a.keep_event_id
+        WHERE a.rn = 1
+    """,
+    doc="VersionedCollapsingMergeTree FINAL: rows carry (sign, "
+    "version); merge-time semantics cancel +1/-1 pairs WITHIN a "
+    "version (net sign per (key, version) decides survival — "
+    "CollapsingMergeTree's out-of-order fragility is exactly what "
+    "the version column fixes), then the newest surviving version "
+    "wins per key. Plan: one hash agg on (key, version) to net the "
+    "signs, one window on the key to take the newest survivor, one "
+    "equi-join back to fetch the payload row — two shuffles plus a "
+    "key-local sort, each shape already proven at scale by "
+    "merge_collapsing_final / win_keep_newest. The payload tiebreak "
+    "(max event_id among +1 rows of the winning version) keeps the "
+    "result a deterministic function of the data.",
+)
+def merge_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signed = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("version"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 4 == 0, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("sign"),
+    )
+    net = signed.groupBy("user_id", "event_type", "version").agg(
+        F.sum("sign").alias("net"),
+        F.max(F.when(F.col("sign") == 1, F.col("event_id"))).alias(
+            "keep_event_id"
+        ),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("version").desc()
+    )
+    alive = (
+        net.filter(F.col("net") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        alive.alias("a")
+        .join(
+            signed.alias("s"),
+            (F.col("s.user_id") == F.col("a.user_id"))
+            & (F.col("s.event_type") == F.col("a.event_type"))
+            & (F.col("s.version") == F.col("a.version"))
+            & (F.col("s.event_id") == F.col("a.keep_event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.version").alias("version"),
+            F.col("a.keep_event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
+    )

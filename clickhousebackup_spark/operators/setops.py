@@ -83,3 +83,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.subtract(b)  # EXCEPT DISTINCT semantics, matching the oracle
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL — bag (multiset) difference: each occurrence in B "
+    "cancels ONE occurrence in A, so a customer with 5 open and 2 "
+    "finished orders keeps 3 rows (set_except would keep 0 or 1). "
+    "Spark's exceptAll plans this as a single hash aggregation over "
+    "a tagged union (count per side, re-emit max(cntA-cntB, 0) "
+    "copies) — one shuffle on the row value, no join, and the "
+    "partial-aggregation map side absorbs per-key skew exactly like "
+    "any other two-phase agg. The multiset semantics are what "
+    "retention/prune accounting needs when the same key legitimately "
+    "appears multiple times per generation.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL — bag intersection: a customer appearing 5 "
+    "times as open and 2 times as finished yields min(5, 2) = 2 "
+    "rows. Same single-shuffle tagged-count plan shape as "
+    "set_except_all (emit min(cntA, cntB) copies per distinct row); "
+    "together they complete the multiset algebra next to the "
+    "DISTINCT-semantics set_intersect/set_except pair.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
