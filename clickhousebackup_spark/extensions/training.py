@@ -352,3 +352,55 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_fp"),
         )
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=r"""
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), idx AS (
+            SELECT w, unnest(range(1, length(w))) AS i
+            FROM words WHERE length(w) >= 2
+        )
+        SELECT substr(w, CAST(i AS INT), 2) AS pair,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM idx
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+    doc="BPE tokenizer training, iteration one: the 20 most frequent "
+    "adjacent character pairs inside words across the corpus — "
+    "exactly the statistic a byte-pair-encoding trainer maximizes "
+    "at every merge step (Sennrich et al. 2016). Plan: explode "
+    "words, explode each word's length-2 windows (bounded by word "
+    "length, no cross-word pairs), then ONE two-phase hash "
+    "aggregation whose map-side combine absorbs the Zipf skew of "
+    "frequent pairs, finished by TakeOrderedAndProject over the "
+    "(count DESC, pair ASC) total order — top-k never global-sorts. "
+    "A full BPE trainer is this statistic in a driver loop: merge "
+    "the winner, re-pair, repeat; each iteration stays this same "
+    "one-shuffle aggregate, which is why corpus-scale tokenizer "
+    "training is feasible on Spark at all.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    w = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )

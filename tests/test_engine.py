@@ -271,3 +271,45 @@ def test_incremental_backup_writes_only_new_rows(spark, sf_dir, engine):
     # a third run with identical input writes an empty delta
     third = engine.run_incremental({"db0": {"orders": orders}}, now=dt.datetime(2024, 3, 1))
     assert third[0].n_rows == 0
+
+
+def test_incremental_diff_null_columns_and_duplicates(spark, engine):
+    """The two silent-loss traps ADVICE flagged (and engine.py fixed):
+    (a) rows differing only in WHICH column is NULL must hash apart
+    (concat_ws would collapse them), and (b) duplicate copies of an
+    already-seen row must survive the diff with multiplicity.
+    """
+    schema = "k int, a string, b string"
+    base = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "z")], schema
+    )
+    grown = spark.createDataFrame(
+        [
+            (1, "x", None),   # unchanged
+            (1, None, "x"),   # same values, NULL in the other slot
+            (2, "y", "z"),    # first copy (already seen)
+            (2, "y", "z"),    # second copy — multiplicity delta
+            (3, None, None),  # all-null payload
+        ],
+        schema,
+    )
+    engine.run_incremental(
+        {"db0": {"t": base}}, now=dt.datetime(2024, 1, 1)
+    )
+    second = engine.run_incremental(
+        {"db0": {"t": grown}}, now=dt.datetime(2024, 1, 2)
+    )
+    # delta = the null-swapped row + ONE extra (2,y,z) + the all-null row
+    assert second[0].n_rows == 3
+
+    restored = engine.restore_incremental("db0", "t")
+    got = sorted(
+        [(r["k"], r["a"], r["b"]) for r in restored.collect()]
+        , key=repr
+    )
+    want = sorted(
+        [(1, "x", None), (1, None, "x"), (2, "y", "z"), (2, "y", "z"),
+         (3, None, None)],
+        key=repr,
+    )
+    assert got == want

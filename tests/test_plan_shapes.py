@@ -349,3 +349,40 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_geo_cell_radius_join_is_equi_key(spark, sf_dir):
+    """The 3x3 neighborhood explode must make the radius join a pure
+    equi-key join on the cell — never the BroadcastNestedLoop Catalyst
+    plans for a raw distance predicate."""
+    df = SPECS["geo_cell_radius_join"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_join_null_safe_is_hash_join(spark, sf_dir):
+    """EqualNullSafe is a legal equi-join key: the plan must be a
+    broadcast hash join on the dim, not a nested loop."""
+    df = SPECS["join_null_safe"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_dict_hierarchy_rounds_are_materialized(spark, sf_dir):
+    """Pointer doubling must cut lineage per round: the final plan
+    reads the last round's checkpoint, not a 2^rounds-wide tree of
+    part scans."""
+    df = SPECS["dict_hierarchy_flatten"].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Scan parquet") == 0  # all inputs checkpointed
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bpe_pairs_top_k_never_global_sorts(spark, sf_dir):
+    df = SPECS["bpe_merge_candidates"].fn(spark, sf_dir)
+    assert inspect.uses_take_ordered(df)
