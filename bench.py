@@ -50,6 +50,9 @@ EXTRA = (
     "skyline_orders",
     "dedup_ngram_jaccard",
     "quality_linear_score",
+    # round-4 flagships
+    "dict_hierarchy_flatten",
+    "bpe_merge_candidates",
 )
 
 
