@@ -142,3 +142,94 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("l_orderkey", kmax).alias("argmax_orderkey"),
         F.min_by("l_orderkey", kmax).alias("argmin_orderkey"),
     )
+
+
+@register(
+    "intervals_max_concurrent",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderpriority AS pri,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        ), pts AS (
+            SELECT pri, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT pri, e AS t, -1 AS delta FROM iv
+        ), run AS (
+            SELECT pri,
+                   SUM(delta) OVER (
+                       PARTITION BY pri ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS conc
+            FROM pts
+        )
+        SELECT pri, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+        FROM run GROUP BY pri
+    """,
+    doc="ClickHouse maxIntersections: the maximum number of "
+    "simultaneously-open intervals per priority class (each order "
+    "stays open o_orderkey%30+1 days — deterministic synthetic "
+    "durations). The classic sweep-line, distributed: explode each "
+    "interval to (+1 at start, -1 at end) points, ONE window running "
+    "sum per group, then max. Half-open [s, e) semantics come from "
+    "the (t, delta) sort — at equal t the -1 rows precede the +1 "
+    "rows, so an interval ending exactly when another starts never "
+    "double-counts. The per-row prefix sums under ties are "
+    "order-dependent, but the per-group MAX is not (equal-delta tie "
+    "runs contribute the same prefix multiset in any order), which "
+    "is why the checked output is the group max, not the trace. One "
+    "shuffle on the group key; 2 rows per interval.",
+)
+def intervals_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 + 1 as int), 0, 0, 0)"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "pri", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("pri", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("pri")
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+    )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="groupArray → arrayStringConcat (ANSI LISTAGG / string_agg): "
+    "the distinct priorities seen per order status, joined "
+    "comma-separated in SORTED order — the sort is the determinism "
+    "contract (an unsorted LISTAGG is partition-order-dependent and "
+    "would never hash-match). Spark plans collect_set as a two-phase "
+    "aggregate (partial sets merge map-side), then array_sort + "
+    "array_join run driver-free on the final rows; safe whenever the "
+    "per-group distinct set is bounded (here: 5 values) — the same "
+    "vocabulary-bound argument as dict_encode_lowcard.",
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities")
+    )

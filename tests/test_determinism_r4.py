@@ -24,6 +24,7 @@ R4_KEYS = [
     "corpus_split_train_eval", "set_except_all", "set_intersect_all",
     "merge_versioned_collapsing", "backup_incremental_roundtrip",
     "bpe_merge_candidates",
+    "intervals_max_concurrent", "agg_group_concat",
 ]
 
 
