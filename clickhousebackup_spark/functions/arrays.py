@@ -13,7 +13,7 @@ instructions per row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
@@ -165,3 +165,51 @@ def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return e.select("vec_id", deltas.alias("deltas"))
+
+
+@register(
+    "array_enumerate_uniq",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, w, i
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\s+')[1:12])
+                           AS w,
+                       unnest(range(1, least(len(string_split_regex(
+                           lower(text), '\s+')), 12) + 1)) AS i
+                FROM documents
+            )
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, w AS word,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, w ORDER BY i) AS BIGINT) AS occ
+        FROM words
+    """,
+    doc="ClickHouse arrayEnumerateUniq: per-element occurrence index "
+    "within an array (1 for the first time a value appears, 2 for "
+    "its second appearance, ...), over each document's first 12 "
+    "words. ClickHouse evaluates this inside the array cell; the "
+    "Spark-idiomatic form is RELATIONAL — posexplode then ONE "
+    "row_number window on (doc_id, word) ordered by position — "
+    "because a per-cell O(n²) higher-order scan (count matches in "
+    "every prefix) loses whole-stage codegen, while the window is a "
+    "single shuffle partitioned by (doc, word) that AQE sizes like "
+    "any other. The 12-word cap bounds fanout per doc; positions "
+    "make the output deterministic.",
+)
+def array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(F.split(F.lower("text"), r"\s+"), 1, 12)
+        ).alias("idx", "word"),
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "word")
+    w = Window.partitionBy("doc_id", "word").orderBy("pos")
+    return words.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "word",
+        F.row_number().over(w).cast("long").alias("occ"),
+    )
