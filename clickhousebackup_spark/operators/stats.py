@@ -318,3 +318,102 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH weighted AS (
+            SELECT event_type, value, event_id,
+                   CAST(user_id % 5 + 1 AS BIGINT) AS w
+            FROM events
+        ), cum AS (
+            SELECT event_type, value, w,
+                   SUM(w) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw,
+                   SUM(w) OVER (PARTITION BY event_type) AS tw
+            FROM weighted
+        )
+        SELECT event_type, MIN(value) AS wmedian
+        FROM cum WHERE 2 * cw >= tw
+        GROUP BY event_type
+    """,
+    doc="quantileExactWeighted(0.5) / medianExactWeighted: the "
+    "smallest value whose cumulative INTEGER weight reaches half the "
+    "total (weights = user_id%5+1, deterministic). One window sort "
+    "per group over the (value, event_id) total order, a per-group "
+    "total as a companion window, then a min over the crossing rows "
+    "— the crossing test 2·cw >= tw is pure integer arithmetic (no "
+    "total/2 division, no float weights), so both engines select the "
+    "identical row and the reported value is a RAW column, never a "
+    "computed one. One shuffle on event_type.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weighted = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = weighted.select(
+        "event_type",
+        "value",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("wmedian"))
+    )
+
+
+@register(
+    "agg_delta_sum",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value,
+                   LAG(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN value > prev
+                             THEN CAST(floor((value - prev) * 1000000.0)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS delta_sum_micros
+        FROM seq GROUP BY event_type
+    """,
+    doc="ClickHouse deltaSum: the sum of POSITIVE deltas of a series "
+    "in time order (counter-reset-tolerant rate accounting). The "
+    "pairing rides the (ts, event_id) total order via one lag "
+    "window; each positive delta is one IEEE subtraction of "
+    "identical doubles (bit-identical across engines) and is then "
+    "FLOOR-GRIDDED to integer micros before summing — summing raw "
+    "computed doubles would be addition-order-dependent and could "
+    "never hash-match (the NOTES.md float trap); integer sums are "
+    "order-free. One shuffle on event_type.",
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    delta = F.floor((F.col("value") - F.col("prev")) * 1000000.0).cast("long")
+    return seq.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("value") > F.col("prev"), delta).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("delta_sum_micros")
+    )

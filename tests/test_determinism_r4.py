@@ -25,7 +25,7 @@ R4_KEYS = [
     "merge_versioned_collapsing", "backup_incremental_roundtrip",
     "bpe_merge_candidates",
     "intervals_max_concurrent", "agg_group_concat",
-    "array_enumerate_uniq",
+    "array_enumerate_uniq", "agg_weighted_median", "agg_delta_sum",
 ]
 
 
