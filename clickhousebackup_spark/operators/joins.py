@@ -416,3 +416,155 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim).alias("d"), F.col("e.k").eqNullSafe(F.col("d.k")))
         .select("e.event_id", "e.k", "d.code")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                    THEN c.event_id END AS c_id,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                    THEN c.ts END AS c_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join WITH TOLERANCE (pandas merge_asof(tolerance=1h)): "
+    "each purchase takes the latest same-user click at-or-before it "
+    "ONLY if that click is within one hour — staler matches become "
+    "NULL, exactly the attribution-window rule of marketing "
+    "pipelines. Same linear union + sort-within-user + "
+    "last(ignorenulls) plan as join_asof (one shuffle, never the "
+    "O(n*m) join-then-rank), with the tolerance applied as an "
+    "epoch-microsecond integer comparison AFTER the match — integer "
+    "µs, so the cutoff is bit-identical across engines.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("c_event_id"),
+            F.lit(1).alias("is_click"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.lit(0).alias("is_click"),
+    )
+    rows = clicks.unionByName(purchases, allowMissingColumns=True)
+    # clicks BEFORE purchases at equal ts (is_click desc) so an
+    # at-the-same-instant click is visible to the purchase's frame
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").desc(), "c_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        rows.withColumn(
+            "c_id", F.last("c_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.last(
+                F.when(F.col("is_click") == 1, F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("p_event_id").isNotNull())
+    )
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("c_ts"))
+    ) <= 3600000000
+    return matched.select(
+        F.col("p_event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.when(within, F.col("c_id")).alias("c_id"),
+        F.when(within, F.col("c_ts")).alias("c_ts"),
+    )
+
+
+@register(
+    "merge_upsert_cow",
+    oracle="""
+        WITH delta AS (
+            SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+                   'U' AS status
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS k, o_totalprice AS price,
+                   'N' AS status
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), target AS (
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   o_orderstatus AS status
+            FROM orders
+        )
+        SELECT COALESCE(t.k, d.k) AS o_orderkey,
+               COALESCE(d.price, t.price) AS o_totalprice,
+               COALESCE(d.status, t.status) AS o_orderstatus
+        FROM target t FULL JOIN delta d ON t.k = d.k
+    """,
+    doc="MERGE INTO (upsert) semantics without a table format: WHEN "
+    "MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, re-expressed "
+    "as ONE full-outer equi-join with source-wins coalesce — the "
+    "copy-on-write rewrite Delta/Iceberg MERGE performs under the "
+    "hood, minus their file-level pruning. The delta here updates "
+    "every 7th order (+1000 price, status U) and inserts a shifted "
+    "copy (status N). One shuffle on the merge key; at 100 TB the "
+    "production variant prunes the target scan to files whose key "
+    "envelope intersects the delta (see mutation_delete_update) and "
+    "broadcasts the delta when it is dimension-sized. Deterministic: "
+    "pure coalesce per key, no ordering dependence.",
+)
+def merge_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    changed = o.filter(F.col("o_orderkey") % 7 == 0)
+    delta = changed.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 1000.0).alias("d_price"),
+        F.lit("U").alias("d_status"),
+    ).unionByName(
+        changed.select(
+            (F.col("o_orderkey") + 100000000).alias("k"),
+            F.col("o_totalprice").alias("d_price"),
+            F.lit("N").alias("d_status"),
+        )
+    )
+    return (
+        target.alias("t")
+        .join(delta.alias("d"), "k", "full_outer")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.coalesce("d_price", "price").alias("o_totalprice"),
+            F.coalesce("d_status", "status").alias("o_orderstatus"),
+        )
+    )

@@ -26,6 +26,7 @@ R4_KEYS = [
     "bpe_merge_candidates",
     "intervals_max_concurrent", "agg_group_concat",
     "array_enumerate_uniq", "agg_weighted_median", "agg_delta_sum",
+    "join_asof_tolerance", "merge_upsert_cow",
 ]
 
 
