@@ -213,3 +213,44 @@ def array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.row_number().over(w).cast("long").alias("occ"),
     )
+
+
+@register(
+    "array_join_parallel",
+    oracle="""
+        WITH arrs AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))
+                       AS vals
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(u.i AS BIGINT) AS pos,
+               vals[u.i] AS val,
+               vals[u.i] * vals[u.i] AS sq
+        FROM arrs, LATERAL (SELECT unnest(range(1, len(vals) + 1)) AS i) u
+    """,
+    doc="Multi-array ARRAY JOIN (ClickHouse `ARRAY JOIN a, b`): "
+    "explode PARALLEL arrays keeping positional alignment — here the "
+    "leading embedding dims alongside their squares. The Spark "
+    "idiom is posexplode of ONE zipped array (arrays_zip fuses the "
+    "parallel arrays into structs before the Generate), which "
+    "guarantees alignment by construction instead of joining two "
+    "independent explodes back together on position — the latter is "
+    "an extra shuffle and a correctness trap under duplicate "
+    "values. Generate is map-side: no exchange anywhere in the "
+    "plan; each product is one IEEE multiply of identical doubles.",
+)
+def array_join_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double"))
+    sqs = F.transform(vals, lambda x: x * x)
+    zipped = F.arrays_zip(vals.alias("val"), sqs.alias("sq"))
+    return e.select(
+        "vec_id", F.posexplode(zipped).alias("idx", "z")
+    ).select(
+        "vec_id",
+        (F.col("idx") + 1).cast("long").alias("pos"),
+        F.col("z.val").alias("val"),
+        F.col("z.sq").alias("sq"),
+    )

@@ -568,3 +568,43 @@ def merge_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("d_status", "status").alias("o_orderstatus"),
         )
     )
+
+
+@register(
+    "join_any_left",
+    oracle="""
+        WITH best AS (
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT c.c_custkey, c.c_name, b.o_orderkey, b.o_totalprice
+        FROM customer c LEFT JOIN best b ON c.c_custkey = b.o_custkey
+    """,
+    doc="ClickHouse LEFT ANY JOIN: at most ONE right-side row per "
+    "left row — CH picks an arbitrary match, which can never "
+    "hash-match, so this engine pins the deterministic choice "
+    "(lowest o_orderkey) the way every keep-one operator here does. "
+    "Plan: dedupe the right side FIRST (rank-limit window — Spark's "
+    "WindowGroupLimit prunes it map-side before the exchange), then "
+    "a plain left equi-join; deduping before the join is also the "
+    "scale-correct order, since it shrinks the build/shuffle side "
+    "and caps the join's output at |left| rows — the entire point "
+    "of ANY JOIN versus a fanning left join.",
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    best = (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return cust.join(
+        best, cust.c_custkey == best.o_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
