@@ -110,3 +110,78 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(col).alias("column_name"), "*")
         )
     return reduce(DataFrame.unionByName, frames)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+        SELECT 'orders_orderkey_unique' AS check_name,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                   AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'orders_custkey_not_null',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice <= 0.0) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_custkey_refs_customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+                   AS BIGINT)
+        UNION ALL
+        SELECT 'orders_status_in_domain',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                   AS BIGINT)
+    """,
+    doc="Data-quality expectation suite (the dbt-test / "
+    "Great-Expectations shape, and the audit a backup engine runs "
+    "before trusting a restore): uniqueness, not-null, domain, "
+    "range, and referential-integrity checks emitted as one "
+    "(check_name, n_violations) report. Each check is the "
+    "scale-correct plan for its class — uniqueness is a two-phase "
+    "count-per-key with HAVING (never a self-join), referential "
+    "integrity is a LEFT ANTI broadcast join against the dim, the "
+    "scalar predicates are one pruned scan each; the union of "
+    "tiny 1-row aggregates costs what its largest branch costs. "
+    "All counts are exact integers — nothing for a float to wobble.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def report(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")) \
+            .select(F.lit(name).alias("check_name"), "n_violations")
+
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    null_cust = o.filter(F.col("o_custkey").isNull())
+    bad_price = o.filter(F.col("o_totalprice") <= 0.0)
+    orphans = o.join(
+        F.broadcast(cust.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    bad_status = o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+    checks = [
+        ("orders_orderkey_unique", dup_keys),
+        ("orders_custkey_not_null", null_cust),
+        ("orders_totalprice_positive", bad_price),
+        ("orders_custkey_refs_customer", orphans),
+        ("orders_status_in_domain", bad_status),
+    ]
+    out = report(*checks[0])
+    for name, df in checks[1:]:
+        out = out.unionByName(report(name, df))
+    return out

@@ -27,7 +27,7 @@ R4_KEYS = [
     "intervals_max_concurrent", "agg_group_concat",
     "array_enumerate_uniq", "agg_weighted_median", "agg_delta_sum",
     "join_asof_tolerance", "merge_upsert_cow",
-    "join_any_left", "array_join_parallel",
+    "join_any_left", "array_join_parallel", "dq_expectations",
 ]
 
 
