@@ -907,3 +907,56 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("_b", F.pmod(F.col("o_orderkey"), F.lit(32))), ["_b"]
     ).drop("_b")
     return sweep(local, [])
+
+
+@register(
+    "part_fuzzy_levenshtein",
+    oracle="""
+        WITH probes AS (
+            SELECT * FROM (VALUES
+                ('lavender steel widget'),
+                ('midnight copper gear'),
+                ('crimson oak flange')) p(probe)
+        ), scored AS (
+            SELECT p.probe, t.p_name,
+                   CAST(levenshtein(p.probe, t.p_name) AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe
+                       ORDER BY levenshtein(p.probe, t.p_name), t.p_name)
+                       AS rn
+            FROM probes p, part t
+        )
+        SELECT probe, p_name, dist
+        FROM scored WHERE rn <= 5
+    """,
+    doc="Edit-distance fuzzy match (ClickHouse "
+    "levenshteinDistance / editDistance): the 5 closest part names "
+    "to each of three probe strings. Both engines implement the "
+    "standard unit-cost Wagner-Fischer DP, so distances are exact "
+    "integers; (dist, name) is a total order so the top-5 cut is "
+    "deterministic. The probe side is a 3-row literal table — the "
+    "scan side streams once past a BROADCAST of the probes (a "
+    "3x|part| evaluation, linear in the table), and the per-probe "
+    "top-5 is a rank-limit window that WindowGroupLimit prunes "
+    "map-side. The trigram operator (part_trigram_search) is the "
+    "index-accelerated variant of the same capability; this is the "
+    "exact-scoring tail that reranks its candidates at scale.",
+)
+def part_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [("lavender steel widget",), ("midnight copper gear",),
+         ("crimson oak flange",)],
+        "probe string",
+    )
+    scored = part.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        "p_name",
+        F.levenshtein("probe", "p_name").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "p_name")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe", "p_name", "dist")
+    )

@@ -479,3 +479,38 @@ def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w_cd).alias("cd"),
         F.nth_value("event_id", 2).over(w_nth).alias("second_event_id"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+        WITH tot AS (
+            SELECT event_id, event_type, value,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                       PARTITION BY event_type) AS DOUBLE) AS type_total
+            FROM events
+        )
+        SELECT event_id, event_type, value,
+               value / type_total AS share
+        FROM tot
+    """,
+    doc="ratio_to_report / percent-of-total: each event's share of "
+    "its type's total value — the window denominator everyone "
+    "writes as a self-join-with-aggregate before learning windows. "
+    "One unordered window (no sort — a partition-total frame "
+    "compiles to a single hash-style window pass), one shuffle on "
+    "event_type. Float discipline: the denominator is a "
+    "DECIMAL-exact sum cast to double (order-free), and the share "
+    "is ONE IEEE division of identical operands per row — never a "
+    "sum of computed doubles.",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    total = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") / total).alias("share"),
+    )

@@ -28,6 +28,7 @@ R4_KEYS = [
     "array_enumerate_uniq", "agg_weighted_median", "agg_delta_sum",
     "join_asof_tolerance", "merge_upsert_cow",
     "join_any_left", "array_join_parallel", "dq_expectations",
+    "part_fuzzy_levenshtein", "win_ratio_to_report",
 ]
 
 
