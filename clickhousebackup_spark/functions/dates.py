@@ -81,3 +81,38 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch0"
         ),
     )
+
+
+@register(
+    "date_bucket_custom",
+    oracle="""
+        SELECT to_timestamp(
+                   (epoch_us(ts) // 900000000) * 900
+               ) AT TIME ZONE 'UTC' AS bucket_15m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY bucket_15m
+    """,
+    doc="toStartOfInterval(ts, INTERVAL 15 MINUTE) — arbitrary-"
+    "interval time bucketing beyond the named calendar functions "
+    "(date_buckets covers hour/day/ISO-week/month): floor the epoch "
+    "MICROSECOND count to the interval — pure integer division, so "
+    "bucket edges are bit-identical across engines and immune to "
+    "timezone/DST arithmetic (the reason ClickHouse implements it "
+    "the same way). One two-phase hash agg on the derived bucket; "
+    "at 100 TB this is the pre-aggregation feeding "
+    "rollup_time_hierarchy's hour level.",
+)
+def date_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.expr("unix_micros(ts) div 900000000") * 900
+    )
+    return ev.groupBy(bucket.alias("bucket_15m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -692,3 +692,68 @@ def bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(both > 0, 1).otherwise(0)).cast("long").alias("n_or"),
         F.sum(F.when(both == 1, 1).otherwise(0)).cast("long").alias("n_xor"),
     )
+
+
+@register(
+    "orders_pareto_8020",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT o_custkey, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_rev,
+                   SUM(rev) OVER () AS total_rev,
+                   ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+                       AS rk,
+                   COUNT(*) OVER () AS n_cust
+            FROM per_cust
+        )
+        SELECT CAST(MIN(rk) AS BIGINT) AS top_customers,
+               CAST(MAX(n_cust) AS BIGINT) AS all_customers,
+               CAST(MIN(rk) AS DOUBLE) / CAST(MAX(n_cust) AS DOUBLE)
+                   AS top_share
+        FROM ranked WHERE 5 * cum_rev >= 4 * total_rev
+    """,
+    doc="Pareto 80/20 concentration: the smallest top-revenue "
+    "customer set producing >= 80% of total revenue (the "
+    "concentration question behind every account-tiering decision). "
+    "Per-customer revenues are DECIMAL-exact; the crossing test "
+    "5*cum >= 4*total stays in decimal arithmetic (no 0.8 float, "
+    "no division) so both engines cut at the identical rank; the "
+    "only double is the final ratio — one IEEE division of identical "
+    "integers. The cumulative window is a GLOBAL order — correct "
+    "for a per-tenant/per-partition report (customer counts are "
+    "dimension-scale); the 100 TB corpus-wide variant computes the "
+    "same crossing on a quantile-bucketed histogram of per-customer "
+    "revenue (two-phase agg) instead of a total-order window.",
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    return ranked.filter(
+        F.col("cum_rev") * 5 >= F.col("total_rev") * 4
+    ).agg(
+        F.min("rk").cast("long").alias("top_customers"),
+        F.max("n_cust").cast("long").alias("all_customers"),
+        (
+            F.min("rk").cast("double") / F.max("n_cust").cast("double")
+        ).alias("top_share"),
+    )
