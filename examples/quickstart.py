@@ -80,6 +80,21 @@ def main() -> None:
         chunks.count(),
     )
 
+    # -- 3b. training-set assembly: split -> dedup -> pack --
+    splits = specs["corpus_split_train_eval"].fn(spark, SF)
+    train_ids = splits.filter(F.col("split") == "train").select("doc_id")
+    exact_keep = specs["dedup_exact"].fn(spark, SF).select("doc_id")
+    packed = specs["corpus_pack_sequences"].fn(spark, SF)
+    train_packed = (
+        packed.join(train_ids, "doc_id").join(exact_keep, "doc_id")
+    )
+    print(
+        "training set: packed rows from deduped train-split docs:",
+        train_packed.count(),
+        "of",
+        packed.count(),
+    )
+
     # -- 4. streaming: broker-shaped topic with checkpointed resume --
     topic = FileTopic(tempfile.mkdtemp(prefix="qs_topic_") + "/events")
     ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
