@@ -691,3 +691,77 @@ def merge_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("value"),
         )
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   'I' AS op, CAST(0 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), changes AS (
+            SELECT o_orderkey AS k, o_totalprice + 500.0 AS price,
+                   'U' AS op, CAST(1 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 6 = 0
+            UNION ALL
+            SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
+                   'D' AS op, CAST(2 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 12 = 0
+            UNION ALL
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   'I' AS op, CAST(3 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 24 = 0
+        ), log AS (
+            SELECT * FROM base UNION ALL SELECT * FROM changes
+        ), latest AS (
+            SELECT k, price, op,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT k AS o_orderkey, price AS o_totalprice
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC changelog apply (the Debezium/ClickHouse-MaterializedMySQL "
+    "shape): fold a sequenced stream of I/U/D operations onto a base "
+    "snapshot — insert every 3rd key, update every 6th (+500), "
+    "delete every 12th, re-insert every 24th — so every op kind and "
+    "every override chain (I<U<D<I) is exercised. Latest-seq-wins "
+    "per key then drop deletes: EXACTLY the keep-newest window of "
+    "merge_replacing_final with a tombstone filter on top, which is "
+    "how ReplacingMergeTree(ver, is_deleted) implements CDC "
+    "ingestion. One shuffle on the key; the changelog never joins "
+    "the base — both just union into the same rank window, so "
+    "applying a day's changes costs O(base + changes), and at 100 TB "
+    "the base side is the incremental-restore composition "
+    "(engine.restore_incremental) rather than a full rescan.",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def slice_ops(mod: int, op: str, seq: int, price_expr):
+        return o.filter(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            price_expr.alias("price"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    log = (
+        slice_ops(3, "I", 0, F.col("o_totalprice"))
+        .unionByName(slice_ops(6, "U", 1, F.col("o_totalprice") + 500.0))
+        .unionByName(
+            slice_ops(12, "D", 2, F.lit(None).cast("double"))
+        )
+        .unionByName(slice_ops(24, "I", 3, F.col("o_totalprice")))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("price").alias("o_totalprice"),
+        )
+    )
