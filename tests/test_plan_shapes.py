@@ -386,3 +386,64 @@ def test_dict_hierarchy_rounds_are_materialized(spark, sf_dir):
 def test_bpe_pairs_top_k_never_global_sorts(spark, sf_dir):
     df = SPECS["bpe_merge_candidates"].fn(spark, sf_dir)
     assert inspect.uses_take_ordered(df)
+
+
+# Round-4 additions: (max_shuffles, min_broadcasts, allow_nlj).
+# allow_nlj is True only for part_fuzzy_levenshtein, whose 3-row
+# probe table crossJoins via BroadcastNestedLoopJoin BY DESIGN (a
+# constant-width broadcast cross join is linear in the scan side).
+R4_PLAN_BUDGET = {
+    "merge_replacing_final": (1, 0, False),   # one keep-newest window
+    "merge_summing_final": (1, 0, False),     # one two-phase agg
+    "dict_get_join": (0, 2, False),           # pure broadcast chain
+    "limit_by": (1, 0, False),                # one rank window
+    "with_totals": (1, 0, False),             # Expand + one agg
+    "agg_argminmax": (1, 0, False),           # one max_by/min_by agg
+    "stats_spearman": (1, 0, False),          # rank windows share the key
+    "stats_linregress": (1, 0, False),        # one moment agg
+    "agg_gini_diversity": (2, 0, False),      # (user,type) + user aggs
+    "ts_autocorr_lag1": (1, 0, False),        # lag window + agg, one key
+    "corpus_pack_sequences": (1, 0, False),   # per-shard window chain
+    "text_ngram_lm_score": (3, 2, False),     # tf/df aggs + bcast joins
+    "dedup_semantic": (2, 1, False),          # cluster join + pair agg
+    "text_cdc_chunks": (1, 0, False),         # per-doc window cumsum
+    "table_column_stats": (6, 0, False),      # one agg per column (6)
+    "geo_cell_radius_join": (0, 1, False),    # bcast cell join, no exch
+    "join_null_safe": (1, 1, False),          # dim distinct; fact no shuffle
+    "win_cume_dist_nth": (1, 0, False),       # one window exchange
+    "mutation_delete_update": (0, 0, False),  # single narrow stage
+    "dict_hierarchy_flatten": (0, 0, False),  # checkpoint-truncated
+    "corpus_split_train_eval": (0, 0, False), # map-only
+    "set_except_all": (1, 0, False),          # tagged-count agg
+    "set_intersect_all": (1, 0, False),       # tagged-count agg
+    "merge_versioned_collapsing": (2, 1, False),  # net agg + window + bcast
+    "bpe_merge_candidates": (1, 0, False),    # pair agg + TakeOrdered
+    "intervals_max_concurrent": (1, 0, False),  # sweep window + agg
+    "agg_group_concat": (1, 0, False),        # collect_set two-phase
+    "array_enumerate_uniq": (1, 0, False),    # one (doc,word) window
+    "agg_weighted_median": (1, 0, False),     # cum + total share the key
+    "agg_delta_sum": (1, 0, False),           # lag window + agg, one key
+    "join_asof_tolerance": (2, 0, False),     # union sort + user window
+    "merge_upsert_cow": (2, 0, False),        # full-outer on the key
+    "join_any_left": (1, 1, False),           # dedupe window; left bcast
+    "array_join_parallel": (0, 0, False),     # Generate only, map-side
+    "dq_expectations": (1, 1, False),         # uniq agg + anti bcast
+    "part_fuzzy_levenshtein": (1, 0, True),   # bcast cross probes + window
+    "win_ratio_to_report": (1, 0, False),     # unordered partition window
+    "dedup_fuzzy_blocked": (0, 1, False),     # bcast block self-join
+    "orders_pareto_8020": (1, 0, False),      # cust agg; global window local
+    "date_bucket_custom": (1, 0, False),      # one two-phase agg
+    "cdc_apply_changelog": (1, 0, False),     # union + one rank window
+}
+
+
+@pytest.mark.parametrize("key", sorted(R4_PLAN_BUDGET))
+def test_r4_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R4_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
