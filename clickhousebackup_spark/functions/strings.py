@@ -92,3 +92,70 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_browse"),
     )
+
+
+@register(
+    "explode_outer_empty",
+    oracle=r"""
+        WITH lw AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) >= 12) AS ws
+            FROM documents
+        )
+        SELECT doc_id, unnest(ws) AS long_word
+        FROM lw WHERE len(ws) > 0
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR) AS long_word
+        FROM lw WHERE len(ws) = 0
+    """,
+    doc="explode_outer vs explode — the row-preservation corner "
+    "(ClickHouse LEFT ARRAY JOIN): documents whose filtered token "
+    "array is EMPTY (no word of 12+ chars) must still emit one row "
+    "with a NULL element, because a plain explode silently DROPS "
+    "them — the classic bug where a fan-out stage loses the very "
+    "rows a later aggregate needed to count as zero. Spark's "
+    "GenerateExec runs with outer=true (same map-side Generate, no "
+    "extra pass); the oracle spells the semantics out as "
+    "unnest-nonempty UNION null-for-empty. No shuffle anywhere.",
+)
+def explode_outer_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    long_words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) >= 12
+    )
+    return d.select(
+        "doc_id", F.explode_outer(long_words).alias("long_word")
+    )
+
+
+@register(
+    "str_keyvalue_parse",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders
+    """,
+    doc="extractKeyValuePairs / str_to_map: parse a 'k=v;k=v' "
+    "settings string (synthesized here from the order's own columns "
+    "so the oracle can state the expected values directly) and read "
+    "keys back via map access — the log/config-parsing surface "
+    "every ingest pipeline needs. str_to_map is one JVM-side "
+    "expression (no UDF, no regex backtracking blowup: split on "
+    "literal delimiters), map access is O(1) per row, the whole "
+    "operator is a narrow map stage; the oracle closing the loop "
+    "pins that parse(render(row)) == row, the same roundtrip "
+    "discipline as the sink tests.",
+)
+def str_keyvalue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rendered = F.concat(
+        F.lit("status="), F.col("o_orderstatus"),
+        F.lit(";priority="), F.col("o_orderpriority"),
+    )
+    m = F.str_to_map(rendered, F.lit(";"), F.lit("="))
+    return o.select(
+        "o_orderkey",
+        m.getItem("status").alias("status"),
+        m.getItem("priority").alias("priority"),
+    )

@@ -30,7 +30,7 @@ R4_KEYS = [
     "join_any_left", "array_join_parallel", "dq_expectations",
     "part_fuzzy_levenshtein", "win_ratio_to_report",
     "dedup_fuzzy_blocked", "orders_pareto_8020", "date_bucket_custom",
-    "cdc_apply_changelog",
+    "cdc_apply_changelog", "explode_outer_empty", "str_keyvalue_parse",
 ]
 
 

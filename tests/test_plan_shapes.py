@@ -434,6 +434,8 @@ R4_PLAN_BUDGET = {
     "orders_pareto_8020": (1, 0, False),      # cust agg; global window local
     "date_bucket_custom": (1, 0, False),      # one two-phase agg
     "cdc_apply_changelog": (1, 0, False),     # union + one rank window
+    "explode_outer_empty": (0, 0, False),     # outer Generate, map-only
+    "str_keyvalue_parse": (0, 0, False),      # narrow parse stage
 }
 
 
