@@ -757,3 +757,84 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rk").cast("double") / F.max("n_cust").cast("double")
         ).alias("top_share"),
     )
+
+
+@register(
+    "funnel_steps_windowed",
+    oracle="""
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), w2 AS (
+            SELECT user_id, ts, event_type, t1,
+                   min(CASE WHEN event_type = 'click' AND ts > t1
+                            AND epoch_us(ts) - epoch_us(t1) <= 3600000000
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM w1
+        ), w3 AS (
+            SELECT user_id, t1, t2,
+                   min(CASE WHEN event_type = 'purchase' AND ts > t2
+                            AND epoch_us(ts) - epoch_us(t1) <= 3600000000
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM w2
+        )
+        SELECT DISTINCT user_id,
+               CAST(CASE WHEN t1 IS NULL THEN 0
+                         WHEN t2 IS NULL THEN 1
+                         WHEN t3 IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS funnel_depth
+        FROM w3
+    """,
+    doc="windowFunnel(3600) — the TIME-BOUNDED funnel that is "
+    "ClickHouse's actual signature (funnel_steps is the unbounded "
+    "chain): every later step must land within one hour of the "
+    "user's FIRST view, so a purchase days later no longer counts "
+    "as conversion. Same plan as funnel_steps — three chained "
+    "min-over-user windows sharing ONE partitioning (a single "
+    "shuffle on user_id; Catalyst reuses the exchange across the "
+    "window chain) — with the bound expressed in integer epoch "
+    "MICROSECONDS, the only cross-engine-stable way to compare "
+    "timestamp differences (interval arithmetic rounds differently "
+    "per engine).",
+)
+def funnel_steps_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t1"))
+    ) <= 3600000000
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ev = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & within,
+            F.col("ts"),
+        )
+    ).over(w)
+    ev = ev.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & within,
+            F.col("ts"),
+        )
+    ).over(w)
+    ev = ev.withColumn("t3", t3)
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return ev.select(
+        "user_id", depth.cast("long").alias("funnel_depth")
+    ).distinct()

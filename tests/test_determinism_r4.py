@@ -31,6 +31,7 @@ R4_KEYS = [
     "part_fuzzy_levenshtein", "win_ratio_to_report",
     "dedup_fuzzy_blocked", "orders_pareto_8020", "date_bucket_custom",
     "cdc_apply_changelog", "explode_outer_empty", "str_keyvalue_parse",
+    "funnel_steps_windowed",
 ]
 
 

@@ -436,6 +436,7 @@ R4_PLAN_BUDGET = {
     "cdc_apply_changelog": (1, 0, False),     # union + one rank window
     "explode_outer_empty": (0, 0, False),     # outer Generate, map-only
     "str_keyvalue_parse": (0, 0, False),      # narrow parse stage
+    "funnel_steps_windowed": (1, 0, False),   # one user-key window chain
 }
 
 
