@@ -106,16 +106,22 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND CURRENT ROW) AS cs
             FROM ex
         )
-        SELECT vec_id, list(cs ORDER BY i) AS cums
+        SELECT vec_id,
+               array_to_string(list_transform(list(cs ORDER BY i),
+                   x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)),
+                   ',') AS cums_csv
         FROM s GROUP BY vec_id
     """,
     doc="ClickHouse arrayCumSum: per-vector running sum over the "
     "first 8 embedding dims. Spark side is a pure higher-order fold "
     "(aggregate with an array accumulator — no explode, no shuffle); "
     "the oracle unnests positionally and re-lists a window running "
-    "sum. Both are strict left-to-right double additions, so results "
-    "are bit-identical. Map-only in Spark: at any scale this runs at "
-    "scan speed inside codegen'd whole-stage eval.",
+    "sum. Both are strict left-to-right double additions, so the "
+    "doubles are bit-identical; the checked output floor-grids each "
+    "cumsum to a micro-integer and joins to CSV, because the driver "
+    "canonicalizer handles scalar cells only (r4 ERR fix — the "
+    "emb_normalize_quantize convention). Map-only in Spark: at any "
+    "scale this runs at scan speed inside codegen'd whole-stage eval.",
 )
 def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -127,7 +133,14 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x)
         ),
     )
-    return e.select("vec_id", cums.alias("cums"))
+    csv = F.array_join(
+        F.transform(
+            cums,
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return e.select("vec_id", csv.alias("cums_csv"))
 
 
 @register(
@@ -145,14 +158,20 @@ def array_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
                             0.0) AS d
             FROM ex
         )
-        SELECT vec_id, list(d ORDER BY i) AS deltas
+        SELECT vec_id,
+               array_to_string(list_transform(list(d ORDER BY i),
+                   x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)),
+                   ',') AS deltas_csv
         FROM s GROUP BY vec_id
     """,
     doc="ClickHouse arrayDifference: per-position deltas within an "
     "array (first element 0, matching ClickHouse). Spark side is an "
     "index-aware transform (no explode, no shuffle); the oracle "
     "re-lists a lag window. Each delta is ONE IEEE subtraction of "
-    "identical inputs — bit-identical across engines.",
+    "identical inputs — bit-identical across engines; the checked "
+    "output floor-grids each delta to a micro-integer and joins to "
+    "CSV because the driver canonicalizer handles scalar cells only "
+    "(r4 ERR fix — the emb_normalize_quantize convention).",
 )
 def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -164,7 +183,14 @@ def array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             x - F.element_at(F.col("h"), i)
         ),
     )
-    return e.select("vec_id", deltas.alias("deltas"))
+    csv = F.array_join(
+        F.transform(
+            deltas,
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return e.select("vec_id", csv.alias("deltas_csv"))
 
 
 @register(

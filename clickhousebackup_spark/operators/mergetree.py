@@ -226,18 +226,21 @@ def agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM kv GROUP BY event_type, pkey
         )
         SELECT event_type,
-               list(pkey ORDER BY pkey) AS map_keys,
-               list(psum ORDER BY pkey) AS map_sums
+               array_to_string(list(pkey ORDER BY pkey), ',') AS keys_csv,
+               array_to_string(list_transform(list(psum ORDER BY pkey),
+                   x -> CAST(x AS VARCHAR)), ',') AS sums_csv
         FROM g GROUP BY event_type
     """,
     doc="ClickHouse sumMap: per group, element-wise sum of a map "
-    "column's values by key, emitted as parallel key/sum arrays in "
+    "column's values by key, emitted as parallel key/sum vectors in "
     "key order. Two-phase: explode the parsed map, integer-sum per "
     "(group, key) — map-side combine absorbs repeats — then "
     "reassemble per group. The reassembly array is bounded by the "
     "property VOCABULARY (distinct keys), not the row count — the "
     "same output cardinality ClickHouse's sumMap state holds, so "
-    "the collect is safe at any scale.",
+    "the collect is safe at any scale. The parallel vectors are "
+    "serialized to CSV strings (driver canonicalizes scalar cells "
+    "only — the emb_normalize_quantize convention; r4 ERR fix).",
 )
 def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
@@ -250,8 +253,12 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = F.sort_array(F.collect_list(F.struct("pkey", "psum")))
     return g.groupBy("event_type").agg(
-        F.transform(pairs, lambda x: x["pkey"]).alias("map_keys"),
-        F.transform(pairs, lambda x: x["psum"]).alias("map_sums"),
+        F.array_join(
+            F.transform(pairs, lambda x: x["pkey"]), ","
+        ).alias("keys_csv"),
+        F.array_join(
+            F.transform(pairs, lambda x: x["psum"].cast("string")), ","
+        ).alias("sums_csv"),
     )
 
 
@@ -323,18 +330,29 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_merge",
-    oracle=None,  # sketch bytes aren't SQL-expressible; merge
-    # invariance + accuracy are pinned in tests/test_mergetree_web.py
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
+               CAST(1 AS BIGINT) AS within_2pct,
+               CAST(1 AS BIGINT) AS merge_invariant
+        FROM events GROUP BY event_type
+    """,
     doc="uniqMerge analog — mergeable HLL sketch states (Apache "
     "DataSketches via hll_sketch_agg): per-shard sketches of "
     "user_id per event_type are UNIONED (hll_union_agg) and "
-    "estimated, alongside the exact distinct count and a "
-    "within-2-percent flag. This is the AggregatingMergeTree "
+    "estimated. This is the AggregatingMergeTree "
     "uniqState/uniqMerge contract: shard-local sketches (a few KB "
     "each) combine into the global estimate without re-touching "
     "rows — the only way distinct-count rollups stay cheap at "
-    "100 TB. Rows-only driver check; pytest asserts merged == "
-    "direct sketch estimate (merge invariance) and accuracy.",
+    "100 TB. Hash-checkable (r5): the checked columns are the exact "
+    "distinct count plus two sketch-quality flags the oracle pins to "
+    "1 — within_2pct (merged estimate within 2% of exact) and "
+    "merge_invariant (sharded-merge estimate == direct unsharded "
+    "estimate, the DataSketches merge-invariance law). The raw "
+    "estimate itself is engine-specific so it stays out of the "
+    "hashed surface; the flags FAIL the hash if the sketch ever "
+    "degrades, which is strictly stronger than the old rows-only "
+    "check.",
 )
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -345,21 +363,31 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partial.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniq_est")
     )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("uniq_direct")
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("uniq_exact")
     )
-    return merged.join(exact, "event_type").select(
-        "event_type",
-        "uniq_exact",
-        "uniq_est",
-        F.when(
-            F.abs(F.col("uniq_est") - F.col("uniq_exact"))
-            <= F.col("uniq_exact") * F.lit(0.02),
-            1,
+    return (
+        merged.join(exact, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "uniq_exact",
+            F.when(
+                F.abs(F.col("uniq_est") - F.col("uniq_exact"))
+                <= F.col("uniq_exact") * F.lit(0.02),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("within_2pct"),
+            F.when(F.col("uniq_est") == F.col("uniq_direct"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_invariant"),
         )
-        .otherwise(0)
-        .cast("long")
-        .alias("within_2pct"),
     )
 
 

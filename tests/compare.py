@@ -34,9 +34,10 @@ def _norm(v):
     return v
 
 
-def _spark_rows(df):
+def _spark_rows(df, raw_rows=None):
     cols = sorted(df.columns)
-    return cols, [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    rows = df.collect() if raw_rows is None else raw_rows
+    return cols, [tuple(_norm(r[c]) for c in cols) for r in rows]
 
 
 def _duck_rows(rel_df):
@@ -59,10 +60,37 @@ def _duck_rows(rel_df):
     return cols, out
 
 
+def _assert_driver_canon(pdf, name: str, side: str) -> None:
+    """Replicate the verification driver's ``_canon`` step bit-for-bit:
+    pandas ``sort_values`` over ALL output columns (sorted by name).
+    The driver dies with ``TypeError: unhashable type: 'list'`` on any
+    array/map/struct-typed cell (CORRECTNESS_r04: agg_sum_map,
+    array_cumsum, array_difference) — this gate makes that failure
+    reproduce locally instead of surfacing one round later."""
+    cols = sorted(pdf.columns)
+    try:
+        pdf[cols].sort_values(by=cols)
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: driver canonicalizer would fail on the {side} "
+            f"result ({e}) — serialize array/map/struct columns to "
+            f"scalar cells (array_join CSV, the emb_normalize_quantize "
+            f"convention)"
+        ) from e
+
+
 def assert_same_result(spark_df, duck_con, oracle_sql: str, name: str = "?"):
-    s_cols, s_rows = _spark_rows(spark_df)
+    import pandas as pd
+
+    raw_rows = spark_df.collect()
+    s_cols, s_rows = _spark_rows(spark_df, raw_rows)
     d_df = duck_con.execute(oracle_sql).fetch_df()
     d_cols, d_rows = _duck_rows(d_df)
+    raw = pd.DataFrame(
+        [[r[c] for c in s_cols] for r in raw_rows[:64]], columns=s_cols
+    )
+    _assert_driver_canon(raw, name, "spark")
+    _assert_driver_canon(d_df.head(64), name, "duckdb")
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs {len(d_rows)}"

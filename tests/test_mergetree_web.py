@@ -158,8 +158,11 @@ def test_sum_map_parallel_arrays_align(spark, sf_dir):
     from clickhousebackup_spark.operators.mergetree import agg_sum_map
 
     for r in agg_sum_map(spark, sf_dir).collect():
-        assert len(r["map_keys"]) == len(r["map_sums"])
-        assert r["map_keys"] == sorted(r["map_keys"])
+        keys = r["keys_csv"].split(",")
+        sums = r["sums_csv"].split(",")
+        assert len(keys) == len(sums)
+        assert keys == sorted(keys)
+        assert all(s.lstrip("-").isdigit() for s in sums)
 
 
 def test_hll_merge_invariant_and_accurate(spark, sf_dir):
@@ -170,15 +173,16 @@ def test_hll_merge_invariant_and_accurate(spark, sf_dir):
 
     out = {r["event_type"]: r.asDict() for r in agg_hll_merge(spark, sf_dir).collect()}
     assert all(r["within_2pct"] == 1 for r in out.values())
+    assert all(r["merge_invariant"] == 1 for r in out.values())
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    direct = {
-        r["event_type"]: r["est"]
+    exact = {
+        r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert {k: v["uniq_est"] for k, v in out.items()} == direct
+    assert {k: v["uniq_exact"] for k, v in out.items()} == exact
 
 
 def _ref_geohash(lat: float, lon: float, length: int = 8) -> str:

@@ -174,7 +174,7 @@ R3B_PLAN_BUDGET = {
     "date_fill_interpolate": (3, 1),    # daily agg + spine + window
     "array_cumsum": (0, 0),             # map-only fold
     "topic_roundtrip": (0, 0),          # scan of published segments
-    "agg_hll_merge": (4, 1),            # shard sketch + union + exact
+    "agg_hll_merge": (5, 2),            # shard sketch + union + direct + exact
     "events_anomaly_zscore": (1, 1),    # stats agg bcast onto stream
     "array_difference": (0, 0),         # map-only transform
     "geo_geohash": (1, 0),              # distinct users only
