@@ -97,18 +97,25 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="toStartOfInterval(ts, INTERVAL 15 MINUTE) — arbitrary-"
     "interval time bucketing beyond the named calendar functions "
-    "(date_buckets covers hour/day/ISO-week/month): floor the epoch "
-    "MICROSECOND count to the interval — pure integer division, so "
-    "bucket edges are bit-identical across engines and immune to "
-    "timezone/DST arithmetic (the reason ClickHouse implements it "
-    "the same way). One two-phase hash agg on the derived bucket; "
-    "at 100 TB this is the pre-aggregation feeding "
-    "rollup_time_hierarchy's hour level.",
+    "(date_buckets covers hour/day/ISO-week/month): FLOOR-divide the "
+    "epoch MICROSECOND count to the interval — pure integer "
+    "arithmetic (subtract pmod, then divide), so bucket edges are "
+    "bit-identical across engines and immune to timezone/DST "
+    "arithmetic (the reason ClickHouse implements it the same way). "
+    "Floor (not truncate-toward-zero `div`) matters for pre-epoch "
+    "timestamps: DuckDB's `//` floors, so negative unix_micros would "
+    "otherwise land one interval apart (ADVICE r4 fix). One "
+    "two-phase hash agg on the derived bucket; at 100 TB this is the "
+    "pre-aggregation feeding rollup_time_hierarchy's hour level.",
 )
 def date_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(
-        F.expr("unix_micros(ts) div 900000000") * 900
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 900000000))"
+            " div 900000000"
+        )
+        * 900
     )
     return ev.groupBy(bucket.alias("bucket_15m")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

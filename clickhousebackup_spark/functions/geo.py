@@ -211,8 +211,12 @@ def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dla = F.col("c_lat") - F.col("s_lat")
     dlo = F.col("c_lon") - F.col("s_lon")
     dist2 = dla * dla + dlo * dlo
+    # Explicit broadcast: the exploded supplier side is dimension-sized
+    # by construction (9 cells × |supplier|); relying on auto-broadcast
+    # left the plan one threshold tweak away from a SortMergeJoin
+    # (ADVICE r4 fix, matching join_null_safe/dict_get_join).
     return (
-        c.join(s, ["cell_lat", "cell_lon"])
+        c.join(F.broadcast(s), ["cell_lat", "cell_lon"])
         .withColumn("dist2", dist2)
         .filter(F.col("dist2") <= 100.0)
         .select("c_custkey", "s_suppkey", "dist2")

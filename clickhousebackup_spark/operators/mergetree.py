@@ -600,7 +600,7 @@ def dict_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree; a real dictionary ships arbitrary (child, parent) rows).
     reach = part.select(
         F.col("p_partkey").alias("key"),
-        F.when(F.col("p_partkey") >= 10, F.col("p_partkey") / 10)
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10"))
         .otherwise(F.col("p_partkey"))
         .cast("long")
         .alias("ptr"),
@@ -619,12 +619,19 @@ def dict_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ptr").alias("b_ptr"),
             F.col("d").alias("b_d"),
         ).alias("b")
+        # LEFT join + self-loop fallback: a node whose ancestor key is
+        # absent from the dictionary keeps its pointer (and row)
+        # instead of silently vanishing — the fixture's contiguous
+        # keys never hit this, but a real dictionary with dangling
+        # parents must not lose children (ADVICE r4 fix).
         reach = (
-            a.join(b, F.col("a.ptr") == F.col("b.b_key"))
+            a.join(b, F.col("a.ptr") == F.col("b.b_key"), "left")
             .select(
                 F.col("a.key").alias("key"),
-                F.col("b.b_ptr").alias("ptr"),
-                (F.col("a.d") + F.col("b.b_d")).alias("d"),
+                F.coalesce(F.col("b.b_ptr"), F.col("a.ptr")).alias("ptr"),
+                (F.col("a.d") + F.coalesce(F.col("b.b_d"), F.lit(0))).alias(
+                    "d"
+                ),
             )
             .localCheckpoint(eager=True)
         )

@@ -262,28 +262,34 @@ class runtime_bloom_join:
     "while the within-bucket sort gives parquet row-group min/max "
     "envelopes that make key-range predicates cheap. The roundtrip "
     "re-emits the rows, so the oracle pins that bucketing LOSES "
-    "NOTHING — same multiset out as in. Same warehouse hygiene as "
-    "join_bucketed: dedicated temp-dir database, drop-and-rmtree "
-    "before write, nothing accumulates in the repo tree.",
+    "NOTHING — same multiset out as in. Warehouse hygiene: the "
+    "database name AND location carry the Spark applicationId, so "
+    "two concurrent sessions on the same sf_dir can never race on "
+    "DROP TABLE + rmtree + saveAsTable or read a directory the "
+    "other just removed (ADVICE r4 fix, mirroring "
+    "backup_incremental_roundtrip's scratch_path discipline).",
 )
 def sink_bucketed_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import re
     import shutil
     import tempfile
 
-    wh = os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbs_scratch LOCATION '{wh}'")
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    db = f"cbs_scratch_{app}"
+    wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"orders_sorted_b{suffix}"
-    spark.sql(f"DROP TABLE IF EXISTS cbs_scratch.{tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
     shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
 
     load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     ).write.bucketBy(8, "o_custkey").sortBy(
         "o_custkey", "o_orderkey"
-    ).saveAsTable(f"cbs_scratch.{tbl}")
+    ).saveAsTable(f"{db}.{tbl}")
 
-    return spark.table(f"cbs_scratch.{tbl}").filter(
+    return spark.table(f"{db}.{tbl}").filter(
         F.col("o_totalprice") > 100000.0
     )
