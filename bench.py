@@ -8,11 +8,15 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Each query is forced with a count() (full plan execution, no
 driver-side result materialization cost). A warmup pass on the
-smallest table absorbs JVM/codegen startup, and each query is timed
-twice with the MINIMUM reported — the standard steady-state
-methodology: the min is the best estimate of the plan's actual cost,
-with scheduler noise, GC pauses, and noisy-neighbor interference
-(single-run timings on this box swing ±40%) filtered out.
+smallest table absorbs JVM/codegen startup, and each query runs
+THREE times with the MINIMUM reported — the standard steady-state
+methodology: the first run eats any residual per-query one-time cost
+(Janino codegen JIT, first-shuffle init — the BENCH_r04
+dedup_minhash +61% regression was exactly a cold first run winning
+min-of-2), and the min of the remaining runs is the best estimate of
+the plan's actual cost, with scheduler noise, GC pauses, and
+noisy-neighbor interference (single-run timings on this box swing
+±40%) filtered out.
 """
 
 from __future__ import annotations
@@ -106,7 +110,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
@@ -124,7 +128,7 @@ def main() -> None:
     for name in EXTRA:
         fn = specs[name].fn
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
