@@ -411,3 +411,47 @@ def corpus_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+@register(
+    "curation_funnel_report",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE n_chars >= 200) AS BIGINT)
+                   AS n_len_pass,
+               CAST(COUNT(*) FILTER (WHERE lang IN
+                    ('en', 'de', 'fr', 'es')) AS BIGINT) AS n_lang_pass,
+               CAST(COUNT(*) FILTER (WHERE n_chars >= 200 AND lang IN
+                    ('en', 'de', 'fr', 'es')) AS BIGINT) AS n_both_pass,
+               CAST(COUNT(DISTINCT CASE WHEN n_chars >= 200 AND lang IN
+                    ('en', 'de', 'fr', 'es') THEN md5(text) END)
+                   AS BIGINT) AS n_unique_pass
+        FROM documents GROUP BY source
+    """,
+    doc="Curation funnel report: the per-source survival counts every "
+    "training-data pipeline publishes alongside its corpus (RefinedWeb"
+    "/Dolma-style processing reports) — total docs, length-gate "
+    "survivors, language-gate survivors, both gates, and exact-unique "
+    "texts among the survivors (md5 identity, the dedup_exact key). "
+    "One two-phase hash agg with conditional counts plus one "
+    "conditional distinct — no joins, no second scan; output is "
+    "bounded by the source vocabulary. The at-scale version of 'how "
+    "many docs did each gate remove', answered in one pass instead "
+    "of one query per gate.",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    len_ok = F.col("n_chars") >= 200
+    lang_ok = F.col("lang").isin("en", "de", "fr", "es")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count(F.when(len_ok, 1)).cast("long").alias("n_len_pass"),
+        F.count(F.when(lang_ok, 1)).cast("long").alias("n_lang_pass"),
+        F.count(F.when(len_ok & lang_ok, 1)).cast("long").alias(
+            "n_both_pass"
+        ),
+        F.countDistinct(
+            F.when(len_ok & lang_ok, F.md5("text"))
+        ).cast("long").alias("n_unique_pass"),
+    )

@@ -652,3 +652,106 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = exact.unionByName(near).distinct()
     return _propagate_clusters(docs, edges)
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1) + 1),
+                       i -> concat_ws(' ',
+                            string_split_regex(lower(text), '\\s+')[i:i+1]))) AS gs
+            FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
+               CAST(least(len(a.gs), len(b.gs)) AS BIGINT) AS min_sz,
+               CAST((len(list_intersect(a.gs, b.gs)) * 100)
+                    // least(len(a.gs), len(b.gs)) AS BIGINT)
+                   AS contain_pct
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE 10 * len(list_intersect(a.gs, b.gs))
+              >= 9 * least(len(a.gs), len(b.gs))
+    """,
+    doc="EXACT n-gram containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.9) "
+    "— the asymmetric cousin of dedup_ngram_jaccard that catches "
+    "QUOTE/SUBSET duplication: a short doc wholly embedded in a long "
+    "one has high containment but low Jaccard, the case CCNet/Dolma "
+    "handle separately from near-dup. Candidates via one-sided "
+    "prefix filtering (Bayardo et al.'s containment variant): every "
+    "doc PROBES with its |S| - ceil(0.9·|S|) + 1 globally-rarest "
+    "grams, the index side holds ALL grams; if the smaller side's "
+    "prefix misses B entirely then |S∩B| < 0.9·|S| (pigeonhole on "
+    "the canonical rarity order), so every qualifying pair is "
+    "caught when its smaller doc probes — equi-key join, never "
+    "all-pairs, and frequent grams stay out of probe prefixes so "
+    "bucket sizes remain df-bounded. Emitted columns are pure "
+    "integers (count, min-size, floor percent) — no float hazard. "
+    "The oracle is the brute-force all-pairs statement of the same "
+    "predicate.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.9
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("gs")).localCheckpoint(eager=True)
+    toks = g.select("doc_id", F.explode("gs").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "gram"))).alias(
+                "by_rarity"
+            )
+        )
+    )
+    ng = F.size("by_rarity")
+    prefix_len = ng - F.ceil(ng * F.lit(t)).cast("int") + 1
+    probe = per_doc.select(
+        F.col("doc_id").alias("p_id"),
+        F.explode(
+            F.transform(
+                F.slice("by_rarity", 1, prefix_len), lambda s: s["gram"]
+            )
+        ).alias("gram"),
+    )
+    cand = (
+        probe.join(toks.select(F.col("doc_id").alias("i_id"), "gram"), "gram")
+        .filter(F.col("p_id") != F.col("i_id"))
+        .select(
+            F.least("p_id", "i_id").alias("a_id"),
+            F.greatest("p_id", "i_id").alias("b_id"),
+        )
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "a_id")
+    )
+    a = g.select(F.col("doc_id").alias("a_id"), F.col("gs").alias("gs_a"))
+    b = g.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    min_sz = F.least(F.size("gs_a"), F.size("gs_b"))
+    return (
+        cand.join(a, "a_id")
+        .repartition(spark.sparkContext.defaultParallelism, "b_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.cast("long").alias("n_shared"),
+            min_sz.cast("long").alias("min_sz"),
+            F.expr(
+                "CAST((size(array_intersect(gs_a, gs_b)) * 100) div "
+                "least(size(gs_a), size(gs_b)) AS BIGINT)"
+            ).alias("contain_pct"),
+        )
+        .filter(F.col("n_shared") * 10 >= F.col("min_sz") * 9)
+    )

@@ -280,3 +280,72 @@ def array_join_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.val").alias("val"),
         F.col("z.sq").alias("sq"),
     )
+
+
+@register(
+    "array_fill_forward",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding[1:8],
+                          x -> CAST(x AS DOUBLE))) AS x,
+                   unnest(range(1, len(embedding[1:8]) + 1)) AS i
+            FROM embeddings
+        ), f AS (
+            SELECT vec_id, i,
+                   COALESCE(last_value(CASE WHEN x > 0 THEN x END
+                                       IGNORE NULLS)
+                            OVER (PARTITION BY vec_id ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW),
+                            x) AS filled
+            FROM ex
+        )
+        SELECT vec_id,
+               array_to_string(list_transform(list(filled ORDER BY i),
+                   x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT)
+                        AS VARCHAR)), ',') AS filled_csv
+        FROM f GROUP BY vec_id
+    """,
+    doc="ClickHouse arrayFill(x -> x > 0, arr): forward-fill — each "
+    "non-positive element is replaced by the nearest positive "
+    "element to its left; a leading run with no positive "
+    "predecessor keeps its original values (the CH contract). Spark "
+    "side is one higher-order fold whose accumulator is a "
+    "(built-array, last-positive) struct — map-only, no explode, no "
+    "shuffle, runs inside whole-stage codegen at scan speed. The "
+    "oracle states the same semantics positionally with an "
+    "IGNORE NULLS running last_value. Fill decisions are "
+    "comparisons and copies of identical doubles (no arithmetic), "
+    "so results are bit-identical; checked output is the floor-grid "
+    "CSV per the array-serialization convention (r4 ERR lesson).",
+)
+def array_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    init = F.expr(
+        "named_struct('arr', CAST(array() AS ARRAY<DOUBLE>), "
+        "'last', CAST(NULL AS DOUBLE))"
+    )
+    filled = F.aggregate(
+        head,
+        init,
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.when(x > 0, x).otherwise(F.coalesce(acc["last"], x))
+                ),
+            ).alias("arr"),
+            F.when(x > 0, x).otherwise(acc["last"]).alias("last"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    csv = F.array_join(
+        F.transform(
+            filled,
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return e.select("vec_id", csv.alias("filled_csv"))

@@ -159,3 +159,42 @@ def str_keyvalue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("status").alias("status"),
         m.getItem("priority").alias("priority"),
     )
+
+
+@register(
+    "str_multisearch",
+    oracle="""
+        SELECT p_partkey,
+               CAST(instr(p_name, 'green') AS BIGINT) AS pos_green,
+               CAST(instr(p_name, 'steel') AS BIGINT) AS pos_steel,
+               CAST(instr(p_name, 'tomato') AS BIGINT) AS pos_tomato,
+               CAST(CASE WHEN instr(p_name, 'green') > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN instr(p_name, 'steel') > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN instr(p_name, 'tomato') > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_hits
+        FROM part
+    """,
+    doc="ClickHouse multiSearchAllPositions / multiSearchAny: one "
+    "pass over a string column locating several needles at once "
+    "(1-based position, 0 when absent — the CH convention both "
+    "engines' instr shares). CH fuses the needles into one "
+    "Volnitsky scan; Spark evaluates the instr family inside one "
+    "whole-stage-codegen projection over the same single pass of "
+    "the column — either way a narrow map stage, no shuffle, and "
+    "the scan reads only p_partkey/p_name (column pruning). "
+    "part_trigram_search is the indexed variant for unbounded "
+    "needle sets; this is the fixed-needle fast path.",
+)
+def str_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    hits = [F.instr("p_name", n) for n in ("green", "steel", "tomato")]
+    n_hits = sum(
+        (F.when(h > 0, 1).otherwise(0) for h in hits), F.lit(0)
+    )
+    return p.select(
+        "p_partkey",
+        hits[0].cast("long").alias("pos_green"),
+        hits[1].cast("long").alias("pos_steel"),
+        hits[2].cast("long").alias("pos_tomato"),
+        n_hits.cast("long").alias("n_hits"),
+    )

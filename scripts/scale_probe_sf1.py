@@ -74,6 +74,68 @@ def build_sf1(spark, base_sf: str) -> str:
     return out_dir
 
 
+def build_sf1_part(spark, base_sf: str) -> None:
+    """10x part table for the dedup_fuzzy_blocked probe. Copy i of
+    part p keeps p's name plus a copy-distinct md5-derived token of
+    LENGTH 6+i: within-copy duplicate distances are preserved (same
+    suffix), cross-copy pairs differ by a >3-edit random token so the
+    verify filter rejects them (no output explosion), and the varying
+    token length spreads copies across length buckets the way real
+    growth spreads real data."""
+    out = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe", "part.parquet")
+    if os.path.exists(out):
+        return
+    part = spark.read.parquet(f"{base_sf}/part.parquet")
+    copies = []
+    for i in range(10):
+        suffix = F.concat(
+            F.lit(" "), F.substring(F.md5(F.concat(F.lit(str(i)), "p_name")), 1, 6 + i)
+        )
+        copies.append(
+            part.select(
+                (F.col("p_partkey") + F.lit(i * 10_000_000)).alias("p_partkey"),
+                F.concat("p_name", suffix).alias("p_name"),
+                "p_brand",
+                "p_type",
+                "p_size",
+                "p_retailprice",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(out)
+
+
+def build_sf1_embeddings(spark, base_sf: str) -> None:
+    """10x embeddings for the sim_knn_join probe: vec_ids offset per
+    copy, each vector element nudged by a copy-dependent epsilon so
+    copies aren't bit-identical (identical vectors would make every
+    top-k a tie-break exercise rather than a ranking)."""
+    out = os.path.join(
+        tempfile.gettempdir(), "cbs_sf1_probe", "embeddings.parquet"
+    )
+    if os.path.exists(out):
+        return
+    emb = spark.read.parquet(f"{base_sf}/embeddings.parquet")
+    copies = []
+    for i in range(10):
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + F.lit(float(i) * 1e-3),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(out)
+
+
 def bucket_maxima(spark, sf_dir: str) -> dict:
     from clickhousebackup_spark.extensions.dedup import (
         N_BANDS,
@@ -140,6 +202,30 @@ def bucket_maxima(spark, sf_dir: str) -> dict:
     return {"minhash_band_bucket_max": minhash_max, "ppjoin_prefix_bucket_max": prefix_max}
 
 
+def fuzzy_knn_maxima(spark, sf_dir: str) -> dict:
+    """Max candidate-block sizes for the round-5 probe additions: the
+    (brand, len_bucket) fuzzy block and the sign-LSH knn bucket — the
+    quantities the quadratic-within-block worst cases are bounded by."""
+    from clickhousebackup_spark.extensions.similarity import lsh_bucket_expr
+    from clickhousebackup_spark.tables import load_table, parallelize
+
+    part = load_table(spark, sf_dir, "part")
+    fuzzy_max = (
+        part.groupBy("p_brand", F.expr("length(p_name) div 4").alias("lb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    knn_max = (
+        emb.groupBy(lsh_bucket_expr("embedding").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    return {"fuzzy_block_max": fuzzy_max, "knn_lsh_bucket_max": knn_max}
+
+
 def main() -> None:
     base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from clickhousebackup_spark.registry import all_specs
@@ -155,9 +241,14 @@ def main() -> None:
         "text_chunk_passages",
         "quality_linear_score",
         "dedup_passage",
+        # round-5 additions (VERDICT r4 item #6)
+        "dedup_fuzzy_blocked",
+        "sim_knn_join",
     )
     report: dict = {"base_sf": base_sf}
     sf1_dir = build_sf1(spark, base_sf)
+    build_sf1_part(spark, base_sf)
+    build_sf1_embeddings(spark, base_sf)
     for label, sf in (("sf0.1", base_sf), ("sf1_emulated", sf1_dir)):
         n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
         entry = {"n_docs": n_docs, "timings": {}, "rows": {}}
@@ -168,6 +259,7 @@ def main() -> None:
             entry["rows"][k] = rows
             print(f"# {label} {k}: {entry['timings'][k]}s rows={rows}", file=sys.stderr)
         entry["buckets"] = bucket_maxima(spark, sf)
+        entry["buckets"].update(fuzzy_knn_maxima(spark, sf))
         report[label] = entry
     print(json.dumps(report))
     spark.stop()

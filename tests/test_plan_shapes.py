@@ -450,3 +450,30 @@ def test_r4_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+#: (max shuffles, min broadcast joins, allow BroadcastNestedLoopJoin)
+#: measured at sf0.001 per the verify-skill plan-budget recipe.
+R5_PLAN_BUDGET = {
+    "agg_uniq_upto": (2, 0, False),       # two-phase capped distinct
+    "agg_bit_group": (1, 0, False),       # one bitfold hash agg
+    "ts_m4_downsample": (1, 0, False),    # single min/max/min_by agg
+    "win_sliding_distinct": (4, 1, False),  # obs distinct + fan agg; day spine bcast
+    "json_schema_stats": (2, 0, False),   # kv explode + vocab agg
+    "str_multisearch": (0, 0, False),     # narrow instr projection
+    "array_fill_forward": (0, 0, False),  # map-only fold
+    "dedup_containment": (5, 4, False),   # df agg + prefix probe + verify joins
+    "curation_funnel_report": (2, 0, False),  # conditional-distinct agg
+}
+
+
+@pytest.mark.parametrize("key", sorted(R5_PLAN_BUDGET))
+def test_r5_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R5_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
