@@ -349,3 +349,59 @@ def array_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return e.select("vec_id", csv.alias("filled_csv"))
+
+
+@register(
+    "array_compact_dedup",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding[1:8],
+                          x -> CASE WHEN x > 0 THEN 1
+                               WHEN x < 0 THEN -1 ELSE 0 END)) AS s,
+                   unnest(range(1, len(embedding[1:8]) + 1)) AS i
+            FROM embeddings
+        ), marked AS (
+            SELECT vec_id, i, s,
+                   CASE WHEN s = lag(s) OVER (PARTITION BY vec_id
+                                              ORDER BY i)
+                        THEN 0 ELSE 1 END AS keep
+            FROM ex
+        )
+        SELECT vec_id,
+               array_to_string(list_transform(
+                   list(s ORDER BY i) FILTER (WHERE keep = 1),
+                   x -> CAST(x AS VARCHAR)), ',') AS runs_csv,
+               CAST(SUM(keep) AS BIGINT) AS n_runs
+        FROM marked GROUP BY vec_id
+    """,
+    doc="ClickHouse arrayCompact: collapse CONSECUTIVE equal elements "
+    "to one (run-length heads), applied to the sign pattern of the "
+    "leading embedding dims so the fixture actually produces runs. "
+    "Spark side is a single index-aware filter lambda (keep element "
+    "i iff it differs from element i-1) — map-only, no explode, no "
+    "shuffle, codegen'd; the oracle states the same rule with a lag "
+    "window over the unnested positions. Pure integer comparisons "
+    "of identical inputs; output CSV-serialized per the array "
+    "convention. The run count doubles as a free signal (sign-"
+    "change count) used by change-point heuristics.",
+)
+def array_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = F.transform(
+        F.slice("embedding", 1, 8),
+        lambda x: F.when(x > 0, 1).when(x < 0, -1).otherwise(0),
+    )
+    e = e.select("vec_id", signs.alias("s"))
+    compacted = F.filter(
+        F.col("s"),
+        lambda x, i: (i == 0)
+        | (x != F.coalesce(F.try_element_at(F.col("s"), i), F.lit(-999))),
+    )
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(compacted, lambda x: x.cast("string")), ","
+        ).alias("runs_csv"),
+        F.size(compacted).cast("long").alias("n_runs"),
+    )

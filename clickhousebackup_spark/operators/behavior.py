@@ -838,3 +838,110 @@ def funnel_steps_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", depth.cast("long").alias("funnel_depth")
     ).distinct()
+
+
+@register(
+    "agg_retention_flags",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS has_view,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS has_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS has_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               CAST(SUM(has_view) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r3
+        FROM per_user GROUP BY 1
+    """,
+    doc="ClickHouse retention(cond1, cond2, cond3): per user, flag "
+    "r[i] is cond_i AND cond_1 (every later condition is gated on "
+    "the first — CH's exact contract), then the flags are summed "
+    "per cohort bucket: 'of users who VIEWED, how many also "
+    "clicked / purchased'. Two-phase: one boolean-max agg per user "
+    "(map-side combine collapses repeats), one small sum per "
+    "bucket. Both shuffles key on integers; state per user is three "
+    "bits — the reason CH evaluates retention() in one pass at any "
+    "scale, matched here.",
+)
+def agg_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_view"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return per_user.groupBy(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("user_bucket")
+    ).agg(
+        F.sum("has_view").cast("long").alias("r1"),
+        F.sum(
+            F.when((F.col("has_view") == 1) & (F.col("has_click") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("r2"),
+        F.sum(
+            F.when(
+                (F.col("has_view") == 1) & (F.col("has_purchase") == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("r3"),
+    )
+
+
+@register(
+    "sequence_match_flag",
+    oracle="""
+        SELECT user_id,
+               CAST(CASE WHEN MIN(CASE WHEN event_type = 'click'
+                                       THEN ts END) IS NOT NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_click,
+               CAST(CASE WHEN MAX(CASE WHEN event_type = 'purchase'
+                                       THEN ts END) IS NOT NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_purchase,
+               CAST(CASE WHEN MIN(CASE WHEN event_type = 'click'
+                                       THEN ts END)
+                            < MAX(CASE WHEN event_type = 'purchase'
+                                       THEN ts END)
+                         THEN 1 ELSE 0 END AS BIGINT) AS matched
+        FROM events GROUP BY user_id
+    """,
+    doc="ClickHouse sequenceMatch('(?1).*(?2)'): did event A ever "
+    "precede event B for this user? The unbounded-gap pattern needs "
+    "no per-event scan state: first-click-before-last-purchase is "
+    "equivalent (a click earlier than SOME purchase exists iff the "
+    "earliest click is earlier than the latest purchase), so the "
+    "whole match collapses to one conditional min/max aggregate — "
+    "one two-phase shuffle, constant state per user, identical "
+    "timestamp comparisons in both engines. funnel_steps_windowed "
+    "is the time-bounded generalization; this is the cheap "
+    "existence check CH users reach for first.",
+)
+def sequence_match_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    first_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    last_purch = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return ev.groupBy("user_id").agg(
+        F.when(first_click.isNotNull(), 1).otherwise(0).cast("long").alias(
+            "has_click"
+        ),
+        F.when(last_purch.isNotNull(), 1).otherwise(0).cast("long").alias(
+            "has_purchase"
+        ),
+        F.when(first_click < last_purch, 1).otherwise(0).cast("long").alias(
+            "matched"
+        ),
+    )

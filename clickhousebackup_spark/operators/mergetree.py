@@ -800,3 +800,75 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").alias("o_totalprice"),
         )
     )
+
+
+@register(
+    "agg_hll_set_ops",
+    oracle="""
+        SELECT
+            CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                 THEN user_id END) AS BIGINT) AS n_click,
+            CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                 THEN user_id END) AS BIGINT) AS n_purchase,
+            CAST(COUNT(DISTINCT CASE WHEN event_type IN
+                 ('click', 'purchase') THEN user_id END) AS BIGINT)
+                AS n_union,
+            CAST(1 AS BIGINT) AS union_est_ok,
+            CAST(1 AS BIGINT) AS intersect_est_ok
+        FROM events
+    """,
+    doc="Sketch set algebra (CH uniqCombined/Theta workflows): the "
+    "click-user and purchase-user HLL sketches are UNIONED for the "
+    "union estimate, and the intersection is estimated by "
+    "inclusion-exclusion (|A| + |B| − |A∪B|) — the only set algebra "
+    "HLL supports, and exactly how audience-overlap dashboards run "
+    "on CH. Checked columns are the exact distinct counts plus two "
+    "accuracy flags the oracle pins to 1: union estimate within 2% "
+    "of exact, inclusion-exclusion intersection within 5% of exact "
+    "(wider — I-E compounds the error of three sketches; the "
+    "documented reason CH offers Theta sketches for precise "
+    "intersections). The estimates themselves stay out of the "
+    "hashed surface (engine-specific), but the flags fail the hash "
+    "if sketch algebra ever degrades — same discipline as "
+    "agg_hll_merge.",
+)
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    is_c = F.col("event_type") == "click"
+    is_p = F.col("event_type") == "purchase"
+    sk = ev.agg(
+        F.hll_sketch_agg(F.when(is_c, F.col("user_id"))).alias("sk_c"),
+        F.hll_sketch_agg(F.when(is_p, F.col("user_id"))).alias("sk_p"),
+        F.countDistinct(F.when(is_c, F.col("user_id"))).alias("n_click"),
+        F.countDistinct(F.when(is_p, F.col("user_id"))).alias("n_purchase"),
+        F.countDistinct(
+            F.when(is_c | is_p, F.col("user_id"))
+        ).alias("n_union"),
+    )
+    est_c = F.hll_sketch_estimate("sk_c")
+    est_p = F.hll_sketch_estimate("sk_p")
+    est_u = F.hll_sketch_estimate(
+        F.expr("hll_union(sk_c, sk_p)")
+    )
+    est_i = est_c + est_p - est_u
+    return sk.select(
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.when(
+            F.abs(est_u - F.col("n_union"))
+            <= F.col("n_union") * F.lit(0.02),
+            1,
+        ).otherwise(0).cast("long").alias("union_est_ok"),
+        F.when(
+            F.abs(
+                est_i - (F.col("n_click") + F.col("n_purchase") - F.col("n_union"))
+            )
+            <= F.greatest(
+                (F.col("n_click") + F.col("n_purchase") - F.col("n_union"))
+                * F.lit(0.05),
+                F.lit(5.0),
+            ),
+            1,
+        ).otherwise(0).cast("long").alias("intersect_est_ok"),
+    )

@@ -557,3 +557,71 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * (F.least("kr", "kc").cast("double") - F.lit(1.0)))
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "quantile_timing_grid",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0),
+                         30000) AS ms,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, ms,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY ms)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        )
+        SELECT event_type,
+               CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT)
+                             THEN ms END) AS BIGINT) AS p50_ms,
+               CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT)
+                             THEN ms END) AS BIGINT) AS p90_ms,
+               CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT)
+                             THEN ms END) AS BIGINT) AS p99_ms
+        FROM t GROUP BY event_type
+    """,
+    doc="ClickHouse quantileTiming: latency quantiles over a BOUNDED "
+    "integer millisecond grid (values clamped to [0, 30000]; CH "
+    "widens the grid resolution above 1024 ms — the fixed-grid "
+    "simplification here keeps the same state bound with exact "
+    "grid-value results). The point vs agg_percentile_exact: state "
+    "per group is the OCCUPIED GRID CELLS (≤ 30k counters), never "
+    "the row count — the reason CH serves p99 dashboards over "
+    "billions of rows. Plan: two-phase count agg on (group, cell) — "
+    "map-side combine absorbs repeats — then a cumulative window "
+    "over the ≤30k cells per group picks the smallest cell covering "
+    "each rank. Integer counts, integer cells, ceil of an exact "
+    "product: every compared value is engine-identical.",
+)
+def quantile_timing_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ms = F.least(
+        F.greatest(F.floor("value").cast("long"), F.lit(0)), F.lit(30000)
+    )
+    g = ev.groupBy("event_type", ms.alias("ms")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    t = g.select(
+        "event_type",
+        "ms",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    def pick(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("cum") >= rank, F.col("ms")))
+    return t.groupBy("event_type").agg(
+        pick(0.5).cast("long").alias("p50_ms"),
+        pick(0.9).cast("long").alias("p90_ms"),
+        pick(0.99).cast("long").alias("p99_ms"),
+    )

@@ -464,6 +464,11 @@ R5_PLAN_BUDGET = {
     "array_fill_forward": (0, 0, False),  # map-only fold
     "dedup_containment": (5, 4, False),   # df agg + prefix probe + verify joins
     "curation_funnel_report": (2, 0, False),  # conditional-distinct agg
+    "agg_retention_flags": (2, 0, False),  # user flags + bucket sums
+    "sequence_match_flag": (1, 0, False),  # one conditional min/max agg
+    "array_compact_dedup": (0, 0, False),  # map-only filter lambda
+    "quantile_timing_grid": (2, 0, False),  # cell counts + cum window
+    "agg_hll_set_ops": (1, 0, False),      # one sketch+distinct agg
 }
 
 
