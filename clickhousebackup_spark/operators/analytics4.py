@@ -1,0 +1,577 @@
+"""Round-5 operator additions, batch 2: rank statistics (ROC AUC,
+Kolmogorov-Smirnov), robust dispersion (MAD), time-series rate
+(boundingRatio), interval-union length, moving-window array folds,
+min/max map aggregation, regexp group extraction, and the
+sequence-next-node behavioral lookup.
+
+ClickHouse parity targets: arrayAUC, kolmogorovSmirnovTest,
+medianExact-based MAD (mad() in most OLAP dialects),
+boundingRatio, intervalLengthSum, groupArrayMovingSum,
+minMap/maxMap, extractAll, and sequenceNextNode. The reference
+(backup.sh:38-45) delegates every one of these to the ClickHouse
+server behind one `clickhouse-client --query`; here each is a
+first-class distributed DataFrame plan.
+
+Hash-safety notes for this family (registry.py conventions):
+
+- AUC and KS are computed with INTEGER numerators (2·rank-sums and
+  count cross-products), so every checked value except the final
+  single division is exact — the division itself is one IEEE op on
+  identical operands in both engines.
+- MAD floor-grids the double column to a 1e-6 integer grid first;
+  continuous-quantile interpolation over integer-valued doubles is
+  exact (the midpoint of two integers is a dyadic rational).
+- Moving sums serialize to CSV over grid integers (the
+  agg_sum_map / emb_normalize_quantize driver convention —
+  the canonicalizer cannot factorize list cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "stats_roc_auc",
+    oracle="""
+        WITH d AS (
+            SELECT value,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS p_at,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n_at
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY value
+        ), c AS (
+            SELECT p_at, n_at,
+                   COALESCE(SUM(n_at) OVER (
+                       ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS neg_below
+            FROM d
+        )
+        SELECT CAST(SUM(p_at) AS BIGINT) AS n_pos,
+               CAST(SUM(n_at) AS BIGINT) AS n_neg,
+               CAST(SUM(p_at * (2 * neg_below + n_at)) AS BIGINT)
+                   AS auc_num2,
+               CAST(SUM(p_at * (2 * neg_below + n_at)) AS DOUBLE)
+                   / (2.0 * SUM(p_at) * SUM(n_at)) AS auc
+        FROM c
+    """,
+    doc="ClickHouse arrayAUC: area under the ROC curve of `value` as "
+    "a score separating click (positive) from view (negative) rows, "
+    "with the standard tie treatment (ties count 1/2). Computed via "
+    "the rank identity AUC = P(score_pos > score_neg) + "
+    "P(equal)/2: group to the distinct-score histogram, one window "
+    "cumsum of negatives below each score, then "
+    "sum(p·(2·neg_below + n_at)) — an INTEGER numerator; the only "
+    "float op is the final division, identical in both engines. The "
+    "window runs over the score VOCABULARY (distinct values), not "
+    "rows — the same state arrayAUC's sorted pair array holds. Two "
+    "shuffles (histogram + single-partition vocab window); at 100 TB "
+    "the vocabulary window is the bounded tail, and a banded "
+    "two-pass rank (sort_multi's shape) swaps in without changing "
+    "the checked output.",
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+    )
+    d = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("p_at"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_at"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = d.select(
+        "p_at",
+        "n_at",
+        F.coalesce(F.sum("n_at").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num2 = F.sum(
+        F.col("p_at") * (F.lit(2) * F.col("neg_below") + F.col("n_at"))
+    )
+    return c.agg(
+        F.sum("p_at").cast("long").alias("n_pos"),
+        F.sum("n_at").cast("long").alias("n_neg"),
+        num2.cast("long").alias("auc_num2"),
+        (
+            num2.cast("double")
+            / (F.lit(2.0) * F.sum("p_at") * F.sum("n_at"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+        WITH d AS (
+            SELECT value,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS c2
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY value
+        ), c AS (
+            SELECT SUM(c1) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum1,
+                   SUM(c2) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum2,
+                   SUM(c1) OVER () AS n1,
+                   SUM(c2) OVER () AS n2
+            FROM d
+        )
+        SELECT CAST(MAX(n1) AS BIGINT) AS n_click,
+               CAST(MAX(n2) AS BIGINT) AS n_view,
+               CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+               CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                   / (1.0 * MAX(n1) * MAX(n2)) AS ks_d
+        FROM c
+    """,
+    doc="ClickHouse kolmogorovSmirnovTest: the two-sample KS "
+    "D-statistic between the click and view value distributions. "
+    "D = max |ECDF1 - ECDF2| evaluated at the pooled distinct "
+    "values; clearing denominators gives the INTEGER numerator "
+    "max|cum1·n2 - cum2·n1| — every checked value except the final "
+    "division is exact integer arithmetic. Same bounded shape as "
+    "stats_roc_auc: one histogram shuffle, one vocabulary-sized "
+    "cumulative window, one final agg.",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+    )
+    d = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = d.select(
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return c.agg(
+        F.max("n1").cast("long").alias("n_click"),
+        F.max("n2").cast("long").alias("n_view"),
+        F.max(gap).cast("long").alias("ks_num"),
+        (
+            F.max(gap).cast("double")
+            / (F.lit(1.0) * F.max("n1") * F.max("n2"))
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "stats_mad",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1e6) AS BIGINT) AS v6
+            FROM events
+        ), m AS (
+            SELECT event_type,
+                   CAST(quantile_cont(v6, 0.5) AS DOUBLE) AS med6
+            FROM g GROUP BY event_type
+        )
+        SELECT g.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(m.med6) AS med6,
+               CAST(quantile_cont(ABS(g.v6 - m.med6), 0.5) AS DOUBLE)
+                   AS mad6
+        FROM g JOIN m ON g.event_type = m.event_type
+        GROUP BY g.event_type
+    """,
+    doc="Median absolute deviation per event type — the robust "
+    "dispersion statistic (DuckDB mad(); ClickHouse expresses it as "
+    "medianExact over |x - medianExact(x)|). Two exact continuous "
+    "quantiles: the per-group median, broadcast-joined back (the "
+    "group table is dimension-sized), then the median of absolute "
+    "deviations. Values are floor-gridded to the 1e-6 integer grid "
+    "first, so the interpolated midpoint of two grid points is a "
+    "dyadic rational — bit-identical across engines; raw-double "
+    "interpolation would not be (a+(b-a)/2 vs (a+b)/2 differ in the "
+    "last ulp). Two shuffles + one broadcast join; exact medians at "
+    "100 TB come from the same two-pass distributed selection "
+    "agg_percentile_exact uses.",
+)
+def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    m = g.groupBy("event_type").agg(
+        F.percentile("v6", F.lit(0.5)).alias("med6")
+    )
+    return (
+        g.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med6").alias("med6"),
+            F.percentile(
+                F.abs(F.col("v6") - F.col("med6")), F.lit(0.5)
+            ).alias("mad6"),
+        )
+    )
+
+
+@register(
+    "ts_bounding_ratio",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rl
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+               MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS dt_us,
+               (MAX(CASE WHEN rl = 1 THEN value END)
+                - MAX(CASE WHEN rf = 1 THEN value END)) * 1000000.0
+                   / CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+                          AS DOUBLE) AS rate_per_sec
+        FROM r GROUP BY event_type
+    """,
+    doc="ClickHouse boundingRatio: (last value - first value) / "
+    "(last ts - first ts) per series — the average rate of change "
+    "every counter/gauge dashboard computes. Spark side is ONE "
+    "two-phase hash agg: first/last via min_by/max_by on the "
+    "(ts, event_id) total order (the ts_m4_downsample shape — no "
+    "window sort), the time span in integer microseconds. The only "
+    "float ops are one subtraction of raw stored doubles, one "
+    "multiply, one divide — identical IEEE ops both engines. One "
+    "shuffle bounded by the series count.",
+)
+def ts_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    order = F.struct("ts", "event_id")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by("value", order).alias("v_first"),
+        F.max_by("value", order).alias("v_last"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("dt_us"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "v_first",
+        "v_last",
+        "dt_us",
+        (
+            (F.col("v_last") - F.col("v_first"))
+            * F.lit(1000000.0)
+            / F.col("dt_us").cast("double")
+        ).alias("rate_per_sec"),
+    )
+
+
+@register(
+    "intervals_union_length",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderpriority AS pri,
+                   o_orderkey AS okey,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        ), m AS (
+            SELECT pri, okey, s, e,
+                   MAX(e) OVER (PARTITION BY pri ORDER BY s, e, okey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS max_prev_e
+            FROM iv
+        ), fl AS (
+            SELECT pri, s, e,
+                   CASE WHEN max_prev_e IS NULL OR s > max_prev_e
+                        THEN 1 ELSE 0 END AS new_island,
+                   okey
+            FROM m
+        ), isl AS (
+            SELECT pri, s, e,
+                   SUM(new_island) OVER (PARTITION BY pri
+                       ORDER BY s, e, okey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+            FROM fl
+        ), per AS (
+            SELECT pri, island,
+                   date_diff('day', MIN(s), MAX(e)) AS len_days
+            FROM isl GROUP BY pri, island
+        )
+        SELECT pri,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(len_days) AS BIGINT) AS union_days
+        FROM per GROUP BY pri
+    """,
+    doc="ClickHouse intervalLengthSum: total length of the UNION of "
+    "(possibly overlapping) intervals per group — each order stays "
+    "open o_orderkey%30+1 days, the same deterministic synthetic "
+    "spans intervals_max_concurrent sweeps. Classic gaps-and-islands "
+    "as two windows over one partition-sorted pass: running max of "
+    "prior interval ends marks island starts (s > max_prev_e), a "
+    "running sum numbers the islands, then island length = "
+    "max(e) - min(s) in whole days (half-open [s,e), all integer "
+    "date arithmetic). One shuffle on the group key, two windows "
+    "and two aggs reusing the same partitioning; per-group sort is "
+    "the scale cost, exactly the MergeTree range-read order "
+    "ClickHouse exploits.",
+)
+def intervals_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 + 1 as int), 0, 0, 0)"
+        ).alias("e"),
+    )
+    w_ord = Window.partitionBy("pri").orderBy("s", "e", "okey")
+    m = iv.withColumn(
+        "max_prev_e",
+        F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    fl = m.withColumn(
+        "new_island",
+        F.when(
+            F.col("max_prev_e").isNull() | (F.col("s") > F.col("max_prev_e")),
+            1,
+        ).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = isl.groupBy("pri", "island").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("len_days")
+    )
+    return per.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("len_days").cast("long").alias("union_days"),
+    )
+
+
+@register(
+    "array_moving_agg",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   list(CAST(FLOOR(value * 1e6) AS BIGINT)
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n,
+               array_to_string(list_transform(range(1, len(vals) + 1),
+                   i -> CAST(list_aggregate(
+                            list_slice(vals, greatest(1, i - 2), i),
+                            'sum') AS VARCHAR)), ',') AS mov3_csv
+        FROM g
+    """,
+    doc="ClickHouse groupArrayMovingSum(3): per user, the trailing-3 "
+    "moving sum over the value series in (ts, event_id) order, "
+    "emitted as one array per group. Spark side: collect the "
+    "per-user series as sorted structs (array_sort on the total "
+    "order fixes collect_list's partition nondeterminism), project "
+    "the grid-integer values, then a transform-with-index lambda "
+    "folds each trailing slice — all JVM-side higher-order "
+    "functions, no Python. Values floor-grid to 1e-6 integers so "
+    "the sums are exact and the CSV serialization (driver "
+    "scalar-cell convention) is digit-stable. Per-user arrays are "
+    "session-sized — the same per-key state groupArrayMovingSum "
+    "holds; one shuffle.",
+)
+def array_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "v6"))
+        ).alias("pairs")
+    )
+    g = g.withColumn("vals", F.expr("transform(pairs, p -> p.v6)"))
+    mov = F.expr(
+        "transform(vals, (v, i) -> aggregate("
+        " slice(vals, greatest(1, i - 1), i + 2 - greatest(1, i - 1)),"
+        " cast(0 as bigint), (a, x) -> a + x))"
+    )
+    return g.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n"),
+        F.array_join(
+            F.transform(mov, lambda x: x.cast("string")), ","
+        ).alias("mov3_csv"),
+    )
+
+
+@register(
+    "agg_minmax_map",
+    oracle="""
+        WITH kv AS (
+            SELECT event_type,
+                   unnest(json_keys(props)) AS pkey,
+                   CAST(json_extract_string(props,
+                        concat('$.', unnest(json_keys(props)))) AS BIGINT)
+                       AS pval
+            FROM events
+        ), g AS (
+            SELECT event_type, pkey,
+                   CAST(MIN(pval) AS BIGINT) AS pmin,
+                   CAST(MAX(pval) AS BIGINT) AS pmax
+            FROM kv GROUP BY event_type, pkey
+        )
+        SELECT event_type,
+               array_to_string(list(pkey ORDER BY pkey), ',') AS keys_csv,
+               array_to_string(list_transform(list(pmin ORDER BY pkey),
+                   x -> CAST(x AS VARCHAR)), ',') AS mins_csv,
+               array_to_string(list_transform(list(pmax ORDER BY pkey),
+                   x -> CAST(x AS VARCHAR)), ',') AS maxs_csv
+        FROM g GROUP BY event_type
+    """,
+    doc="ClickHouse minMap / maxMap: per group, element-wise min and "
+    "max of a map column's values by key, emitted as parallel "
+    "key-ordered vectors — agg_sum_map's siblings completing the "
+    "sumMap/minMap/maxMap family. Same two-phase shape: explode the "
+    "parsed map, integer min/max per (group, key) with map-side "
+    "combine, reassemble per group bounded by the property "
+    "VOCABULARY, serialize to CSV (driver scalar-cell convention). "
+    "One shuffle; collect is vocabulary-bounded, never row-bounded.",
+)
+def agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,long>")).alias(
+            "pkey", "pval"
+        ),
+    )
+    g = kv.groupBy("event_type", "pkey").agg(
+        F.min("pval").cast("long").alias("pmin"),
+        F.max("pval").cast("long").alias("pmax"),
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("pkey", "pmin", "pmax")))
+    return g.groupBy("event_type").agg(
+        F.array_join(F.transform(pairs, lambda x: x["pkey"]), ",").alias(
+            "keys_csv"
+        ),
+        F.array_join(
+            F.transform(pairs, lambda x: x["pmin"].cast("string")), ","
+        ).alias("mins_csv"),
+        F.array_join(
+            F.transform(pairs, lambda x: x["pmax"].cast("string")), ","
+        ).alias("maxs_csv"),
+    )
+
+
+@register(
+    "str_extract_groups",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
+                   AS n_matches,
+               COALESCE(array_to_string(list_slice(
+                   regexp_extract_all(text, '[a-z]{7,}'), 1, 8), ','), '')
+                   AS first8_csv
+        FROM documents
+    """,
+    doc="ClickHouse extractAll: every regexp match per document (all "
+    "words of ≥7 lowercase letters), with the match count and the "
+    "first 8 matches CSV-serialized (driver scalar-cell "
+    "convention). Pattern is dialect-neutral (a pure character "
+    "class + bounded quantifier — identical semantics in Java "
+    "regex and RE2); matches are non-overlapping left-to-right in "
+    "both engines. Pure map-side projection: no shuffle, no UDF — "
+    "the regexp runs inside whole-stage codegen per partition, the "
+    "shape that saturates scan bandwidth at 100 TB.",
+)
+def str_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.expr("regexp_extract_all(text, '[a-z]{7,}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_matches"),
+        F.array_join(F.slice(arr, 1, 8), ",").alias("first8_csv"),
+    )
+
+
+@register(
+    "sequence_next_node",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), f AS (
+            SELECT user_id, MIN(rn) AS rn0
+            FROM r WHERE event_type = 'click' GROUP BY user_id
+        )
+        SELECT r.user_id,
+               CAST(r.event_id AS BIGINT) AS next_event_id,
+               r.event_type AS next_type
+        FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn0 + 1
+    """,
+    doc="ClickHouse sequenceNextNode: for each user, the event that "
+    "immediately follows their FIRST 'click' — the "
+    "what-happens-after-X behavioral lookup. One row_number window "
+    "on the (ts, event_id) total order per user, a conditional min "
+    "for the anchor position, then an equi-join on (user, rn0+1). "
+    "Users whose first click is their last event drop out (inner "
+    "join), matching sequenceNextNode's NULL elision. Both the "
+    "window and the join share the user_id partitioning, so the "
+    "whole plan is one shuffle plus a co-partitioned self-join — "
+    "no fact-table rescan per step.",
+)
+def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    f = (
+        r.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("rn0"))
+    )
+    return (
+        r.join(f, "user_id")
+        .filter(F.col("rn") == F.col("rn0") + 1)
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("next_event_id"),
+            F.col("event_type").alias("next_type"),
+        )
+    )

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics",
     "clickhousebackup_spark.operators.analytics2",
     "clickhousebackup_spark.operators.analytics3",
+    "clickhousebackup_spark.operators.analytics4",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.operators.ch_query",

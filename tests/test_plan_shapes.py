@@ -469,6 +469,15 @@ R5_PLAN_BUDGET = {
     "array_compact_dedup": (0, 0, False),  # map-only filter lambda
     "quantile_timing_grid": (2, 0, False),  # cell counts + cum window
     "agg_hll_set_ops": (1, 0, False),      # one sketch+distinct agg
+    "stats_roc_auc": (1, 0, False),        # score histogram + vocab window
+    "stats_ks_test": (1, 0, False),        # same bounded ECDF shape
+    "stats_mad": (2, 1, False),            # two quantile aggs; median bcast join
+    "ts_bounding_ratio": (1, 0, False),    # one min_by/max_by agg
+    "intervals_union_length": (1, 0, False),  # one partition-sorted island pass
+    "array_moving_agg": (1, 0, False),     # per-user collect + JVM lambda fold
+    "agg_minmax_map": (2, 0, False),       # kv agg + vocab reassembly
+    "str_extract_groups": (0, 0, False),   # map-only codegen regexp
+    "sequence_next_node": (2, 1, False),   # user window + bcast anchor join
 }
 
 
