@@ -455,3 +455,62 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(len_ok & lang_ok, F.md5("text"))
         ).cast("long").alias("n_unique_pass"),
     )
+
+
+@register(
+    "token_vocab_coverage",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ), tok AS (
+            SELECT source, word FROM toks WHERE word <> ''
+        ), cnt AS (
+            SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+        ), vocab AS (
+            SELECT word FROM cnt ORDER BY c DESC, word LIMIT 100
+        )
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS total_tokens,
+               CAST(COUNT(v.word) AS BIGINT) AS covered_tokens,
+               CAST(COUNT(v.word) AS DOUBLE) / COUNT(*) AS coverage
+        FROM tok t LEFT JOIN vocab v ON t.word = v.word
+        GROUP BY t.source
+    """,
+    doc="Tokenizer vocabulary coverage: what fraction of the corpus "
+    "token stream is covered by the top-100 most frequent tokens, "
+    "per source — the first diagnostic run when sizing a tokenizer "
+    "vocabulary (coverage vs vocab-size is the curve BPE training "
+    "walks). Token counts are one word-keyed agg; the top-100 "
+    "vocabulary is a total-ordered (count DESC, word) limit — "
+    "deterministic at ties — and broadcasts back onto the token "
+    "stream as a LEFT join so uncovered tokens count toward the "
+    "denominator. Integer counts + one final division. At 100 TB "
+    "the vocab stays driver-tiny while the token stream never "
+    "leaves the executors — the same two-phase shape as "
+    "corpus_token_budget.",
+)
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(100)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "word", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.count("in_vocab").cast("long").alias("covered_tokens"),
+        (F.count("in_vocab").cast("double") / F.count(F.lit(1))).alias(
+            "coverage"
+        ),
+    )

@@ -465,3 +465,131 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.select(
         "vec_id", "nrm", "scale", F.array_join(q, ",").alias("q_csv")
     )
+
+
+@register(
+    "emb_dim_slice_search",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   list_transform(list_slice(embedding, 1, 8),
+                       x -> CAST(x AS DOUBLE)) AS qv8
+            FROM embeddings WHERE vec_id < 5
+        ), pairs AS (
+            SELECT q.qid, e.vec_id,
+                   list_reduce(list_transform(
+                       list_zip(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE)), q.qv),
+                       p -> p[1] * p[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(q.qv,
+                          x -> x * x), (a, b) -> a + b))) AS cos_full,
+                   list_reduce(list_transform(
+                       list_zip(list_transform(list_slice(e.embedding, 1, 8),
+                           x -> CAST(x AS DOUBLE)), q.qv8),
+                       p -> p[1] * p[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(
+                          list_slice(e.embedding, 1, 8),
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(q.qv8,
+                          x -> x * x), (a, b) -> a + b))) AS cos8
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.qid
+        ), ranked AS (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_full DESC, vec_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos8 DESC, vec_id) AS r8
+            FROM pairs
+        )
+        SELECT qid,
+               CAST(MAX(CASE WHEN rf = 1 THEN vec_id END) AS BIGINT)
+                   AS top_full_id,
+               CAST(MAX(CASE WHEN r8 = 1 THEN vec_id END) AS BIGINT)
+                   AS top_trunc_id,
+               CAST(CASE WHEN MAX(CASE WHEN rf = 1 THEN vec_id END)
+                          = MAX(CASE WHEN r8 = 1 THEN vec_id END)
+                    THEN 1 ELSE 0 END AS BIGINT) AS agree
+        FROM ranked GROUP BY qid
+    """,
+    doc="Matryoshka-style truncated-dimension retrieval probe: for "
+    "each of 5 query vectors, the top-1 cosine neighbor using the "
+    "FULL 64-dim embedding vs using only the FIRST 8 dims (the MRL "
+    "prefix-dim trick every embedding service uses to cut ANN cost "
+    "8x), plus an agreement flag — the measurement that tells you "
+    "whether the cheap prefix index can serve as the candidate "
+    "stage. Query block broadcasts (5 rows); both cosines fold "
+    "left-to-right over the array in both engines (registry "
+    "convention — bit-identical doubles); both ranks share ONE "
+    "qid-partitioned window shuffle. At 100 TB the full-dim rank "
+    "becomes the re-rank stage over prefix-dim candidates — "
+    "sim_topk_ivf's exact shape.",
+)
+def emb_dim_slice_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        F.transform(
+            F.slice("embedding", 1, 8), lambda x: x.cast("double")
+        ).alias("qv8"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (
+                    _norm("embedding")
+                    * F.sqrt(
+                        F.aggregate(
+                            F.col("qv"),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x * x,
+                        )
+                    )
+                )
+            ).alias("cos_full"),
+            (
+                _dot(F.slice("embedding", 1, 8), F.col("qv8"))
+                / (
+                    _norm(F.slice("embedding", 1, 8))
+                    * F.sqrt(
+                        F.aggregate(
+                            F.col("qv8"),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x * x,
+                        )
+                    )
+                )
+            ).alias("cos8"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w8 = Window.partitionBy("qid").orderBy(
+        F.col("cos8").desc(), F.col("vec_id")
+    )
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(w8).alias("r8"),
+    )
+    top_f = F.max(F.when(F.col("rf") == 1, F.col("vec_id")))
+    top_8 = F.max(F.when(F.col("r8") == 1, F.col("vec_id")))
+    return ranked.groupBy("qid").agg(
+        top_f.cast("long").alias("top_full_id"),
+        top_8.cast("long").alias("top_trunc_id"),
+        F.when(top_f == top_8, 1).otherwise(0).cast("long").alias("agree"),
+    )

@@ -405,3 +405,87 @@ def array_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("runs_csv"),
         F.size(compacted).cast("long").alias("n_runs"),
     )
+
+
+@register(
+    "array_rotate_zip",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   list(CAST(FLOOR(value * 1e6) AS BIGINT)
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        ), p AS (
+            SELECT user_id, vals, len(vals) AS n,
+                   2 % len(vals) AS k
+            FROM g
+        ), r AS (
+            SELECT user_id, vals, n,
+                   list_concat(list_slice(vals, k + 1, n),
+                               list_slice(vals, 1, k)) AS rot,
+                   list_concat(
+                       list_transform(range(1, least(2, n) + 1),
+                           i -> CAST(0 AS BIGINT)),
+                       list_slice(vals, 1, greatest(n - 2, 0))) AS shr
+            FROM p
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               array_to_string(list_transform(rot,
+                   x -> CAST(x AS VARCHAR)), ',') AS rot2_csv,
+               array_to_string(list_transform(shr,
+                   x -> CAST(x AS VARCHAR)), ',') AS shr2_csv,
+               array_to_string(list_transform(range(1, n + 1),
+                   i -> CAST(vals[i] + rot[i] AS VARCHAR)), ',')
+                   AS zsum_csv
+        FROM r
+    """,
+    doc="ClickHouse arrayRotateLeft / arrayShiftRight / arrayZip "
+    "composition over the per-user value series: rotate-left-2 "
+    "(modulo length), shift-right-2 with zero fill, and the "
+    "element-wise sum of the series with its own rotation (the "
+    "wrap-around pairwise combine). All slicing/concat/zip_with "
+    "runs as JVM higher-order functions over grid-integer arrays — "
+    "no UDF, exact values, CSV-serialized (driver scalar-cell "
+    "convention). One shuffle (the per-user collect); per-user "
+    "arrays are session-sized, the same state the CH array "
+    "functions hold per row.",
+)
+def array_rotate_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "v6"))
+        ).alias("pairs")
+    )
+    g = g.withColumn("vals", F.expr("transform(pairs, p -> p.v6)"))
+    g = g.withColumn("n", F.size("vals")).withColumn(
+        "k", F.pmod(F.lit(2), F.col("n"))
+    )
+    g = g.withColumn(
+        "rot",
+        F.concat(
+            F.slice(F.col("vals"), F.col("k") + 1, F.col("n") - F.col("k")),
+            F.slice(F.col("vals"), 1, F.col("k")),
+        ),
+    ).withColumn(
+        "shr",
+        F.concat(
+            F.expr("array_repeat(cast(0 as bigint), least(2, n))"),
+            F.slice(F.col("vals"), 1, F.greatest(F.col("n") - 2, F.lit(0))),
+        ),
+    )
+    csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
+    return g.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        csv(F.col("rot")).alias("rot2_csv"),
+        csv(F.col("shr")).alias("shr2_csv"),
+        csv(F.zip_with("vals", "rot", lambda a, b: a + b)).alias("zsum_csv"),
+    )

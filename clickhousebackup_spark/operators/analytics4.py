@@ -528,6 +528,234 @@ def str_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_lttb_downsample",
+    oracle="""
+        WITH b0 AS (
+            SELECT event_type, ts, event_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   CAST(FLOOR(value * 1e6) AS BIGINT) AS y6
+            FROM events
+        ), t0 AS (
+            SELECT event_type, MIN(ts) AS ts0 FROM b0 GROUP BY event_type
+        ), base AS (
+            SELECT b0.event_type, b0.bucket_ts, b0.event_id,
+                   CAST(epoch_us(b0.ts) - epoch_us(t0.ts0) AS BIGINT)
+                       AS t_rel,
+                   b0.y6
+            FROM b0 JOIN t0 ON b0.event_type = t0.event_type
+        ), bs AS (
+            SELECT event_type, bucket_ts,
+                   COUNT(*) AS n, SUM(t_rel) AS sx, SUM(y6) AS sy
+            FROM base GROUP BY event_type, bucket_ts
+        ), nb AS (
+            SELECT event_type, bucket_ts, n,
+                   LAG(n)  OVER w AS np, LAG(sx) OVER w AS sxp,
+                   LAG(sy) OVER w AS syp,
+                   LEAD(n) OVER w AS nn, LEAD(sx) OVER w AS sxn,
+                   LEAD(sy) OVER w AS syn
+            FROM bs
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+        ), pts AS (
+            SELECT base.event_type, base.bucket_ts, base.t_rel, base.y6,
+                   base.event_id, nb.n AS n_in_bucket,
+                   CASE WHEN nb.np IS NULL THEN 'first'
+                        WHEN nb.nn IS NULL THEN 'last'
+                        ELSE 'area' END AS mode,
+                   CASE WHEN nb.np IS NULL OR nb.nn IS NULL THEN 0.0
+                        ELSE ABS(
+          (CAST(nb.sxp AS DOUBLE) * CAST(nb.nn AS DOUBLE)
+           - CAST(nb.sxn AS DOUBLE) * CAST(nb.np AS DOUBLE))
+          * (CAST(base.y6 AS DOUBLE) * CAST(nb.np AS DOUBLE)
+             - CAST(nb.syp AS DOUBLE))
+          - (CAST(nb.sxp AS DOUBLE)
+             - CAST(base.t_rel AS DOUBLE) * CAST(nb.np AS DOUBLE))
+          * (CAST(nb.syn AS DOUBLE) * CAST(nb.np AS DOUBLE)
+             - CAST(nb.syp AS DOUBLE) * CAST(nb.nn AS DOUBLE)))
+                   END AS area
+            FROM base JOIN nb ON base.event_type = nb.event_type
+                             AND base.bucket_ts = nb.bucket_ts
+        ), sel AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket_ts
+                       ORDER BY
+                         CASE WHEN mode = 'area' THEN -area ELSE 0.0 END,
+                         CASE WHEN mode = 'last' THEN -t_rel
+                              ELSE t_rel END,
+                         CASE WHEN mode = 'last' THEN -event_id
+                              ELSE event_id END) AS rn
+            FROM pts
+        )
+        SELECT event_type, bucket_ts, mode,
+               CAST(t_rel AS BIGINT) AS sel_t_rel,
+               CAST(y6 AS BIGINT) AS sel_y6,
+               CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+        FROM sel WHERE rn = 1
+    """,
+    doc="ClickHouse largestTriangleThreeBuckets, the parallel "
+    "bucket-average variant: one representative point per "
+    "(series, hour) chosen to maximize the triangle area against "
+    "the NEIGHBOR BUCKET CENTROIDS (classic LTTB anchors on the "
+    "previously-selected point, which is inherently sequential; "
+    "anchoring on the prev/next bucket averages is the standard "
+    "parallelization and keeps the same visual guarantee). First/"
+    "last buckets keep their first/last point, matching LTTB's "
+    "endpoint pinning. Exactness design: times are integer µs "
+    "offsets from the series start, values integer 1e-6 grid, so "
+    "bucket sums are exact int64; the area is evaluated with "
+    "denominators cleared — |(sxp·nn − sxn·np)(y·np − syp) − "
+    "(sxp − x·np)(syn·np − syp·nn)| — as ONE identical IEEE "
+    "double expression in both engines, so the argmax (tiebreak "
+    "(t, event_id)) picks the same point even where the double "
+    "rounds; only exact integers are checked. Plan: dimension-sized "
+    "t0 broadcast, one bucket agg, one bucket-spine lag/lead "
+    "window, one co-partitioned equi-join back, one per-bucket "
+    "row_number — shuffles bounded by series x buckets, the "
+    "monitoring-UI shape at 100 TB.",
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("y6"),
+    )
+    t0 = b0.groupBy("event_type").agg(F.min("ts").alias("ts0"))
+    base = b0.join(F.broadcast(t0), "event_type").select(
+        "event_type",
+        "bucket_ts",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("ts0")).cast("long").alias(
+            "t_rel"
+        ),
+        "y6",
+    )
+    bs = base.groupBy("event_type", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t_rel").alias("sx"),
+        F.sum("y6").alias("sy"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    nb = bs.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.lag("n").over(w).alias("np"),
+        F.lag("sx").over(w).alias("sxp"),
+        F.lag("sy").over(w).alias("syp"),
+        F.lead("n").over(w).alias("nn"),
+        F.lead("sx").over(w).alias("sxn"),
+        F.lead("sy").over(w).alias("syn"),
+    )
+    j = base.join(nb, ["event_type", "bucket_ts"])
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    area_expr = F.abs(
+        (d("sxp") * d("nn") - d("sxn") * d("np"))
+        * (d("y6") * d("np") - d("syp"))
+        - (d("sxp") - d("t_rel") * d("np"))
+        * (d("syn") * d("np") - d("syp") * d("nn"))
+    )
+    pts = j.select(
+        "event_type",
+        "bucket_ts",
+        "t_rel",
+        "y6",
+        "event_id",
+        F.col("n").alias("n_in_bucket"),
+        F.when(F.col("np").isNull(), "first")
+        .when(F.col("nn").isNull(), "last")
+        .otherwise("area")
+        .alias("mode"),
+        F.when(
+            F.col("np").isNull() | F.col("nn").isNull(), F.lit(0.0)
+        )
+        .otherwise(area_expr)
+        .alias("area"),
+    )
+    w_sel = Window.partitionBy("event_type", "bucket_ts").orderBy(
+        F.when(F.col("mode") == "area", -F.col("area")).otherwise(F.lit(0.0)),
+        F.when(F.col("mode") == "last", -F.col("t_rel")).otherwise(
+            F.col("t_rel")
+        ),
+        F.when(F.col("mode") == "last", -F.col("event_id")).otherwise(
+            F.col("event_id")
+        ),
+    )
+    return (
+        pts.withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bucket_ts",
+            "mode",
+            F.col("t_rel").cast("long").alias("sel_t_rel"),
+            F.col("y6").cast("long").alias("sel_y6"),
+            F.col("n_in_bucket").cast("long").alias("n_in_bucket"),
+        )
+    )
+
+
+@register(
+    "agg_array_intersect",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id % 10 AS bucket, user_id, event_type
+            FROM events
+        ), g AS (
+            SELECT bucket, event_type, COUNT(*) AS nu
+            FROM ut GROUP BY bucket, event_type
+        ), tot AS (
+            SELECT bucket, COUNT(DISTINCT user_id) AS n_users
+            FROM ut GROUP BY bucket
+        )
+        SELECT g.bucket,
+               CAST(MAX(tot.n_users) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (WHERE g.nu = tot.n_users) AS BIGINT)
+                   AS n_common,
+               COALESCE(array_to_string(list(g.event_type ORDER BY
+                   g.event_type) FILTER (WHERE g.nu = tot.n_users), ','),
+                   '') AS common_csv
+        FROM g JOIN tot ON g.bucket = tot.bucket
+        GROUP BY g.bucket
+    """,
+    doc="ClickHouse groupArrayIntersect: per group, the set of "
+    "elements present in EVERY member's array — here, the event "
+    "types every user in a user-bucket has performed. Relational "
+    "reformulation (the scalable one): distinct (bucket, user, "
+    "type) observations, per-(bucket, type) user counts, and a "
+    "type is universal iff its count equals the bucket's user "
+    "count — set intersection as counting, no per-group set state "
+    "at all. Output is the vocabulary-bounded sorted CSV (driver "
+    "scalar-cell convention). Three hash aggs sharing the bucket "
+    "key; the group-size intersection state ClickHouse holds "
+    "per-group becomes two bounded count tables.",
+)
+def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("bucket"),
+        "user_id",
+        "event_type",
+    )
+    ut = ev.distinct()
+    g = ut.groupBy("bucket", "event_type").agg(F.count(F.lit(1)).alias("nu"))
+    tot = ut.groupBy("bucket").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    j = g.join(tot, "bucket")
+    is_common = F.col("nu") == F.col("n_users")
+    return j.groupBy("bucket").agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.count(F.when(is_common, 1)).cast("long").alias("n_common"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(is_common, F.col("event_type")))),
+            ",",
+        ).alias("common_csv"),
+    )
+
+
+@register(
     "sequence_next_node",
     oracle="""
         WITH r AS (

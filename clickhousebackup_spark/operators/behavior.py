@@ -945,3 +945,90 @@ def sequence_match_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched"
         ),
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), walk(side, id, d) AS (
+            SELECT 'c', CAST(1 AS BIGINT), 0
+            UNION
+            SELECT CASE WHEN w.side = 'c' THEN 's' ELSE 'c' END,
+                   CAST(CASE WHEN w.side = 'c' THEN e.s ELSE e.c END
+                        AS BIGINT),
+                   w.d + 1
+            FROM walk w JOIN e
+              ON (w.side = 'c' AND w.id = e.c)
+              OR (w.side = 's' AND w.id = e.s)
+            WHERE w.d < 3
+        )
+        SELECT side, id, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY side, id
+    """,
+    doc="Bounded breadth-first search over the customer-supplier "
+    "bipartite graph (edges = 'customer ordered a line item from "
+    "supplier'): minimum hop count from customer 1 out to depth 3 "
+    "— the neighborhood-expansion query behind fraud rings, "
+    "recommendation walks, and supply-chain blast radius. Spark "
+    "side is LAYERED BFS: each hop is one equi-join of the "
+    "current frontier against the edge list followed by an "
+    "anti-join against already-visited nodes, so a node's first "
+    "discovery layer IS its minimum distance — no per-node state, "
+    "no driver loop beyond the fixed 3 rounds, and the frontier "
+    "(dimension-sized here) broadcasts. The oracle states the "
+    "same fixpoint as a recursive CTE with MIN(d). The edge list "
+    "is built once (distinct pairs) and reused across hops — at "
+    "100 TB you'd bucket it by both endpoints and the per-hop "
+    "joins stay co-partitioned shuffle-free.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_suppkey").alias("s"),
+    )
+    e = o.join(li, "o_orderkey").select("c", "s").distinct()
+    e = e.localCheckpoint(eager=False)
+
+    src = F.lit(1).cast("long")
+    # layer 0: the source customer
+    d0 = (
+        e.sparkSession.range(1)
+        .select(F.lit("c").alias("side"), src.alias("id"), F.lit(0).alias("d"))
+    )
+    # layer 1: suppliers of customer 1
+    s1 = (
+        e.filter(F.col("c") == src)
+        .select(F.col("s").alias("id"))
+        .distinct()
+    )
+    # layer 2: customers sharing any layer-1 supplier, minus the source
+    c2 = (
+        e.join(F.broadcast(s1), e["s"] == s1["id"], "semi")
+        .select(F.col("c").alias("id"))
+        .distinct()
+        .filter(F.col("id") != src)
+    )
+    # layer 3: suppliers of layer-2 customers not already in layer 1
+    s3 = (
+        e.join(F.broadcast(c2), e["c"] == c2["id"], "semi")
+        .select(F.col("s").alias("id"))
+        .distinct()
+        .join(F.broadcast(s1), "id", "anti")
+    )
+    lay = lambda df, side, dist: df.select(  # noqa: E731
+        F.lit(side).alias("side"),
+        F.col("id").cast("long").alias("id"),
+        F.lit(dist).alias("d"),
+    )
+    return (
+        d0.unionAll(lay(s1, "s", 1))
+        .unionAll(lay(c2, "c", 2))
+        .unionAll(lay(s3, "s", 3))
+        .select("side", "id", F.col("d").cast("long").alias("dist"))
+    )

@@ -478,6 +478,12 @@ R5_PLAN_BUDGET = {
     "agg_minmax_map": (2, 0, False),       # kv agg + vocab reassembly
     "str_extract_groups": (0, 0, False),   # map-only codegen regexp
     "sequence_next_node": (2, 1, False),   # user window + bcast anchor join
+    "ts_lttb_downsample": (4, 3, False),   # bucket agg + spine window + co-part join + select
+    "agg_array_intersect": (5, 1, False),  # distinct + two counts + reassembly
+    "graph_bfs_hops": (7, 4, False),       # layered BFS: per-hop semi/anti joins, bcast frontiers
+    "array_rotate_zip": (1, 0, False),     # per-user collect + JVM slicing lambdas
+    "emb_dim_slice_search": (1, 0, True),  # 5-row bcast probe (deliberate NLJ) + one qid window
+    "token_vocab_coverage": (2, 1, False), # token agg + bcast vocab join
 }
 
 
