@@ -803,3 +803,170 @@ def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("next_type"),
         )
     )
+
+
+@register(
+    "agg_uniq_array",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, user_id % 100 AS ub FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(DISTINCT ub) AS BIGINT) AS n_uniq,
+               array_to_string(list_transform(
+                   list(DISTINCT ub ORDER BY ub),
+                   x -> CAST(x AS VARCHAR)), ',') AS uniq_csv
+        FROM b GROUP BY event_type
+    """,
+    doc="ClickHouse groupUniqArray: the distinct elements per group "
+    "as one sorted array — the set-valued aggregate behind "
+    "'which user cohorts touched this event type'. Spark's "
+    "collect_set + array_sort gives the same set with a total "
+    "order; state is bounded by the value domain (user buckets, "
+    "100), not rows — map-side partial sets absorb repeats before "
+    "the single shuffle. CSV-serialized (driver scalar-cell "
+    "convention).",
+)
+def agg_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(100)).cast("long").alias("ub"),
+    )
+    u = F.array_sort(F.collect_set("ub"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("ub").cast("long").alias("n_uniq"),
+        F.array_join(F.transform(u, lambda x: x.cast("string")), ",").alias(
+            "uniq_csv"
+        ),
+    )
+
+
+@register(
+    "str_ngram_similarity",
+    oracle="""
+        WITH g AS (
+            SELECT p_partkey, p_name,
+                   CASE WHEN length(p_name) < 3 THEN []
+                        ELSE list_distinct(list_transform(
+                            range(1, length(p_name) - 2 + 1),
+                            i -> substring(p_name, CAST(i AS INTEGER), 3)))
+                   END AS grams
+            FROM part
+        )
+        SELECT a.p_partkey,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                   AS n_shared,
+               CAST(len(a.grams) AS BIGINT) AS n_a,
+               CAST(len(b.grams) AS BIGINT) AS n_b,
+               CASE WHEN len(a.grams) + len(b.grams) = 0 THEN 0.0
+                    ELSE 2.0 * len(list_intersect(a.grams, b.grams))
+                         / (len(a.grams) + len(b.grams)) END AS dice_sim
+        FROM g a JOIN g b ON b.p_partkey = a.p_partkey + 1
+    """,
+    doc="ClickHouse ngramDistance (reported as Dice similarity "
+    "2|A∩B|/(|A|+|B|) over distinct character trigrams): fuzzy "
+    "string similarity between each part name and its successor's "
+    "— the per-row-pair shape of typo/variant detection. Trigram "
+    "sets are built with JVM transform/substring lambdas (no UDF); "
+    "counts are exact integers and the similarity is one final "
+    "division. The successor join is a broadcast of the "
+    "dimension-sized part table; at corpus scale this becomes "
+    "dedup_fuzzy_blocked's blocked self-join — this key is the "
+    "per-pair primitive.",
+)
+def str_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    grams = F.when(
+        F.length("p_name") < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(p_name) - 2),"
+                " i -> substring(p_name, i, 3))"
+            )
+        )
+    )
+    g = p.select("p_partkey", "p_name", grams.alias("grams"))
+    a = g.alias("a")
+    b = g.select(
+        (F.col("p_partkey") - 1).alias("join_key"),
+        F.col("p_name").alias("name_b"),
+        F.col("grams").alias("grams_b"),
+    ).alias("b")
+    j = a.join(F.broadcast(b), F.col("a.p_partkey") == F.col("b.join_key"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("grams_b")))
+    na = F.size(F.col("a.grams"))
+    nb = F.size(F.col("grams_b"))
+    return j.select(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("name_b"),
+        inter.cast("long").alias("n_shared"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when((na + nb) == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * inter / (na + nb))
+        .alias("dice_sim"),
+    )
+
+
+@register(
+    "ts_nonneg_derivative",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, event_id, value,
+                   epoch_us(ts) AS t_us,
+                   LAG(value) OVER w AS pv,
+                   LAG(epoch_us(ts)) OVER w AS pt
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(t_us - pt AS BIGINT) AS dt_us,
+               CASE WHEN t_us - pt <= 0 THEN 0.0
+                    ELSE greatest(0.0,
+                         (value - pv) * 1000000.0
+                         / CAST(t_us - pt AS DOUBLE)) END AS rate_per_sec
+        FROM r WHERE pt IS NOT NULL
+    """,
+    doc="ClickHouse nonNegativeDerivative: the per-second rate of "
+    "change between consecutive points of each series, clamped at "
+    "zero (the counter-reset guard every monitoring stack applies "
+    "to cumulative counters). One lag window on the (ts, event_id) "
+    "total order per series; the rate is subtraction + multiply + "
+    "divide on identical operands — identical IEEE both engines — "
+    "and zero-dt ties deterministically emit 0.0. One shuffle on "
+    "the series key; per-series sort is the MergeTree read order.",
+)
+def ts_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", "ts",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        "t_us",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("t_us").over(w).alias("pt"),
+    )
+    dt = F.col("t_us") - F.col("pt")
+    return r.filter(F.col("pt").isNotNull()).select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        dt.cast("long").alias("dt_us"),
+        F.when(dt <= 0, F.lit(0.0))
+        .otherwise(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("value") - F.col("pv"))
+                * F.lit(1000000.0)
+                / dt.cast("double"),
+            )
+        )
+        .alias("rate_per_sec"),
+    )

@@ -484,6 +484,9 @@ R5_PLAN_BUDGET = {
     "array_rotate_zip": (1, 0, False),     # per-user collect + JVM slicing lambdas
     "emb_dim_slice_search": (1, 0, True),  # 5-row bcast probe (deliberate NLJ) + one qid window
     "token_vocab_coverage": (2, 1, False), # token agg + bcast vocab join
+    "agg_uniq_array": (2, 0, False),       # two-phase distinct-set agg
+    "str_ngram_similarity": (0, 1, False), # bcast successor join, map-only grams
+    "ts_nonneg_derivative": (1, 0, False), # one per-series lag window
 }
 
 
