@@ -166,10 +166,22 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "funnel_steps_windowed",
 )
 # Round-6 rotation note: after CORRECTNESS_r05 lands, every key
-# registered before round 5 has a driver row; rotate any round-5
-# additions (registered after this window) to the front for round 6,
-# and keep everything driver-SIMULATED green per
-# .claude/skills/verify/SKILL.md before relying on the rotation.
+# registered before round 5 has a driver row; replace the tuple above
+# with the 32 round-5 additions (all driver-SIMULATED green at sf0.01,
+# canon-faithful harness, non-repo cwd — re-run per
+# .claude/skills/verify/SKILL.md before relying on the rotation):
+#   agg_uniq_upto agg_bit_group ts_m4_downsample win_sliding_distinct
+#   json_schema_stats str_multisearch array_fill_forward
+#   dedup_containment curation_funnel_report agg_retention_flags
+#   sequence_match_flag array_compact_dedup quantile_timing_grid
+#   agg_hll_set_ops stats_roc_auc stats_ks_test stats_mad
+#   ts_bounding_ratio intervals_union_length array_moving_agg
+#   agg_minmax_map str_extract_groups sequence_next_node
+#   ts_lttb_downsample agg_array_intersect graph_bfs_hops
+#   array_rotate_zip emb_dim_slice_search token_vocab_coverage
+#   agg_uniq_array str_ngram_similarity ts_nonneg_derivative
+# That fills 32 of 50 slots; the 18 spares fall through to
+# registration order (stable r1 keys — harmless re-verification).
 
 
 def _load_all() -> None:
