@@ -593,3 +593,59 @@ def emb_dim_slice_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_8.cast("long").alias("top_trunc_id"),
         F.when(top_f == top_8, 1).otherwise(0).cast("long").alias("agree"),
     )
+
+
+@register(
+    "emb_vector_distances",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT a.vec_id,
+               list_reduce(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), (x, y) -> x + y) AS dot,
+               list_reduce(list_transform(list_zip(a.e, b.e),
+                   p -> ABS(p[1] - p[2])), (x, y) -> x + y) AS l1,
+               sqrt(list_reduce(list_transform(list_zip(a.e, b.e),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (x, y) -> x + y)) AS l2,
+               list_max(list_transform(list_zip(a.e, b.e),
+                   p -> ABS(p[1] - p[2]))) AS linf
+        FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+    """,
+    doc="ClickHouse arrayDotProduct / arrayL1Distance / "
+    "arrayL2Distance / arrayLinfDistance: the vector-math function "
+    "family between each embedding and its successor. Every "
+    "distance folds LEFT-TO-RIGHT over the zipped arrays in both "
+    "engines (registry convention: identical IEEE sequences — "
+    "0.0+d1 = d1 exactly, so Spark's init-accumulator fold and "
+    "DuckDB's first-element list_reduce produce the same rounding "
+    "chain), and Linf is an array_max over identical elements. "
+    "Successor join broadcasts the shifted dimension-sized copy; "
+    "map-only otherwise — the per-row primitive under every "
+    "distance-based dedup/search key.",
+)
+def emb_vector_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    b = v.select(
+        (F.col("vec_id") - 1).alias("join_key"), F.col("e").alias("eb")
+    )
+    j = v.join(F.broadcast(b), F.col("vec_id") == F.col("join_key"))
+    diffs = F.zip_with("e", "eb", lambda x, y: x - y)
+    absd = F.transform(diffs, F.abs)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return j.select(
+        "vec_id",
+        fold(F.zip_with("e", "eb", lambda x, y: x * y)).alias("dot"),
+        fold(absd).alias("l1"),
+        F.sqrt(fold(F.transform(diffs, lambda d: d * d))).alias("l2"),
+        F.array_max(absd).alias("linf"),
+    )

@@ -970,3 +970,158 @@ def ts_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rate_per_sec"),
     )
+
+
+#: The 8 sparkline glyph levels (ClickHouse sparkbar's palette).
+SPARK_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+@register(
+    "agg_sparkbar",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+                   COUNT(*) AS c
+            FROM events GROUP BY event_type, hour(ts)
+        ), m AS (
+            SELECT event_type, MAX(c) AS mx FROM h GROUP BY event_type
+        ), grid AS (
+            SELECT m.event_type, g.hh, COALESCE(h.c, 0) AS c, m.mx
+            FROM m CROSS JOIN (SELECT unnest(range(0, 24)) AS hh) g
+            LEFT JOIN h ON h.event_type = m.event_type AND h.hh = g.hh
+        )
+        SELECT event_type,
+               CAST(MAX(mx) AS BIGINT) AS max_per_hour,
+               string_agg(substring('{SPARK_GLYPHS}',
+                   CAST(c * 7 // mx AS INTEGER) + 1, 1), ''
+                   ORDER BY hh) AS sparkbar
+        FROM grid GROUP BY event_type
+    """,
+    doc="ClickHouse sparkbar: the 24-cell hour-of-day activity "
+    "sparkline per series, rendered with the standard 8 block "
+    "glyphs. Levels are pure integer arithmetic — cell·7 // max "
+    "(floor division, non-negative operands, identical in both "
+    "engines) — so the emitted string is byte-exact. Spark side "
+    "builds the dense 24-cell grid with map_from_entries + a "
+    "transform over sequence(0,23) (JVM lambdas, no UDF, no "
+    "explode); one histogram shuffle + one vocabulary-bounded "
+    "reassembly. The entire render state is 24 integers per series "
+    "— sparkbar's own fixed-width state.",
+)
+def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hh")
+    )
+    h = ev.groupBy("event_type", "hh").agg(F.count(F.lit(1)).alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("hh", "c"))).alias("m")
+    )
+    cells = F.expr(
+        "transform(sequence(0, 23), h -> coalesce(element_at(m,"
+        " cast(h as bigint)), cast(0 as bigint)))"
+    )
+    s = s.select(
+        "event_type",
+        cells.alias("cells"),
+        F.array_max(cells).alias("mx"),
+    )
+    glyph = F.expr(
+        f"array_join(transform(cells, c -> substring('{SPARK_GLYPHS}',"
+        " cast(c * 7 div mx as int) + 1, 1)), '')"
+    )
+    return s.select(
+        "event_type",
+        F.col("mx").cast("long").alias("max_per_hour"),
+        glyph.alias("sparkbar"),
+    )
+
+
+@register(
+    "topk_with_ties",
+    oracle="""
+        SELECT pri, okey, o_totalprice, rnk FROM (
+            SELECT o_orderpriority AS pri,
+                   CAST(o_orderkey AS BIGINT) AS okey,
+                   o_totalprice,
+                   CAST(RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+            FROM orders
+        ) WHERE rnk <= 5
+    """,
+    doc="ANSI FETCH FIRST 5 ROWS WITH TIES (ClickHouse LIMIT 5 WITH "
+    "TIES): the top-5 orders by price per priority, KEEPING every "
+    "row tied with the 5th — the semantics rank() gives for free "
+    "and row_number() silently breaks. One rank window per "
+    "partition; Catalyst prunes it with WindowGroupLimit, so each "
+    "partition streams a bounded top-k heap rather than sorting "
+    "everything. The checked rank column makes the tie contract "
+    "driver-visible: tied rows carry the same rnk.",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").cast("long").alias("okey"),
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "agg_group_array_last",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   list(CAST(FLOOR(value * 1e6) AS BIGINT)
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n,
+               array_to_string(list_transform(
+                   list_slice(vals, greatest(1, len(vals) - 2),
+                              len(vals)),
+                   x -> CAST(x AS VARCHAR)), ',') AS last3_csv
+        FROM g
+    """,
+    doc="ClickHouse groupArrayLast(3): the most recent 3 values per "
+    "user in (ts, event_id) order. Spark: sorted-struct collect + a "
+    "tail slice — the same bounded-suffix state groupArrayLast "
+    "holds (CH keeps a 3-slot ring buffer; the relational form "
+    "keeps the session array and slices, with the window-based "
+    "keep-newest (win_keep_newest) as the at-scale alternative "
+    "when sessions outgrow memory). Grid-integer CSV output; one "
+    "shuffle.",
+)
+def agg_group_array_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "v6"))
+        ).alias("pairs")
+    )
+    g = g.withColumn("vals", F.expr("transform(pairs, p -> p.v6)"))
+    n = F.size("vals")
+    tail = F.slice(
+        F.col("vals"),
+        F.greatest(F.lit(1), n - 2),
+        F.least(F.lit(3), n),
+    )
+    return g.select(
+        "user_id",
+        n.cast("long").alias("n"),
+        F.array_join(
+            F.transform(tail, lambda x: x.cast("string")), ","
+        ).alias("last3_csv"),
+    )

@@ -487,6 +487,10 @@ R5_PLAN_BUDGET = {
     "agg_uniq_array": (2, 0, False),       # two-phase distinct-set agg
     "str_ngram_similarity": (0, 1, False), # bcast successor join, map-only grams
     "ts_nonneg_derivative": (1, 0, False), # one per-series lag window
+    "agg_sparkbar": (2, 0, False),         # hour histogram + vocab reassembly
+    "topk_with_ties": (1, 0, False),       # one rank window (WindowGroupLimit)
+    "agg_group_array_last": (1, 0, False), # per-user collect + tail slice
+    "emb_vector_distances": (0, 1, False), # bcast successor join, map-only folds
 }
 
 
