@@ -755,3 +755,164 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared") * 10 >= F.col("min_sz") * 9)
     )
+
+
+def _md5_long(col):
+    """Portable 60-bit integer hash: md5 hex prefix → BIGINT.
+
+    Identical in Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
+    (CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)) — the repo's
+    md5-grid convention (quality_linear_score precedent).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: Number of independent minhash functions exported per document.
+MINHASH_K = 8
+
+_MINHASH_MINS_SQL = ",\n               ".join(
+    f"CAST(MIN(CAST(concat('0x', substr(md5(concat('{i}:', sh)), 1, 15))"
+    f" AS BIGINT)) AS BIGINT) AS h{i}"
+    for i in range(MINHASH_K)
+)
+
+
+@register(
+    "text_minhash_export",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                        toks[i + 2]))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS shs
+            FROM t
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               {_MINHASH_MINS_SQL}
+        FROM sh GROUP BY doc_id
+    """,
+    doc=f"MinHash signature EXPORT: the {MINHASH_K}-function minhash "
+    "of each document's distinct word 3-shingles, as exact integer "
+    "columns — the artifact a cross-corpus dedup pipeline persists "
+    "and joins on later (signatures computed once, banded many "
+    "times). Hashes are the portable md5-hex-prefix 60-bit grid "
+    "(bit-identical across engines), so unlike the xxhash-based "
+    "dedup_minhash runtime key (rows-only by driver design), THIS "
+    "key is exact-hash-checkable — it closes the sketch family's "
+    "evidential gap: the driver now pins real minhash values, not "
+    "just row counts. Plan: shingle explode + per-doc distinct + "
+    "ONE two-phase agg computing all 8 mins (map-side combine; "
+    f"state = {MINHASH_K} longs per doc, the CH "
+    "minHash state). Docs under 3 tokens degrade to one "
+    "whole-text shingle in both engines.",
+)
+def text_minhash_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    shs = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat(element_at(toks, i), ' ',"
+            " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+        ),
+    ).otherwise(F.array(F.array_join("toks", " ")))
+    sh = (
+        t.select("doc_id", F.explode(shs.alias("shs")).alias("sh"))
+        .distinct()
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_shingles")]
+    for i in range(MINHASH_K):
+        aggs.append(
+            F.min(_md5_long(F.concat(F.lit(f"{i}:"), F.col("sh"))))
+            .cast("long")
+            .alias(f"h{i}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+#: simhash width in bits.
+SIMHASH_BITS = 16
+
+_SIMHASH_BITSUMS_SQL = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE_SQL = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "text_simhash_export",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word, COUNT(*) AS tf
+            FROM toks WHERE word <> '' GROUP BY doc_id, word
+        ), hw AS (
+            SELECT doc_id, tf,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+                       AS h
+            FROM tf
+        ), bits AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   {_SIMHASH_BITSUMS_SQL}
+            FROM hw GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash
+        FROM bits
+    """,
+    doc=f"SimHash signature EXPORT: the {SIMHASH_BITS}-bit "
+    "tf-weighted simhash of each document's unigrams as an exact "
+    "integer — the persisted fingerprint the pigeonhole-bucketed "
+    "near-dup join (dedup_simhash, rows-only at the driver) keys "
+    "on. Same portable md5-grid hash as text_minhash_export, so "
+    "the driver pins exact simhash VALUES here, completing the "
+    "sketch family's exact evidence. Per-bit majority votes are "
+    "integer tf sums (zero-sum ties deterministically vote 0); "
+    "the whole signature is one (doc, word) tf agg + one per-doc "
+    f"agg carrying {SIMHASH_BITS} integer columns — constant "
+    "state per doc, two shuffles, no Python.",
+)
+def text_simhash_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    hw = tf.select("doc_id", "tf", _md5_long(F.col("word")).alias("h"))
+    bit_aggs = [F.sum("tf").cast("long").alias("n_tokens")]
+    for b in range(SIMHASH_BITS):
+        vote = F.when(
+            F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("tf")
+        ).otherwise(-F.col("tf"))
+        bit_aggs.append(F.sum(vote).alias(f"s{b}"))
+    bits = hw.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select(
+        "doc_id", "n_tokens", sim.cast("long").alias("simhash")
+    )

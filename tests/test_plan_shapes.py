@@ -491,6 +491,8 @@ R5_PLAN_BUDGET = {
     "topk_with_ties": (1, 0, False),       # one rank window (WindowGroupLimit)
     "agg_group_array_last": (1, 0, False), # per-user collect + tail slice
     "emb_vector_distances": (0, 1, False), # bcast successor join, map-only folds
+    "text_minhash_export": (2, 0, False),  # shingle distinct + 8-min agg
+    "text_simhash_export": (2, 0, False),  # tf agg + 16-bit vote agg
 }
 
 
