@@ -167,7 +167,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 # Round-6 rotation note: after CORRECTNESS_r05 lands, every key
 # registered before round 5 has a driver row; replace the tuple above
-# with the 32 round-5 additions (all driver-SIMULATED green at sf0.01,
+# with the 38 round-5 additions (all driver-SIMULATED green at sf0.01,
 # canon-faithful harness, non-repo cwd — re-run per
 # .claude/skills/verify/SKILL.md before relying on the rotation):
 #   agg_uniq_upto agg_bit_group ts_m4_downsample win_sliding_distinct
@@ -180,7 +180,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   ts_lttb_downsample agg_array_intersect graph_bfs_hops
 #   array_rotate_zip emb_dim_slice_search token_vocab_coverage
 #   agg_uniq_array str_ngram_similarity ts_nonneg_derivative
-# That fills 32 of 50 slots; the 18 spares fall through to
+#   agg_sparkbar topk_with_ties agg_group_array_last
+#   emb_vector_distances text_minhash_export text_simhash_export
+# That fills 38 of 50 slots; the 12 spares fall through to
 # registration order (stable r1 keys — harmless re-verification).
 
 
