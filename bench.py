@@ -57,6 +57,10 @@ EXTRA = (
     # round-4 flagships
     "dict_hierarchy_flatten",
     "bpe_merge_candidates",
+    # round-5 flagships
+    "ts_lttb_downsample",
+    "text_minhash_export",
+    "win_sliding_distinct",
 )
 
 

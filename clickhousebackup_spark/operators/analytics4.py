@@ -1125,3 +1125,161 @@ def agg_group_array_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(tail, lambda x: x.cast("string")), ","
         ).alias("last3_csv"),
     )
+
+
+@register(
+    "stats_proportions_ztest",
+    oracle="""
+        WITH u AS (
+            SELECT user_id % 2 AS variant,
+                   user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS converted
+            FROM events GROUP BY user_id % 2, user_id
+        ), v AS (
+            SELECT CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0
+                       END) AS BIGINT) AS x0,
+                   CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT)
+                       AS n0,
+                   CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0
+                       END) AS BIGINT) AS x1,
+                   CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT)
+                       AS n1
+            FROM u
+        )
+        SELECT x0, n0, x1, n1,
+               CAST(x0 AS DOUBLE) / n0 AS p0,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CASE WHEN (CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1) > 0.0
+                    THEN (CAST(x0 AS DOUBLE) / n0
+                          - CAST(x1 AS DOUBLE) / n1)
+                         / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1))
+                    ELSE 0.0 END AS z
+        FROM v
+    """,
+    doc="ClickHouse proportionsZTest: the two-proportion z-score "
+    "between A/B variants (user_id parity) on user-level purchase "
+    "conversion — the experiment-readout query. Per-user conversion "
+    "flags (one agg), variant totals (one conditional agg to a "
+    "single row), then the pooled-variance z expression — divisions "
+    "and one sqrt on identical integer-derived operands, the "
+    "IEEE-identical subset (registry float rules); a degenerate pool "
+    "(everyone or no-one converts → zero variance) deterministically "
+    "emits z = 0. Counts are the checked integers; z is reproducible "
+    "because both engines evaluate the SAME expression tree. Two "
+    "shuffles, constant output.",
+)
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    var = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")
+    )
+    z = F.when(var > 0.0, (p0 - p1) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return v.select(
+        "x0", "n0", "x1", "n1",
+        p0.alias("p0"), p1.alias("p1"), z.alias("z"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, ts, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), f AS (
+            SELECT user_id, MIN(rn) AS rn0
+            FROM r WHERE event_type = 'click' GROUP BY user_id
+        ), conv AS (
+            SELECT r.user_id,
+                   MIN(epoch_us(r.ts)) AS t_purchase,
+                   MIN(t0.t_click) AS t_click
+            FROM r
+            JOIN (SELECT r2.user_id, epoch_us(r2.ts) AS t_click, f.rn0
+                  FROM r r2 JOIN f ON r2.user_id = f.user_id
+                                  AND r2.rn = f.rn0) t0
+              ON r.user_id = t0.user_id
+            WHERE r.event_type = 'purchase' AND r.rn > t0.rn0
+            GROUP BY r.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(quantile_cont(t_purchase - t_click, 0.5) AS DOUBLE)
+                   AS p50_us,
+               CAST(quantile_cont(t_purchase - t_click, 0.9) AS DOUBLE)
+                   AS p90_us
+        FROM conv
+    """,
+    doc="Funnel time-to-convert: for each user, the delay from their "
+    "FIRST click to the first purchase AFTER it, summarized as "
+    "exact p50/p90 — the latency readout behind every conversion "
+    "funnel (windowFunnel tells you IF, this tells you HOW LONG). "
+    "Anchor = sequence_next_node's rn0 pattern; deltas are integer "
+    "microseconds, and exact continuous quantiles over integers "
+    "interpolate to dyadic rationals — cross-engine exact (the "
+    "stats_mad argument). Shuffles: one user window + one "
+    "co-partitioned join + one scalar agg.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    f = (
+        r.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("rn0"))
+    )
+    t0 = (
+        r.join(f, "user_id")
+        .filter(F.col("rn") == F.col("rn0"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_click"),
+            "rn0",
+        )
+    )
+    conv = (
+        r.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("rn") > F.col("rn0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("t_purchase"),
+            F.min("t_click").alias("t_click"),
+        )
+    )
+    delta = F.col("t_purchase") - F.col("t_click")
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile(delta, F.lit(0.5)).alias("p50_us"),
+        F.percentile(delta, F.lit(0.9)).alias("p90_us"),
+    )

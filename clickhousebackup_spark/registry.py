@@ -182,7 +182,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   agg_uniq_array str_ngram_similarity ts_nonneg_derivative
 #   agg_sparkbar topk_with_ties agg_group_array_last
 #   emb_vector_distances text_minhash_export text_simhash_export
-# That fills 38 of 50 slots; the 12 spares fall through to
+#   stats_proportions_ztest funnel_time_to_convert
+# That fills 40 of 50 slots; the 10 spares fall through to
 # registration order (stable r1 keys — harmless re-verification).
 
 

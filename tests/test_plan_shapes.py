@@ -493,6 +493,8 @@ R5_PLAN_BUDGET = {
     "emb_vector_distances": (0, 1, False), # bcast successor join, map-only folds
     "text_minhash_export": (2, 0, False),  # shingle distinct + 8-min agg
     "text_simhash_export": (2, 0, False),  # tf agg + 16-bit vote agg
+    "stats_proportions_ztest": (1, 0, False),  # user flags + single-row totals
+    "funnel_time_to_convert": (3, 2, False),   # user window + bcast anchor + scalar agg
 }
 
 
