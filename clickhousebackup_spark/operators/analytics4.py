@@ -1283,3 +1283,291 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(delta, F.lit(0.5)).alias("p50_us"),
         F.percentile(delta, F.lit(0.9)).alias("p90_us"),
     )
+
+
+@register(
+    "win_cumulative_uniques",
+    oracle="""
+        WITH fu AS (
+            SELECT event_type, user_id,
+                   MIN(date_trunc('day', ts)) AS first_day
+            FROM events GROUP BY event_type, user_id
+        ), nd AS (
+            SELECT event_type, first_day AS d, COUNT(*) AS n_new
+            FROM fu GROUP BY event_type, first_day
+        )
+        SELECT event_type, d,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_uniques
+        FROM nd
+    """,
+    doc="Cumulative distinct users over time ('users to date' per "
+    "series) — the growth curve every product dashboard draws, and "
+    "the shape ClickHouse serves with uniqExactState merges over "
+    "partitions. The scalable reformulation: distinct-to-date equals "
+    "the running SUM of first-appearance counts, so the unbounded "
+    "distinct state collapses to one (type,user) min-agg, one "
+    "(type,day) count, and a cumsum window over the DAY SPINE "
+    "(report rows exist for days with ≥1 new user — between them "
+    "the curve is constant by construction). Two shuffles + one "
+    "spine-sized window; no distinct state ever exceeds the user "
+    "dimension.",
+)
+def win_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_trunc("day", "ts").alias("d"),
+    )
+    fu = ev.groupBy("event_type", "user_id").agg(
+        F.min("d").alias("first_day")
+    )
+    nd = fu.groupBy("event_type", F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return nd.select(
+        "event_type",
+        "d",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_uniques"),
+    )
+
+
+@register(
+    "intervals_open_per_day",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderpriority AS pri,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        ), pts AS (
+            SELECT pri, s AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT pri, e AS d, -1 AS delta FROM iv
+        ), net AS (
+            SELECT pri, d, SUM(delta) AS net FROM pts GROUP BY pri, d
+        )
+        SELECT pri, d,
+               CAST(net AS BIGINT) AS net_change,
+               CAST(SUM(net) OVER (PARTITION BY pri ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_orders
+        FROM net
+    """,
+    doc="Order backlog over time: how many intervals are open on each "
+    "day, per priority — the daily-backlog series behind SLA and "
+    "capacity dashboards (intervals_max_concurrent reports only the "
+    "peak; this is the whole curve). Sweep-line with DAY-AGGREGATED "
+    "deltas: +1/-1 points collapse to one net per (pri, day) BEFORE "
+    "the window, so the cumsum runs over the changed-day spine, not "
+    "raw rows (backlog is constant between change days — half-open "
+    "[s,e): an order leaves the backlog on its end day). One "
+    "point-agg shuffle + one spine-sized window; the per-row "
+    "sweep that intervals_max_concurrent needs for tie-exact "
+    "maxima is unnecessary here because day-net sums are "
+    "order-free integers.",
+)
+def intervals_open_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 + 1 as int), 0, 0, 0)"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "pri", F.col("s").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("pri", F.col("e").alias("d"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("pri", "d").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return net.select(
+        "pri",
+        "d",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderpriority AS pri, o_orderkey AS okey,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        )
+        SELECT a.pri,
+               CAST(a.okey AS BIGINT) AS probe_okey,
+               CAST(b.okey AS BIGINT) AS build_okey
+        FROM iv a JOIN iv b
+          ON a.pri = b.pri
+         AND a.okey <> b.okey
+         AND a.s < b.e AND b.s < a.e
+        WHERE a.okey % 97 = 0
+    """,
+    doc="Interval-overlap join: which orders' open spans overlap each "
+    "probe order's span, within a priority class — the "
+    "concurrent-with-X query (conflict detection, co-occurrence "
+    "attribution). The oracle states the raw overlap theta-join; "
+    "the Spark plan makes it an EQUI join via time-grid bucketing: "
+    "both sides explode to the MONTH buckets their interval "
+    "touches (a ≤2-cell fan-out for ≤31-day spans), join on "
+    "(pri, month) with the overlap predicate as a residual, and "
+    "distinct away double-counted pairs that straddle a month "
+    "boundary — the geo_cell_radius_join trick rotated into time. "
+    "No BroadcastNestedLoopJoin, no all-pairs: candidate pairs are "
+    "bounded by per-(pri, month) co-residency, exactly the "
+    "partition pruning a MergeTree range read gives ClickHouse.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 + 1 as int), 0, 0, 0)"
+        ).alias("e"),
+    )
+    # half-open [s, e): the last covered day is e - 1 day
+    buckets = F.expr(
+        "sequence(date_trunc('month', s),"
+        " date_trunc('month', e - make_interval(0,0,0,1,0,0,0)),"
+        " interval 1 month)"
+    )
+    a = (
+        iv.filter(F.col("okey") % 97 == 0)
+        .select(
+            "pri",
+            F.col("okey").alias("probe_okey"),
+            F.col("s").alias("s_a"),
+            F.col("e").alias("e_a"),
+            F.explode(buckets).alias("m"),
+        )
+    )
+    b = iv.select(
+        "pri",
+        F.col("okey").alias("build_okey"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.explode(buckets).alias("m"),
+    )
+    pairs = (
+        a.join(b, ["pri", "m"])
+        .filter(
+            (F.col("probe_okey") != F.col("build_okey"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select(
+            "pri",
+            F.col("probe_okey").cast("long").alias("probe_okey"),
+            F.col("build_okey").cast("long").alias("build_okey"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+#: Change-point window half-width (points on each side).
+CP_K = 20
+#: Mean-shift threshold on the 1e-6 value grid (30 whole units).
+CP_THRESHOLD6 = 30_000_000
+
+
+@register(
+    "ts_change_point_flags",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type, event_id, ts,
+                   CAST(FLOOR(value * 1e6) AS BIGINT) AS v6
+            FROM events
+        ), w AS (
+            SELECT event_type, event_id,
+                   SUM(v6) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN {CP_K} PRECEDING AND 1 PRECEDING)
+                       AS ls,
+                   COUNT(*) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN {CP_K} PRECEDING AND 1 PRECEDING)
+                       AS nl,
+                   SUM(v6) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW
+                            AND {CP_K - 1} FOLLOWING) AS rs,
+                   COUNT(*) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW
+                            AND {CP_K - 1} FOLLOWING) AS nr
+            FROM g
+        )
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(ABS(ls * nr - rs * nl) AS BIGINT) AS gap_num
+        FROM w
+        WHERE nl = {CP_K} AND nr = {CP_K}
+          AND ABS(ls * nr - rs * nl) > {CP_THRESHOLD6}::BIGINT * nl * nr
+    """,
+    doc=f"Mean-shift change-point flags: points where the trailing-"
+    f"{CP_K} and leading-{CP_K} window means differ by more than 30 "
+    "value units — the CUSUM-style level-shift detector behind "
+    "alerting on metric regressions. Exactness: values on the 1e-6 "
+    "integer grid, and the mean comparison is cleared of divisions "
+    "— |ls·nr − rs·nl| > T·nl·nr — so every compared quantity is "
+    "an exact int64 (max ≈ 20·3.3e8·20 ≈ 1.3e11). Two sum + two "
+    "count frames over ONE (series, ts) sort — Spark evaluates all "
+    "four in a single Window operator; one shuffle total. "
+    "Partial-edge rows (incomplete windows) are excluded, so the "
+    "flag set is well-defined at any scale.",
+)
+def ts_change_point_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v6"),
+    )
+    base = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_l = base.rowsBetween(-CP_K, -1)
+    w_r = base.rowsBetween(Window.currentRow, CP_K - 1)
+    w = ev.select(
+        "event_type",
+        "event_id",
+        F.sum("v6").over(w_l).alias("ls"),
+        F.count(F.lit(1)).over(w_l).alias("nl"),
+        F.sum("v6").over(w_r).alias("rs"),
+        F.count(F.lit(1)).over(w_r).alias("nr"),
+    )
+    gap = F.abs(F.col("ls") * F.col("nr") - F.col("rs") * F.col("nl"))
+    thresh = F.lit(CP_THRESHOLD6).cast("long") * F.col("nl") * F.col("nr")
+    return (
+        w.filter(
+            (F.col("nl") == CP_K)
+            & (F.col("nr") == CP_K)
+            & (gap > thresh)
+        )
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            gap.cast("long").alias("gap_num"),
+        )
+    )

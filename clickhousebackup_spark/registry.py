@@ -183,7 +183,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   agg_sparkbar topk_with_ties agg_group_array_last
 #   emb_vector_distances text_minhash_export text_simhash_export
 #   stats_proportions_ztest funnel_time_to_convert
-# That fills 40 of 50 slots; the 10 spares fall through to
+#   win_cumulative_uniques intervals_open_per_day
+#   join_interval_overlap ts_change_point_flags
+# That fills 44 of 50 slots; the 6 spares fall through to
 # registration order (stable r1 keys — harmless re-verification).
 
 

@@ -495,6 +495,10 @@ R5_PLAN_BUDGET = {
     "text_simhash_export": (2, 0, False),  # tf agg + 16-bit vote agg
     "stats_proportions_ztest": (1, 0, False),  # user flags + single-row totals
     "funnel_time_to_convert": (3, 2, False),   # user window + bcast anchor + scalar agg
+    "win_cumulative_uniques": (3, 0, False),   # first-day agg + day agg + spine window
+    "intervals_open_per_day": (2, 0, False),   # day-net agg + spine cumsum
+    "join_interval_overlap": (1, 1, False),    # month-bucket equi join + pair distinct
+    "ts_change_point_flags": (1, 0, False),    # four frames in one window pass
 }
 
 
