@@ -1571,3 +1571,213 @@ def ts_change_point_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.cast("long").alias("gap_num"),
         )
     )
+
+
+@register(
+    "date_timeslots",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type,
+                   epoch_us(ts) AS t_us,
+                   (event_id % 45 + 5) * 60000000 AS dur_us
+            FROM events
+        ), slots AS (
+            SELECT event_type,
+                   unnest(range(t_us // 1800000000 * 1800,
+                                (t_us + dur_us - 1) // 1800000000 * 1800
+                                    + 1800,
+                                1800)) AS slot_sec
+            FROM iv
+        )
+        SELECT event_type,
+               CAST(slot_sec AS BIGINT) AS slot_sec,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM slots GROUP BY event_type, slot_sec
+    """,
+    doc="ClickHouse timeSlots(StartTime, Duration, 1800): explode "
+    "each event's active span (synthetic deterministic duration "
+    "event_id%45+5 minutes) into the 30-minute wall-clock slots it "
+    "touches, then count activity per (series, slot) — the "
+    "concurrent-session-per-slot shape behind load heatmaps. All "
+    "slot arithmetic is integer epoch math (floor-division to the "
+    "1800 s grid, half-open [t, t+dur)); the fan-out is bounded by "
+    "duration/slot_size (≤ 2 here). One explode + one two-phase "
+    "agg keyed by the slot grid — the win_sliding_distinct fan-out "
+    "pattern with a data-dependent span.",
+)
+def date_timeslots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        ((F.col("event_id") % 45 + 5) * F.lit(60000000)).alias("dur_us"),
+    )
+    slots = ev.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "sequence(t_us div 1800000000 * 1800,"
+                " (t_us + dur_us - 1) div 1800000000 * 1800,"
+                " 1800)"
+            )
+        ).alias("slot_sec"),
+    )
+    return slots.groupBy("event_type", "slot_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).select(
+        "event_type",
+        F.col("slot_sec").cast("long").alias("slot_sec"),
+        "n_events",
+    )
+
+
+@register(
+    "str_normalized_query_hash",
+    oracle="""
+        WITH n AS (
+            SELECT regexp_replace(props, '[0-9]+', '?', 'g') AS shape
+            FROM events
+        )
+        SELECT shape,
+               md5(shape) AS shape_hash,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM n GROUP BY shape
+    """,
+    doc="ClickHouse normalizeQuery / normalizedQueryHash: replace "
+    "numeric literals with placeholders and group by the resulting "
+    "SHAPE — the query-log clustering trick, applied to the props "
+    "payloads ('{\"k\": 87}' and '{\"k\": 12}' are the same shape "
+    "'{\"k\": ?}'). The digit-class regexp is dialect-neutral; md5 "
+    "of the normalized string is the portable shape id "
+    "(bit-identical hex both engines). Map-side normalize + one "
+    "vocabulary-bounded agg — shape cardinality, not row "
+    "cardinality, reaches the reducer.",
+)
+def str_normalized_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.regexp_replace("props", "[0-9]+", "?").alias("shape")
+    )
+    return ev.groupBy("shape").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select("shape", F.md5("shape").alias("shape_hash"), "n")
+
+
+@register(
+    "stats_mean_ci",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1e4) AS BIGINT) AS v4
+            FROM events
+        ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v4) AS BIGINT) AS s,
+                   SUM(CAST(v4 AS DECIMAL(38,0))
+                       * CAST(v4 AS DECIMAL(38,0))) AS ssq
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type, n, s,
+               CAST(CAST(n AS DECIMAL(38,0)) * ssq
+                    - CAST(s AS DECIMAL(38,0))
+                      * CAST(s AS DECIMAL(38,0)) AS BIGINT) AS var_num,
+               (CAST(s AS DOUBLE) / n) / 10000.0 AS mean,
+               1.96 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ssq
+                    - CAST(s AS DECIMAL(38,0))
+                      * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+                    / (1.0 * n * (n - 1)) / n) / 10000.0 AS ci_half
+        FROM a
+    """,
+    doc="Mean with a 95% confidence half-width per series (the "
+    "studentTTest/meanZTest building block): n, Σx, and the "
+    "variance NUMERATOR n·Σx² − (Σx)² are computed exactly — "
+    "values on the 1e-4 integer grid, squares summed in "
+    "DECIMAL(38,0) so the order-free exactness survives any row "
+    "count (int64 would overflow near 10^6 rows; 16-byte decimal "
+    "is still a plain two-phase hash agg). The only doubles are "
+    "the final mean and 1.96·sqrt(var/n) — identical IEEE "
+    "expression trees. One shuffle; the checked var_num pins the "
+    "entire second moment.",
+)
+def stats_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d0 = "decimal(38,0)"
+    g = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("v4"),
+    )
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v4").cast("long").alias("s"),
+        F.sum(F.col("v4").cast(d0) * F.col("v4").cast(d0)).alias("ssq"),
+    )
+    var_num_dec = (
+        F.col("n").cast(d0) * F.col("ssq")
+        - F.col("s").cast(d0) * F.col("s").cast(d0)
+    )
+    var = var_num_dec.cast("double") / (
+        F.lit(1.0) * F.col("n") * (F.col("n") - 1)
+    )
+    return a.select(
+        "event_type",
+        "n",
+        "s",
+        var_num_dec.cast("long").alias("var_num"),
+        ((F.col("s").cast("double") / F.col("n")) / F.lit(10000.0)).alias(
+            "mean"
+        ),
+        (
+            F.lit(1.96) * F.sqrt(var / F.col("n")) / F.lit(10000.0)
+        ).alias("ci_half"),
+    )
+
+
+@register(
+    "text_word_cooccurrence",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks))) AS w2
+            FROM t WHERE len(toks) >= 2
+        ), c AS (
+            SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
+        )
+        SELECT w1, w2, CAST(n AS BIGINT) AS n FROM c
+        ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+    doc="Adjacent word co-occurrence, global top-20 — the skip-gram "
+    "window-1 pair counting that seeds word-embedding training and "
+    "collocation mining. The pair stream comes from zipping each "
+    "token list with its own tail (DuckDB: lockstep dual unnest of "
+    "the two slices; Spark: arrays_zip + explode — identical pair "
+    "sequences), then one word-pair-keyed two-phase agg and a "
+    "total-ordered (count DESC, w1, w2) top-k that Spark executes "
+    "as TakeOrderedAndProject. Pair vocabulary bounds the shuffle; "
+    "the token stream never leaves the mappers unaggregated.",
+)
+def text_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.tables import parallelize as _par
+
+    d = _par(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p").getField("0").alias("w1"),
+        F.col("p").getField("1").alias("w2"),
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", F.col("n").cast("long").alias("n"))
+    )

@@ -185,7 +185,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   stats_proportions_ztest funnel_time_to_convert
 #   win_cumulative_uniques intervals_open_per_day
 #   join_interval_overlap ts_change_point_flags
-# That fills 44 of 50 slots; the 6 spares fall through to
+#   date_timeslots str_normalized_query_hash stats_mean_ci
+#   text_word_cooccurrence
+# That fills 48 of 50 slots; the 2 spares fall through to
 # registration order (stable r1 keys — harmless re-verification).
 
 

@@ -499,6 +499,10 @@ R5_PLAN_BUDGET = {
     "intervals_open_per_day": (2, 0, False),   # day-net agg + spine cumsum
     "join_interval_overlap": (1, 1, False),    # month-bucket equi join + pair distinct
     "ts_change_point_flags": (1, 0, False),    # four frames in one window pass
+    "date_timeslots": (2, 0, False),           # bounded slot explode + grid agg
+    "str_normalized_query_hash": (2, 0, False),  # map-side normalize + shape agg
+    "stats_mean_ci": (2, 0, False),            # one decimal-moment agg
+    "text_word_cooccurrence": (2, 0, False),   # pair agg + TakeOrdered top-20
 }
 
 
