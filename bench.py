@@ -68,14 +68,29 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Time the three one-off overheads SEPARATELY from query time so
+    # round-over-round totals compare plans, not sandbox load: the
+    # r3→r5 headline drift (8.79 → 10.25 s) was uniform across all 15
+    # queries with unchanged plans — i.e. harness/warm-up noise, not
+    # regressions. These go to stderr and into an "overhead" JSON
+    # field; they are NOT part of the headline total.
+    t0 = time.perf_counter()
     from clickhousebackup_spark.registry import all_specs
     from clickhousebackup_spark.session import get_spark
 
+    import_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     spark = get_spark("cbs-bench")
+    session_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     specs = all_specs()
+    registry_sec = time.perf_counter() - t0
 
     # Warmup: a tiny read + a tiny shuffle, so the first timed query
     # isn't billed for JVM/codegen/shuffle-service/AQE one-time init.
+    t0 = time.perf_counter()
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     region.count()
     region.groupBy("r_regionkey").count().count()
@@ -108,6 +123,12 @@ def main() -> None:
             )
         ).alias("overlap")
     ).count()
+    warmup_sec = time.perf_counter() - t0
+    print(
+        f"# overhead: import {import_sec:.2f}s, session {session_sec:.2f}s, "
+        f"registry {registry_sec:.2f}s, warmup {warmup_sec:.2f}s",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -147,6 +168,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "overhead": {
+                    "import_sec": round(import_sec, 3),
+                    "session_sec": round(session_sec, 3),
+                    "registry_sec": round(registry_sec, 3),
+                    "warmup_sec": round(warmup_sec, 3),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -614,8 +614,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_clusters = register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint → non-SQL-expressible (driver's
-    # rows-only check); clustering laws are unit-tested vs union-find.
+    # The edge set is md5-identity pairs, so the connected components
+    # ARE the md5 groups — the iterative Spark fixpoint must converge
+    # to a plain window-min over md5(text), which IS SQL-expressible.
+    # (Converted from rows-only in round 6: the oracle states the
+    # fixpoint, not the iteration.)
+    oracle="""
+        SELECT doc_id,
+               CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS cluster
+        FROM documents
+    """,
     doc="Connected components over exact-dup (md5) pairs (label "
     "propagation to fixpoint, per-round localCheckpoint): each doc's "
     "cluster id = min doc_id reachable via dedup edges. The step "
@@ -626,29 +635,159 @@ dedup_clusters = register(
 )(dedup_clusters)
 
 
+def _md5_long(col):
+    """Portable 60-bit integer hash: md5 hex prefix → BIGINT.
+
+    Identical in Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
+    (CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)) — the repo's
+    md5-grid convention (quality_linear_score precedent).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: Number of independent minhash functions exported per document.
+MINHASH_K = 8
+
+_MINHASH_MINS_SQL = ",\n               ".join(
+    f"CAST(MIN(CAST(concat('0x', substr(md5(concat('{i}:', sh)), 1, 15))"
+    f" AS BIGINT)) AS BIGINT) AS h{i}"
+    for i in range(MINHASH_K)
+)
+
+
+#: Band layout for the PORTABLE (md5-grid) LSH used by
+#: dedup_clusters_neardup: MINHASH_K=8 hashes → 4 bands × 2 rows;
+#: a pair is a candidate iff some band matches entirely, and a
+#: verified near-dup iff ≥ NEAR_MIN_MATCH of the 8 hashes agree
+#: (estimated Jaccard ≥ 0.5).
+NEAR_BANDS = 4
+NEAR_MIN_MATCH = 4
+
+_NEAR_BAND_PRED_SQL = " OR ".join(
+    f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
+    for b in range(NEAR_BANDS)
+)
+_NEAR_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
 @register(
     "dedup_clusters_neardup",
-    oracle=None,  # minhash edges are sketch-specific → rows-only;
-    # laws unit-tested vs union-find over the same edge set.
+    # Round-6 conversion from rows-only: the near edges now come from
+    # the PORTABLE md5-grid minhash (the text_minhash_export hash
+    # family), so the edge set — and therefore the component
+    # structure — is bit-identical in DuckDB, and the fixpoint is
+    # stated as a recursive CTE (graph_bfs_hops precedent). The
+    # oracle's banded candidate predicate replicates Spark's LSH
+    # exactly: a qualifying pair missed by every band is (correctly)
+    # absent in BOTH engines.
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                        toks[i + 2]))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS shs
+            FROM t
+        ), shingle AS (
+            SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+        ), sigs AS (
+            SELECT doc_id,
+                   {_MINHASH_MINS_SQL}
+            FROM shingle GROUP BY doc_id
+        ), near AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE ({_NEAR_BAND_PRED_SQL})
+              AND ({_NEAR_MATCH_SQL}) >= {NEAR_MIN_MATCH}
+        ), exact AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM (SELECT doc_id, md5(text) AS h FROM documents) a
+            JOIN (SELECT doc_id, md5(text) AS h FROM documents) b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT u, v FROM near UNION SELECT u, v FROM exact
+            UNION SELECT v AS u, u AS v FROM near
+            UNION SELECT v AS u, u AS v FROM exact
+        ), cc(u, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.u = e.u
+        )
+        SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+        FROM cc GROUP BY u
+    """,
     doc="Connected components over the UNION of exact (md5) and "
-    "near-dup (MinHash-LSH sim ≥ 0.5) edges — the cluster step a real "
-    "dedup pipeline runs before keep-one-per-cluster: transitive "
-    "near-duplicate chains collapse into one cluster even when the "
-    "endpoints' similarity is below threshold. Same propagation "
-    "machinery (checkpointed rounds) as dedup_clusters.",
+    "near-dup (portable md5-grid MinHash-LSH, 4 bands × 2 rows, "
+    "verified ≥ 4/8 matching hashes ⇒ est. Jaccard ≥ 0.5) edges — "
+    "the cluster step a real dedup pipeline runs before "
+    "keep-one-per-cluster: transitive near-duplicate chains collapse "
+    "into one cluster even when the endpoints' similarity is below "
+    "threshold. Same propagation machinery (checkpointed rounds) as "
+    "dedup_clusters; the oracle states the fixpoint as a recursive "
+    "CTE over the identical edge set (exact-hash-checkable since "
+    "round 6 — the sketch is the portable grid, not xxhash).",
 )
 def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("h")
-    )
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    docs = d.select("doc_id")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
     a, b = hashed.alias("a"), hashed.alias("b")
     exact = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    near = dedup_minhash(spark, sf_dir).select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    # Portable banded LSH over the md5-grid signatures: signature
+    # stage materialized once (sketch ≪ input), candidates only
+    # within (band, h_even, h_odd) buckets, then the ≥4/8 verify.
+    sigs = md5_minhash_wide(d).localCheckpoint(eager=True)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.col(f"h{2 * bi}").alias("x1"),
+                        F.col(f"h{2 * bi + 1}").alias("x2"),
+                    )
+                    for bi in range(NEAR_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.x1", "bb.x2")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda eq: eq == 1,
+        )
+    )
+    near = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x1") == F.col("b.x1"))
+            & (F.col("a.x2") == F.col("b.x2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(n_match >= NEAR_MIN_MATCH)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
     )
     edges = exact.unionByName(near).distinct()
     return _propagate_clusters(docs, edges)
@@ -757,26 +896,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_long(col):
-    """Portable 60-bit integer hash: md5 hex prefix → BIGINT.
-
-    Identical in Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
-    (CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)) — the repo's
-    md5-grid convention (quality_linear_score precedent).
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-#: Number of independent minhash functions exported per document.
-MINHASH_K = 8
-
-_MINHASH_MINS_SQL = ",\n               ".join(
-    f"CAST(MIN(CAST(concat('0x', substr(md5(concat('{i}:', sh)), 1, 15))"
-    f" AS BIGINT)) AS BIGINT) AS h{i}"
-    for i in range(MINHASH_K)
-)
-
-
 @register(
     "text_minhash_export",
     oracle=f"""
@@ -819,6 +938,16 @@ _MINHASH_MINS_SQL = ",\n               ".join(
 )
 def text_minhash_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
+    return md5_minhash_wide(d)
+
+
+def md5_minhash_wide(d: DataFrame) -> DataFrame:
+    """Per-doc portable minhash: (doc_id, n_shingles, h0..h{K-1}).
+
+    The md5-grid signature shared by ``text_minhash_export`` (which
+    exports it) and ``dedup_clusters_neardup`` (which bands it into
+    LSH buckets) — bit-identical in Spark and DuckDB.
+    """
     toks = F.filter(
         F.split(F.lower("text"), r"\s+"), lambda x: x != ""
     )

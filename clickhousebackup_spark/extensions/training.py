@@ -68,11 +68,17 @@ _WORDS_SQL = "string_split_regex(lower(text), '\\s+')"
                        - n_tokens AS tok_start
             FROM toks
         )
-        SELECT doc_id, lang, shard, n_tokens, tok_start,
-               tok_start // {PACK_L} AS seq_first,
-               (tok_start + n_tokens - 1) // {PACK_L} AS seq_last,
-               (tok_start + n_tokens - 1) // {PACK_L}
-                   - tok_start // {PACK_L} + 1 AS n_seqs
+        -- DuckDB types integer window SUMs as HUGEINT, which pandas
+        -- renders as float64 and breaks the driver's value hash
+        -- ("123.0" vs "123"); CAST every cumsum-derived column back
+        -- to BIGINT (round-5 driver hash-FAIL root cause).
+        SELECT doc_id, lang, shard, n_tokens,
+               CAST(tok_start AS BIGINT) AS tok_start,
+               CAST(tok_start // {PACK_L} AS BIGINT) AS seq_first,
+               CAST((tok_start + n_tokens - 1) // {PACK_L} AS BIGINT)
+                   AS seq_last,
+               CAST((tok_start + n_tokens - 1) // {PACK_L}
+                   - tok_start // {PACK_L} + 1 AS BIGINT) AS n_seqs
         FROM packed
     """,
     doc="GPT-style sequence packing with document concatenation: each "
@@ -295,7 +301,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - boundary AS chunk_id
             FROM words
         )
-        SELECT doc_id, chunk_id,
+        -- chunk_id is a window SUM → HUGEINT in DuckDB → float64 via
+        -- pandas; CAST back to BIGINT for driver-hash parity.
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
         FROM chunked

@@ -248,10 +248,16 @@ def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
                CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
                    AS dt_us,
-               (MAX(CASE WHEN rl = 1 THEN value END)
-                - MAX(CASE WHEN rf = 1 THEN value END)) * 1000000.0
-                   / CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts))
-                          AS DOUBLE) AS rate_per_sec
+               -- dt_us = 0 (single-instant series) must be NULL in
+               -- BOTH engines: ANSI Spark throws DIVIDE_BY_ZERO where
+               -- DuckDB would emit NULL, so guard explicitly.
+               CASE WHEN epoch_us(MAX(ts)) - epoch_us(MIN(ts)) > 0
+                    THEN (MAX(CASE WHEN rl = 1 THEN value END)
+                          - MAX(CASE WHEN rf = 1 THEN value END))
+                         * 1000000.0
+                         / CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+                                AS DOUBLE)
+                    END AS rate_per_sec
         FROM r GROUP BY event_type
     """,
     doc="ClickHouse boundingRatio: (last value - first value) / "
@@ -283,10 +289,11 @@ def ts_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_first",
         "v_last",
         "dt_us",
-        (
+        F.when(
+            F.col("dt_us") > 0,
             (F.col("v_last") - F.col("v_first"))
             * F.lit(1000000.0)
-            / F.col("dt_us").cast("double")
+            / F.col("dt_us").cast("double"),
         ).alias("rate_per_sec"),
     )
 
@@ -1676,10 +1683,15 @@ def str_normalized_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * CAST(v4 AS DECIMAL(38,0))) AS ssq
             FROM g GROUP BY event_type
         )
+        -- var_num grows as n²·σ² and exceeds int64 already at sf0.1
+        -- (≈1e20); serialize the exact DECIMAL(38,0) as a string so
+        -- the pinned value survives any row count with no overflow
+        -- cast in either engine (ANSI Spark would throw on BIGINT).
         SELECT event_type, n, s,
-               CAST(CAST(n AS DECIMAL(38,0)) * ssq
+               CAST(CAST(CAST(n AS DECIMAL(38,0)) * ssq
                     - CAST(s AS DECIMAL(38,0))
-                      * CAST(s AS DECIMAL(38,0)) AS BIGINT) AS var_num,
+                      * CAST(s AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                    AS VARCHAR) AS var_num,
                (CAST(s AS DOUBLE) / n) / 10000.0 AS mean,
                1.96 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ssq
                     - CAST(s AS DECIMAL(38,0))
@@ -1692,8 +1704,10 @@ def str_normalized_query_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variance NUMERATOR n·Σx² − (Σx)² are computed exactly — "
     "values on the 1e-4 integer grid, squares summed in "
     "DECIMAL(38,0) so the order-free exactness survives any row "
-    "count (int64 would overflow near 10^6 rows; 16-byte decimal "
-    "is still a plain two-phase hash agg). The only doubles are "
+    "count (int64 would overflow near 10^5 rows per group — it "
+    "already does at sf0.1 — so var_num is emitted as the exact "
+    "decimal's string form, never cast down; 16-byte decimal is "
+    "still a plain two-phase hash agg). The only doubles are "
     "the final mean and 1.96·sqrt(var/n) — identical IEEE "
     "expression trees. One shuffle; the checked var_num pins the "
     "entire second moment.",
@@ -1720,7 +1734,7 @@ def stats_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "s",
-        var_num_dec.cast("long").alias("var_num"),
+        var_num_dec.cast("decimal(38,0)").cast("string").alias("var_num"),
         ((F.col("s").cast("double") / F.col("n")) / F.lit(10000.0)).alias(
             "mean"
         ),

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics2",
     "clickhousebackup_spark.operators.analytics3",
     "clickhousebackup_spark.operators.analytics4",
+    "clickhousebackup_spark.operators.analytics5",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.operators.ch_query",
@@ -99,96 +100,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 #: Explicit key ordering for the verification driver, which checks the
-#: FIRST 50 keys of ``all_specs()`` per round. Rounds 1–4 produced
-#: driver rows for 198 distinct keys (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪
-#: r04: 195 pass/rows-only + 3 ERR). The round-5 window below holds
-#: exactly the keys without a green driver row: first the 3 r4-ERR
-#: keys, now fixed by serializing array outputs to CSV scalar cells
-#: (the driver's canonicalizer cannot factorize list cells — see
-#: tests/compare._assert_driver_canon), then the 17 round-4-deferred
-#: keys (agg_hll_merge converted from rows-only to a real oracle this
-#: round), then the 27 round-4b additions = 47 keys; the 3 spare
-#: slots fall through to registration order (re-verifying stable r1
-#: scan keys — harmless). All 47 are driver-SIMULATED green with the
-#: canon-faithful harness (vanilla session, non-repo cwd, sf0.01,
-#: exact value compare). Keys listed here come first, in this order;
-#: any registered key not listed follows in module registration order.
+#: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
+#: after round 5 (union of CORRECTNESS_r01–r05): 242 keys have driver
+#: rows — 228 hash-PASS, 12 rows-only, and 2 hash-FAIL
+#: (``corpus_pack_sequences`` / ``text_cdc_chunks``, whose oracles fed
+#: un-cast HUGEINT window-sums into checked columns; fixed by CASTing
+#: to BIGINT — see extensions/training.py). The round-6 window below
+#: is exactly the 50 keys without a green driver row: the 2 fixed
+#: hash-FAIL keys first, then the 48 round-5 additions (all
+#: driver-SIMULATED green at sf0.01 with the canon-faithful harness,
+#: vanilla session, non-repo cwd). Keys listed here come first, in
+#: this order; any registered key not listed follows in module
+#: registration order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-4 driver ERRs, fixed (array→CSV serialization) --
-    "agg_sum_map",
-    "array_cumsum",
-    "array_difference",
-    # -- round-4 deferred keys (no driver row yet) --
-    "stats_spearman",
-    "stats_linregress",
-    "agg_gini_diversity",
-    "ts_autocorr_lag1",
-    "merge_replacing_final",
-    "merge_summing_final",
-    "dict_get_join",
-    "limit_by",
-    "with_totals",
-    "agg_argminmax",
-    "table_column_stats",
-    "geo_cell_radius_join",
+    # -- round-5 driver hash-FAILs, fixed (oracle HUGEINT→BIGINT) --
     "corpus_pack_sequences",
-    "text_ngram_lm_score",
-    "dedup_semantic",
     "text_cdc_chunks",
-    "agg_hll_merge",
-    # -- round-4b additions (no driver row yet) --
-    "mutation_delete_update",
-    "dict_hierarchy_flatten",
-    "corpus_split_train_eval",
-    "set_except_all",
-    "set_intersect_all",
-    "merge_versioned_collapsing",
-    "backup_incremental_roundtrip",
-    "bpe_merge_candidates",
-    "intervals_max_concurrent",
-    "agg_group_concat",
-    "array_enumerate_uniq",
-    "agg_weighted_median",
-    "agg_delta_sum",
-    "join_asof_tolerance",
-    "merge_upsert_cow",
-    "join_any_left",
-    "array_join_parallel",
-    "dq_expectations",
-    "part_fuzzy_levenshtein",
-    "win_ratio_to_report",
-    "dedup_fuzzy_blocked",
-    "orders_pareto_8020",
-    "date_bucket_custom",
-    "cdc_apply_changelog",
-    "explode_outer_empty",
-    "str_keyvalue_parse",
-    "funnel_steps_windowed",
+    # -- round-5 additions (no driver row yet) --
+    "agg_uniq_upto",
+    "agg_bit_group",
+    "ts_m4_downsample",
+    "win_sliding_distinct",
+    "json_schema_stats",
+    "str_multisearch",
+    "array_fill_forward",
+    "dedup_containment",
+    "curation_funnel_report",
+    "agg_retention_flags",
+    "sequence_match_flag",
+    "array_compact_dedup",
+    "quantile_timing_grid",
+    "agg_hll_set_ops",
+    "stats_roc_auc",
+    "stats_ks_test",
+    "stats_mad",
+    "ts_bounding_ratio",
+    "intervals_union_length",
+    "array_moving_agg",
+    "agg_minmax_map",
+    "str_extract_groups",
+    "sequence_next_node",
+    "ts_lttb_downsample",
+    "agg_array_intersect",
+    "graph_bfs_hops",
+    "array_rotate_zip",
+    "emb_dim_slice_search",
+    "token_vocab_coverage",
+    "agg_uniq_array",
+    "str_ngram_similarity",
+    "ts_nonneg_derivative",
+    "agg_sparkbar",
+    "topk_with_ties",
+    "agg_group_array_last",
+    "emb_vector_distances",
+    "text_minhash_export",
+    "text_simhash_export",
+    "stats_proportions_ztest",
+    "funnel_time_to_convert",
+    "win_cumulative_uniques",
+    "intervals_open_per_day",
+    "join_interval_overlap",
+    "ts_change_point_flags",
+    "date_timeslots",
+    "str_normalized_query_hash",
+    "stats_mean_ci",
+    "text_word_cooccurrence",
 )
-# Round-6 rotation note: after CORRECTNESS_r05 lands, every key
-# registered before round 5 has a driver row; replace the tuple above
-# with the 38 round-5 additions (all driver-SIMULATED green at sf0.01,
-# canon-faithful harness, non-repo cwd — re-run per
-# .claude/skills/verify/SKILL.md before relying on the rotation):
-#   agg_uniq_upto agg_bit_group ts_m4_downsample win_sliding_distinct
-#   json_schema_stats str_multisearch array_fill_forward
-#   dedup_containment curation_funnel_report agg_retention_flags
-#   sequence_match_flag array_compact_dedup quantile_timing_grid
-#   agg_hll_set_ops stats_roc_auc stats_ks_test stats_mad
-#   ts_bounding_ratio intervals_union_length array_moving_agg
-#   agg_minmax_map str_extract_groups sequence_next_node
-#   ts_lttb_downsample agg_array_intersect graph_bfs_hops
-#   array_rotate_zip emb_dim_slice_search token_vocab_coverage
-#   agg_uniq_array str_ngram_similarity ts_nonneg_derivative
-#   agg_sparkbar topk_with_ties agg_group_array_last
-#   emb_vector_distances text_minhash_export text_simhash_export
-#   stats_proportions_ztest funnel_time_to_convert
-#   win_cumulative_uniques intervals_open_per_day
-#   join_interval_overlap ts_change_point_flags
-#   date_timeslots str_normalized_query_hash stats_mean_ci
-#   text_word_cooccurrence
-# That fills 48 of 50 slots; the 2 spares fall through to
-# registration order (stable r1 keys — harmless re-verification).
+# Round-7 rotation note: after CORRECTNESS_r06 lands, every key
+# registered before round 6 has a green driver row; replace the tuple
+# above with the round-6 additions (see the r6 section of SURVEY §2)
+# plus any r6 FAIL/ERR keys, keeping the window at ≤50. Re-run the
+# driver simulation per .claude/skills/verify/SKILL.md before relying
+# on the rotation.
 
 
 def _load_all() -> None:

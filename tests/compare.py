@@ -12,15 +12,35 @@ from decimal import Decimal
 
 
 def _norm(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Numeric cells carry their TYPE CLASS alongside the value: the
+    driver renders each side through pandas and hashes the string
+    form of each cell, so Spark ``123`` (BIGINT) vs DuckDB ``123.0``
+    (HUGEINT→float64 via pandas) is a real driver hash-FAIL even
+    though ``123 == 123.0`` in Python. Round 5 lost two keys
+    (corpus_pack_sequences, text_cdc_chunks) to exactly that blind
+    spot — the int/float distinction must never be erased here again.
+
+    The tag is per-cell here; ``_floatify_nullable_int_cols`` then
+    replays pandas' PER-COLUMN dtype coercion (an int column
+    containing any NULL becomes float64 on THAT side), because the
+    driver's toPandas()/fetch_df conversion does the same on each
+    side independently — which is why nullable-int outputs (join_full
+    et al.) hash-pass while HUGEINT outputs fail.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", bool(v))
+    if isinstance(v, int):
+        return ("int", int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v  # exact — conventions in exprs.py make this safe
+        return ("float", v)  # exact — conventions in exprs.py make this safe
     if isinstance(v, Decimal):
-        return float(v)
+        return ("float", float(v))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -34,10 +54,39 @@ def _norm(v):
     return v
 
 
+def _floatify_nullable_int_cols(rows):
+    """Replay pandas' per-column dtype coercion: any column holding a
+    NULL renders its int cells as floats on that side (the driver's
+    toPandas()/fetch_df behavior). Applied to each side independently
+    AFTER _norm, so a NULL-on-both-sides column still matches while a
+    one-sided float coercion (HUGEINT) still fails."""
+    if not rows:
+        return rows
+    ncols = len(rows[0])
+    nullable = [any(r[i] is None for r in rows) for i in range(ncols)]
+    if not any(nullable):
+        return rows
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                ("float", float(v[1]))
+                if nullable[i]
+                and isinstance(v, tuple)
+                and v[0] == "int"
+                else v
+                for i, v in enumerate(r)
+            )
+        )
+    return out
+
+
 def _spark_rows(df, raw_rows=None):
     cols = sorted(df.columns)
     rows = df.collect() if raw_rows is None else raw_rows
-    return cols, [tuple(_norm(r[c]) for c in cols) for r in rows]
+    return cols, _floatify_nullable_int_cols(
+        [tuple(_norm(r[c]) for c in cols) for r in rows]
+    )
 
 
 def _duck_rows(rel_df):
@@ -57,7 +106,7 @@ def _duck_rows(rel_df):
                 pass
             row.append(_norm(v))
         out.append(tuple(row))
-    return cols, out
+    return cols, _floatify_nullable_int_cols(out)
 
 
 def _assert_driver_canon(pdf, name: str, side: str) -> None:

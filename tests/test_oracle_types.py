@@ -1,0 +1,111 @@
+"""Registry-wide oracle TYPE lint — the guard against the round-5
+driver hash-FAIL class.
+
+The driver hashes the string form of each cell after pandas
+conversion. DuckDB types integer window-``SUM``s (and several other
+integer aggregates) as ``HUGEINT``; pandas ``fetchdf`` renders
+HUGEINT as float64, so a value-correct oracle still hash-fails
+(``"123.0"`` vs Spark's ``"123"``). Round 5 lost
+``corpus_pack_sequences`` and ``text_cdc_chunks`` to exactly this.
+
+This lint runs ``DESCRIBE`` on every registered oracle in DuckDB
+(no data execution) and the Spark analyzer on every registered query
+(schema only — no job), then fails on:
+
+- any ``HUGEINT`` / ``UHUGEINT`` output column (pandas → float64,
+  guaranteed driver hash breakage for integer semantics);
+- an int-vs-float TYPE-CLASS mismatch between the Spark schema and
+  the DuckDB schema for the same output column.
+
+Cheap (analysis only), registry-wide, and it fails if the
+``CAST(... AS BIGINT)`` fixes in extensions/training.py are ever
+reverted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhousebackup_spark.registry import all_specs
+
+# DuckDB type name → class. Anything not listed is "other" (strings,
+# dates, lists, structs — the value-compare harness owns those).
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "REAL"}
+_DUCK_BAD = {"HUGEINT", "UHUGEINT"}
+
+_SPARK_INT = {"byte", "short", "integer", "long"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _duck_class(t: str) -> str:
+    t = t.upper()
+    if t in _DUCK_BAD:
+        return "HUGEINT"
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+
+def _spark_class(t: str) -> str:
+    if t in _SPARK_INT:
+        return "int"
+    if t in _SPARK_FLOAT:
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+@pytest.fixture(scope="module")
+def oracled_specs():
+    return {k: s for k, s in all_specs().items() if s.oracle}
+
+
+def test_no_hugeint_in_any_oracle(oracled_specs, duck):
+    """Every oracle's DESCRIBE must be HUGEINT-free."""
+    offenders = {}
+    for key, spec in oracled_specs.items():
+        try:
+            rows = duck.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        except Exception as e:  # noqa: BLE001 — surface as lint failure
+            offenders[key] = f"DESCRIBE failed: {e}"
+            continue
+        bad = [c for c, t, *_ in rows if _duck_class(t) == "HUGEINT"]
+        if bad:
+            offenders[key] = f"HUGEINT columns {bad} — CAST(... AS BIGINT)"
+    assert not offenders, (
+        "oracles whose output would become float64 via pandas "
+        f"(driver hash breakage): {offenders}"
+    )
+
+
+def test_spark_duck_numeric_class_parity(oracled_specs, spark, sf_dir, duck):
+    """Spark schema vs DuckDB DESCRIBE: int-vs-float class must agree
+    per output column (analysis only — no job runs)."""
+    offenders = {}
+    for key, spec in oracled_specs.items():
+        try:
+            s_schema = {f.name: _spark_class(f.dataType.typeName())
+                        for f in spec.fn(spark, sf_dir).schema.fields}
+            d_schema = {c: _duck_class(t) for c, t, *_ in
+                        duck.execute(f"DESCRIBE ({spec.oracle})").fetchall()}
+        except Exception as e:  # noqa: BLE001
+            offenders[key] = f"schema derivation failed: {e}"
+            continue
+        for col in s_schema.keys() & d_schema.keys():
+            sc, dc = s_schema[col], d_schema[col]
+            # decimal↔float is tolerated: both sides render through
+            # float() in the compare harness and existing driver-green
+            # keys rely on it. int↔float (or HUGEINT) is the trap.
+            pair = {sc, dc}
+            if "int" in pair and ("float" in pair or "HUGEINT" in pair):
+                offenders.setdefault(key, []).append(
+                    f"{col}: spark={sc} duckdb={dc}"
+                )
+    assert not offenders, f"int/float class mismatches: {offenders}"
