@@ -514,3 +514,179 @@ def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@register(
+    "corpus_dup_ngrams",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS gram_md5
+            FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)
+            WHERE len(toks) >= 8
+        ), c AS (
+            SELECT gram_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM g GROUP BY gram_md5
+        )
+        SELECT gram_md5, n_docs, n_occ
+        FROM c WHERE n_docs >= 2
+        ORDER BY n_occ DESC, gram_md5 LIMIT 100
+    """,
+    doc="Cross-document repeated 8-gram mining — the substring-"
+    "duplication census behind 'Deduplicating Training Data Makes "
+    "Language Models Better' (Lee et al. 2022): which exact token "
+    "spans recur across documents, how often, and in how many "
+    "documents. Grams are md5-keyed (constant-width shuffle rows "
+    "instead of 8-word strings), counted in ONE two-phase hash agg "
+    "computing total occurrences and distinct docs together, "
+    "filtered to cross-doc spans, and top-100'd under the "
+    "(n_occ DESC, gram_md5) total order — Spark executes the limit "
+    "as TakeOrderedAndProject (no global sort). At 100 TB this is "
+    "the standard pre-pass that feeds span-removal: explode is "
+    "map-side, the agg absorbs gram skew in partials, and the "
+    "output is top-k-bounded.",
+)
+def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> md5(array_join(slice(toks, i, 8), ' ')))"
+            )
+        ).alias("gram_md5"),
+    )
+    c = grams.groupBy("gram_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        c.filter(F.col("n_docs") >= 2)
+        .select("gram_md5", "n_docs", "n_occ")
+        .orderBy(F.col("n_occ").desc(), "gram_md5")
+        .limit(100)
+    )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+        SELECT source,
+               CAST(length(to_base(n_chars, 2)) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source, length(to_base(n_chars, 2))
+    """,
+    doc="Per-source document-length histogram on LOG2 buckets "
+    "(bucket = bit length of n_chars) — the length-distribution "
+    "profile every corpus report opens with and the input to "
+    "length-balanced sampling. The log2 bucket is computed with "
+    "PURE INTEGER machinery — the length of the base-2 string "
+    "(Spark conv(n,10,2), DuckDB to_base(n,2)) — because "
+    "floor(log2(x)) through doubles can mis-bucket exact powers of "
+    "two per engine's libm. One two-phase hash agg; group count "
+    "is sources × ~20 buckets regardless of corpus size.",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.length(F.conv(F.col("n_chars"), 10, 2)).cast("long")
+    return (
+        d.select("source", bucket.alias("bucket"), "n_chars")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+#: Hashed-feature bucket count for corpus_dsir_features (DSIR uses
+#: 10k buckets at corpus scale; 256 keeps every bucket populated at
+#: fixture scale — the plan is identical at any width).
+DSIR_BUCKETS = 256
+
+
+@register(
+    "corpus_dsir_features",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ), bg AS (
+            -- NOTE: array_to_string, NOT concat_ws — DuckDB's
+            -- concat_ws(' ', list) stringifies the list ('[a, b]')
+            -- instead of joining it, which count-only keys never see
+            -- but md5(gram) does.
+            SELECT doc_id, lang,
+                   array_to_string(toks[i:i+1], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) u(i)
+        ), buck AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                       % {DSIR_BUCKETS} AS bucket
+            FROM bg
+        ), profile AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM buck WHERE lang = 'en' GROUP BY bucket
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(COALESCE(p.cnt, 0)) AS BIGINT) AS target_mass
+        FROM buck b LEFT JOIN profile p ON b.bucket = p.bucket
+        GROUP BY b.doc_id
+    """,
+    doc=f"DSIR-style hashed importance features (Xie et al. 2023, "
+    "'Data Selection for Language Models via Importance Resampling'): "
+    f"each document's bigrams hash into {DSIR_BUCKETS} buckets on the "
+    "portable md5-grid, a TARGET-domain profile (here lang='en') "
+    "counts bucket mass, and each document scores the total target "
+    "mass its bigrams land on — the integer-exact numerator of the "
+    "importance weight (the full DSIR weight adds log-ratios; the "
+    "hashed-feature join IS the scale-critical part). The profile is "
+    f"a {DSIR_BUCKETS}-row broadcast; the fact side is explode + one "
+    "equi-join + one doc-keyed agg — map-side combine absorbs "
+    "bigram skew, nothing collects. All outputs exact integers.",
+)
+def corpus_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    bg = d.select(
+        "doc_id", "lang", F.explode(_bigrams(distinct=False)).alias("gram")
+    )
+    buck = bg.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    profile = (
+        buck.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        buck.join(F.broadcast(profile), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce("cnt", F.lit(0))).cast("long").alias(
+                "target_mass"
+            ),
+        )
+    )

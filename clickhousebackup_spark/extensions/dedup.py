@@ -1045,3 +1045,74 @@ def text_simhash_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select(
         "doc_id", "n_tokens", sim.cast("long").alias("simhash")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+        ), old AS (
+            SELECT h, CAST(MIN(doc_id) AS BIGINT) AS old_id
+            FROM h WHERE doc_id % 2 = 0 GROUP BY h
+        ), newd AS (
+            SELECT doc_id, h FROM h WHERE doc_id % 2 = 1
+        ), prev AS (
+            SELECT a.doc_id, CAST(MIN(b.doc_id) AS BIGINT) AS prev_new
+            FROM newd a JOIN newd b
+              ON a.h = b.h AND b.doc_id < a.doc_id
+            GROUP BY a.doc_id
+        )
+        SELECT n.doc_id,
+               CASE WHEN o.old_id IS NOT NULL THEN 'dup_old'
+                    WHEN p.prev_new IS NOT NULL THEN 'dup_new'
+                    ELSE 'fresh' END AS status,
+               CAST(COALESCE(o.old_id, p.prev_new, n.doc_id) AS BIGINT)
+                   AS canonical_id
+        FROM newd n
+        LEFT JOIN old o ON n.h = o.h
+        LEFT JOIN prev p ON n.doc_id = p.doc_id
+    """,
+    doc="Incremental (new-vs-old snapshot) dedup classification — "
+    "the shape every recurring-crawl pipeline runs: only the NEW "
+    "slice is checked, first against the accumulated OLD corpus "
+    "(md5 identity → 'dup_old', canonical = oldest holder), then "
+    "within itself ('dup_new', canonical = smallest new id — the "
+    "min-id-wins total order), else 'fresh'. The old/new split here "
+    "is doc_id parity (deterministic fixture halves); in production "
+    "the old side is the persisted hash index, so the cost per "
+    "increment is |new| + two equi-joins against a bucketed index, "
+    "never a recheck of the full corpus — THE reason incremental "
+    "beats full re-dedup at 100 TB. canonical_id is COALESCE'd "
+    "(never a nullable int — pandas would float64 the column and "
+    "break the driver hash).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    old = (
+        h.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").cast("long").alias("old_id"))
+    )
+    new = h.filter(F.col("doc_id") % 2 == 1)
+    a, b = new.alias("a"), new.alias("b")
+    prev = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("b.doc_id") < F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).cast("long").alias("prev_new"))
+    )
+    return (
+        new.join(old, "h", "left")
+        .join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("old_id").isNotNull(), "dup_old")
+            .when(F.col("prev_new").isNotNull(), "dup_new")
+            .otherwise("fresh")
+            .alias("status"),
+            F.coalesce("old_id", "prev_new", "doc_id")
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )

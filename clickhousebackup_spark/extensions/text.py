@@ -398,3 +398,143 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "weight")
     )
+
+
+@register(
+    "token_fertility_stats",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(text, '\\s+')))
+                   AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')))
+                   AS BIGINT) AS n_bpe_tokens,
+               CAST(CAST(SUM(len(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')))
+                        AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(len(string_split_regex(text, '\\s+')))
+                          AS BIGINT) AS fertility
+        FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-ish tokens divided by "
+    "whitespace words — the standard tokenizer-equity metric "
+    "(fertility ≫ 1 for a language means the tokenizer fragments it, "
+    "inflating training cost and hurting quality; every multilingual "
+    "tokenizer eval reports it). Token counts reuse the "
+    "text_token_count regex family; both counts are exact integer "
+    "sums (one two-phase agg, language-bounded state) and fertility "
+    "is one identical int→double division in both engines. Explode-"
+    "free: the regex counts run map-side inside codegen.",
+)
+def token_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    ws = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    bpe = F.size(
+        F.expr(
+            r"regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]', 0)"
+        )
+    ).cast("long")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ws).cast("long").alias("n_ws_tokens"),
+        F.sum(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens")).alias(
+            "fertility"
+        ),
+    )
+
+
+@register(
+    "text_c4_gates",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, n_chars,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                   'max') AS BIGINT) AS max_word_len,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS BIGINT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   * 1000 // n_chars AS BIGINT) AS alpha_permille,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   * 1000 // n_chars AS BIGINT) AS digit_permille,
+               CAST(CASE WHEN list_aggregate(list_transform(toks,
+                       x -> length(x)), 'max') > 20
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_long_word,
+               CAST(CASE WHEN len(toks) < 20 THEN 1 ELSE 0 END
+                   AS BIGINT) AS flag_short_doc,
+               CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_lorem,
+               CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END
+                   AS BIGINT) AS flag_curly,
+               CAST(CASE WHEN regexp_matches(substring(text,
+                        length(text), 1), '[.!?]')
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_terminal_punct
+        FROM t
+    """,
+    doc="C4/Gopher-style heuristic quality gates per document "
+    "(Raffel et al. C4 §2.2 + Rae et al. Gopher A.1.1): word count, "
+    "max word length (>20 ⇒ likely boilerplate/URL soup), "
+    "alpha/digit character ratios on an exact integer permille grid "
+    "(no float division — (count·1000)//n_chars), the 'lorem ipsum' "
+    "placeholder flag, the curly-brace code flag, the short-doc "
+    "gate, and the terminal-punctuation line gate — the standard "
+    "pre-filter battery that runs BEFORE expensive dedup/LM scoring "
+    "in every web-corpus pipeline. Map-only (no shuffle at all): "
+    "every gate is regexp/array arithmetic inside one codegen "
+    "stage. Complements text_quality_score (stopword/punct ratios) "
+    "and text_repetition_score (dup-gram gates).",
+)
+def text_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long")
+    max_wl = F.array_max(F.transform(toks, F.length)).cast("long")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        max_wl.alias("max_word_len"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000"
+            " div n_chars AS LONG)"
+        ).alias("alpha_permille"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) * 1000"
+            " div n_chars AS LONG)"
+        ).alias("digit_permille"),
+        F.when(max_wl > 20, 1).otherwise(0).cast("long").alias(
+            "flag_long_word"
+        ),
+        F.when(F.size(toks) < 20, 1).otherwise(0).cast("long").alias(
+            "flag_short_doc"
+        ),
+        F.when(F.lower("text").contains("lorem ipsum"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flag_lorem"),
+        F.when(F.col("text").contains("{"), 1).otherwise(0).cast("long")
+        .alias("flag_curly"),
+        F.when(
+            F.substring(F.col("text"), -1, 1).rlike("[.!?]"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("flag_terminal_punct"),
+    )
