@@ -18,7 +18,7 @@ doubles (see functions/arrays.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
@@ -648,4 +648,188 @@ def emb_vector_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(absd).alias("l1"),
         F.sqrt(fold(F.transform(diffs, lambda d: d * d))).alias("l2"),
         F.array_max(absd).alias("linf"),
+    )
+
+
+#: Product-quantization layout: 64-dim vectors → 4 subspaces × 16
+#: dims; codebook = the subvectors of the first PQ_K vectors
+#: (deterministic, the emb_kmeans/IVF seeding convention — production
+#: would k-means each subspace, same assignment plan).
+PQ_SUBS = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+
+_PQ_SUBDIST_SQL = """
+    list_reduce(list_transform(
+        list_zip(e.embedding[{a}:{b}], c.embedding[{a}:{b}]),
+        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+        (x, y) -> x + y)
+"""
+
+
+def _pq_union_sql() -> str:
+    """Long-format (vec_id, sub, cent_id, dist) rows — one identical
+    squared-L2 expression per subspace slice."""
+    parts = []
+    for s in range(PQ_SUBS):
+        a, b = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        d = _PQ_SUBDIST_SQL.format(a=a, b=b)
+        parts.append(
+            f"SELECT e.vec_id, {s} AS sub, c.cent_id, {d} AS dist "
+            f"FROM embeddings e CROSS JOIN cents c"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding
+            FROM embeddings WHERE vec_id < {PQ_K}
+        ), dists AS (
+            {{union}}
+        ), ranked AS (
+            SELECT vec_id, sub, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                       ORDER BY dist, cent_id) AS rn
+            FROM dists
+        )
+        SELECT vec_id,
+               CAST(MAX(CASE WHEN sub = 0 THEN cent_id END) AS BIGINT)
+                   AS code0,
+               CAST(MAX(CASE WHEN sub = 1 THEN cent_id END) AS BIGINT)
+                   AS code1,
+               CAST(MAX(CASE WHEN sub = 2 THEN cent_id END) AS BIGINT)
+                   AS code2,
+               CAST(MAX(CASE WHEN sub = 3 THEN cent_id END) AS BIGINT)
+                   AS code3
+        FROM ranked WHERE rn = 1 GROUP BY vec_id
+    """.replace("{union}", _pq_union_sql()),
+    doc=f"Product-quantization code assignment (Jégou et al. 2011, "
+    f"the workhorse of billion-scale ANN): each 64-dim vector splits "
+    f"into {PQ_SUBS} subspaces of {PQ_SUBDIM} dims, and each "
+    f"subvector is assigned its nearest of {PQ_K} deterministic "
+    "codebook centroids (the first vectors' subvectors — the "
+    "emb_kmeans seeding convention; production k-means refines the "
+    "codebook, the assignment plan is identical). The per-(vector, "
+    "centroid, subspace) squared-L2 is ONE identical left-to-right "
+    "IEEE fold in both engines, and the argmin is SELECTION-ONLY "
+    "(rank over (dist, cent_id) — the ts_lttb_downsample precedent): "
+    "checked outputs are the integer codes, never the doubles. "
+    f"Spark plan: {PQ_K}-row codebook broadcast, long-format "
+    "subspace explode, one (vec, sub) window pick, one pivot agg — "
+    "the fact side streams once; at 100 TB the codebook broadcast "
+    "is what makes PQ assignment embarrassingly parallel (each "
+    "executor encodes its partition with zero shuffle until the "
+    "final 4-codes-per-vector reduction).",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    cents = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
+    )
+    joined = e.select("vec_id", "embedding").join(F.broadcast(cents))
+    sub_rows = []
+    for s in range(PQ_SUBS):
+        a = s * PQ_SUBDIM + 1
+        dist = F.aggregate(
+            F.zip_with(
+                F.slice("embedding", a, PQ_SUBDIM),
+                F.slice("cemb", a, PQ_SUBDIM),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        sub_rows.append(
+            joined.select(
+                "vec_id",
+                F.lit(s).alias("sub"),
+                "cent_id",
+                dist.alias("dist"),
+            )
+        )
+    dists = sub_rows[0]
+    for r in sub_rows[1:]:
+        dists = dists.unionByName(r)
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cent_id")
+    picked = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    aggs = [
+        F.max(F.when(F.col("sub") == s, F.col("cent_id")))
+        .cast("long")
+        .alias(f"code{s}")
+        for s in range(PQ_SUBS)
+    ]
+    return picked.groupBy("vec_id").agg(*aggs)
+
+
+#: Range-search threshold (the synthetic embeddings are near-
+#: orthogonal Gaussians; 0.2 yields a meaningful neighbor set).
+RANGE_TAU = 0.2
+RANGE_QUERY_IDS = (0, 1, 2)
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS qn
+            FROM embeddings WHERE vec_id IN {RANGE_QUERY_IDS}
+        )
+        SELECT q.qid, e.vec_id, e.label,
+               list_reduce(list_transform(
+                    list_zip(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE)), q.qv),
+                    p -> p[1] * p[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (a, b) -> a + b)) * q.qn) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+          AND list_reduce(list_transform(
+                    list_zip(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE)), q.qv),
+                    p -> p[1] * p[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (a, b) -> a + b)) * q.qn) >= {RANGE_TAU}
+    """,
+    doc=f"Cosine RANGE search (all neighbors with sim ≥ {RANGE_TAU}, "
+    "not top-k) for a broadcast probe set of "
+    f"{len(RANGE_QUERY_IDS)} query vectors — the retrieval mode "
+    "dedup/contamination pipelines need (every match matters, "
+    "however many there are) where top-k would silently truncate. "
+    "Same exact-fold cosine machinery as sim_topk_cosine (identical "
+    "left-to-right IEEE folds both engines; the threshold compare "
+    "and the emitted cosine share one expression tree). Plan: "
+    "3-row probe broadcast × linear scan — no shuffle on the fact "
+    "side at all; at 100 TB the probe side is the query batch and "
+    "the scan parallelizes per-partition (the LSH/IVF keys are the "
+    "pruned variants of this same contract).",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id").isin(*RANGE_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    cand = e.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm("embedding") * F.col("qn")
+    )
+    return (
+        cand.select("qid", "vec_id", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
     )

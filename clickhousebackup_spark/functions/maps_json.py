@@ -59,3 +59,71 @@ def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.explode(m).alias("prop_key", "prop_value")
     )
+
+
+@register(
+    "map_higher_order",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ), kept AS (
+            SELECT user_id,
+                   concat(event_type, ':', CAST(n * 2 AS VARCHAR)) AS kv
+            FROM c WHERE n * 2 >= 6
+        ), agg AS (
+            SELECT user_id,
+                   string_agg(kv, ',' ORDER BY kv) AS kept_csv,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY user_id
+        ), base AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM c GROUP BY user_id
+        )
+        SELECT b.user_id, b.n_types,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.kept_csv, '') AS kept_csv
+        FROM base b LEFT JOIN agg a ON b.user_id = a.user_id
+    """,
+    doc="Map higher-order functions (CH mapApply/mapFilter, Spark "
+    "transform_values/map_filter): each user's event-type histogram "
+    "becomes a MAP, values are transformed (×2), entries filtered "
+    "(v ≥ 6), and the surviving map is serialized as a sorted k:v "
+    "CSV — Spark genuinely evaluates the map HOF pipeline "
+    "(map_from_entries → transform_values → map_filter → "
+    "map_entries), while the oracle states the same result "
+    "relationally (DuckDB's map HOFs are weaker; the CSV contract "
+    "makes the comparison engine-neutral, the repo's array-"
+    "serialization convention). One hash agg + map-side HOFs; map "
+    "state is type-vocabulary-bounded per user. Empty surviving "
+    "maps serialize as '' in both engines (COALESCE oracle-side — "
+    "the array_to_string NULL trap).",
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("hist")
+    )
+    doubled = F.transform_values("hist", lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= 6)
+    return m.select(
+        "user_id",
+        F.size("hist").cast("long").alias("n_types"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(kept),
+                    lambda e: F.concat_ws(
+                        ":", e["key"], e["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
+        ).alias("kept_csv"),
+    )

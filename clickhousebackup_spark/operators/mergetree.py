@@ -872,3 +872,156 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("long").alias("intersect_est_ok"),
     )
+
+
+@register(
+    "merge_graphite_rollup",
+    oracle="""
+        WITH anchor AS (
+            SELECT date_trunc('day', MAX(ts)) AS aday FROM events
+        ), cls AS (
+            SELECT e.event_type, e.value,
+                   date_diff('day', date_trunc('day', e.ts), a.aday)
+                       AS age_days,
+                   e.ts
+            FROM events e CROSS JOIN anchor a
+        ), tiered AS (
+            SELECT event_type, value,
+                   CASE WHEN age_days < 7 THEN 'raw_1h'
+                        WHEN age_days < 21 THEN 'mid_6h'
+                        ELSE 'old_1d' END AS tier,
+                   CASE WHEN age_days < 7
+                        THEN epoch_us(date_trunc('hour', ts))
+                        WHEN age_days < 21
+                        THEN epoch_us(date_trunc('day', ts))
+                             + (hour(ts) // 6) * 21600000000
+                        ELSE epoch_us(date_trunc('day', ts))
+                   END AS bucket_us
+            FROM cls
+        )
+        SELECT event_type, tier, CAST(bucket_us AS BIGINT) AS bucket_us,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum,
+               MIN(value) AS v_min, MAX(value) AS v_max
+        FROM tiered GROUP BY event_type, tier, bucket_us
+    """,
+    doc="GraphiteMergeTree retention rollup (ClickHouse's tiered "
+    "time-series downsampling engine, graphite_rollup config): data "
+    "younger than 7 days keeps hourly resolution, 7–21 days rolls to "
+    "6-hour buckets, older collapses to daily — the age tiers are "
+    "anchored at the dataset's max day (deterministic, no wall "
+    "clock). CH applies the rollup lazily at merge time; here it is "
+    "one eager plan: a 1-row anchor broadcast, integer bucket "
+    "arithmetic (epoch-µs truncation + hour//6 — no float time "
+    "math), and ONE two-phase hash agg over (series, tier, bucket). "
+    "At 100 TB the same plan runs per partition-age cohort and old "
+    "partitions shrink 24×, which is the entire point of tiered "
+    "retention. Sum via exact decimal; min/max of raw doubles are "
+    "order-free.",
+)
+def merge_graphite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("aday")
+    )
+    cls = ev.join(F.broadcast(anchor)).select(
+        "event_type",
+        "value",
+        F.datediff(F.col("aday"), F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("age_days"),
+        "ts",
+    )
+    tiered = cls.select(
+        "event_type",
+        "value",
+        F.when(F.col("age_days") < 7, "raw_1h")
+        .when(F.col("age_days") < 21, "mid_6h")
+        .otherwise("old_1d")
+        .alias("tier"),
+        F.when(
+            F.col("age_days") < 7,
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))),
+        )
+        .when(
+            F.col("age_days") < 21,
+            F.unix_micros(F.date_trunc("day", F.col("ts")))
+            + F.expr("hour(ts) div 6") * F.lit(21600000000),
+        )
+        .otherwise(F.unix_micros(F.date_trunc("day", F.col("ts"))))
+        .cast("long")
+        .alias("bucket_us"),
+    )
+    return tiered.groupBy("event_type", "tier", "bucket_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+@register(
+    "mergetree_ttl_expire",
+    oracle="""
+        WITH anchor AS (
+            SELECT date_trunc('day', MAX(ts)) AS aday FROM events
+        ), cls AS (
+            SELECT e.event_type,
+                   strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+                   e.value,
+                   date_diff('day', date_trunc('day', e.ts), a.aday)
+                       AS age_days,
+                   CASE WHEN e.event_type = 'purchase' THEN 21
+                        ELSE 14 END AS ttl_days
+            FROM events e CROSS JOIN anchor a
+        )
+        SELECT event_type, day,
+               CASE WHEN age_days <= ttl_days THEN 'live'
+                    ELSE 'rolled' END AS state,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
+        FROM cls GROUP BY event_type, day,
+              CASE WHEN age_days <= ttl_days THEN 'live' ELSE 'rolled' END
+    """,
+    doc="MergeTree TTL semantics: per-row expiry with a per-type TTL "
+    "override (purchase rows live 21 days, everything else 14 — CH "
+    "`TTL ts + INTERVAL ... DELETE` with a WHERE branch) and CH's "
+    "`TTL ... GROUP BY` variant where expired rows are not dropped "
+    "but ROLLED UP to day-grain aggregates — the disk-reclaim path "
+    "that keeps history queryable. Ages anchor at the dataset's max "
+    "day (deterministic). One broadcast anchor + one hash agg; the "
+    "live/rolled split is a CASE, not a second scan. At 100 TB CH "
+    "evaluates TTL per part at merge time; the equivalent here "
+    "partitions by day so expiry drops whole partitions (the "
+    "scan_partition_pruned layout), and the rollup output is "
+    "calendar-bounded.",
+)
+def mergetree_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("aday"))
+    cls = ev.join(F.broadcast(anchor)).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+        F.datediff(F.col("aday"), F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("age_days"),
+        F.when(F.col("event_type") == "purchase", 21)
+        .otherwise(14)
+        .alias("ttl_days"),
+    )
+    return (
+        cls.withColumn(
+            "state",
+            F.when(F.col("age_days") <= F.col("ttl_days"), "live").otherwise(
+                "rolled"
+            ),
+        )
+        .groupBy("event_type", "day", "state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("v_sum"),
+        )
+    )

@@ -293,3 +293,53 @@ def sink_bucketed_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.{tbl}").filter(
         F.col("o_totalprice") > 100000.0
     )
+
+
+@register(
+    "scan_schema_merge",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
+                          THEN o_orderpriority END) AS BIGINT)
+                   AS n_with_priority,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                          THEN o_orderpriority END) AS BIGINT)
+                   AS n_priorities
+        FROM orders
+    """,
+    doc="Schema-evolution scan (mergeSchema): two parquet snapshots "
+    "written with DIFFERENT schemas — the old half (even orderkeys) "
+    "lacks o_orderpriority, the new half (odd) carries it — read "
+    "back as ONE table with spark.read.option('mergeSchema', true); "
+    "missing columns come back NULL for old files. This is how a "
+    "100 TB lakehouse survives additive schema change without "
+    "rewriting history: each file keeps its own schema, the footer "
+    "union is computed at planning time (cost scales with file "
+    "count, not data; production pins the merged schema in a "
+    "catalog). The oracle recomputes the same aggregate from the "
+    "source table — count, key sum, and priority presence counts "
+    "prove NULL-backfill semantics exactly. Sister key of "
+    "union_by_name_evolved (which evolves at the DataFrame level; "
+    "this key evolves at the FILE level).",
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import scratch_path
+
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_path(spark, "orders_schema_merge", sf_dir)
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(out + "/part=old")
+    new.write.mode("overwrite").parquet(out + "/part=new")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )

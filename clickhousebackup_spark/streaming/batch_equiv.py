@@ -222,3 +222,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_minutes"),
         )
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+        WITH c AS (
+            SELECT date_trunc('day', ts) AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT window_start, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS rk
+            FROM c
+        ) WHERE rk <= 3
+    """,
+    doc="Windowed top-k: the 3 most frequent event types per daily "
+    "tumbling window under the (count DESC, type) total order — the "
+    "'trending now' aggregation every streaming dashboard runs. "
+    "Batch form shown (window semantics identical); the streaming "
+    "form is the same day-window groupBy under a watermark with the "
+    "rank applied per finalized window in foreachBatch (rank over an "
+    "open window is not monotone, so CH/Flink deployments rank at "
+    "window close — same contract). One hash agg over (day × type) "
+    "— vocabulary-bounded — then a rank window over that tiny cell "
+    "table. Nothing about the plan changes at 100 TB: the agg "
+    "absorbs the volume; the rank input stays days × types.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n", "rk")
+    )
