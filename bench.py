@@ -61,6 +61,11 @@ EXTRA = (
     "ts_lttb_downsample",
     "text_minhash_export",
     "win_sliding_distinct",
+    # round-6 flagships
+    "corpus_dup_ngrams",
+    "emb_pq_codes",
+    "sessionize_gap",
+    "merge_graphite_rollup",
 )
 
 

@@ -336,3 +336,120 @@ def backup_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"db0": {"orders": o}}, now=dt.datetime(1997, 1, 2)
     )
     return eng.restore_incremental("db0", "orders")
+
+
+@register(
+    "backup_pit_select",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE},
+        anchor AS (
+            SELECT MAX(snapshot_ts) - INTERVAL 10 DAY AS cutoff
+            FROM catalog_full
+        )
+        SELECT {_CATALOG_COLS_SQL} FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY db, generation
+                ORDER BY snapshot_ts DESC, snapshot_id DESC) AS rn
+            FROM catalog_full c CROSS JOIN anchor a
+            WHERE c.snapshot_ts <= a.cutoff
+        ) WHERE rn = 1
+    """,
+    doc="Point-in-time restore selection: the newest snapshot at or "
+    "before the restore point per (db, generation) — the query every "
+    "restore runbook starts with ('give me the state as of T'). The "
+    "restore point is anchored at max(snapshot_ts) − 10 days "
+    "(deterministic — no wall clock), broadcast as a 1-row cutoff; "
+    "selection is the keep-newest window under the (ts, snapshot_id) "
+    "total order, bounded below by the cutoff — the A14 machinery "
+    "plus a time bound. One window shuffle on the catalog "
+    "(catalog-scale, not data-scale — the backup vertical's "
+    "invariant).",
+)
+def backup_pit_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    anchor = cat.agg(
+        (F.max("snapshot_ts") - F.expr("INTERVAL 10 DAYS")).alias("cutoff")
+    )
+    w = Window.partitionBy("db", "generation").orderBy(
+        F.col("snapshot_ts").desc(), F.col("snapshot_id").desc()
+    )
+    return (
+        cat.join(F.broadcast(anchor))
+        .filter(F.col("snapshot_ts") <= F.col("cutoff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*CATALOG_COLS)
+    )
+
+
+@register(
+    "backup_manifest_diff",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE},
+        oldm AS (
+            SELECT * FROM catalog_full WHERE snapshot_id % 5 <> 0
+        ), newm AS (
+            SELECT db, generation, period_key, snapshot_ts, snapshot_id,
+                   path,
+                   CASE WHEN snapshot_id % 3 = 0 THEN md5(content_hash)
+                        ELSE content_hash END AS content_hash,
+                   size_bytes
+            FROM catalog_full WHERE snapshot_id % 7 <> 0
+        ), j AS (
+            SELECT COALESCE(o.db, n.db) AS db,
+                   CASE WHEN o.snapshot_id IS NULL THEN 'added'
+                        WHEN n.snapshot_id IS NULL THEN 'removed'
+                        WHEN o.content_hash <> n.content_hash
+                             THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM oldm o FULL OUTER JOIN newm n
+              ON o.db = n.db AND o.snapshot_id = n.snapshot_id
+        )
+        SELECT db, status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM j GROUP BY db, status
+    """,
+    doc="Incremental-backup manifest diff: two snapshot catalogs "
+    "(deterministic synthetic halves: every 5th artifact missing "
+    "from old, every 7th from new, every 3rd's content hash "
+    "perturbed in new) FULL-joined on artifact identity and "
+    "classified added / removed / changed / unchanged — the diff "
+    "that decides what an incremental run uploads and what a prune "
+    "deletes (the hardlink-reuse decision of backup.sh:77-96 made "
+    "explicit). Output is per-(db, status) counts — the manifest "
+    "summary line. Catalog-scale full join + one agg; identity is "
+    "(db, snapshot_id), never the non-unique path.",
+)
+def backup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    old = cat.filter(F.col("snapshot_id") % 5 != 0).select(
+        "db", "snapshot_id", "content_hash"
+    )
+    new = cat.filter(F.col("snapshot_id") % 7 != 0).select(
+        "db",
+        "snapshot_id",
+        F.when(
+            F.col("snapshot_id") % 3 == 0, F.md5("content_hash")
+        )
+        .otherwise(F.col("content_hash"))
+        .alias("content_hash"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(
+        n,
+        (F.col("o.db") == F.col("n.db"))
+        & (F.col("o.snapshot_id") == F.col("n.snapshot_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("o.db"), F.col("n.db")).alias("db"),
+        F.when(F.col("o.snapshot_id").isNull(), "added")
+        .when(F.col("n.snapshot_id").isNull(), "removed")
+        .when(F.col("o.content_hash") != F.col("n.content_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("db", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

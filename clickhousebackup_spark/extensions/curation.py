@@ -690,3 +690,120 @@ def corpus_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "curation_percentile_gate",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT doc_id, lang, rn, n,
+               CAST(CASE WHEN (rn - 1) * 100 <= (n - 1) * 60
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM ranked
+    """,
+    doc="Percentile-based quality gate: keep the top 60% of each "
+    "language by a quality proxy (n_chars here; production swaps in "
+    "quality_linear_score — identical plan) — the per-stratum "
+    "percentile cut every curation pipeline applies so low-resource "
+    "languages aren't starved by a global threshold. The gate is "
+    "PURE INTEGER: rank under the (proxy DESC, doc_id) total order, "
+    "keep ⇔ (rn−1)·100 ≤ (n−1)·60 — no percent_rank doubles, no "
+    "single-row 0/0 edge. One window + count over the same lang "
+    "partitioning (one shuffle); at 100 TB the per-lang sort is the "
+    "cost and an approximate-quantile threshold (agg_percentile_"
+    "approx) replaces the full rank at identical semantics minus "
+    "exactness.",
+)
+def curation_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "rn",
+        "n",
+        F.when((F.col("rn") - 1) * 100 <= (F.col("n") - 1) * 60, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+@register(
+    "decontam_span_stats",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i:i+2], ' ') AS sh
+            FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) u(i)
+            WHERE len(toks) >= 3
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+        ), corpus AS (
+            SELECT doc_id, sh FROM sh WHERE doc_id >= 10
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(b.sh) AS BIGINT) AS n_contam,
+               CAST(COUNT(*) - COUNT(b.sh) AS BIGINT) AS n_clean
+        FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+        GROUP BY c.doc_id
+    """,
+    doc="Decontamination span statistics: per corpus document, how "
+    "many of its distinct word 3-shingles collide with a benchmark "
+    "set (docs 0–9 stand in for the eval suite) — the span-level "
+    "accounting that decides between dropping a document and "
+    "surgically removing spans (the n_contam/n_shingles ratio is "
+    "the drop-vs-clean decision every decontamination run makes; "
+    "contamination_overlap reports the doc-level join, THIS key "
+    "pins the span arithmetic). Benchmark shingle set is broadcast "
+    "(eval suites are tiny vs the corpus); corpus side is explode + "
+    "distinct + one LEFT equi-join + one doc agg. All integers.",
+)
+def decontam_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' '))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("hit").cast("long").alias("n_contam"),
+            (F.count(F.lit(1)) - F.count("hit")).cast("long").alias("n_clean"),
+        )
+    )

@@ -1116,3 +1116,78 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+        WITH normed AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.label,
+                   list_reduce(list_transform(list_zip(a.v, b.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y)
+                   / (a.nrm * b.nrm) AS cosine
+            FROM normed a JOIN normed b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(CASE WHEN cosine >= 0.2 THEN 1 END) AS BIGINT)
+                   AS n_ge_20,
+               CAST(COUNT(CASE WHEN cosine >= 0.3 THEN 1 END) AS BIGINT)
+                   AS n_ge_30,
+               CAST(COUNT(CASE WHEN cosine >= 0.4 THEN 1 END) AS BIGINT)
+                   AS n_ge_40,
+               CAST(COUNT(CASE WHEN cosine >= 0.5 THEN 1 END) AS BIGINT)
+                   AS n_ge_50
+        FROM pairs GROUP BY label
+    """,
+    doc="Near-dup threshold sweep: within-label pair counts at cosine "
+    "thresholds 0.2/0.3/0.4/0.5 in ONE pass — the tuning curve every "
+    "dedup deployment plots before committing to a τ (too low eats "
+    "real data, too high leaves duplicates; SemDeDup §4 tunes "
+    "exactly this). Pairs are label-blocked (the SemDeDup "
+    "within-cluster scope — dedup_semantic's join shape), the "
+    "cosine is one identical left-to-right IEEE fold per pair, and "
+    "the four thresholds are CONDITIONAL COUNTS in the same "
+    "aggregate — no re-scan per τ. Never checked doubles: outputs "
+    "are pair counts. At 100 TB: cluster-id blocking bounds the "
+    "quadratic verify exactly as the dedup pipeline itself does.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    normed = e.select(
+        "vec_id", "label", v.alias("v"), nrm.alias("nrm")
+    ).localCheckpoint(eager=True)
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.label").alias("label"), cos.alias("cosine"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("cosine") >= 0.2, 1)).cast("long").alias("n_ge_20"),
+        F.count(F.when(F.col("cosine") >= 0.3, 1)).cast("long").alias("n_ge_30"),
+        F.count(F.when(F.col("cosine") >= 0.4, 1)).cast("long").alias("n_ge_40"),
+        F.count(F.when(F.col("cosine") >= 0.5, 1)).cast("long").alias("n_ge_50"),
+    )

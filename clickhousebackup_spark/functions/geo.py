@@ -337,3 +337,71 @@ def geo_grid_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ulat").cast("long").alias("ulat"),
         F.col("ulon").cast("long").alias("ulon"),
     )
+
+
+#: Convex test polygon for geo_point_in_polygon: a hexagon in integer
+#: micro-degrees around (90e6, 180e6) — CCW vertex order. Cross
+#: products stay < 5e17, well inside int64.
+_HEX = [
+    (140_000_000, 180_000_000),
+    (115_000_000, 223_000_000),
+    (65_000_000, 223_000_000),
+    (40_000_000, 180_000_000),
+    (65_000_000, 137_000_000),
+    (115_000_000, 137_000_000),
+]
+
+
+def _pip_pred(lat_expr: str, lon_expr: str) -> str:
+    """Unrolled all-edges orientation test (identical SQL text for
+    both engines): inside a CCW convex polygon ⇔ every edge cross
+    product (v1-v0) × (p-v0) is ≥ 0. Pure int64 arithmetic."""
+    terms = []
+    for i in range(len(_HEX)):
+        (y0, x0), (y1, x1) = _HEX[i], _HEX[(i + 1) % len(_HEX)]
+        terms.append(
+            f"(({x1 - x0}) * ({lat_expr} - {y0})"
+            f" - ({y1 - y0}) * ({lon_expr} - {x0}) >= 0)"
+        )
+    return " AND ".join(terms)
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+        WITH pts AS ({_PT_SQL})
+        SELECT user_id,
+               CAST(ulat AS BIGINT) AS ulat,
+               CAST(ulon AS BIGINT) AS ulon,
+               CAST(CASE WHEN {_pip_pred("ulat", "ulon")}
+                    THEN 1 ELSE 0 END AS BIGINT) AS inside
+        FROM pts
+    """,
+    doc="ClickHouse pointInPolygon for a convex polygon: each user's "
+    "deterministic point tests against a hexagon via the all-edges "
+    "orientation rule — every edge cross product (v1−v0)×(p−v0) "
+    "non-negative ⇔ inside (CCW). ALL arithmetic is int64 "
+    "micro-degrees (cross products < 5e17): no ray-casting float "
+    "epsilons, no trig, bit-identical in both engines. Map-only "
+    "(six multiply-compare terms in one codegen stage, zero "
+    "shuffle beyond the distinct). The general non-convex/polygon-"
+    "table form decomposes into triangles and grid-buckets them — "
+    "the geo_grid_bbox_join machinery; this key pins the exact "
+    "containment predicate.",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    pts = ev.select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % 180000000).cast("long").alias("ulat"),
+        ((F.col("user_id") * 1779033703) % 360000000).cast("long").alias("ulon"),
+    )
+    return pts.select(
+        "user_id",
+        "ulat",
+        "ulon",
+        F.expr(
+            f"CAST(CASE WHEN {_pip_pred('ulat', 'ulon')}"
+            " THEN 1 ELSE 0 END AS LONG)"
+        ).alias("inside"),
+    )

@@ -242,3 +242,68 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
         )
     )
+
+
+#: CIDR table for ip_cidr_join: 32 deterministic /16 networks.
+CIDR_N = 32
+
+
+@register(
+    "ip_cidr_join",
+    oracle=f"""
+        WITH ips AS (
+            SELECT DISTINCT user_id,
+                   ((user_id % 65536) * 2654435761) % 4294967296 AS ip_num
+            FROM events
+        ), cidrs AS (
+            SELECT r.range AS cidr_id,
+                   (((r.range * 40503) % 65536) * 65536) AS net_lo,
+                   (((r.range * 40503) % 65536) * 65536) + 65535 AS net_hi
+            FROM range(0, {CIDR_N}) r
+        )
+        SELECT c.cidr_id, i.user_id, CAST(i.ip_num AS BIGINT) AS ip_num
+        FROM ips i JOIN cidrs c
+          ON i.ip_num // 65536 = c.net_lo // 65536
+        WHERE i.ip_num >= c.net_lo AND i.ip_num <= c.net_hi
+    """,
+    doc="CIDR-range membership join (CH IPv4CIDRToRange + dictGet "
+    "ip_trie): which /16 network does each client IP fall in — the "
+    "geo-IP / allowlist join every clickstream pipeline runs. "
+    "Executed as a PREFIX-BUCKET equi-join, not a range theta-join: "
+    "a /16 network has one 16-bit prefix, an IP has one prefix, so "
+    "the join key is ip >> 16 (integer division — all values "
+    "non-negative) with the range check as residual — the 1-D "
+    "special case of the geo_grid_bbox_join reduction, and exactly "
+    "how ip_trie dictionaries bucket at CH scale (longest-prefix "
+    "generalizes by exploding each CIDR into its covering /16s). "
+    "IPs are the ip_funcs multiplicative-hash synthetics; networks "
+    "are 32 deterministic /16s. Integer-only outputs.",
+)
+def ip_cidr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ips = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (((F.col("user_id") % 65536) * 2654435761) % 4294967296).alias(
+                "ip_num"
+            ),
+        )
+    )
+    cidrs = spark.range(CIDR_N).select(
+        F.col("id").alias("cidr_id"),
+        (((F.col("id") * 40503) % 65536) * 65536).alias("net_lo"),
+        ((((F.col("id") * 40503) % 65536) * 65536) + 65535).alias("net_hi"),
+    )
+    return (
+        ips.join(
+            F.broadcast(cidrs),
+            F.expr("ip_num div 65536") == F.expr("net_lo div 65536"),
+        )
+        .filter(
+            (F.col("ip_num") >= F.col("net_lo"))
+            & (F.col("ip_num") <= F.col("net_hi"))
+        )
+        .select("cidr_id", "user_id", F.col("ip_num").cast("long").alias("ip_num"))
+    )

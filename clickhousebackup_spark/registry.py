@@ -168,8 +168,22 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 # Round-7 rotation note: after CORRECTNESS_r06 lands, every key
 # registered before round 6 has a green driver row; replace the tuple
-# above with the round-6 additions (see the r6 section of SURVEY §2)
-# plus any r6 FAIL/ERR keys, keeping the window at ≤50. Re-run the
+# above with the 31 round-6 oracle additions (29 new keys + 2
+# rows-only→oracled conversions whose oracle path has no driver row),
+# plus any r6 FAIL/ERR keys — the list is pinned in
+# tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED):
+#   sessionize_gap seq_rle_encode ts_seasonality_profile
+#   stats_chi2_cells cohort_revenue_ltv array_enumerate_dense
+#   str_format_readable source_numbers_range corpus_dup_ngrams
+#   corpus_length_histogram corpus_dsir_features token_fertility_stats
+#   text_c4_gates dedup_incremental emb_pq_codes sim_range_search
+#   merge_graphite_rollup mergetree_ttl_expire stream_windowed_topk
+#   map_higher_order scan_schema_merge geo_grid_bbox_join
+#   geo_point_in_polygon curation_percentile_gate decontam_span_stats
+#   dedup_threshold_sweep backup_pit_select backup_manifest_diff
+#   ip_cidr_join dedup_clusters dedup_clusters_neardup
+# That fills 31 of 50 slots; spares fall through to registration
+# order (stable r1 keys — harmless re-verification). Re-run the
 # driver simulation per .claude/skills/verify/SKILL.md before relying
 # on the rotation.
 

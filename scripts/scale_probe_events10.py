@@ -29,6 +29,16 @@ KEYS = (
     "win_sliding_distinct",
     "stats_roc_auc",
     "text_simhash_export",
+    # round-6 probe extension (VERDICT r5 task 7): the three r5 keys
+    # with the most data-dependent fan-out...
+    "join_interval_overlap",
+    "win_cumulative_uniques",
+    "dedup_containment",
+    # ...plus the heaviest round-6 additions
+    "sessionize_gap",
+    "corpus_dup_ngrams",
+    "dedup_clusters_neardup",
+    "emb_pq_codes",
 )
 
 
@@ -66,6 +76,39 @@ def build_events10(spark) -> None:
     for c in dcopies[1:]:
         dout = dout.unionAll(c)
     dout.write.mode("overwrite").parquet(f"{PROBE_DIR}/documents.parquet")
+    # orders for the interval keys: 10 copies with orderkey offset and
+    # custkey offset (spread, not pile-up, mirroring real growth)
+    o = load_table(spark, SF, "orders")
+    on = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ocopies = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(k * on)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(k * 100000)).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        for k in range(10)
+    ]
+    oout = ocopies[0]
+    for c in ocopies[1:]:
+        oout = oout.unionAll(c)
+    oout.write.mode("overwrite").parquet(f"{PROBE_DIR}/orders.parquet")
+    # embeddings for the PQ key: 10 copies with vec_id offset (the
+    # first-8 codebook stays the original vectors — assignment work
+    # scales with the fact side, which is the point)
+    e = load_table(spark, SF, "embeddings")
+    en = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    ecopies = [
+        e.select(
+            (F.col("vec_id") + F.lit(k * en)).alias("vec_id"),
+            "embedding", "label",
+        )
+        for k in range(10)
+    ]
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionAll(c)
+    eout.write.mode("overwrite").parquet(f"{PROBE_DIR}/embeddings.parquet")
 
 
 def main() -> None:

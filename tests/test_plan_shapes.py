@@ -516,3 +516,56 @@ def test_r5_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+#: (max shuffles, min broadcast joins, allow BroadcastNestedLoopJoin)
+#: measured at sf0.001 per the verify-skill plan-budget recipe.
+#: allow_nlj=True rows are the deliberate tiny-broadcast probes
+#: (8-row PQ codebook, 3-row query set, 1-row time anchor) — the
+#: constant-width cross-join class documented since round 4.
+R6_PLAN_BUDGET = {
+    "sessionize_gap": (1, 0, False),       # windows + agg share user part.
+    "seq_rle_encode": (1, 0, False),       # same gaps-islands shape
+    "ts_seasonality_profile": (1, 0, False),  # one calendar-cell agg
+    "stats_chi2_cells": (1, 0, False),     # cell agg + windows over cells
+    "cohort_revenue_ltv": (3, 1, False),   # cust agg + cell agg + window
+    "array_enumerate_dense": (2, 1, False),  # pos window + first-pos join
+    "str_format_readable": (0, 0, False),  # map-only CASE/lpad chain
+    "source_numbers_range": (0, 0, False), # pure Range scan
+    "corpus_dup_ngrams": (2, 0, False),    # gram agg + TakeOrdered
+    "corpus_length_histogram": (1, 0, False),  # one bucket agg
+    "corpus_dsir_features": (2, 1, False),  # profile bcast + doc agg
+    "token_fertility_stats": (1, 0, False),  # one lang agg
+    "text_c4_gates": (0, 0, False),        # map-only regexp battery
+    "dedup_incremental": (3, 2, False),    # hash split + two bcast joins
+    "emb_pq_codes": (2, 0, True),          # 8-row codebook probe NLJ
+    "sim_range_search": (0, 0, True),      # 3-row query probe NLJ
+    "merge_graphite_rollup": (1, 0, True), # 1-row anchor NLJ + one agg
+    "mergetree_ttl_expire": (1, 0, True),  # 1-row anchor NLJ + one agg
+    "stream_windowed_topk": (2, 0, False), # day-cell agg + rank window
+    "map_higher_order": (2, 0, False),     # tf agg + map assembly agg
+    "scan_schema_merge": (1, 0, False),    # merged-footer scan + agg
+    "geo_grid_bbox_join": (1, 1, False),   # bcast cell join + distinct
+    "dedup_clusters": (0, 0, False),       # checkpointed fixpoint
+    "dedup_clusters_neardup": (0, 0, False),  # checkpointed fixpoint
+    # batch 4
+    "geo_point_in_polygon": (1, 0, False),  # distinct + map-only pred
+    "curation_percentile_gate": (1, 0, False),  # one lang window pass
+    "decontam_span_stats": (3, 1, False),   # shingle distinct + bcast bench
+    "dedup_threshold_sweep": (1, 1, False),  # label-blocked pair agg
+    "backup_pit_select": (1, 0, True),      # 1-row cutoff anchor NLJ
+    "backup_manifest_diff": (3, 0, False),  # full join + agg (catalog-scale)
+    "ip_cidr_join": (1, 1, False),          # bcast /16 prefix join
+}
+
+
+@pytest.mark.parametrize("key", sorted(R6_PLAN_BUDGET))
+def test_r6_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R6_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
