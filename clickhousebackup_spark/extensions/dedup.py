@@ -1191,3 +1191,57 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cosine") >= 0.4, 1)).cast("long").alias("n_ge_40"),
         F.count(F.when(F.col("cosine") >= 0.5, 1)).cast("long").alias("n_ge_50"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   CAST(MIN(doc_id) OVER (PARTITION BY md5(text))
+                       AS BIGINT) AS cluster,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text))
+                       AS BIGINT) AS n_members
+            FROM documents
+        )
+        SELECT cluster,
+               CAST(doc_id AS BIGINT) AS kept_doc_id,
+               CAST(n_chars AS BIGINT) AS kept_n_chars,
+               n_members
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Keep-BEST-of-cluster canonical selection: within each exact-"
+    "dup cluster, survive the member with the highest quality score "
+    "(n_chars as the proxy; production swaps in quality_linear_score "
+    "— identical plan) under the (score DESC, doc_id) total order — "
+    "the canonicalization policy real pipelines use instead of "
+    "min-id-wins (dedup_exact): when near-identical pages differ in "
+    "truncation or boilerplate, you keep the richest copy, not the "
+    "lowest id. One window pass over the md5 partitioning computing "
+    "cluster id, rank, and cluster size together (one shuffle). "
+    "Returns one row per cluster: canonical doc, its score, member "
+    "count.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    wp = Window.partitionBy(h)
+    wr = Window.partitionBy(h).orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.min("doc_id").over(wp).cast("long").alias("cluster"),
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wp).cast("long").alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").cast("long").alias("kept_doc_id"),
+            F.col("n_chars").cast("long").alias("kept_n_chars"),
+            "n_members",
+        )
+    )

@@ -833,3 +833,78 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("qid", "vec_id", "label", cos.alias("cosine"))
         .filter(F.col("cosine") >= RANGE_TAU)
     )
+
+
+#: Binary quantization width: 63 sign bits (bit 63 would flip the
+#: BIGINT sign and break the additive mask construction; dropping one
+#: dim costs ~1/64th of the signal — standard when packing into a
+#: signed word).
+BQ_BITS = 63
+
+_BQ_MASK_SQL = (
+    "list_reduce(list_transform(range(0, 63), "
+    "i -> CASE WHEN embedding[i + 1] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), "
+    "(a, b) -> a + b)"
+)
+
+
+@register(
+    "emb_binary_quantize",
+    oracle=f"""
+        WITH masks AS (
+            SELECT vec_id, label, {_BQ_MASK_SQL} AS mask
+            FROM embeddings
+        ), q AS (
+            SELECT mask AS qmask FROM masks WHERE vec_id = 0
+        )
+        SELECT vec_id, label, CAST(mask AS BIGINT) AS mask,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM (
+            SELECT m.vec_id, m.label, m.mask,
+                   bit_count(xor(m.mask, q.qmask)) AS hamming,
+                   ROW_NUMBER() OVER (ORDER BY
+                       bit_count(xor(m.mask, q.qmask)), m.vec_id) AS rn
+            FROM masks m CROSS JOIN q
+            WHERE m.vec_id <> 0
+        ) WHERE rn <= 10
+    """,
+    doc=f"Binary quantization retrieval: each vector collapses to "
+    f"{BQ_BITS} SIGN BITS packed into one BIGINT (bit i = dim i > 0) "
+    "and retrieval is top-10 by Hamming distance (bit_count of XOR) "
+    "to the query's mask — the 1-bit compression every "
+    "billion-vector first-stage retriever runs (32× smaller than "
+    "float32, distance = one popcount instruction) before exact "
+    "re-ranking (sim_topk_cosine / emb_pq_codes are the re-rank "
+    "stages). EVERYTHING is integer: sign tests, shifts, XOR, "
+    "popcount — no float leaves the scan, so the driver hash pins "
+    "exact masks and distances. Plan: mask is map-only; the 1-row "
+    "query mask broadcasts; top-10 is TakeOrderedAndProject under "
+    "the (hamming, vec_id) total order.",
+)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    mask = F.expr(
+        "aggregate(transform(sequence(0, 62),"
+        " i -> IF(element_at(embedding, i + 1) > 0,"
+        " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    masks = e.select("vec_id", "label", mask.alias("mask"))
+    q = masks.filter(F.col("vec_id") == 0).select(
+        F.col("mask").alias("qmask")
+    )
+    joined = masks.filter(F.col("vec_id") != 0).join(F.broadcast(q))
+    hamming = F.bit_count(
+        F.col("mask").bitwiseXOR(F.col("qmask"))
+    ).cast("long")
+    return (
+        joined.select(
+            "vec_id",
+            "label",
+            F.col("mask").cast("long").alias("mask"),
+            hamming.alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

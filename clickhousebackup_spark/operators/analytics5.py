@@ -542,3 +542,113 @@ def source_numbers_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("day"),
     )
+
+
+@register(
+    "topk_with_others",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ), ranked AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, event_type) AS rk
+            FROM c
+        )
+        SELECT user_id,
+               CASE WHEN rk <= 3 THEN event_type ELSE 'other' END
+                   AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM ranked
+        GROUP BY user_id,
+                 CASE WHEN rk <= 3 THEN event_type ELSE 'other' END
+    """,
+    doc="Top-3-plus-'other' report shape: each user's three most "
+    "frequent event types keep their names, the long tail lumps "
+    "into one 'other' bucket — the fixed-width breakdown every "
+    "dashboard pie/stacked-bar needs (CH users build it with LIMIT "
+    "BY + a union; here it is rank-then-relabel-then-reaggregate in "
+    "one flow). Rank under the (count DESC, type) total order; both "
+    "aggs and the window REUSE the user_id partitioning — one "
+    "shuffle; output is ≤ 4 rows per user regardless of type "
+    "vocabulary (the property that makes the report safe to "
+    "materialize at 100 TB).",
+)
+def topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    ranked = c.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.when(F.col("rk") <= 3, F.col("event_type")).otherwise("other"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "dq_volume_anomaly",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               CAST(COALESCE(LAG(n) OVER (PARTITION BY event_type
+                   ORDER BY day), 0) AS BIGINT) AS prev_n,
+               CAST(n - COALESCE(LAG(n) OVER (PARTITION BY event_type
+                   ORDER BY day), 0) AS BIGINT) AS delta,
+               CAST(CASE WHEN LAG(n) OVER (PARTITION BY event_type
+                        ORDER BY day) IS NOT NULL
+                     AND abs(n - LAG(n) OVER (PARTITION BY event_type
+                         ORDER BY day)) * 2
+                         > LAG(n) OVER (PARTITION BY event_type
+                           ORDER BY day)
+                    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        FROM d
+    """,
+    doc="Data-quality volume anomaly flags: per (series, day) row "
+    "count, the previous observed day's count, the delta, and a "
+    ">50%-swing flag — the day-over-day freshness/volume check "
+    "every ingestion pipeline alerts on (events_anomaly_zscore "
+    "watches VALUES; this watches ROW VOLUME, the first thing that "
+    "breaks when an upstream feed stalls or double-delivers). The "
+    "comparison is PURE INTEGER (|Δ|·2 > prev — no percentage "
+    "division, no negative integer-division dialect trap); first "
+    "observed day is prev=0, flagged 0 (no baseline). One "
+    "calendar-bounded agg + one lag window over the tiny cell "
+    "table.",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.coalesce(prev, F.lit(0)).cast("long").alias("prev_n"),
+        (F.col("n") - F.coalesce(prev, F.lit(0))).cast("long").alias("delta"),
+        F.when(
+            prev.isNotNull() & (F.abs(F.col("n") - prev) * 2 > prev), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("anomaly"),
+    )

@@ -1025,3 +1025,49 @@ def mergetree_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("v_sum"),
         )
     )
+
+
+@register(
+    "merge_replacing_deleted",
+    oracle="""
+        SELECT user_id, event_type, ts, event_id, value FROM (
+            SELECT user_id, event_type, ts, event_id, value,
+                   CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END
+                       AS BIGINT) AS is_deleted,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND is_deleted = 0
+    """,
+    doc="ReplacingMergeTree(ver, is_deleted) — the CH 23.2+ soft-"
+    "delete variant: keep-newest per key AND drop the key entirely "
+    "when its newest version is a tombstone (is_deleted=1, synthetic "
+    "here as event_id%7). This differs from merge_replacing_final "
+    "(keep-newest only) and from merge_versioned_collapsing (sign "
+    "pairs): a tombstone REMOVES the key from FINAL output — the "
+    "CDC delete semantic. Same single window shuffle under the "
+    "(ts, event_id) total order; the tombstone filter is applied "
+    "AFTER rank so an older live row never resurrects a deleted "
+    "key.",
+)
+def merge_replacing_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_id") % 7 == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_deleted"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("is_deleted") == 0))
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )

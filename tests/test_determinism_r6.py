@@ -29,6 +29,9 @@ R6_KEYS = [
     "geo_point_in_polygon", "curation_percentile_gate",
     "decontam_span_stats", "dedup_threshold_sweep", "backup_pit_select",
     "backup_manifest_diff", "ip_cidr_join",
+    # batch 5: binary ANN / canonical keep / report shapes / DQ / CDC
+    "emb_binary_quantize", "dedup_keep_best", "topk_with_others",
+    "dq_volume_anomaly", "merge_replacing_deleted",
 ]
 
 #: Keys converted from rows-only to oracled in round 6 (not new, but

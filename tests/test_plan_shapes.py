@@ -556,6 +556,12 @@ R6_PLAN_BUDGET = {
     "backup_pit_select": (1, 0, True),      # 1-row cutoff anchor NLJ
     "backup_manifest_diff": (3, 0, False),  # full join + agg (catalog-scale)
     "ip_cidr_join": (1, 1, False),          # bcast /16 prefix join
+    # batch 5
+    "emb_binary_quantize": (0, 0, True),    # 1-row query-mask NLJ + TakeOrdered
+    "dedup_keep_best": (1, 0, False),       # one md5-partition window pass
+    "topk_with_others": (2, 0, False),      # type agg + rank + rebucket agg
+    "dq_volume_anomaly": (2, 0, False),     # day-cell agg + lag window
+    "merge_replacing_deleted": (1, 0, False),  # keep-newest + tombstone
 }
 
 
