@@ -538,3 +538,84 @@ def text_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flag_terminal_punct"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+        WITH votes AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('the','and','of','to','is'))) AS v_en,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('le','la','et','de','est'))) AS v_fr,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('el','los','y','en','es'))) AS v_es,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('der','die','und','zu','ist'))) AS v_de
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE WHEN v_en >= v_fr AND v_en >= v_es AND v_en >= v_de
+                            THEN 'en'
+                        WHEN v_fr >= v_es AND v_fr >= v_de THEN 'fr'
+                        WHEN v_es >= v_de THEN 'es'
+                        ELSE 'de' END AS lang_guess
+            FROM votes
+        ), cells AS (
+            SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, lang_guess
+        )
+        SELECT lang, lang_guess, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_total,
+               CAST(n * 1000 // SUM(n) OVER (PARTITION BY lang)
+                   AS BIGINT) AS recall_permille
+        FROM cells
+    """,
+    doc="Language-ID confusion matrix: the stopword-family classifier "
+    "(text_lang_id's 4-way extension — en/fr/es/de marker votes with "
+    "a deterministic argmax CASE chain; zh has no Latin stopwords so "
+    "its row shows where a Latin-marker classifier dumps it) "
+    "evaluated against the labeled lang column — per (true, "
+    "predicted) counts plus integer-permille recall. This is the "
+    "EVAL step of a curation pipeline: before trusting a lang-id "
+    "gate at 100 TB you measure its confusion on labeled data, and "
+    "the per-row permille IS the per-language recall diagonal. "
+    "Map-only voting + one (true×pred ≤ 25 cells) agg + one window "
+    "over the cell table. All integers.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    lower_words = F.split(F.lower("text"), " ")
+
+    def votes(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(lower_words, lambda w: F.array_contains(arr, w)))
+
+    v_en = votes(("the", "and", "of", "to", "is"))
+    v_fr = votes(("le", "la", "et", "de", "est"))
+    v_es = votes(("el", "los", "y", "en", "es"))
+    v_de = votes(("der", "die", "und", "zu", "ist"))
+    pred = d.select(
+        "lang",
+        F.when((v_en >= v_fr) & (v_en >= v_es) & (v_en >= v_de), "en")
+        .when((v_fr >= v_es) & (v_fr >= v_de), "fr")
+        .when(v_es >= v_de, "es")
+        .otherwise("de")
+        .alias("lang_guess"),
+    )
+    cells = pred.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.sum("n").over(w).cast("long").alias("lang_total"),
+        F.expr("CAST(n * 1000 div SUM(n) OVER (PARTITION BY lang) AS LONG)")
+        .alias("recall_permille"),
+    )

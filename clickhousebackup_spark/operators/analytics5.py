@@ -652,3 +652,141 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("anomaly"),
     )
+
+
+@register(
+    "audience_overlap_jaccard",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut GROUP BY event_type
+        ), both_ AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT j.type_a, j.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+               j.n_both,
+               CAST(j.n_both * 1000
+                    // (sa.n_users + sb.n_users - j.n_both) AS BIGINT)
+                   AS jaccard_permille
+        FROM both_ j
+        JOIN sizes sa ON j.type_a = sa.event_type
+        JOIN sizes sb ON j.type_b = sb.event_type
+    """,
+    doc="Audience-overlap matrix: for every pair of event types, the "
+    "user-set Jaccard overlap — the segment-overlap query behind "
+    "campaign planning and feature-cannibalization analysis (CH "
+    "users build it with uniqExact + arrayIntersect; here it is "
+    "pure counting: |A∩B| from a user-keyed self-join of the "
+    "DISTINCT (user, type) table, |A∪B| = |A|+|B|−|A∩B|). The "
+    "self-join is keyed on user_id (co-partitioned, never "
+    "all-pairs-of-users) and the pair space is type-vocabulary-"
+    "bounded. Jaccard emitted as integer permille — no float "
+    "division. Two aggs + one user-keyed join + two tiny "
+    "broadcast-size lookups.",
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000 div (n_a + n_b - n_both) AS LONG)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+@register(
+    "orders_interarrival_hist",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        ), b AS (
+            SELECT CASE WHEN gap_days = 0 THEN 'same_day'
+                        WHEN gap_days <= 7 THEN 'week'
+                        WHEN gap_days <= 30 THEN 'month'
+                        WHEN gap_days <= 90 THEN 'quarter'
+                        ELSE 'longer' END AS bucket,
+                   gap_days
+            FROM gaps WHERE gap_days IS NOT NULL
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_days) AS BIGINT) AS min_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_days,
+               CAST(SUM(gap_days) AS BIGINT) AS total_days
+        FROM b GROUP BY bucket
+    """,
+    doc="Customer inter-arrival (re-order gap) histogram: per-"
+    "customer consecutive-order day gaps via one lag window under "
+    "the (date, orderkey) total order, bucketed into the retention "
+    "bands every repeat-purchase analysis uses (same-day / week / "
+    "month / quarter / longer) — the empirical distribution behind "
+    "churn-window and next-order-prediction features "
+    "(orders_rfm_segments scores customers; THIS key measures the "
+    "corpus-wide cadence). Integer date arithmetic only; one "
+    "customer-partitioned window + one 5-cell agg.",
+)
+def orders_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    b = gaps.select(
+        F.when(F.col("gap_days") == 0, "same_day")
+        .when(F.col("gap_days") <= 7, "week")
+        .when(F.col("gap_days") <= 30, "month")
+        .when(F.col("gap_days") <= 90, "quarter")
+        .otherwise("longer")
+        .alias("bucket"),
+        "gap_days",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+        F.sum("gap_days").cast("long").alias("total_days"),
+    )

@@ -608,3 +608,152 @@ def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         best, cust.c_custkey == best.o_custkey, "left"
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ), purch AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), u AS (
+            SELECT user_id, ts, CAST(NULL AS BIGINT) AS p_id,
+                   event_id AS c_id, 0 AS is_left
+            FROM clicks
+            UNION ALL
+            SELECT user_id, ts, event_id AS p_id,
+                   CAST(NULL AS BIGINT) AS c_id, 1 AS is_left
+            FROM purch
+        ), w AS (
+            SELECT user_id, ts, p_id,
+                   last_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_left
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_id,
+                   last_value(CASE WHEN c_id IS NOT NULL THEN ts END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_left
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_ts,
+                   first_value(c_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_left
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS f_id,
+                   first_value(CASE WHEN c_id IS NOT NULL THEN ts END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_left
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS f_ts
+            FROM u
+        )
+        SELECT p_id, user_id, ts AS p_ts,
+               CAST(COALESCE(CASE
+                    WHEN b_id IS NULL THEN f_id
+                    WHEN f_id IS NULL THEN b_id
+                    WHEN epoch_us(ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                    ELSE f_id END, -1) AS BIGINT) AS c_id,
+               CAST(COALESCE(CASE
+                    WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                    WHEN b_id IS NULL THEN epoch_us(f_ts) - epoch_us(ts)
+                    WHEN f_id IS NULL THEN epoch_us(ts) - epoch_us(b_ts)
+                    WHEN epoch_us(ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(ts)
+                         THEN epoch_us(ts) - epoch_us(b_ts)
+                    ELSE epoch_us(f_ts) - epoch_us(ts) END, -1)
+                   AS BIGINT) AS gap_us
+        FROM w WHERE p_id IS NOT NULL
+    """,
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+    "for each purchase, the click of the same user closest in time — "
+    "either direction, ties to the backward (at-or-before) side, the "
+    "attribution mode for 'which interaction does this conversion "
+    "belong to' when sessions straddle the purchase. Same linear "
+    "union + one-partitioning trick as join_asof, but BOTH frames in "
+    "one window pass: last(click, ignorenulls) over the preceding "
+    "frame gives the backward candidate, first(...) over the "
+    "following frame the forward one, and the pick is integer-µs "
+    "arithmetic. No-match rows carry the -1 sentinel (never a "
+    "nullable int column — the pandas float64 coercion trap). One "
+    "shuffle on user_id; both frames reuse the same sort.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("p_id"),
+            F.col("event_id").alias("c_id"),
+            F.lit(0).alias("is_left"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_id"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(1).alias("is_left"),
+    )
+    u = clicks.unionByName(purch)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    c_ts = F.when(F.col("c_id").isNotNull(), F.col("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "p_id",
+        F.last("c_id", ignorenulls=True).over(back).alias("b_id"),
+        F.last(c_ts, ignorenulls=True).over(back).alias("b_ts"),
+        F.first("c_id", ignorenulls=True).over(fwd).alias("f_id"),
+        F.first(c_ts, ignorenulls=True).over(fwd).alias("f_ts"),
+    )
+    db = F.unix_micros("ts") - F.unix_micros("b_ts")
+    df_ = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_b = (
+        F.col("f_id").isNull()
+        | (F.col("b_id").isNotNull() & (db <= df_))
+    )
+    return w.filter(F.col("p_id").isNotNull()).select(
+        "p_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.coalesce(
+            F.when(F.col("b_id").isNull(), F.col("f_id"))
+            .when(pick_b, F.col("b_id"))
+            .otherwise(F.col("f_id")),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("c_id"),
+        F.coalesce(
+            F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), None)
+            .when(F.col("b_id").isNull(), df_)
+            .when(pick_b, db)
+            .otherwise(df_),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -168,7 +168,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 # Round-7 rotation note: after CORRECTNESS_r06 lands, every key
 # registered before round 6 has a green driver row; replace the tuple
-# above with the 36 round-6 oracle additions (34 new keys + 2
+# above with the 41 round-6 oracle additions (39 new keys + 2
 # rows-only→oracled conversions whose oracle path has no driver row),
 # plus any r6 FAIL/ERR keys — the list is pinned in
 # tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED):
@@ -182,9 +182,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   geo_point_in_polygon curation_percentile_gate decontam_span_stats
 #   dedup_threshold_sweep backup_pit_select backup_manifest_diff
 #   ip_cidr_join emb_binary_quantize dedup_keep_best topk_with_others
-#   dq_volume_anomaly merge_replacing_deleted
+#   dq_volume_anomaly merge_replacing_deleted join_asof_nearest
+#   text_langid_confusion audience_overlap_jaccard
+#   orders_interarrival_hist scan_csv_malformed
 #   dedup_clusters dedup_clusters_neardup
-# That fills 36 of 50 slots; spares fall through to registration
+# That fills 41 of 50 slots; spares fall through to registration
 # order (stable r1 keys — harmless re-verification). Re-run the
 # driver simulation per .claude/skills/verify/SKILL.md before relying
 # on the rotation.

@@ -138,3 +138,71 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
         raise ConnectorUnavailable(
             "iceberg-spark-runtime jars not on classpath"
         ) from e
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END)
+                   AS BIGINT) AS n_null_key,
+               CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS sum_cents_valid,
+               CAST(COUNT(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END)
+                   AS BIGINT) AS n_after_drop
+        FROM orders
+    """,
+    doc="Malformed-row CSV handling: a CSV export where every 97th "
+    "row's key field is corrupted ('X' prefix — unparseable as "
+    "LONG), read back twice: PERMISSIVE mode nulls ONLY the bad "
+    "field and keeps the row (n_null_key counts them; the intact "
+    "cents field still parses — verified Spark semantics), "
+    "DROPMALFORMED drops the whole row (n_after_drop). This is the "
+    "ingestion-robustness contract every production CSV feed needs "
+    "pinned: silent row loss vs null-field quarantine is a POLICY "
+    "choice and both paths must be countable. Money travels as "
+    "integer cents (floor(price·100) — no float→text→float "
+    "roundtrip). The oracle recomputes all four counts from the "
+    "source table. Write is one text sink; both reads are map-only "
+    "scans feeding single-row aggregates.",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    line = F.concat_ws(
+        ",",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("X"), F.col("o_orderkey").cast("string")),
+        ).otherwise(F.col("o_orderkey").cast("string")),
+        cents.cast("string"),
+    )
+    out = scratch_path(spark, "csv_malformed", sf_dir)
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = "k LONG, cents LONG"
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(out)
+    drop = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(out)
+    pa = perm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("k")).cast("long").alias("n_null_key"),
+        F.sum(F.when(F.col("k").isNotNull(), F.col("cents")))
+        .cast("long")
+        .alias("sum_cents_valid"),
+    )
+    # CSV column pruning means an unreferenced-column count(1) never
+    # parses the fields, so DROPMALFORMED silently drops NOTHING —
+    # reference BOTH columns in the aggregate to force a full parse
+    # (a real Spark footgun worth pinning; kept rows have both fields
+    # valid so least(count(k), count(cents)) is the surviving count).
+    da = drop.agg(
+        F.least(F.count("k"), F.count("cents"))
+        .cast("long")
+        .alias("n_after_drop")
+    )
+    return pa.join(da)

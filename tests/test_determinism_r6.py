@@ -32,6 +32,10 @@ R6_KEYS = [
     # batch 5: binary ANN / canonical keep / report shapes / DQ / CDC
     "emb_binary_quantize", "dedup_keep_best", "topk_with_others",
     "dq_volume_anomaly", "merge_replacing_deleted",
+    # batch 6: nearest as-of / eval / overlap / cadence / CSV robustness
+    "join_asof_nearest", "text_langid_confusion",
+    "audience_overlap_jaccard", "orders_interarrival_hist",
+    "scan_csv_malformed",
 ]
 
 #: Keys converted from rows-only to oracled in round 6 (not new, but

@@ -562,6 +562,12 @@ R6_PLAN_BUDGET = {
     "topk_with_others": (2, 0, False),      # type agg + rank + rebucket agg
     "dq_volume_anomaly": (2, 0, False),     # day-cell agg + lag window
     "merge_replacing_deleted": (1, 0, False),  # keep-newest + tombstone
+    # batch 6
+    "join_asof_nearest": (2, 0, False),     # union + one window pass, both frames
+    "text_langid_confusion": (2, 0, False),  # vote agg + cell window
+    "audience_overlap_jaccard": (7, 3, False),  # distinct + user self-join + bcast sizes
+    "orders_interarrival_hist": (2, 0, False),  # lag window + 5-cell agg
+    "scan_csv_malformed": (0, 0, True),     # two 1-row aggs joined (NLJ)
 }
 
 
