@@ -790,3 +790,57 @@ def orders_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("long").alias("max_days"),
         F.sum("gap_days").cast("long").alias("total_days"),
     )
+
+
+@register(
+    "agg_time_decay_halflife",
+    oracle="""
+        WITH anchor AS (
+            SELECT date_trunc('day', MAX(ts)) AS aday FROM events
+        ), g AS (
+            SELECT e.event_type,
+                   CAST(FLOOR(e.value * 1e4) AS BIGINT) AS v4,
+                   CAST(date_diff('day', date_trunc('day', e.ts), a.aday)
+                        // 7 AS BIGINT) AS age_weeks
+            FROM events e CROSS JOIN anchor a
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v4 >> LEAST(age_weeks, 62)) AS BIGINT)
+                   AS decayed_v4,
+               CAST(SUM(v4) AS BIGINT) AS raw_v4
+        FROM g GROUP BY event_type
+    """,
+    doc="Half-life time-decayed sum (CH exponentialTimeDecayedSum "
+    "with λ = one halving per week) — recency-weighted scoring for "
+    "trending/ranking feeds — made EXACTLY reproducible by keeping "
+    "the decay on the integer grid: values on the 1e-4 floor grid, "
+    "age bucketed in whole weeks (anchored at the dataset's max "
+    "day), and the decay applied as a RIGHT SHIFT (v >> age_weeks "
+    "— exactly halving per half-life, shift capped at 62). No "
+    "exp()/pow() ever runs, so there is nothing to diverge between "
+    "engines' libm (the float trap that keeps true exponential "
+    "decay out of checked columns). One broadcast anchor + ONE "
+    "two-phase hash agg; the decayed and raw sums ride the same "
+    "aggregate. CH evaluates the same shape with floats and "
+    "documents the equivalence for power-of-two bases.",
+)
+def agg_time_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("aday"))
+    g = ev.join(F.broadcast(anchor)).select(
+        "event_type",
+        F.floor(F.col("value") * 1e4).cast("long").alias("v4"),
+        F.expr(
+            "CAST(datediff(aday, date_trunc('day', ts)) div 7 AS LONG)"
+        ).alias("age_weeks"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr("shiftright(v4, CAST(least(age_weeks, 62) AS INT))")
+        )
+        .cast("long")
+        .alias("decayed_v4"),
+        F.sum("v4").cast("long").alias("raw_v4"),
+    )

@@ -35,7 +35,7 @@ R6_KEYS = [
     # batch 6: nearest as-of / eval / overlap / cadence / CSV robustness
     "join_asof_nearest", "text_langid_confusion",
     "audience_overlap_jaccard", "orders_interarrival_hist",
-    "scan_csv_malformed",
+    "scan_csv_malformed", "agg_time_decay_halflife",
 ]
 
 #: Keys converted from rows-only to oracled in round 6 (not new, but

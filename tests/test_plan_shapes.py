@@ -568,6 +568,7 @@ R6_PLAN_BUDGET = {
     "audience_overlap_jaccard": (7, 3, False),  # distinct + user self-join + bcast sizes
     "orders_interarrival_hist": (2, 0, False),  # lag window + 5-cell agg
     "scan_csv_malformed": (0, 0, True),     # two 1-row aggs joined (NLJ)
+    "agg_time_decay_halflife": (1, 0, True),  # 1-row anchor NLJ + one agg
 }
 
 
