@@ -1245,3 +1245,44 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, source, md5(text) AS h FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+               CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_dup_contents
+        FROM h a JOIN h b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.source, b.source
+    """,
+    doc="Cross-source duplication provenance matrix: exact-dup pairs "
+    "grouped by the (source_a, source_b) pair — which feeds copy "
+    "from which, the overlap census every multi-crawl corpus study "
+    "runs (C4-vs-CommonCrawl-vs-Wiki overlap tables) before "
+    "deciding source priorities and dedup ORDER (dedup_keep_best's "
+    "policy input: survive the canonical source). The join is "
+    "hash-keyed (never pairwise text), pair direction is the "
+    "min-id total order, and both the pair count and the DISTINCT "
+    "duplicated-content count ride one agg. Source vocabulary "
+    "bounds the output. One hash self-join + one two-phase agg.",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    h = d.select("doc_id", "source", F.md5("text").alias("h"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.countDistinct(F.col("a.h")).cast("long").alias("n_dup_contents"),
+        )
+    )

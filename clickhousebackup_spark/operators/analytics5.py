@@ -844,3 +844,128 @@ def agg_time_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decayed_v4"),
         F.sum("v4").cast("long").alias("raw_v4"),
     )
+
+
+@register(
+    "session_type_affinity",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), f AS (
+            SELECT user_id, event_type, us, event_id,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id)
+                             > {SESSION_GAP_US}
+                          OR LAG(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ), s AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM f
+        ), st AS (
+            SELECT DISTINCT user_id, session_id, event_type FROM s
+        ), n_sess AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS total FROM (
+                SELECT DISTINCT user_id, session_id FROM st)
+        ), per_type AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM st GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT p.type_a, p.type_b, p.n_both,
+               ta.n AS n_a, tb.n AS n_b, ns.total AS n_sessions,
+               CAST(p.n_both * ns.total * 1000 // (ta.n * tb.n)
+                   AS BIGINT) AS lift_permille
+        FROM pairs p
+        JOIN per_type ta ON p.type_a = ta.event_type
+        JOIN per_type tb ON p.type_b = tb.event_type
+        CROSS JOIN n_sess ns
+    """,
+    doc="Session-scoped type affinity (market-basket lift over "
+    "SESSIONS instead of orders — the behavioral sibling of "
+    "orders_market_basket): for each event-type pair, the lift "
+    "P(a,b)/(P(a)·P(b)) over 30-minute sessions, computed as the "
+    "exact integer n_both·N·1000 // (n_a·n_b) — no probability "
+    "doubles. Sessions come from the sessionize_gap cumsum; the "
+    "pair counts join on the (user, session) key (co-partitioned, "
+    "never all-pairs); per-type totals and the session count "
+    "broadcast. Lift > 1000‰ ⇒ types co-occur beyond independence "
+    "— the signal behind next-action recommendation and funnel "
+    "design. Type vocabulary bounds the output.",
+)
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(cum).cast("long"))
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_sess = st.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.expr(
+                "CAST(n_both * n_sessions * 1000 div (n_a * n_b) AS LONG)"
+            ).alias("lift_permille"),
+        )
+    )

@@ -36,6 +36,7 @@ R6_KEYS = [
     "join_asof_nearest", "text_langid_confusion",
     "audience_overlap_jaccard", "orders_interarrival_hist",
     "scan_csv_malformed", "agg_time_decay_halflife",
+    "dedup_source_matrix", "session_type_affinity",
 ]
 
 #: Keys converted from rows-only to oracled in round 6 (not new, but

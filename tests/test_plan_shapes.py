@@ -569,6 +569,8 @@ R6_PLAN_BUDGET = {
     "orders_interarrival_hist": (2, 0, False),  # lag window + 5-cell agg
     "scan_csv_malformed": (0, 0, True),     # two 1-row aggs joined (NLJ)
     "agg_time_decay_halflife": (1, 0, True),  # 1-row anchor NLJ + one agg
+    "dedup_source_matrix": (2, 1, False),   # hash self-join + pair agg
+    "session_type_affinity": (8, 3, True),  # session distinct + pair join; 1-row total NLJ
 }
 
 
