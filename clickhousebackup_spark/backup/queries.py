@@ -453,3 +453,84 @@ def backup_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("db", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "backup_restore_chain",
+    oracle=f"""
+        WITH {CATALOG_ORACLE_CTE},
+        typed AS (
+            SELECT db, generation, period_key, snapshot_ts, snapshot_id,
+                   path, content_hash, size_bytes,
+                   CASE WHEN snapshot_id % 4 = 0 THEN 'full'
+                        ELSE 'incr' END AS kind
+            FROM catalog_full
+        ), anchor AS (
+            SELECT MAX(snapshot_ts) - INTERVAL 5 DAY AS cutoff
+            FROM typed
+        ), base AS (
+            SELECT db,
+                   MAX(CASE WHEN kind = 'full' THEN snapshot_ts END)
+                       AS base_ts
+            FROM typed t CROSS JOIN anchor a
+            WHERE t.snapshot_ts <= a.cutoff
+            GROUP BY db
+        )
+        SELECT t.db, t.kind,
+               CAST(t.snapshot_id AS BIGINT) AS snapshot_id,
+               t.snapshot_ts
+        FROM typed t
+        CROSS JOIN anchor a
+        JOIN base b ON t.db = b.db
+        WHERE t.snapshot_ts <= a.cutoff
+          AND t.snapshot_ts >= b.base_ts
+          AND (t.kind = 'incr' OR t.snapshot_ts = b.base_ts)
+    """,
+    doc="Incremental-chain restore plan: to restore db X at time T "
+    "you need the newest FULL snapshot at-or-before T plus every "
+    "INCREMENTAL between that full and T — the chain-resolution "
+    "query behind `restore --time T` in every incremental backup "
+    "tool (and the reason a pruned full invalidates its whole "
+    "chain, which retention_plan must respect). Kind is synthetic "
+    "(snapshot_id%4=0 ⇒ full); the restore point anchors at "
+    "max(ts)−5d. Plan: 1-row cutoff broadcast, per-db newest-full "
+    "aggregate broadcast back, then one catalog filter — "
+    "catalog-scale throughout, no window needed (the base_ts "
+    "equality picks the full, the range picks its incrementals).",
+)
+def backup_restore_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    typed = cat.withColumn(
+        "kind",
+        F.when(F.col("snapshot_id") % 4 == 0, "full").otherwise("incr"),
+    )
+    anchor = typed.agg(
+        (F.max("snapshot_ts") - F.expr("INTERVAL 5 DAYS")).alias("cutoff")
+    )
+    within = typed.join(F.broadcast(anchor)).filter(
+        F.col("snapshot_ts") <= F.col("cutoff")
+    )
+    base = (
+        within.groupBy("db")
+        .agg(
+            F.max(
+                F.when(F.col("kind") == "full", F.col("snapshot_ts"))
+            ).alias("base_ts")
+        )
+    )
+    return (
+        within.join(F.broadcast(base), "db")
+        .filter(
+            (F.col("snapshot_ts") >= F.col("base_ts"))
+            & (
+                (F.col("kind") == "incr")
+                | (F.col("snapshot_ts") == F.col("base_ts"))
+            )
+        )
+        .select(
+            "db",
+            "kind",
+            F.col("snapshot_id").cast("long").alias("snapshot_id"),
+            "snapshot_ts",
+        )
+    )

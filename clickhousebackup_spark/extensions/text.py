@@ -619,3 +619,100 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n * 1000 div SUM(n) OVER (PARTITION BY lang) AS LONG)")
         .alias("recall_permille"),
     )
+
+
+@register(
+    "text_boilerplate_prefix",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_filter(string_split_regex(lower(text),
+                           '\\s+'), x -> x <> '')[1:8], ' '))
+                       AS prefix_md5
+            FROM documents
+        )
+        SELECT prefix_md5,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+        FROM p GROUP BY prefix_md5
+        HAVING COUNT(*) >= 2
+    """,
+    doc="Boilerplate-prefix detection: documents sharing their first "
+    "8 words (md5 of the normalized prefix) grouped and counted — "
+    "the header/template detector web pipelines run before dedup "
+    "(shared navigation headers and legal boilerplate produce "
+    "near-dups that per-doc quality gates miss; CCNet/Dolma strip "
+    "repeated line-level prefixes the same way). n_sources "
+    "distinguishes within-site templates (1 source) from syndicated "
+    "content (many). One hash-groupBy on the 16-byte prefix key "
+    "with min-id as the exemplar pointer — exactly the dedup_exact "
+    "shape, never pairwise. Map-side prefix extraction inside "
+    "codegen.",
+)
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    prefix = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           lower(text), '\\s+'), x -> x <> '')) AS word
+                FROM documents
+            )
+        ), df AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tok GROUP BY word
+        )
+        SELECT t.word, d.df,
+               string_agg(CAST(t.doc_id AS VARCHAR), ','
+                   ORDER BY t.doc_id) AS postings
+        FROM tok t JOIN df d ON t.word = d.word
+        WHERE d.df BETWEEN 2 AND 10
+        GROUP BY t.word, d.df
+    """,
+    doc="Inverted-index build (the experimental CH full-text index / "
+    "every search engine's core artifact): word → sorted posting "
+    "list of doc_ids, restricted to the useful document-frequency "
+    "band (2 ≤ df ≤ 10 — df=1 postings are pointless, high-df words "
+    "belong in stopword skip-lists, and the band keeps posting "
+    "lists bounded so the CSV contract stays hash-checkable). "
+    "Tokenize → per-doc DISTINCT → df count → band filter BEFORE "
+    "the posting-list aggregation, so frequent words never "
+    "materialize lists at all — the order every real index build "
+    "uses. Postings serialize as sorted CSV (the repo's array "
+    "convention). Two aggs + one word-keyed join, skew absorbed by "
+    "the df prefilter.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("word")).distinct()
+    df_t = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    band = df_t.filter((F.col("df") >= 2) & (F.col("df") <= 10))
+    return (
+        tok.join(band, "word")
+        .groupBy("word", "df")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))), ","
+            ).alias("postings")
+        )
+    )

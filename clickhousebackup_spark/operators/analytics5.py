@@ -969,3 +969,67 @@ def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_permille"),
         )
     )
+
+
+@register(
+    "orders_mix_shift",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   o_orderpriority AS pri,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ), s AS (
+            SELECT month, pri, n,
+                   CAST(SUM(n) OVER (PARTITION BY month) AS BIGINT)
+                       AS month_total,
+                   CAST(n * 1000 // SUM(n) OVER (PARTITION BY month)
+                       AS BIGINT) AS share_permille
+            FROM m
+        )
+        SELECT month, pri, n, month_total, share_permille,
+               CAST(share_permille
+                    - COALESCE(LAG(share_permille) OVER (
+                          PARTITION BY pri ORDER BY month), 0)
+                   AS BIGINT) AS shift_permille
+        FROM s
+    """,
+    doc="Composition mix-shift report: each order priority's share of "
+    "its month (integer permille) and the month-over-month shift in "
+    "that share — the 'is our mix changing or just our volume' "
+    "decomposition every BI review runs (volume up + mix flat reads "
+    "completely differently from volume flat + mix shifting). Two "
+    "windows over the month×priority cell table (calendar-bounded): "
+    "a month-partition total for shares, a priority-partition lag "
+    "for shifts — shares as n·1000//total, shifts as integer "
+    "differences, no float division anywhere. First observed month "
+    "shifts against 0 (documented baseline).",
+)
+def orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wm = Window.partitionBy("month")
+    s = m.select(
+        "month",
+        "pri",
+        "n",
+        F.sum("n").over(wm).cast("long").alias("month_total"),
+        F.expr(
+            "CAST(n * 1000 div SUM(n) OVER (PARTITION BY month) AS LONG)"
+        ).alias("share_permille"),
+    )
+    wl = Window.partitionBy("pri").orderBy("month")
+    return s.withColumn(
+        "shift_permille",
+        (
+            F.col("share_permille")
+            - F.coalesce(F.lag("share_permille").over(wl), F.lit(0))
+        )
+        .cast("long"),
+    )

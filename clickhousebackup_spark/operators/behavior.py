@@ -1032,3 +1032,102 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lay(s3, "s", 3))
         .select("side", "id", F.col("d").cast("long").alias("dist"))
     )
+
+
+@register(
+    "funnel_strict_order",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos
+            FROM events
+            WHERE event_type IN ('click', 'cart', 'purchase')
+        ), m AS (
+            SELECT a.user_id,
+                   CAST(MIN(a.pos) AS BIGINT) AS first_match_pos,
+                   CAST(MIN(c.us - a.us) AS BIGINT) AS best_span_us
+            FROM f a
+            JOIN f b ON a.user_id = b.user_id AND b.pos = a.pos + 1
+            JOIN f c ON a.user_id = c.user_id AND c.pos = a.pos + 2
+            WHERE a.event_type = 'click' AND b.event_type = 'cart'
+              AND c.event_type = 'purchase'
+              AND c.us - a.us <= 86400000000
+            GROUP BY a.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS strict_matched,
+               CAST(COALESCE(m.first_match_pos, -1) AS BIGINT)
+                   AS first_match_pos,
+               CAST(COALESCE(m.best_span_us, -1) AS BIGINT)
+                   AS best_span_us
+        FROM (SELECT DISTINCT user_id FROM f) u
+        LEFT JOIN m ON u.user_id = m.user_id
+    """,
+    doc="windowFunnel(strict_order): click→cart→purchase must occur "
+    "as three CONSECUTIVE funnel events (no other funnel step "
+    "between them) within 24h — CH's strict_order mode, which "
+    "existing funnel_steps_windowed (subsequence semantics) cannot "
+    "express: there, click..X..cart still matches; here any "
+    "intervening funnel event breaks the chain. Implemented on the "
+    "funnel-event position index (row_number over funnel rows "
+    "only): the strict chain is pos, pos+1, pos+2 — two user-keyed "
+    "equi self-joins on adjacent positions, never a pattern scan. "
+    "Sentinel -1 for non-converters (no nullable ints). One window "
+    "+ co-partitioned joins on user_id; at 100 TB the funnel-type "
+    "filter prunes the scan before anything shuffles.",
+)
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    f = (
+        ev.filter(F.col("event_type").isin("click", "cart", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+    a, b, c = f.alias("a"), f.alias("b"), f.alias("c")
+    m = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .filter(
+            (F.col("a.event_type") == "click")
+            & (F.col("b.event_type") == "cart")
+            & (F.col("c.event_type") == "purchase")
+            & (F.col("c.us") - F.col("a.us") <= 86400000000)
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.min(F.col("a.pos")).cast("long").alias("first_match_pos"),
+            F.min(F.col("c.us") - F.col("a.us"))
+            .cast("long")
+            .alias("best_span_us"),
+        )
+    )
+    users = f.select("user_id").distinct()
+    return users.join(m, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("first_match_pos").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("strict_matched"),
+        F.coalesce("first_match_pos", F.lit(-1)).cast("long").alias(
+            "first_match_pos"
+        ),
+        F.coalesce("best_span_us", F.lit(-1)).cast("long").alias(
+            "best_span_us"
+        ),
+    )

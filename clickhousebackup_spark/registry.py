@@ -168,7 +168,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 # Round-7 rotation note: after CORRECTNESS_r06 lands, every key
 # registered before round 6 has a green driver row; replace the tuple
-# above with the 44 round-6 oracle additions (42 new keys + 2
+# above with the 49 round-6 oracle additions (47 new keys + 2
 # rows-only→oracled conversions whose oracle path has no driver row),
 # plus any r6 FAIL/ERR keys — the list is pinned in
 # tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED):
@@ -186,8 +186,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 #   text_langid_confusion audience_overlap_jaccard
 #   orders_interarrival_hist scan_csv_malformed
 #   agg_time_decay_halflife dedup_source_matrix session_type_affinity
+#   funnel_strict_order orders_mix_shift text_boilerplate_prefix
+#   text_inverted_index backup_restore_chain
 #   dedup_clusters dedup_clusters_neardup
-# That fills 44 of 50 slots; spares fall through to registration
+# That fills 49 of 50 slots; the 1 spare falls through to registration
 # order (stable r1 keys — harmless re-verification). Re-run the
 # driver simulation per .claude/skills/verify/SKILL.md before relying
 # on the rotation.

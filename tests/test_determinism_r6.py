@@ -37,6 +37,9 @@ R6_KEYS = [
     "audience_overlap_jaccard", "orders_interarrival_hist",
     "scan_csv_malformed", "agg_time_decay_halflife",
     "dedup_source_matrix", "session_type_affinity",
+    # batch 7: strict funnel / mix shift / boilerplate / index / restore
+    "funnel_strict_order", "orders_mix_shift", "text_boilerplate_prefix",
+    "text_inverted_index", "backup_restore_chain",
 ]
 
 #: Keys converted from rows-only to oracled in round 6 (not new, but

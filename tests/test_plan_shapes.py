@@ -571,6 +571,12 @@ R6_PLAN_BUDGET = {
     "agg_time_decay_halflife": (1, 0, True),  # 1-row anchor NLJ + one agg
     "dedup_source_matrix": (2, 1, False),   # hash self-join + pair agg
     "session_type_affinity": (8, 3, True),  # session distinct + pair join; 1-row total NLJ
+    # batch 7
+    "funnel_strict_order": (4, 2, False),   # pos window + adjacent-pos joins
+    "orders_mix_shift": (3, 0, False),      # month cells + share/lag windows
+    "text_boilerplate_prefix": (2, 0, False),  # prefix hash-groupBy
+    "text_inverted_index": (4, 1, False),   # distinct + df band + postings agg
+    "backup_restore_chain": (1, 1, True),   # 1-row cutoff NLJ + bcast base
 }
 
 
