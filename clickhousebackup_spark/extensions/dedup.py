@@ -1250,39 +1250,112 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_source_matrix",
     oracle="""
-        WITH h AS (
-            SELECT doc_id, source, md5(text) AS h FROM documents
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                        toks[i + 2]))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS shs
+            FROM t
+        ), shingle AS (
+            SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+        ), sigs AS (
+            SELECT doc_id, {mins}
+            FROM shingle GROUP BY doc_id
+        ), src AS (
+            SELECT doc_id, source FROM documents
+        ), pairs AS (
+            SELECT sa.source AS source_a, sb.source AS source_b,
+                   a.doc_id AS a_id
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            JOIN src sa ON a.doc_id = sa.doc_id
+            JOIN src sb ON b.doc_id = sb.doc_id
+            WHERE ({band})
+              AND ({match}) >= {minmatch}
         )
-        SELECT a.source AS source_a, b.source AS source_b,
+        SELECT source_a, source_b,
                CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
-               CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_dup_contents
-        FROM h a JOIN h b
-          ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY a.source, b.source
-    """,
-    doc="Cross-source duplication provenance matrix: exact-dup pairs "
-    "grouped by the (source_a, source_b) pair — which feeds copy "
-    "from which, the overlap census every multi-crawl corpus study "
-    "runs (C4-vs-CommonCrawl-vs-Wiki overlap tables) before "
-    "deciding source priorities and dedup ORDER (dedup_keep_best's "
-    "policy input: survive the canonical source). The join is "
-    "hash-keyed (never pairwise text), pair direction is the "
-    "min-id total order, and both the pair count and the DISTINCT "
-    "duplicated-content count ride one agg. Source vocabulary "
-    "bounds the output. One hash self-join + one two-phase agg.",
+               CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_dup_docs
+        FROM pairs GROUP BY source_a, source_b
+    """.format(
+        mins=_MINHASH_MINS_SQL,
+        band=_NEAR_BAND_PRED_SQL,
+        match=_NEAR_MATCH_SQL,
+        minmatch=NEAR_MIN_MATCH,
+    ),
+    doc="Cross-source duplication provenance matrix: NEAR-dup pairs "
+    "(the portable md5-grid MinHash-LSH of dedup_clusters_neardup — "
+    "banded candidates, verified ≥4/8 matching hashes) grouped by "
+    "the (source_a, source_b) pair — which feeds copy from which, "
+    "the overlap census every multi-crawl corpus study runs "
+    "(C4-vs-CommonCrawl-vs-Wiki overlap tables) before deciding "
+    "source priorities and dedup ORDER (dedup_keep_best's policy "
+    "input: survive the canonical source). Near-dup (not exact md5) "
+    "identity, because real cross-source copies mutate in transit "
+    "(and the fixture has ~zero byte-exact dups below sf0.1 — an "
+    "exact matrix would be vacuous 0-row evidence). LSH-bucketed "
+    "candidates only, never all-pairs; source vocabulary bounds the "
+    "output. One banded self-join + one two-phase agg.",
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    h = d.select("doc_id", "source", F.md5("text").alias("h"))
-    a, b = h.alias("a"), h.alias("b")
-    return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+    src = d.select("doc_id", "source")
+    sigs = md5_minhash_wide(d).localCheckpoint(eager=True)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.col(f"h{2 * bi}").alias("x1"),
+                        F.col(f"h{2 * bi + 1}").alias("x2"),
+                    )
+                    for bi in range(NEAR_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.x1", "bb.x2")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda eq: eq == 1,
         )
+    )
+    near = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x1") == F.col("b.x1"))
+            & (F.col("a.x2") == F.col("b.x2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(n_match >= NEAR_MIN_MATCH)
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("source_b"))
+    return (
+        near.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
-            F.countDistinct(F.col("a.h")).cast("long").alias("n_dup_contents"),
+            F.countDistinct("a_id").cast("long").alias("n_dup_docs"),
         )
     )

@@ -670,46 +670,57 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_inverted_index",
     oracle="""
-        WITH tok AS (
-            SELECT DISTINCT doc_id, word FROM (
-                SELECT doc_id,
-                       unnest(list_filter(string_split_regex(
-                           lower(text), '\\s+'), x -> x <> '')) AS word
-                FROM documents
-            )
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i:i+1], ' ') AS term
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) u(i)
         ), df AS (
-            SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-            FROM tok GROUP BY word
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tok GROUP BY term
         )
-        SELECT t.word, d.df,
+        SELECT t.term, d.df,
                string_agg(CAST(t.doc_id AS VARCHAR), ','
                    ORDER BY t.doc_id) AS postings
-        FROM tok t JOIN df d ON t.word = d.word
-        WHERE d.df BETWEEN 2 AND 10
-        GROUP BY t.word, d.df
+        FROM tok t JOIN df d ON t.term = d.term
+        WHERE d.df BETWEEN 2 AND 16
+        GROUP BY t.term, d.df
     """,
     doc="Inverted-index build (the experimental CH full-text index / "
-    "every search engine's core artifact): word → sorted posting "
-    "list of doc_ids, restricted to the useful document-frequency "
-    "band (2 ≤ df ≤ 10 — df=1 postings are pointless, high-df words "
-    "belong in stopword skip-lists, and the band keeps posting "
-    "lists bounded so the CSV contract stays hash-checkable). "
-    "Tokenize → per-doc DISTINCT → df count → band filter BEFORE "
-    "the posting-list aggregation, so frequent words never "
+    "every search engine's core artifact): BIGRAM term → sorted "
+    "posting list of doc_ids, restricted to the useful document-"
+    "frequency band (2 ≤ df ≤ 16 — df=1 postings are pointless, "
+    "high-df terms belong in stopword skip-lists, and the band "
+    "keeps posting lists bounded so the CSV contract stays "
+    "hash-checkable). Bigram terms, not unigrams: the fixture's "
+    "unigram vocabulary is 31 words all with df in the hundreds — "
+    "a unigram band would be empty at every SF (0-row results are "
+    "vacuous evidence), while phrase terms give a real selective "
+    "index (phrase indexing is also what CH's ngrambf skip indexes "
+    "do). Tokenize → per-doc DISTINCT → df count → band filter "
+    "BEFORE the posting-list aggregation, so frequent terms never "
     "materialize lists at all — the order every real index build "
-    "uses. Postings serialize as sorted CSV (the repo's array "
-    "convention). Two aggs + one word-keyed join, skew absorbed by "
-    "the df prefilter.",
+    "uses. Two aggs + one term-keyed join, skew absorbed by the df "
+    "prefilter.",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = d.select("doc_id", F.explode(toks).alias("word")).distinct()
-    df_t = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    band = df_t.filter((F.col("df") >= 2) & (F.col("df") <= 10))
+    t = d.select("doc_id", toks.alias("toks"))
+    terms = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    tok = t.select("doc_id", F.explode(terms).alias("term")).distinct()
+    df_t = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    band = df_t.filter((F.col("df") >= 2) & (F.col("df") <= 16))
     return (
-        tok.join(band, "word")
-        .groupBy("word", "df")
+        tok.join(band, "term")
+        .groupBy("term", "df")
         .agg(
             F.array_join(
                 F.sort_array(F.collect_list(F.col("doc_id"))), ","

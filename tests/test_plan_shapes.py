@@ -569,7 +569,7 @@ R6_PLAN_BUDGET = {
     "orders_interarrival_hist": (2, 0, False),  # lag window + 5-cell agg
     "scan_csv_malformed": (0, 0, True),     # two 1-row aggs joined (NLJ)
     "agg_time_decay_halflife": (1, 0, True),  # 1-row anchor NLJ + one agg
-    "dedup_source_matrix": (2, 1, False),   # hash self-join + pair agg
+    "dedup_source_matrix": (3, 3, False),   # LSH-banded pair join + bcast sources
     "session_type_affinity": (8, 3, True),  # session distinct + pair join; 1-row total NLJ
     # batch 7
     "funnel_strict_order": (4, 2, False),   # pos window + adjacent-pos joins
