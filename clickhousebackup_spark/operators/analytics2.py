@@ -801,7 +801,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_distinct(list_transform(
                            generate_series(1, length(lower(p_name)) - 2),
                            i -> substring(lower(p_name), i, 3))),
-                       ['ste', 'tee', 'eel'])) AS overlap,
+                       ['giz', 'izm', 'zmo'])) AS overlap,
                    len(list_distinct(list_transform(
                        generate_series(1, length(lower(p_name)) - 2),
                        i -> substring(lower(p_name), i, 3)))) AS n_tris
@@ -818,7 +818,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Fuzzy text search (ClickHouse ngramSearch / pg_trgm shape): "
     "rank part names by trigram-Jaccard similarity to the query "
-    "'steel' — trigrams enumerated with the same sequence+substring "
+    "'gizmo' (r6: was 'steel', which matches nothing in the fixture "
+    "vocabulary — a vacuous 0-row result) — trigrams enumerated "
+    "with the same sequence+substring "
     "expression in both engines, overlap via array_intersect, one "
     "scan + TakeOrdered. At index scale the same trigram sets drive "
     "an inverted-list equi-join prefilter (the dedup_ngram_jaccard "
@@ -826,7 +828,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score-everything baseline that stays exact.",
 )
 def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    query = "steel"
+    query = "gizmo"
     qt = [query[i : i + 3] for i in range(len(query) - 2)]
     p = load_table(spark, sf_dir, "part")
     tris = F.expr(

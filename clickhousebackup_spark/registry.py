@@ -168,10 +168,16 @@ _CHECK_PRIORITY: tuple[str, ...] = (
 )
 # Round-7 rotation note: after CORRECTNESS_r06 lands, every key
 # registered before round 6 has a green driver row; replace the tuple
-# above with the 49 round-6 oracle additions (47 new keys + 2
+# above with (a) the 2 de-vacuized legacy keys whose semantics changed
+# in round 6 and whose old driver rows were 0-row-vacuous —
+#   dedup_embedding_cosine (τ 0.99→0.4) part_trigram_search
+#   (query steel→gizmo)
+# — then (b) the 49 round-6 oracle additions (47 new keys + 2
 # rows-only→oracled conversions whose oracle path has no driver row),
 # plus any r6 FAIL/ERR keys — the list is pinned in
-# tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED):
+# tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED). That is 51
+# candidates for 50 slots: put source_numbers_range (trivial
+# generator source, lowest risk) last so it falls to round 8.
 #   sessionize_gap seq_rle_encode ts_seasonality_profile
 #   stats_chi2_cells cohort_revenue_ltv array_enumerate_dense
 #   str_format_readable source_numbers_range corpus_dup_ngrams

@@ -196,9 +196,10 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
 
 def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
     """The sign-LSH bucket prefilter (equi-key join + Hamming-1 probe)
-    must not lose any true cosine ≥ 0.99 pair. The shipped fixtures
-    have no qualifying pairs (max pairwise cosine ≈ 0.48), so this
-    plants near-dup clusters and compares against a numpy brute force.
+    must not lose any true cosine ≥ 0.4 pair (the key's fixture-scale
+    threshold since r6 — 0.99 matched nothing in the shipped data and
+    made the driver row vacuous). This plants near-dup clusters and
+    compares against a numpy brute force.
     """
     import numpy as np
 
@@ -232,7 +233,7 @@ def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
         (i, j)
         for i in range(vid)
         for j in range(i + 1, vid)
-        if sims[i, j] >= 0.99
+        if sims[i, j] >= 0.4
     }
     assert len(want) >= n_base  # the planting actually produced pairs
 
@@ -244,10 +245,10 @@ def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
     # engines' left-fold only within 1e-9 of the threshold
     missed = want - got
     for i, j in missed:
-        assert abs(sims[i, j] - 0.99) < 1e-9, (i, j, sims[i, j])
+        assert abs(sims[i, j] - 0.4) < 1e-9, (i, j, sims[i, j])
     extra = got - want
     for i, j in extra:
-        assert abs(sims[i, j] - 0.99) < 1e-9, (i, j, sims[i, j])
+        assert abs(sims[i, j] - 0.4) < 1e-9, (i, j, sims[i, j])
 
 
 def test_ngram_jaccard_prefix_filter_exact_on_planted(spark, tmp_path):
