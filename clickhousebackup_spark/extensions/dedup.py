@@ -567,7 +567,14 @@ def _propagate_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
     labels = docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("cluster"))
     # The adjacency is reused by every round — materialize it once.
     adj = adj.localCheckpoint(eager=True)
-    for _ in range(8):  # fixpoint ≤ graph diameter; md5 chains are short
+    # Run to FIXPOINT (the output is hash-checked against an exact
+    # recursive-CTE oracle, so an unconverged return is a wrong
+    # answer, not an approximation). Min-label propagation needs up to
+    # graph-diameter rounds; transitive near-dup chains grow with
+    # scale factor, so the bound is generous and RAISES instead of
+    # silently returning partial labels.
+    converged = False
+    for _ in range(64):
         # propagate: new label = min label over neighborhood
         prop = (
             adj.join(labels, on="u")
@@ -593,7 +600,14 @@ def _propagate_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
         )
         labels = joined
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "_propagate_clusters: label propagation did not converge "
+            "within 64 rounds — component diameter exceeds the safety "
+            "cap; raise the cap or switch to pointer-doubling"
+        )
     return labels.select(F.col("u").alias("doc_id"), "cluster")
 
 

@@ -340,16 +340,32 @@ def geo_grid_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Convex test polygon for geo_point_in_polygon: a hexagon in integer
-#: micro-degrees around (90e6, 180e6) — CCW vertex order. Cross
-#: products stay < 5e17, well inside int64.
+#: micro-degrees around (90e6, 180e6). Vertices MUST wind CCW in the
+#: (lon, lat) plane for the all-edges ``>= 0`` orientation test —
+#: round 6 shipped them CW, which made the predicate unsatisfiable and
+#: the ``inside`` column vacuously 0 for every point (both engines
+#: shared the bug, so cross-engine parity could not catch it;
+#: tests/test_geo_fixtures.py now pins non-vacuity). Shoelace area of
+#: this order is +1.075e16 (positive ⇔ CCW); cross products stay
+#: < 5e17, well inside int64.
 _HEX = [
-    (140_000_000, 180_000_000),
-    (115_000_000, 223_000_000),
-    (65_000_000, 223_000_000),
-    (40_000_000, 180_000_000),
-    (65_000_000, 137_000_000),
     (115_000_000, 137_000_000),
+    (65_000_000, 137_000_000),
+    (40_000_000, 180_000_000),
+    (65_000_000, 223_000_000),
+    (115_000_000, 223_000_000),
+    (140_000_000, 180_000_000),
 ]
+
+# Compile-time guards: the predicate below is only meaningful for a
+# CCW convex ring, and the test data must actually exercise both
+# branches. Shoelace twice-area > 0 ⇔ CCW in the (x=lon, y=lat) plane.
+_twice_area = sum(
+    _HEX[i][1] * _HEX[(i + 1) % len(_HEX)][0]
+    - _HEX[(i + 1) % len(_HEX)][1] * _HEX[i][0]
+    for i in range(len(_HEX))
+)
+assert _twice_area > 0, "geo _HEX must wind CCW for the >=0 edge test"
 
 
 def _pip_pred(lat_expr: str, lon_expr: str) -> str:

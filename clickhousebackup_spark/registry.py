@@ -101,104 +101,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 5 (union of CORRECTNESS_r01–r05): 242 keys have driver
-#: rows — 228 hash-PASS, 12 rows-only, and 2 hash-FAIL
-#: (``corpus_pack_sequences`` / ``text_cdc_chunks``, whose oracles fed
-#: un-cast HUGEINT window-sums into checked columns; fixed by CASTing
-#: to BIGINT — see extensions/training.py). The round-6 window below
-#: is exactly the 50 keys without a green driver row: the 2 fixed
-#: hash-FAIL keys first, then the 48 round-5 additions (all
-#: driver-SIMULATED green at sf0.01 with the canon-faithful harness,
-#: vanilla session, non-repo cwd). Keys listed here come first, in
-#: this order; any registered key not listed follows in module
-#: registration order.
+#: after round 6 (union of CORRECTNESS_r01–r06): 290 keys have driver
+#: rows, all green at their latest check. The round-7 window below is
+#: (a) the 2 legacy keys whose round-6 de-vacuization changed their
+#: semantics, so their old green rows are stale — ``dedup_embedding_
+#: cosine`` (τ 0.99→0.4) and ``part_trigram_search`` (query
+#: steel→gizmo) — then (b) the 46 round-6 additions still lacking a
+#: driver row (``source_numbers_range`` deferred, see below), then
+#: (c) the 2 rows-only→oracled conversions whose exact-oracle path
+#: has never been driver-checked. 2+46+2 = 50 slots exactly;
+#: ``source_numbers_range`` sits at position 51 so it leads the
+#: round-8 window automatically. Keys listed here come first, in this
+#: order; any registered key not listed follows in module
+#: registration order. ``tests/test_rotation.py`` derives the
+#: required window mechanically from the committed CORRECTNESS_r*.json
+#: files and fails if this tuple ever goes stale — rotation is no
+#: longer a manual last-minute step.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-5 driver hash-FAILs, fixed (oracle HUGEINT→BIGINT) --
-    "corpus_pack_sequences",
-    "text_cdc_chunks",
-    # -- round-5 additions (no driver row yet) --
-    "agg_uniq_upto",
-    "agg_bit_group",
-    "ts_m4_downsample",
-    "win_sliding_distinct",
-    "json_schema_stats",
-    "str_multisearch",
-    "array_fill_forward",
-    "dedup_containment",
-    "curation_funnel_report",
-    "agg_retention_flags",
-    "sequence_match_flag",
-    "array_compact_dedup",
-    "quantile_timing_grid",
-    "agg_hll_set_ops",
-    "stats_roc_auc",
-    "stats_ks_test",
-    "stats_mad",
-    "ts_bounding_ratio",
-    "intervals_union_length",
-    "array_moving_agg",
-    "agg_minmax_map",
-    "str_extract_groups",
-    "sequence_next_node",
-    "ts_lttb_downsample",
-    "agg_array_intersect",
-    "graph_bfs_hops",
-    "array_rotate_zip",
-    "emb_dim_slice_search",
-    "token_vocab_coverage",
-    "agg_uniq_array",
-    "str_ngram_similarity",
-    "ts_nonneg_derivative",
-    "agg_sparkbar",
-    "topk_with_ties",
-    "agg_group_array_last",
-    "emb_vector_distances",
-    "text_minhash_export",
-    "text_simhash_export",
-    "stats_proportions_ztest",
-    "funnel_time_to_convert",
-    "win_cumulative_uniques",
-    "intervals_open_per_day",
-    "join_interval_overlap",
-    "ts_change_point_flags",
-    "date_timeslots",
-    "str_normalized_query_hash",
-    "stats_mean_ci",
-    "text_word_cooccurrence",
+    # -- (a) round-6 de-vacuized legacy keys (old green rows vacuous) --
+    "dedup_embedding_cosine",
+    "part_trigram_search",
+    # -- (b) round-6 additions, no driver row yet --
+    "sessionize_gap",
+    "seq_rle_encode",
+    "ts_seasonality_profile",
+    "stats_chi2_cells",
+    "cohort_revenue_ltv",
+    "array_enumerate_dense",
+    "str_format_readable",
+    "corpus_dup_ngrams",
+    "corpus_length_histogram",
+    "corpus_dsir_features",
+    "token_fertility_stats",
+    "text_c4_gates",
+    "dedup_incremental",
+    "emb_pq_codes",
+    "sim_range_search",
+    "merge_graphite_rollup",
+    "mergetree_ttl_expire",
+    "stream_windowed_topk",
+    "map_higher_order",
+    "scan_schema_merge",
+    "geo_grid_bbox_join",
+    "geo_point_in_polygon",
+    "curation_percentile_gate",
+    "decontam_span_stats",
+    "dedup_threshold_sweep",
+    "backup_pit_select",
+    "backup_manifest_diff",
+    "ip_cidr_join",
+    "emb_binary_quantize",
+    "dedup_keep_best",
+    "topk_with_others",
+    "dq_volume_anomaly",
+    "merge_replacing_deleted",
+    "join_asof_nearest",
+    "text_langid_confusion",
+    "audience_overlap_jaccard",
+    "orders_interarrival_hist",
+    "scan_csv_malformed",
+    "agg_time_decay_halflife",
+    "dedup_source_matrix",
+    "session_type_affinity",
+    "funnel_strict_order",
+    "orders_mix_shift",
+    "text_boilerplate_prefix",
+    "text_inverted_index",
+    "backup_restore_chain",
+    # -- (c) rows-only→oracled conversions (oracle path unchecked) --
+    "dedup_clusters",
+    "dedup_clusters_neardup",
+    # -- position 51: deferred to round 8 (trivial generator source) --
+    "source_numbers_range",
 )
-# Round-7 rotation note: after CORRECTNESS_r06 lands, every key
-# registered before round 6 has a green driver row; replace the tuple
-# above with (a) the 2 de-vacuized legacy keys whose semantics changed
-# in round 6 and whose old driver rows were 0-row-vacuous —
-#   dedup_embedding_cosine (τ 0.99→0.4) part_trigram_search
-#   (query steel→gizmo)
-# — then (b) the 49 round-6 oracle additions (47 new keys + 2
-# rows-only→oracled conversions whose oracle path has no driver row),
-# plus any r6 FAIL/ERR keys — the list is pinned in
-# tests/test_determinism_r6.py (R6_KEYS + R6_CONVERTED). That is 51
-# candidates for 50 slots: put source_numbers_range (trivial
-# generator source, lowest risk) last so it falls to round 8.
-#   sessionize_gap seq_rle_encode ts_seasonality_profile
-#   stats_chi2_cells cohort_revenue_ltv array_enumerate_dense
-#   str_format_readable source_numbers_range corpus_dup_ngrams
-#   corpus_length_histogram corpus_dsir_features token_fertility_stats
-#   text_c4_gates dedup_incremental emb_pq_codes sim_range_search
-#   merge_graphite_rollup mergetree_ttl_expire stream_windowed_topk
-#   map_higher_order scan_schema_merge geo_grid_bbox_join
-#   geo_point_in_polygon curation_percentile_gate decontam_span_stats
-#   dedup_threshold_sweep backup_pit_select backup_manifest_diff
-#   ip_cidr_join emb_binary_quantize dedup_keep_best topk_with_others
-#   dq_volume_anomaly merge_replacing_deleted join_asof_nearest
-#   text_langid_confusion audience_overlap_jaccard
-#   orders_interarrival_hist scan_csv_malformed
-#   agg_time_decay_halflife dedup_source_matrix session_type_affinity
-#   funnel_strict_order orders_mix_shift text_boilerplate_prefix
-#   text_inverted_index backup_restore_chain
-#   dedup_clusters dedup_clusters_neardup
-# That fills 49 of 50 slots; the 1 spare falls through to registration
-# order (stable r1 keys — harmless re-verification). Re-run the
-# driver simulation per .claude/skills/verify/SKILL.md before relying
-# on the rotation.
 
 
 def _load_all() -> None:

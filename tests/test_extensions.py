@@ -194,6 +194,25 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert n_clusters == SPECS["dedup_exact"].fn(spark, sf_dir).count()
 
 
+def test_propagate_clusters_converges_on_long_chain(spark):
+    """A path graph of diameter 29 (>> the old 8-round cap that
+    silently returned unconverged labels) must fully collapse to the
+    min label — min-label propagation moves one hop per round, so this
+    needs 29 rounds and proves the loop runs to fixpoint."""
+    from clickhousebackup_spark.extensions.dedup import _propagate_clusters
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in _propagate_clusters(docs, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_embedding_cosine_recall_on_planted_neardups(spark, tmp_path):
     """The sign-LSH bucket prefilter (equi-key join + Hamming-1 probe)
     must not lose any true cosine ≥ 0.4 pair (the key's fixture-scale

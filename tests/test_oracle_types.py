@@ -67,6 +67,25 @@ def oracled_specs():
     return {k: s for k, s in all_specs().items() if s.oracle}
 
 
+#: Keys whose DataFrame CONSTRUCTION eagerly executes work (scratch
+#: parquet/CSV/table writes, iterative fixpoints with eager
+#: localCheckpoints), so ``spec.fn(...).schema`` is not analysis-only.
+#: For these the parity lint uses a pinned declared schema instead of
+#: building the plan; drift from the pin is impossible to miss because
+#: tests/test_oracle_parity.py executes every key for real and the
+#: compare harness checks the actual schema there.
+_DECLARED_SCHEMA: dict[str, dict[str, str]] = {
+    "scan_schema_merge": {"n_rows": "int", "key_sum": "int",
+                          "n_with_priority": "int", "n_priorities": "int"},
+    "scan_csv_malformed": {"n_rows": "int", "n_null_key": "int",
+                           "sum_cents_valid": "int", "n_after_drop": "int"},
+    "sink_bucketed_sorted": {"o_custkey": "int", "o_orderkey": "int",
+                             "o_totalprice": "float"},
+    "dedup_clusters": {"doc_id": "int", "cluster": "int"},
+    "dedup_clusters_neardup": {"doc_id": "int", "cluster": "int"},
+}
+
+
 def test_no_hugeint_in_any_oracle(oracled_specs, duck):
     """Every oracle's DESCRIBE must be HUGEINT-free."""
     offenders = {}
@@ -87,12 +106,17 @@ def test_no_hugeint_in_any_oracle(oracled_specs, duck):
 
 def test_spark_duck_numeric_class_parity(oracled_specs, spark, sf_dir, duck):
     """Spark schema vs DuckDB DESCRIBE: int-vs-float class must agree
-    per output column (analysis only — no job runs)."""
+    per output column. Analysis-only for every key except the pinned
+    ``_DECLARED_SCHEMA`` entries, whose construction is side-effecting
+    and whose schemas are therefore declared, not derived."""
     offenders = {}
     for key, spec in oracled_specs.items():
         try:
-            s_schema = {f.name: _spark_class(f.dataType.typeName())
-                        for f in spec.fn(spark, sf_dir).schema.fields}
+            if key in _DECLARED_SCHEMA:
+                s_schema = dict(_DECLARED_SCHEMA[key])
+            else:
+                s_schema = {f.name: _spark_class(f.dataType.typeName())
+                            for f in spec.fn(spark, sf_dir).schema.fields}
             d_schema = {c: _duck_class(t) for c, t, *_ in
                         duck.execute(f"DESCRIBE ({spec.oracle})").fetchall()}
         except Exception as e:  # noqa: BLE001
