@@ -226,6 +226,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_payload_export",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                   AS payload_md5_int,
+               CAST(octet_length(encode(text))
+                    - octet_length(encode(replace(text, ' ', '')))
+                    AS BIGINT) AS n_spaces
+        FROM documents
+    """,
+    doc="Exact sister of multimodal_features (the text_minhash_export "
+    "pattern): the SAME mapInPandas binary plumbing — "
+    "with_binary_payload → Arrow batches → Python worker — but the "
+    "exported features are exact integers computable closed-form in "
+    "SQL: payload byte length, md5-of-bytes on the portable 15-hex "
+    "grid (hashlib.md5 over the raw bytes the worker received — a "
+    "content-complete proof that the binary column survives the "
+    "Arrow transfer bit-exactly), and space-byte count. DuckDB "
+    "mirrors via md5(text)/octet_length(encode(text)), which hash "
+    "the same UTF-8 bytes. Map-only: mapInPandas preserves "
+    "partitioning, zero shuffle; at 100 TB this is the "
+    "checksum-manifest pass a real multimodal ingest runs per blob.",
+)
+def multimodal_payload_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(parallelize(load_table(spark, sf_dir, "documents")))
+
+    repo_root = _REPO_ROOT
+
+    def export(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload_md5_int": [
+                        int(hashlib.md5(p).hexdigest()[:15], 16)
+                        for p in payloads
+                    ],
+                    "n_spaces": [p.count(b" ") for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(
+        export,
+        schema="doc_id long, media_type string, n_bytes long, "
+        "payload_md5_int long, n_spaces long",
+    )
+
+
+@register(
     "multimodal_decode_stats",
     oracle="""
         WITH img AS (

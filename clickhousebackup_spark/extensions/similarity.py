@@ -718,56 +718,52 @@ def _pq_union_sql() -> str:
     "IEEE fold in both engines, and the argmin is SELECTION-ONLY "
     "(rank over (dist, cent_id) — the ts_lttb_downsample precedent): "
     "checked outputs are the integer codes, never the doubles. "
-    f"Spark plan: {PQ_K}-row codebook broadcast, long-format "
-    "subspace explode, one (vec, sub) window pick, one pivot agg — "
-    "the fact side streams once; at 100 TB the codebook broadcast "
-    "is what makes PQ assignment embarrassingly parallel (each "
-    "executor encodes its partition with zero shuffle until the "
-    "final 4-codes-per-vector reduction).",
+    f"Spark plan: the {PQ_K}-row codebook is folded into ONE array "
+    "row (collect_list of (cent_id, subvector) structs) and "
+    "broadcast, so each fact row computes all 4 codes map-side via "
+    "array_min over (dist, cent_id) structs — struct ordering IS the "
+    "(dist ASC, cent_id ASC) argmin tiebreak, selection-only doubles. "
+    "ONE fact scan, ZERO exchanges on the fact path (round 6 shipped "
+    "a 4-branch union that rescanned embeddings per subspace and "
+    "shuffled fact×32 rows through a window; at 100 TB that is 4 "
+    "full scans and a 32×-amplified exchange where none is needed — "
+    "PQ encoding is embarrassingly parallel).",
 )
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize(load_table(spark, sf_dir, "embeddings"))
-    cents = (
+    codebook = (
         e.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
+        .agg(F.sort_array(F.collect_list(F.struct("cent_id", "cemb"))).alias("cb"))
     )
-    joined = e.select("vec_id", "embedding").join(F.broadcast(cents))
-    sub_rows = []
-    for s in range(PQ_SUBS):
+    joined = e.select("vec_id", "embedding").join(F.broadcast(codebook))
+
+    def code(s: int):
         a = s * PQ_SUBDIM + 1
-        dist = F.aggregate(
-            F.zip_with(
-                F.slice("embedding", a, PQ_SUBDIM),
-                F.slice("cemb", a, PQ_SUBDIM),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
-        )
-        sub_rows.append(
-            joined.select(
-                "vec_id",
-                F.lit(s).alias("sub"),
-                "cent_id",
-                dist.alias("dist"),
+
+        def dist(cemb):
+            return F.aggregate(
+                F.zip_with(
+                    F.slice("embedding", a, PQ_SUBDIM),
+                    F.slice(cemb, a, PQ_SUBDIM),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+
+        best = F.array_min(
+            F.transform(
+                "cb",
+                lambda c: F.struct(
+                    dist(c["cemb"]).alias("dist"), c["cent_id"].alias("cent_id")
+                ),
             )
         )
-    dists = sub_rows[0]
-    for r in sub_rows[1:]:
-        dists = dists.unionByName(r)
-    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cent_id")
-    picked = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    aggs = [
-        F.max(F.when(F.col("sub") == s, F.col("cent_id")))
-        .cast("long")
-        .alias(f"code{s}")
-        for s in range(PQ_SUBS)
-    ]
-    return picked.groupBy("vec_id").agg(*aggs)
+        return best["cent_id"].cast("long").alias(f"code{s}")
+
+    return joined.select("vec_id", *[code(s) for s in range(PQ_SUBS)])
 
 
 #: Range-search threshold (the synthetic embeddings are near-

@@ -171,8 +171,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # -- (c) rows-only→oracled conversions (oracle path unchecked) --
     "dedup_clusters",
     "dedup_clusters_neardup",
-    # -- position 51: deferred to round 8 (trivial generator source) --
+    # -- positions 51+: round-8 window head — source_numbers_range
+    # (deferred from r7) then the round-7 additions, in registration
+    # order. tests/test_rotation.py asserts this tail stays in sync.
     "source_numbers_range",
+    "multimodal_payload_export",
 )
 
 

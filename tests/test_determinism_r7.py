@@ -1,0 +1,48 @@
+"""Round-7 additions: registered+oracled coverage and rerun stability.
+
+Same contract as test_determinism_r5/r6: every key registered this
+round must be oracled (or explicitly excused) and produce identical
+rows on back-to-back runs — the cheap local guard before the driver's
+sf0.01 hash gate. The keys here also appear at the tail of
+``registry._CHECK_PRIORITY`` (round-8 window head); tests/
+test_rotation.py enforces that coupling mechanically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhousebackup_spark.registry import all_specs
+
+from .compare import _norm
+
+R7_KEYS = [
+    "multimodal_payload_export",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(_norm(r[c]) for c in cols) for r in df.collect()], key=repr
+    )
+
+
+def test_r7_keys_cover_the_round():
+    specs = all_specs()
+    missing = [k for k in R7_KEYS if k not in specs]
+    assert not missing, missing
+    for k in R7_KEYS:
+        assert specs[k].oracle is not None, f"{k} must be oracled"
+
+
+def test_r7_keys_nonvacuous(spark, sf_dir):
+    # a 0-row result passes rows/schema/hash trivially — forbid it
+    for k in R7_KEYS:
+        assert all_specs()[k].fn(spark, sf_dir).count() > 0, f"{k} vacuous"
+
+
+@pytest.mark.parametrize("key", R7_KEYS)
+def test_rerun_stable(spark, sf_dir, key):
+    spec = all_specs()[key]
+    assert _rows(spec.fn(spark, sf_dir)) == _rows(spec.fn(spark, sf_dir))

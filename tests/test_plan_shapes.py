@@ -538,7 +538,7 @@ R6_PLAN_BUDGET = {
     "token_fertility_stats": (1, 0, False),  # one lang agg
     "text_c4_gates": (0, 0, False),        # map-only regexp battery
     "dedup_incremental": (3, 2, False),    # hash split + two bcast joins
-    "emb_pq_codes": (2, 0, True),          # 8-row codebook probe NLJ
+    "emb_pq_codes": (1, 0, True),          # 1-row folded-codebook NLJ; fact path shuffle-free
     "sim_range_search": (0, 0, True),      # 3-row query probe NLJ
     "merge_graphite_rollup": (1, 0, True), # 1-row anchor NLJ + one agg
     "mergetree_ttl_expire": (1, 0, True),  # 1-row anchor NLJ + one agg
@@ -578,6 +578,24 @@ R6_PLAN_BUDGET = {
     "text_inverted_index": (4, 1, False),   # distinct + df band + postings agg
     "backup_restore_chain": (1, 1, True),   # 1-row cutoff NLJ + bcast base
 }
+
+
+#: Round-7 additions, measured at sf0.001 per the verify-skill recipe.
+R7_PLAN_BUDGET = {
+    "multimodal_payload_export": (0, 0, False),  # map-only mapInPandas
+}
+
+
+@pytest.mark.parametrize("key", sorted(R7_PLAN_BUDGET))
+def test_r7_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R7_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 @pytest.mark.parametrize("key", sorted(R6_PLAN_BUDGET))

@@ -36,8 +36,13 @@ RECHECK: set[str] = {"dedup_embedding_cosine", "part_trigram_search"}
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
-#: right after the window, so they lead the next round's rotation).
-DEFERRED: set[str] = {"source_numbers_range"}
+#: right after the window, so they lead the next round's rotation):
+#: source_numbers_range was the 51st candidate for round 7's 50
+#: slots; the rest are round-7 additions that queue for round 8.
+DEFERRED: set[str] = {
+    "source_numbers_range",
+    "multimodal_payload_export",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
