@@ -136,7 +136,9 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     total = 0.0
+    cold_total = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
         runs = []
@@ -146,6 +148,12 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         dt = min(runs)
         timings[name] = round(dt, 4)
+        # first run = this query's cold cost (its own codegen/JIT
+        # included; session init absorbed by the warmup above) —
+        # published so warm min-of-3 rounds are never compared against
+        # cold earlier rounds without a same-basis column.
+        cold_timings[name] = round(runs[0], 4)
+        cold_total += runs[0]
         total += dt
         print(
             f"# {name}: {dt:.3f}s (runs: "
@@ -172,6 +180,12 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "first_run_total": round(cold_total, 4),
+                "first_run_queries": cold_timings,
+                "methodology": "warm min-of-3 after JIT warmup; "
+                "first_run_* = per-query cold first run (r1-r5 "
+                "rounds were effectively cold — compare those "
+                "against first_run_total)",
                 "extra_queries": extra,
                 "overhead": {
                     "import_sec": round(import_sec, 3),

@@ -39,6 +39,11 @@ KEYS = (
     "corpus_dup_ngrams",
     "dedup_clusters_neardup",
     "emb_pq_codes",
+    # round-7 probe extension (VERDICT r6 task 5): the remaining r6
+    # heavy key (pair-join over per-user type sets) + the new
+    # mapInPandas checksum exporter
+    "audience_overlap_jaccard",
+    "multimodal_payload_export",
 )
 
 

@@ -126,6 +126,15 @@ def test_jdbc_stub_raises_actionable(spark):
         readers.read_jdbc(spark, "jdbc:postgresql://x/db", "t")
 
 
+def test_delta_iceberg_gate_raises_actionable(spark, tmp_path):
+    # permanent scope in this image (README §Scope note): no jars, so
+    # the gate must fail fast with the exact remediation in the message
+    with pytest.raises(readers.ConnectorUnavailable, match="delta-spark"):
+        readers.read_delta(spark, str(tmp_path / "d"))
+    with pytest.raises(readers.ConnectorUnavailable, match="iceberg"):
+        readers.read_iceberg(spark, "cat.db.t")
+
+
 def test_restore_roundtrip_and_point_in_time(spark, sf_dir, engine):
     orders = load_table(spark, sf_dir, "orders")
     t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
