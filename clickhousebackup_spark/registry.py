@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics3",
     "clickhousebackup_spark.operators.analytics4",
     "clickhousebackup_spark.operators.analytics5",
+    "clickhousebackup_spark.operators.analytics6",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.operators.ch_query",
@@ -176,6 +177,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # order. tests/test_rotation.py asserts this tail stays in sync.
     "source_numbers_range",
     "multimodal_payload_export",
+    "ts_ohlc_bars",
+    "ts_vwap",
+    "user_churn_flags",
+    "attribution_last_touch",
+    "sequence_match_timed",
+    "limit_by_offset",
+    "stats_wilson_ci",
+    "stats_cohens_d",
 )
 
 

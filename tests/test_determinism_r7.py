@@ -18,6 +18,15 @@ from .compare import _norm
 
 R7_KEYS = [
     "multimodal_payload_export",
+    # batch 1: analytics6 — OHLC/VWAP/churn/attribution/AB-stats
+    "ts_ohlc_bars",
+    "ts_vwap",
+    "user_churn_flags",
+    "attribution_last_touch",
+    "sequence_match_timed",
+    "limit_by_offset",
+    "stats_wilson_ci",
+    "stats_cohens_d",
 ]
 
 

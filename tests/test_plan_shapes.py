@@ -583,6 +583,15 @@ R6_PLAN_BUDGET = {
 #: Round-7 additions, measured at sf0.001 per the verify-skill recipe.
 R7_PLAN_BUDGET = {
     "multimodal_payload_export": (0, 0, False),  # map-only mapInPandas
+    # batch 1: analytics6
+    "ts_ohlc_bars": (1, 0, False),       # both rn dirs + agg share day exchange
+    "ts_vwap": (1, 0, False),            # one day-cell hash agg
+    "user_churn_flags": (2, 0, True),    # week grid distinct + 1-row horizon NLJ
+    "attribution_last_touch": (1, 0, False),  # union+last window, zero joins
+    "sequence_match_timed": (2, 1, False),    # as-of window + user-spine join
+    "limit_by_offset": (1, 0, False),    # WindowGroupLimit-pruned rn
+    "stats_wilson_ci": (1, 0, False),    # one 5-cell agg
+    "stats_cohens_d": (2, 0, True),      # 2-group agg + 1x1 NLJ
 }
 
 

@@ -42,6 +42,14 @@ RECHECK: set[str] = {"dedup_embedding_cosine", "part_trigram_search"}
 DEFERRED: set[str] = {
     "source_numbers_range",
     "multimodal_payload_export",
+    "ts_ohlc_bars",
+    "ts_vwap",
+    "user_churn_flags",
+    "attribution_last_touch",
+    "sequence_match_timed",
+    "limit_by_offset",
+    "stats_wilson_ci",
+    "stats_cohens_d",
 }
 
 
