@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics4",
     "clickhousebackup_spark.operators.analytics5",
     "clickhousebackup_spark.operators.analytics6",
+    "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
     "clickhousebackup_spark.operators.ch_query",
@@ -185,6 +186,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "limit_by_offset",
     "stats_wilson_ci",
     "stats_cohens_d",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "func_try_arith",
+    "json_variant_ops",
+    "join_hint_merge",
+    "scan_observed_metrics",
 )
 
 

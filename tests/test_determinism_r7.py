@@ -27,6 +27,13 @@ R7_KEYS = [
     "limit_by_offset",
     "stats_wilson_ci",
     "stats_cohens_d",
+    # batch 2: sqlsurface — modern Spark SQL engine surface
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "func_try_arith",
+    "json_variant_ops",
+    "join_hint_merge",
+    "scan_observed_metrics",
 ]
 
 

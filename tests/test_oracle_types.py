@@ -83,6 +83,8 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
                              "o_totalprice": "float"},
     "dedup_clusters": {"doc_id": "int", "cluster": "int"},
     "dedup_clusters_neardup": {"doc_id": "int", "cluster": "int"},
+    "scan_observed_metrics": {"n_rows": "int", "sum_cents": "int",
+                              "max_event_id": "int", "n_errors": "int"},
 }
 
 

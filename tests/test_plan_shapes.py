@@ -592,7 +592,21 @@ R7_PLAN_BUDGET = {
     "limit_by_offset": (1, 0, False),    # WindowGroupLimit-pruned rn
     "stats_wilson_ci": (1, 0, False),    # one 5-cell agg
     "stats_cohens_d": (2, 0, True),      # 2-group agg + 1x1 NLJ
+    # batch 2: sqlsurface
+    "sql_pipe_syntax": (1, 0, False),    # pipe form = one hash agg
+    "sql_parameterized": (1, 0, False),  # bound literals, one agg
+    "func_try_arith": (0, 0, False),     # map-only try_* battery
+    "json_variant_ops": (0, 0, False),   # map-only VARIANT decode
+    "join_hint_merge": (3, 0, False),    # SMJ forced: 2 sort exch + agg
+    "scan_observed_metrics": (0, 0, False),  # metrics row (eager pass)
 }
+
+
+def test_merge_hint_takes_effect(spark, sf_dir):
+    # join_hint_merge's whole point: the MERGE hint must yield a
+    # SortMergeJoin where the optimizer would broadcast.
+    plan = inspect.physical_plan(SPECS["join_hint_merge"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
 
 
 @pytest.mark.parametrize("key", sorted(R7_PLAN_BUDGET))

@@ -50,6 +50,12 @@ DEFERRED: set[str] = {
     "limit_by_offset",
     "stats_wilson_ci",
     "stats_cohens_d",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "func_try_arith",
+    "json_variant_ops",
+    "join_hint_merge",
+    "scan_observed_metrics",
 }
 
 
