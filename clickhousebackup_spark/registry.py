@@ -192,6 +192,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "json_variant_ops",
     "join_hint_merge",
     "scan_observed_metrics",
+    "scan_json_malformed",
+    "sink_partitioned_overwrite",
+    "scan_recursive_glob",
+    "sink_parquet_codecs",
 )
 
 

@@ -206,3 +206,232 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_after_drop")
     )
     return pa.join(da)
+
+
+@register(
+    "scan_json_malformed",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN o_orderkey % 89 = 0 THEN 1 END)
+                   AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN o_orderkey % 89 <> 0
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS sum_cents_valid,
+               CAST(COUNT(CASE WHEN o_orderkey % 89 <> 0 THEN 1 END)
+                   AS BIGINT) AS n_valid
+        FROM orders
+    """,
+    doc="Malformed-line JSONL handling, the sibling of "
+    "scan_csv_malformed for the other dominant feed format: every "
+    "89th order's JSON line is truncated mid-document; PERMISSIVE "
+    "mode routes the raw broken line into the "
+    "columnNameOfCorruptRecord column and nulls the data fields "
+    "(n_corrupt counts them — the quarantine-and-continue contract), "
+    "while valid lines parse fully (n_valid, integer-cents sum). "
+    "The oracle recomputes all four counters from the source table "
+    "by the same corruption rule. One text write, one map-only "
+    "schema-bound JSON scan feeding a single-row aggregate — "
+    "schema-on-read with an explicit schema, never inference "
+    "(at 100 TB inference costs a full extra pass).",
+)
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    good = F.concat(
+        F.lit('{"k": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "cents": '),
+        cents.cast("string"),
+        F.lit("}"),
+    )
+    line = F.when(
+        F.col("o_orderkey") % 89 == 0, F.substring(good, 1, 9)
+    ).otherwise(good)
+    out = scratch_path(spark, "json_malformed", sf_dir)
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("k LONG, cents LONG, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("_bad").cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("cents")))
+        .cast("long")
+        .alias("sum_cents_valid"),
+        F.count(F.when(F.col("_bad").isNull(), 1)).cast("long").alias("n_valid"),
+    )
+
+
+@register(
+    "sink_partitioned_overwrite",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT) * 2
+                        ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION "
+    "semantics): orders land partitioned by o_orderstatus, then ONE "
+    "partition ('F') is rewritten with doubled cents under "
+    "partitionOverwriteMode=dynamic — only the touched partition is "
+    "replaced, the others must survive byte-for-byte. The readback "
+    "aggregate proves exactly that (doubled F cents, untouched "
+    "O/P). This is the idempotent-backfill primitive every "
+    "partitioned 100 TB table relies on — the engine-level "
+    "equivalent of the reference's replace-one-generation-dir "
+    "publish (backup.sh:90-97). Static mode would silently drop "
+    "the untouched partitions; the key pins the dynamic contract.",
+)
+def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = scratch_path(spark, "part_overwrite", sf_dir)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    patch = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@register(
+    "scan_recursive_glob",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skipped,
+               CAST(SUM(CASE WHEN o_orderkey % 3 < 2
+                        THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS cents_kept
+        FROM orders
+    """,
+    doc="Recursive directory scan with a path glob: orders split "
+    "three ways into a nested tree (batch=a/part.parquet under "
+    "keep/, batch=b/part.parquet under keep/, plus a skip/ sibling "
+    "dir), read back with recursiveFileLookup over the keep/ root — "
+    "the lake-layout ingestion pattern for feeds that drop files "
+    "into dated subdirectories with mixed junk alongside. "
+    "input_file_name() splits the readback per source batch; the "
+    "skip/ third must NOT appear in the scan, which the key proves "
+    "by pairing the readback counts with a source-side ledger "
+    "(n_skipped) — n_a + n_b + n_skipped reconciles to the full "
+    "table while the scan itself saw only keep/. Directory listing "
+    "is driver/executor-parallel metadata work; the scan stays "
+    "columnar with pushdown intact.",
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = scratch_path(spark, "recursive_glob", sf_dir)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
+        f"{base}/keep/batch=a/data"
+    )
+    o.filter(F.col("o_orderkey") % 3 == 1).write.mode("overwrite").parquet(
+        f"{base}/keep/batch=b/data"
+    )
+    o.filter(F.col("o_orderkey") % 3 == 2).write.mode("overwrite").parquet(
+        f"{base}/skip/batch=c/data"
+    )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{base}/keep")
+        .withColumn("src", F.input_file_name())
+    )
+    read_agg = back.agg(
+        F.sum(F.when(F.col("src").contains("batch=a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("src").contains("batch=b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum("cents").cast("long").alias("cents_kept"),
+    )
+    # source-side ledger: the rows the recursive scan must NOT see
+    skipped = o.filter(F.col("o_orderkey") % 3 == 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_skipped")
+    )
+    return read_agg.join(skipped)
+
+
+@register(
+    "sink_parquet_codecs",
+    oracle="""
+        SELECT codec,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
+               CAST((SELECT SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                     FROM lineitem) AS BIGINT) AS cents
+        FROM (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+    """,
+    doc="Compression-codec roundtrip: lineitem written as parquet "
+    "under snappy, zstd, and gzip, each read back and "
+    "checksummed — identical row counts and integer-cents sums "
+    "across codecs prove the storage path is lossless under every "
+    "codec the cluster might mandate. Codec choice is THE 100 TB "
+    "storage-cost lever (zstd ≈ 30% smaller than snappy at similar "
+    "scan speed), and this key keeps the whole matrix exercised so "
+    "a cluster-wide codec flip is a config change, not a leap of "
+    "faith. Three writes + three map-only scan/agg passes.",
+)
+def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    base = scratch_path(spark, "parquet_codecs", sf_dir)
+    per_codec = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = f"{base}/{codec}"
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        per_codec.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), per_codec)

@@ -34,6 +34,11 @@ R7_KEYS = [
     "json_variant_ops",
     "join_hint_merge",
     "scan_observed_metrics",
+    # batch 3: sources/sinks — feed robustness + lake layout
+    "scan_json_malformed",
+    "sink_partitioned_overwrite",
+    "scan_recursive_glob",
+    "sink_parquet_codecs",
 ]
 
 

@@ -85,6 +85,13 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
     "dedup_clusters_neardup": {"doc_id": "int", "cluster": "int"},
     "scan_observed_metrics": {"n_rows": "int", "sum_cents": "int",
                               "max_event_id": "int", "n_errors": "int"},
+    "scan_json_malformed": {"n_rows": "int", "n_corrupt": "int",
+                            "sum_cents_valid": "int", "n_valid": "int"},
+    "sink_partitioned_overwrite": {"o_orderstatus": "other", "n": "int",
+                                   "cents": "int"},
+    "scan_recursive_glob": {"n_a": "int", "n_b": "int",
+                            "cents_kept": "int", "n_skipped": "int"},
+    "sink_parquet_codecs": {"codec": "other", "n": "int", "cents": "int"},
 }
 
 

@@ -599,6 +599,11 @@ R7_PLAN_BUDGET = {
     "json_variant_ops": (0, 0, False),   # map-only VARIANT decode
     "join_hint_merge": (3, 0, False),    # SMJ forced: 2 sort exch + agg
     "scan_observed_metrics": (0, 0, False),  # metrics row (eager pass)
+    # batch 3: sources/sinks
+    "scan_json_malformed": (0, 0, False),      # map-only JSONL scan + agg
+    "sink_partitioned_overwrite": (1, 0, False),  # readback status agg
+    "scan_recursive_glob": (0, 0, True),       # two 1-row aggs joined (NLJ)
+    "sink_parquet_codecs": (0, 0, False),      # three map-only scan/aggs
 }
 
 

@@ -56,6 +56,10 @@ DEFERRED: set[str] = {
     "json_variant_ops",
     "join_hint_merge",
     "scan_observed_metrics",
+    "scan_json_malformed",
+    "sink_partitioned_overwrite",
+    "scan_recursive_glob",
+    "sink_parquet_codecs",
 }
 
 
