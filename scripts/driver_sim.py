@@ -1,0 +1,117 @@
+"""Local stand-in for the verification driver: run every registered
+query AND its DuckDB oracle at a given scale factor in a VANILLA
+SparkSession (no repo session tuning), compare exactly with the
+type-faithful harness from tests/compare.py, and print one line per
+key. This is the pre-flight the round-5/6/7 gates ran ad hoc; now a
+committed tool.
+
+Usage:
+    python scripts/driver_sim.py                    # all keys, sf0.01
+    python scripts/driver_sim.py key1 key2 ...      # subset
+    python scripts/driver_sim.py --window           # first-50 window only
+    python scripts/driver_sim.py --new              # keys with no driver row
+    CBS_SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
+
+Exit code = number of failing keys (capped at 120).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from clickhousebackup_spark.registry import all_specs  # noqa: E402
+from clickhousebackup_spark.tables import TABLES  # noqa: E402
+from tests.compare import assert_same_result  # noqa: E402
+
+SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _latest_driver_rows() -> dict[str, dict]:
+    rows: dict[str, dict] = {}
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    ):
+        with open(path) as fh:
+            rows.update(json.load(fh))
+    return rows
+
+
+def main(argv: list[str]) -> int:
+    specs = all_specs()
+    keys = [a for a in argv if not a.startswith("--")]
+    if "--window" in argv:
+        keys = list(specs)[:50]
+    elif "--new" in argv:
+        seen = _latest_driver_rows()
+        keys = [k for k in specs if k not in seen]
+    elif not keys:
+        keys = list(specs)
+    unknown = [k for k in keys if k not in specs]
+    if unknown:
+        print(f"unknown keys: {unknown}")
+        return 2
+
+    # Vanilla session — mirrors the driver/judge environment, NOT the
+    # tuned session from clickhousebackup_spark.session.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failed: list[str] = []
+    t_all = time.time()
+    for i, key in enumerate(keys, 1):
+        spec = specs[key]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, SF_DIR)
+            if spec.oracle is None:
+                n = df.count()
+                status = f"rows-only ({n} rows)"
+                if n == 0:
+                    status += " [WARN 0 rows]"
+            else:
+                assert_same_result(df, con, spec.oracle, name=key)
+                status = "pass"
+        except Exception as e:  # noqa: BLE001
+            status = f"FAIL {type(e).__name__}"
+            failed.append(key)
+            tb = traceback.format_exc(limit=20)
+            print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
+            print("\n".join("    " + ln for ln in str(e).splitlines()[:8]))
+            if "--trace" in argv:
+                print(tb)
+            continue
+        print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
+    print(
+        f"\n{len(keys) - len(failed)}/{len(keys)} pass in "
+        f"{time.time()-t_all:.0f}s at {SF_DIR}"
+        + (f"; FAILED: {sorted(failed)}" if failed else "")
+    )
+    spark.stop()
+    return min(len(failed), 120)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
