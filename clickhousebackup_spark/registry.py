@@ -69,6 +69,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.functions.udfs",
     "clickhousebackup_spark.streaming.batch_equiv",
     "clickhousebackup_spark.streaming.topic",
+    "clickhousebackup_spark.streaming.stateful",
     "clickhousebackup_spark.backup.queries",
     "clickhousebackup_spark.extensions.dedup",
     "clickhousebackup_spark.extensions.similarity",
@@ -196,6 +197,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sink_partitioned_overwrite",
     "scan_recursive_glob",
     "sink_parquet_codecs",
+    "stream_stateful_totals",
 )
 
 

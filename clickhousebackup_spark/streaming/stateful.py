@@ -139,3 +139,137 @@ def sessionize(events: DataFrame, watermark_delay: str = "1 minute") -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- driver-checked key: real stateful streaming run, exact oracle ---
+
+EXACT_OUTPUT = (
+    "user_id long, n_events long, total_value_micro long, last_us long"
+)
+EXACT_STATE = "n long, total_micro long, last_us long"
+
+
+def _register_queries() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.registry import register
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    @register(
+        "stream_stateful_totals",
+        oracle="""
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS total_value_micro,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY user_id
+        """,
+        doc="END-TO-END stateful streaming, driver-hash-checked: "
+        "events are re-laid as a 4-file parquet feed, consumed with "
+        "maxFilesPerTrigger=1 (four real micro-batches), and folded "
+        "through applyInPandasWithState keeping per-user (count, "
+        "integer-µ value sum, max event-time) state across batches; "
+        "trigger=availableNow drains the feed, the memory sink "
+        "collects every update, and the final state per user (the "
+        "row with the max monotone n_events) must equal the one-shot "
+        "batch aggregate. Value is pre-quantized to an integer µ-grid "
+        "(the ts_vwap convention) so state folding is exact integer "
+        "addition — batch-slicing order cannot perturb the hash. "
+        "Scale: state is O(distinct users) in the state store, "
+        "partitioned by key; the feed drains file-parallel. The "
+        "sibling operators (event-time-timeout sessionize, webhook "
+        "lifecycle) are unit-tested in tests/test_streaming.py; this "
+        "key puts the state-store path itself under the driver gate. "
+        "Reference anchor: the per-db running backup bookkeeping a "
+        "scheduler consults (backup.sh:99-115 latest-pointer state).",
+    )
+    def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
+
+        # defined HERE (not module level) so cloudpickle ships it by
+        # VALUE — executors outside this repo can't import the package
+        def _update_totals_exact(key, pdfs, state):
+            """All-integer running totals: value pre-quantized to a
+            µ-grid upstream, so state accumulation is exact integer
+            addition — bit-identical regardless of how the file source
+            slices rows into micro-batches."""
+            import pandas as _pd
+
+            (user_id,) = key
+            n, total_micro, last_us = (
+                state.get if state.exists else (0, 0, 0)
+            )
+            for pdf in pdfs:
+                n += len(pdf)
+                total_micro += int(pdf["value_micro"].sum())
+                last_us = max(last_us, int(pdf["us"].max()))
+            state.update((n, total_micro, last_us))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value_micro": [total_micro],
+                    "last_us": [last_us],
+                }
+            )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(1000000.0))
+            .cast("long")
+            .alias("value_micro"),
+            F.unix_micros("ts").alias("us"),
+        )
+        src = scratch_path(spark, "sst_src", sf_dir)
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        # fresh checkpoint per call: the file-source offset log would
+        # otherwise mark the feed consumed and a rerun would emit
+        # nothing (rerun-stability contract)
+        ckpt = scratch_path(spark, "sst_ckpt", sf_dir)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        feed = (
+            spark.readStream.schema(
+                "user_id long, value_micro long, us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        updates = feed.groupBy("user_id").applyInPandasWithState(
+            _update_totals_exact,
+            outputStructType=EXACT_OUTPUT,
+            stateStructType=EXACT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("sst_updates")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "stream_stateful_totals: feed did not drain in 300s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        # the memory table holds one update row per (user, batch it
+        # appeared in); n_events is strictly monotone per user, so the
+        # final state is the unique max-n row
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.table("sst_updates")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+
+_register_queries()

@@ -39,6 +39,8 @@ R7_KEYS = [
     "sink_partitioned_overwrite",
     "scan_recursive_glob",
     "sink_parquet_codecs",
+    # batch 4: streaming — real applyInPandasWithState under the gate
+    "stream_stateful_totals",
 ]
 
 

@@ -60,6 +60,7 @@ DEFERRED: set[str] = {
     "sink_partitioned_overwrite",
     "scan_recursive_glob",
     "sink_parquet_codecs",
+    "stream_stateful_totals",
 }
 
 
