@@ -305,3 +305,293 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_cents"], m["max_event_id"], m["n_errors"])],
         "n_rows long, sum_cents long, max_event_id long, n_errors long",
     )
+
+
+# ---- round-7 batch 5: declarative SQL surface, second helping ----
+# LATERAL joins, GROUP/ORDER BY ALL, QUALIFY parity, star modifiers
+# (CH `SELECT * EXCEPT/REPLACE`), aggregate FILTER clauses, and CH
+# `ORDER BY .. WITH FILL` gap injection.
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT n.n_name, l.c_custkey, l.acctbal_cents
+        FROM nation n, LATERAL (
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                       AS acctbal_cents
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c.c_custkey
+            LIMIT 2
+        ) l
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 "
+    "customers by balance per nation, the per-group-top-n written the "
+    "declarative way (ClickHouse models this as LIMIT BY after a "
+    "join; ANSI/DuckDB spell it LATERAL — the oracle runs the "
+    "genuine lateral form). The engine deliberately DESUGARS the "
+    "lateral to a partitioned rank filter + broadcast dim join: "
+    "Spark 4 parses the same LATERAL text, but its decorrelation "
+    "materializes the subquery ORDER BY as a redundant GLOBAL "
+    "range-partitioned sort of the whole fact table before the "
+    "per-key window (measured, plan dump in PLANS_r07.md) — a "
+    "full-corpus sort at 100 TB where one hash exchange suffices. "
+    "The desugared form is the plan a lateral SHOULD compile to: "
+    "one c_nationkey exchange, WindowGroupLimit pruning to 2 rows "
+    "per key before the rank filter, nation broadcast. Balance is "
+    "selection-only (raw double order, c_custkey tiebreak), emitted "
+    "on the cent grid; the hash gate proves desugared ≡ lateral.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    return top.join(
+        F.broadcast(n), top.c_nationkey == n.n_nationkey
+    ).select("n_name", "c_custkey", "acctbal_cents")
+
+
+@register(
+    "sql_group_order_by_all",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc="GROUP BY ALL + ORDER BY ALL — the analyst shorthand (every "
+    "non-aggregate select item is a grouping key; sort by the full "
+    "select list) that Spark 3.4+/DuckDB/ClickHouse all adopted. "
+    "Both engines run the same shorthand text, proving the implicit "
+    "key inference matches the explicit form. Calendar key emitted "
+    "as a formatted STRING (date-through-pandas trap); money on the "
+    "cent grid. One two-phase hash agg; the global sort is "
+    "presentation-only (the driver re-sorts anyway) and would be "
+    "dropped in a pipeline context.",
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month, o_orderstatus,
+               CAST(COUNT(*) AS LONG) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS LONG))
+                    AS LONG) AS cents
+        FROM orders_gba_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "sql_qualify_topk",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY floor(l_extendedprice * 100.0) DESC,
+                     l_orderkey, l_linenumber
+        ) <= 3
+    """,
+    doc="QUALIFY-clause parity: DuckDB/ClickHouse/Snowflake filter "
+    "window results inline with QUALIFY; Spark has no QUALIFY "
+    "keyword, so the engine provides the canonical desugaring — "
+    "rank in a subquery, filter, project the rank away. The hash "
+    "gate proves the desugared Spark form IS the QUALIFY the oracle "
+    "runs. Ordering key is the integer cent grid with a full "
+    "(orderkey, linenumber) tiebreak. Spark plan: one exchange on "
+    "l_returnflag with WindowGroupLimit pruning rows before the "
+    "final rank filter — QUALIFY costs exactly a topk_per_group.",
+)
+def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_qual_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_orderkey, l_linenumber, cents
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(floor(l_extendedprice * 100.0) AS LONG) AS cents,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY floor(l_extendedprice * 100.0) DESC,
+                                l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem_qual_v
+        ) WHERE rn <= 3
+        """
+    )
+
+
+@register(
+    "sql_select_modifiers",
+    oracle="""
+        SELECT * EXCLUDE (c_name, c_acctbal),
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer
+    """,
+    doc="Star modifiers — ClickHouse `SELECT * EXCEPT(..) REPLACE(..)`"
+    ", Spark `* EXCEPT (..)`, DuckDB `* EXCLUDE (..)`: project "
+    "everything but the dropped columns, with the REPLACE expressed "
+    "as a computed sibling (the only portable spelling — Spark has "
+    "no REPLACE modifier). Pure projection: map-only, no exchange; "
+    "at 100 TB this is the column-pruned scan itself — ReadSchema "
+    "drops c_name at the parquet footer, so the 'wide table, narrow "
+    "read' promise is structural, not optimizer luck.",
+)
+def sql_select_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_mod_v"
+    )
+    return spark.sql(
+        """
+        SELECT * EXCEPT (c_name, c_acctbal),
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS LONG)
+                   AS acctbal_cents
+        FROM customer_mod_v
+        """
+    )
+
+
+@register(
+    "agg_filter_where",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+                   AS n_bulk,
+               CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT)
+                   AS n_disc,
+               CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100.0)
+                        AS BIGINT)) FILTER (WHERE l_tax > 0.03), 0)
+                    AS BIGINT) AS taxed_cents
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Aggregate FILTER (WHERE ..) clauses — the ANSI form of "
+    "ClickHouse's -If combinators (countIf/sumIf), run as the SAME "
+    "text in both engines: four conditional aggregates over one "
+    "scan, one two-phase hash agg, no self-joins (the anti-pattern "
+    "FILTER exists to kill: 4 filtered subqueries re-scanning 100 TB "
+    "vs 4 counters in one pass). The sibling of agg_combinators "
+    "(DataFrame spelling); money on the cent grid, empty-filter sums "
+    "pinned to 0 with COALESCE in both engines.",
+)
+def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_fw_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS LONG) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS LONG)
+                   AS n_bulk,
+               CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS LONG)
+                   AS n_disc,
+               CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100.0)
+                        AS LONG)) FILTER (WHERE l_tax > 0.03), 0)
+                    AS LONG) AS taxed_cents
+        FROM lineitem_fw_v GROUP BY l_linestatus
+        """
+    )
+
+
+@register(
+    "orderby_with_fill",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_id % 97 = 0
+        ), agg AS (
+            SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM e GROUP BY hr
+        ), b AS (
+            SELECT min(hr) AS h0, max(hr) AS h1 FROM e
+        ), grid AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+            FROM b
+        )
+        SELECT strftime(g.hr, '%Y-%m-%d %H:00') AS hour,
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.cents, 0) AS cents,
+               CAST(CASE WHEN a.hr IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS filled
+        FROM grid g LEFT JOIN agg a ON g.hr = a.hr
+    """,
+    doc="ClickHouse `ORDER BY .. WITH FILL STEP` — emit a dense "
+    "time-series with explicit zero rows for empty buckets, the "
+    "monitoring-dashboard contract (a missing hour must PLOT as 0, "
+    "not vanish). Engine form: hourly aggregate over a deterministic "
+    "sparse event subset (id % 97), a global [min,max] hour bound "
+    "(1-row agg), the dense grid via sequence()/explode, and a "
+    "left join marking injected rows with filled=1. Hours emitted "
+    "as formatted strings, money on the cent grid, fill values "
+    "COALESCEd to exact 0 in both engines. Plan: fact agg is one "
+    "exchange; the grid side is O(hours) rows built from a 1-row "
+    "bound — Spark broadcasts the AGGREGATE side (bounded by "
+    "distinct hours), so the fact table never re-shuffles; at 100 "
+    "TB the grid join costs nothing.",
+)
+def orderby_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+    agg = e.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    bounds = e.agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    joined = grid.join(F.broadcast(agg), "hr", "left")
+    return joined.select(
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias("cents"),
+        F.when(F.col("n").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("filled"),
+    )

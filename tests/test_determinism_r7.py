@@ -41,6 +41,13 @@ R7_KEYS = [
     "sink_parquet_codecs",
     # batch 4: streaming — real applyInPandasWithState under the gate
     "stream_stateful_totals",
+    # batch 5: declarative SQL surface, second helping
+    "join_lateral_topn",
+    "sql_group_order_by_all",
+    "sql_qualify_topk",
+    "sql_select_modifiers",
+    "agg_filter_where",
+    "orderby_with_fill",
 ]
 
 

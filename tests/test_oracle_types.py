@@ -92,6 +92,9 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
     "scan_recursive_glob": {"n_a": "int", "n_b": "int",
                             "cents_kept": "int", "n_skipped": "int"},
     "sink_parquet_codecs": {"codec": "other", "n": "int", "cents": "int"},
+    "stream_stateful_totals": {"user_id": "int", "n_events": "int",
+                               "total_value_micro": "int",
+                               "last_us": "int"},
 }
 
 

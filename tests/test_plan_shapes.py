@@ -604,6 +604,17 @@ R7_PLAN_BUDGET = {
     "sink_partitioned_overwrite": (1, 0, False),  # readback status agg
     "scan_recursive_glob": (0, 0, True),       # two 1-row aggs joined (NLJ)
     "sink_parquet_codecs": (0, 0, False),      # three map-only scan/aggs
+    # batch 4: streaming (plan measured on the post-stream final-state
+    # window over the memory sink; the stateful stage itself runs
+    # inside the streaming query)
+    "stream_stateful_totals": (1, 0, False),
+    # batch 5: declarative SQL surface, second helping
+    "join_lateral_topn": (1, 1, False),   # rank exchange + bcast nation
+    "sql_group_order_by_all": (2, 0, False),  # hash agg + ORDER BY ALL sort
+    "sql_qualify_topk": (1, 0, False),    # QUALIFY desugar: WGL-pruned rank
+    "sql_select_modifiers": (0, 0, False),  # pure projection, map-only
+    "agg_filter_where": (1, 0, False),    # one agg, 4 FILTER counters
+    "orderby_with_fill": (1, 1, False),   # fact agg + bcast grid join
 }
 
 

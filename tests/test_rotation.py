@@ -61,6 +61,12 @@ DEFERRED: set[str] = {
     "scan_recursive_glob",
     "sink_parquet_codecs",
     "stream_stateful_totals",
+    "join_lateral_topn",
+    "sql_group_order_by_all",
+    "sql_qualify_topk",
+    "sql_select_modifiers",
+    "agg_filter_where",
+    "orderby_with_fill",
 }
 
 
