@@ -807,3 +807,173 @@ def decontam_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("hit")).cast("long").alias("n_clean"),
         )
     )
+
+
+# ---- round-7 additions: training-order + novelty + upsampling ----
+
+
+@register(
+    "corpus_global_shuffle",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(doc_id || ':epoch0'),
+                       1, 15)) AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, h % 64 AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY h % 64 ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM h
+    """,
+    doc="Deterministic global training-order shuffle — the epoch-"
+    "seeded hash shuffle every LLM data loader needs (same docs + "
+    "same seed ⇒ same order, any cluster size): shard = "
+    "hash(doc_id, epoch) mod 64, position = rank of the hash inside "
+    "the shard. Hash rides the portable md5-15-hex-digit grid "
+    "(text_minhash_export convention) so the driver pins actual "
+    "positions, not just counts. Spark plan: ONE hash exchange on "
+    "shard + per-partition sort — there is deliberately NO global "
+    "sort/range exchange: readers consume shards independently "
+    "(shard files are the unit of data-parallel training), so a "
+    "total order across shards would buy nothing and cost a 100 TB "
+    "range repartition. Changing the epoch literal reshuffles "
+    "everything, which is the feature.",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":epoch0"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    hashed = d.select("doc_id", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(64)).alias("shard")
+    w = Window.partitionBy(F.pmod(F.col("h"), F.lit(64))).orderBy(
+        "h", "doc_id"
+    )
+    return hashed.select(
+        "doc_id",
+        shard,
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(toks[i:i+2], ' ')) AS g
+            FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) u(i)
+            WHERE len(toks) >= 3
+        ), f AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE first_doc = doc_id)
+                   AS BIGINT) AS n_novel,
+               CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) * 1000
+                   // COUNT(*) AS BIGINT) AS novel_permille
+        FROM f GROUP BY doc_id
+    """,
+    doc="Per-document n-gram NOVELTY against the corpus prefix — for "
+    "each doc, the fraction of its distinct 3-grams whose FIRST "
+    "corpus occurrence (min doc_id, the ingest order) is this doc. "
+    "The incremental-crawl signal (how much genuinely new text does "
+    "each batch add — the marginal-value curve behind data-buying "
+    "decisions), complementing corpus_dup_ngrams (which mines the "
+    "repeated spans themselves). Grams are md5-keyed constant-width "
+    "rows; novelty is permille on the exact integer grid. Plan: "
+    "per-doc distinct (one exchange), a min-window over the gram "
+    "key (second exchange — this IS the corpus-wide first-"
+    "occurrence join, no way below one gram-keyed exchange), then "
+    "a doc_id re-agg; all three key widths are md5/int64, and the "
+    "window needs no sort beyond the exchange's local ordering.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> md5(array_join(slice(toks, i, 3), ' ')))"
+            )
+        ).alias("g"),
+    ).distinct()
+    f = g.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("g")).alias("first_doc"),
+    )
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) * 1000"
+            " div count(*) AS LONG)"
+        ).alias("novel_permille"),
+    )
+
+
+@register(
+    "corpus_upsample_repeat",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5(source), 1, 15))
+                       AS BIGINT) % 3 + 1 AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, source, n_copies,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                   AS copy_idx
+        FROM w
+    """,
+    doc="Epoch-repeat upsampling materialized — expand each document "
+    "into its integer repeat count for the training mix (the "
+    "Llama/Dolma recipe: high-quality sources sampled >1 epoch, "
+    "commodity crawl <1; here the per-source factor 1–3 derives "
+    "deterministically from the md5 grid so the driver can check "
+    "actual expansion rows). Downstream of corpus_mix_plan (which "
+    "COMPUTES target weights); this key is the operator that turns "
+    "weights into the physical repeated dataset corpus_pack_"
+    "sequences consumes. Plan: map-only — sequence()/explode inside "
+    "one codegen stage, zero exchanges; at 100 TB the expansion "
+    "never shuffles (each task expands its own rows) and the "
+    "2x-average row growth is the intended output volume.",
+)
+def corpus_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_copies = (
+        F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long")
+        % 3
+        + 1
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n_copies.alias("n_copies"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), n_copies)
+        ).alias("copy_idx"),
+    )

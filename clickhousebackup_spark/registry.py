@@ -204,6 +204,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_select_modifiers",
     "agg_filter_where",
     "orderby_with_fill",
+    "corpus_global_shuffle",
+    "text_ngram_novelty",
+    "corpus_upsample_repeat",
 )
 
 

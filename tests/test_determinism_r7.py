@@ -48,6 +48,10 @@ R7_KEYS = [
     "sql_select_modifiers",
     "agg_filter_where",
     "orderby_with_fill",
+    # batch 6: training-order + novelty + upsampling
+    "corpus_global_shuffle",
+    "text_ngram_novelty",
+    "corpus_upsample_repeat",
 ]
 
 

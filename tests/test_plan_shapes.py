@@ -615,6 +615,10 @@ R7_PLAN_BUDGET = {
     "sql_select_modifiers": (0, 0, False),  # pure projection, map-only
     "agg_filter_where": (1, 0, False),    # one agg, 4 FILTER counters
     "orderby_with_fill": (1, 1, False),   # fact agg + bcast grid join
+    # batch 6: training-order + novelty + upsampling
+    "corpus_global_shuffle": (1, 0, False),  # shard exchange, NO range sort
+    "text_ngram_novelty": (3, 0, False),  # distinct + gram window + doc agg
+    "corpus_upsample_repeat": (0, 0, False),  # map-only explode
 }
 
 

@@ -67,6 +67,9 @@ DEFERRED: set[str] = {
     "sql_select_modifiers",
     "agg_filter_where",
     "orderby_with_fill",
+    "corpus_global_shuffle",
+    "text_ngram_novelty",
+    "corpus_upsample_repeat",
 }
 
 
