@@ -207,6 +207,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_global_shuffle",
     "text_ngram_novelty",
     "corpus_upsample_repeat",
+    "scan_text_lines",
+    "scan_binary_files",
+    "scan_xml_source",
 )
 
 

@@ -435,3 +435,164 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), per_codec)
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+        WITH t AS (
+            SELECT regexp_replace(text, '[\r\n]+', ' ', 'g') AS line
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(concat('0x', substr(md5(line), 1, 15))
+                       AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+        FROM t
+    """,
+    doc="Plain-text line feed roundtrip — spark.read.text, the format "
+    "under every log-shipping and corpus-dump pipeline (one document "
+    "per line, the WebText/C4 interchange layout). Documents are "
+    "newline-sanitized, written with the text sink, read back as "
+    "raw lines, and checksummed: line count, exact char volume, and "
+    "a SUM over the md5-grid (mod 1e9+7 so 100 TB of lines can't "
+    "overflow int64) — content-faithful, not just count-faithful. "
+    "The oracle recomputes all three from the source table, so the "
+    "gate proves text→line→text loses nothing. Both sides are "
+    "map-only scans into one 3-cell aggregate.",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = scratch_path(spark, "text_lines", sf_dir)
+    d.select(
+        F.regexp_replace("text", "[\r\n]+", " ").alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    md5int = F.conv(
+        F.substring(F.md5("value"), 1, 15), 16, 10
+    ).cast("long")
+    return lines.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(md5int % 1000000007).cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+        SELECT 'f' || lpad(CAST(i AS VARCHAR), 2, '0') || '.bin'
+                   AS fname,
+               CAST(32 AS BIGINT) AS length,
+               md5(md5('payload-' || i)) AS content_md5
+        FROM range(0, 26) t(i)
+    """,
+    doc="Opaque-binary ingestion via the binaryFile source — the read "
+    "path for the multimodal vertical (SURVEY §2: image/audio/video "
+    "as opaque binary + typed metadata): 26 deterministic payload "
+    "files (content = md5 hex of 'payload-<i>', so the oracle can "
+    "regenerate them in SQL) are laid down and read back as "
+    "(path, length, content) rows; the key emits filename, byte "
+    "length, and the md5 OF THE BYTES — proving content passes "
+    "through the source exactly, not merely that files were listed. "
+    "File writes are catalog-scale driver-side setup (the payloads "
+    "under test, not the operator); the read is the distributed "
+    "path: binaryFile splits per file across executors, and at "
+    "100 TB ingestion parallelism is the file count, with "
+    "pathGlobFilter/recursiveFileLookup pruning at the listing "
+    "(scan_recursive_glob's contract). Map-only, no exchange.",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+
+    base = scratch_path(spark, "binary_files", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for i in range(26):
+        payload = hashlib.md5(f"payload-{i}".encode()).hexdigest()
+        with open(os.path.join(base, f"f{i:02d}.bin"), "wb") as fh:
+            fh.write(payload.encode())
+    files = spark.read.format("binaryFile").load(base)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("length"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
+    "scan_xml_source",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM events WHERE event_id % 11 = 0
+        GROUP BY event_type
+    """,
+    doc="XML source/sink roundtrip — Spark 4's built-in XML data "
+    "source (SPARK-44265), the remaining first-class feed format "
+    "after CSV/JSON/ORC/JDBC/text/binary (ClickHouse ships XML as "
+    "a format too): an events subset is written with the native XML "
+    "writer (rootTag/rowTag documents, one well-formed doc per "
+    "partition file), read back under an EXPLICIT schema (never "
+    "inference in production — schema drift must fail loudly, the "
+    "union_by_name_evolved contract), and aggregated per type; the "
+    "oracle recomputes from the source table, so the gate proves "
+    "value fidelity through XML text. Money rides the cent grid. "
+    "Write and read are both file-parallel; the agg is one "
+    "two-phase hash agg over the readback.",
+)
+def scan_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    out = scratch_path(spark, "xml_source", sf_dir)
+    (
+        e.write.format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id LONG, user_id LONG, event_type STRING, cents LONG"
+        )
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )

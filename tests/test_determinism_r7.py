@@ -52,6 +52,10 @@ R7_KEYS = [
     "corpus_global_shuffle",
     "text_ngram_novelty",
     "corpus_upsample_repeat",
+    # batch 7: remaining first-class feed formats
+    "scan_text_lines",
+    "scan_binary_files",
+    "scan_xml_source",
 ]
 
 

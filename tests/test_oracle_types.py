@@ -95,6 +95,12 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
     "stream_stateful_totals": {"user_id": "int", "n_events": "int",
                                "total_value_micro": "int",
                                "last_us": "int"},
+    "scan_text_lines": {"n_lines": "int", "total_chars": "int",
+                        "checksum": "int"},
+    "scan_binary_files": {"fname": "other", "length": "int",
+                          "content_md5": "other"},
+    "scan_xml_source": {"event_type": "other", "n": "int", "cents": "int",
+                        "min_id": "int", "max_id": "int"},
 }
 
 

@@ -619,6 +619,10 @@ R7_PLAN_BUDGET = {
     "corpus_global_shuffle": (1, 0, False),  # shard exchange, NO range sort
     "text_ngram_novelty": (3, 0, False),  # distinct + gram window + doc agg
     "corpus_upsample_repeat": (0, 0, False),  # map-only explode
+    # batch 7: remaining first-class feed formats
+    "scan_text_lines": (0, 0, False),     # text readback, 3-cell agg
+    "scan_binary_files": (0, 0, False),   # binaryFile listing, map-only
+    "scan_xml_source": (1, 0, False),     # xml readback + hash agg
 }
 
 

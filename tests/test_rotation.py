@@ -70,6 +70,9 @@ DEFERRED: set[str] = {
     "corpus_global_shuffle",
     "text_ngram_novelty",
     "corpus_upsample_repeat",
+    "scan_text_lines",
+    "scan_binary_files",
+    "scan_xml_source",
 }
 
 
