@@ -56,6 +56,9 @@ R7_KEYS = [
     "scan_text_lines",
     "scan_binary_files",
     "scan_xml_source",
+    # batch 8: staged ANN retrieval + backup storage accounting
+    "sim_pq_adc_topk",
+    "backup_dedup_savings",
 ]
 
 

@@ -623,6 +623,9 @@ R7_PLAN_BUDGET = {
     "scan_text_lines": (0, 0, False),     # text readback, 3-cell agg
     "scan_binary_files": (0, 0, False),   # binaryFile listing, map-only
     "scan_xml_source": (1, 0, False),     # xml readback + hash agg
+    # batch 8: staged ANN retrieval + backup storage accounting
+    "sim_pq_adc_topk": (0, 1, True),      # map-side ADC, 1x1 cb/LUT NLJs
+    "backup_dedup_savings": (3, 0, False),  # 2 windows + db agg
 }
 
 

@@ -73,6 +73,8 @@ DEFERRED: set[str] = {
     "scan_text_lines",
     "scan_binary_files",
     "scan_xml_source",
+    "sim_pq_adc_topk",
+    "backup_dedup_savings",
 }
 
 
