@@ -625,3 +625,213 @@ def quantile_timing_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).cast("long").alias("p90_ms"),
         pick(0.99).cast("long").alias("p99_ms"),
     )
+
+
+# ---- round-7 additions ----
+
+
+@register(
+    "quantile_exact_weighted_grid",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                       AS cents,
+                   CAST(floor(l_quantity) AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), c AS (
+            SELECT l_returnflag, cents, w,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                       ORDER BY cents, l_orderkey, l_linenumber)
+                       AS BIGINT) AS cumw,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+                       AS BIGINT) AS total_w
+            FROM t
+        )
+        SELECT l_returnflag,
+               CAST(MAX(total_w) AS BIGINT) AS total_w,
+               CAST(MIN(CASE WHEN cumw * 4 >= total_w * 1
+                    THEN cents END) AS BIGINT) AS wq25_cents,
+               CAST(MIN(CASE WHEN cumw * 4 >= total_w * 2
+                    THEN cents END) AS BIGINT) AS wq50_cents,
+               CAST(MIN(CASE WHEN cumw * 4 >= total_w * 3
+                    THEN cents END) AS BIGINT) AS wq75_cents
+        FROM c GROUP BY l_returnflag
+    """,
+    doc="Exact WEIGHTED quantile grid — ClickHouse "
+    "quantileExactWeighted(0.25/0.5/0.75)(price, quantity) per "
+    "return flag: the smallest value whose cumulative weight reaches "
+    "q·W, all on integers (cents, integer weights, and the "
+    "threshold test cleared of division: cumw·4 ≥ W·qnum — no "
+    "float quantile arithmetic anywhere). The within-ties cumsum "
+    "order is pinned by the (orderkey, linenumber) total order, and "
+    "the selected value is provably order-insensitive across ties "
+    "(only block-final cumulative weights decide the crossing "
+    "block). Plan: ONE l_returnflag exchange serves both windows "
+    "(cumsum and group total — same partitioning, the second window "
+    "is sort-free) and the final aggregate; three quantiles cost no "
+    "more than one. At 100 TB this is the weighted-percentile "
+    "pattern that avoids quantile sketches when exactness is "
+    "contractual (billing SLAs).",
+)
+def quantile_exact_weighted_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("cents"),
+        F.floor("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = t.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).cast("long").alias("cumw"),
+        F.sum("w").over(w_all).cast("long").alias("total_w"),
+    )
+
+    def pick(qnum: int):
+        return F.min(
+            F.when(
+                F.col("cumw") * 4 >= F.col("total_w") * qnum,
+                F.col("cents"),
+            )
+        )
+
+    return c.groupBy("l_returnflag").agg(
+        F.max("total_w").cast("long").alias("total_w"),
+        pick(1).cast("long").alias("wq25_cents"),
+        pick(2).cast("long").alias("wq50_cents"),
+        pick(3).cast("long").alias("wq75_cents"),
+    )
+
+
+@register(
+    "win_first_last_ignore_nulls",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   CASE WHEN event_type <> 'error'
+                        THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                   END AS ok_cents
+            FROM events
+        ), w AS (
+            SELECT user_id,
+                   FIRST_VALUE(ok_cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+                       AS first_ok_cents,
+                   LAST_VALUE(ok_cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+                       AS last_ok_cents,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS rn
+            FROM t
+        )
+        SELECT user_id, first_ok_cents, last_ok_cents
+        FROM w WHERE rn = 1
+    """,
+    doc="FIRST_VALUE / LAST_VALUE with IGNORE NULLS — the window "
+    "variant ClickHouse (anyLast + -If), ANSI, and DuckDB all "
+    "support and that trips engines up at partition edges: per user "
+    "(event-time order, full-frame), the first and last non-error "
+    "measurement, with error events contributing NULL. Users whose "
+    "events are ALL errors yield NULL/NULL — the nullable-int "
+    "column class the compare harness models explicitly. One "
+    "user_id exchange serves both full-frame windows and the "
+    "rn=1 representative filter; money on the cent grid.",
+)
+def win_first_last_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") != "error",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+        ).alias("ok_cents"),
+    )
+    frame = Window.partitionBy("user_id").orderBy("us", "event_id")
+    full = frame.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = e.select(
+        "user_id",
+        F.first("ok_cents", ignorenulls=True)
+        .over(full)
+        .alias("first_ok_cents"),
+        F.last("ok_cents", ignorenulls=True)
+        .over(full)
+        .alias("last_ok_cents"),
+        F.row_number().over(frame).alias("rn"),
+    )
+    return w.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "agg_combinators_array",
+    oracle="""
+        WITH x AS (
+            SELECT label, vec_id,
+                   CAST(floor(CAST(u.e AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS micro
+            FROM embeddings, unnest(embedding) u(e)
+        )
+        SELECT label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_elems,
+               CAST(SUM(micro) AS BIGINT) AS sum_micro,
+               CAST(COUNT(DISTINCT micro) AS BIGINT) AS uniq_micro,
+               CAST(MIN(micro) AS BIGINT) AS min_micro,
+               CAST(MAX(micro) AS BIGINT) AS max_micro
+        FROM x GROUP BY label
+    """,
+    doc="ClickHouse -Array aggregate combinators (sumArray / "
+    "uniqArray / minArray / maxArray): aggregate over every ELEMENT "
+    "of an array column per group, not over the arrays — per label, "
+    "element count, exact element sum, distinct-element "
+    "cardinality, and extrema over the embeddings vectors, all on "
+    "the integer µ-grid (floor(x·1e6) of the float32 read as "
+    "double, identical in both engines). Spark spells the "
+    "combinator as a map-side explode feeding ONE two-phase hash "
+    "agg — the explode multiplies rows 64× but never shuffles "
+    "un-aggregated elements: partials absorb them per task, so the "
+    "exchange carries label-bounded rows only. The distinct "
+    "cardinality adds Spark's expand-based second exchange "
+    "(count-distinct canonical form).",
+)
+def agg_combinators_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        "vec_id",
+        F.explode(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1000000.0).cast(
+                    "long"
+                ),
+            )
+        ).alias("micro"),
+    )
+    return x.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_elems"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.countDistinct("micro").cast("long").alias("uniq_micro"),
+        F.min("micro").cast("long").alias("min_micro"),
+        F.max("micro").cast("long").alias("max_micro"),
+    )

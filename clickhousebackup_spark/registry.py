@@ -212,6 +212,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_xml_source",
     "sim_pq_adc_topk",
     "backup_dedup_savings",
+    "quantile_exact_weighted_grid",
+    "win_first_last_ignore_nulls",
+    "agg_combinators_array",
 )
 
 

@@ -44,6 +44,16 @@ KEYS = (
     # mapInPandas checksum exporter
     "audience_overlap_jaccard",
     "multimodal_payload_export",
+    # round-7 probe extension: the data-dependent round-7 additions —
+    # gram-window novelty (documents), map-side ADC retrieval
+    # (embeddings), 4-grammar savings windows (events), grid fill
+    # (events), and the stateful-streaming feed (events through the
+    # state store)
+    "text_ngram_novelty",
+    "sim_pq_adc_topk",
+    "backup_dedup_savings",
+    "orderby_with_fill",
+    "stream_stateful_totals",
 )
 
 

@@ -59,6 +59,11 @@ R7_KEYS = [
     # batch 8: staged ANN retrieval + backup storage accounting
     "sim_pq_adc_topk",
     "backup_dedup_savings",
+    # batch 9: exact weighted quantiles, IGNORE NULLS windows,
+    # -Array combinators
+    "quantile_exact_weighted_grid",
+    "win_first_last_ignore_nulls",
+    "agg_combinators_array",
 ]
 
 

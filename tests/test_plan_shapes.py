@@ -626,6 +626,11 @@ R7_PLAN_BUDGET = {
     # batch 8: staged ANN retrieval + backup storage accounting
     "sim_pq_adc_topk": (0, 1, True),      # map-side ADC, 1x1 cb/LUT NLJs
     "backup_dedup_savings": (3, 0, False),  # 2 windows + db agg
+    # batch 9: exact weighted quantiles, IGNORE NULLS windows,
+    # -Array combinators
+    "quantile_exact_weighted_grid": (1, 0, False),  # 1 exchange, 2 windows
+    "win_first_last_ignore_nulls": (1, 0, False),   # 1 user exchange
+    "agg_combinators_array": (2, 0, False),  # explode + distinct expand
 }
 
 
