@@ -66,6 +66,12 @@ EXTRA = (
     "emb_pq_codes",
     "sessionize_gap",
     "merge_graphite_rollup",
+    # round-7 flagships
+    "sim_pq_adc_topk",
+    "text_ngram_novelty",
+    "join_lateral_topn",
+    "backup_dedup_savings",
+    "stream_stateful_totals",
 )
 
 

@@ -131,8 +131,13 @@ def main() -> None:
     os.makedirs(PROBE_DIR, exist_ok=True)
     build_events10(spark)
     specs = all_specs()
+    # PROBE_KEYS=comma,list narrows one run (the full list no longer
+    # fits a single sandbox window); default = everything.
+    keys = KEYS
+    if os.environ.get("PROBE_KEYS"):
+        keys = tuple(os.environ["PROBE_KEYS"].split(","))
     print(f"{'key':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
-    for k in KEYS:
+    for k in keys:
         fn = specs[k].fn
         t0 = time.time()
         n1 = fn(spark, SF).count()
