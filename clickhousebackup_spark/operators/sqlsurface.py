@@ -595,3 +595,165 @@ def orderby_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("filled"),
     )
+
+
+# ---- round-7 batch 10: recursion, time-range frames, precision ----
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+        WITH RECURSIVE r(doc_id, node, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION ALL
+            SELECT doc_id, node // 2, depth + 1 FROM r WHERE node > 1
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS chain_len,
+               CAST(SUM(node) AS BIGINT) AS chain_sum
+        FROM r GROUP BY doc_id
+    """,
+    doc="WITH RECURSIVE — the iterative-closure surface Spark "
+    "finally shipped in 4.0 (SPARK-24497) and ClickHouse 24.4 "
+    "added: every document walks its deterministic ancestor chain "
+    "(node → node div 2, the implicit binary hierarchy) to the "
+    "root, emitting per-doc depth, chain length, and exact chain "
+    "sum. Both engines execute the IDENTICAL recursive text, so the "
+    "hash gate proves fixpoint semantics (not just syntax) agree — "
+    "this is the declarative sibling of the engine's hand-rolled "
+    "iterative operators (dict_hierarchy_flatten, graph_bfs_hops, "
+    "dedup cluster propagation), which remain the 100 TB path "
+    "(driver-controlled loops with localCheckpoint cut lineage; a "
+    "recursive CTE's depth is optimizer-managed). Depth is "
+    "O(log max_id) ~ 13-17 at fixture scales; each iteration is "
+    "one map-side projection, the final agg one exchange.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_rec_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE r(doc_id, node, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents_rec_v
+            UNION ALL
+            SELECT doc_id, node div 2, depth + 1 FROM r WHERE node > 1
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS LONG) AS depth,
+               CAST(COUNT(*) AS LONG) AS chain_len,
+               CAST(SUM(node) AS LONG) AS chain_sum
+        FROM r GROUP BY doc_id
+        """
+    )
+
+
+@register(
+    "win_range_interval_frame",
+    oracle="""
+        WITH t AS (
+            SELECT event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+    """,
+    doc="Time-valued RANGE window frame — `RANGE BETWEEN INTERVAL 1 "
+    "HOUR PRECEDING AND CURRENT ROW` over the event-time order: the "
+    "per-event trailing-hour count and cent volume, the "
+    "rate-limiter/monitoring primitive written as ONE window instead "
+    "of a self-join (the O(n²) anti-pattern a time-range frame "
+    "exists to kill). RANGE (not ROWS) makes simultaneous events "
+    "peers, so no tiebreak can perturb the result. Same frame text "
+    "in both engines; money on the cent grid; the window SUM is "
+    "CAST BIGINT on the oracle side (HUGEINT trap). One event_type "
+    "exchange + one ts sort serves both frame aggregates; at 100 TB "
+    "the frame state is the sliding hour's rows per partition, "
+    "evicted monotonically as the frame head advances.",
+)
+def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_rif_v"
+    )
+    return spark.sql(
+        """
+        WITH t AS (
+            SELECT event_id, event_type, ts,
+                   CAST(floor(value * 100.0 + 0.5) AS LONG) AS cents
+            FROM events_rif_v
+        )
+        SELECT event_id, event_type,
+               CAST(COUNT(*) OVER w AS LONG) AS n_1h,
+               CAST(SUM(cents) OVER w AS LONG) AS cents_1h
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "func_datetime64_precision",
+    oracle="""
+        WITH t AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   CASE WHEN strptime(strftime(CAST(ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f'),
+                            '%Y-%m-%d %H:%M:%S.%f')
+                         = CAST(ts AS TIMESTAMP)
+                        THEN 1 ELSE 0 END AS rt_ok
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rt_ok) AS BIGINT) AS n_roundtrip_ok,
+               CAST(SUM(us % 1000000) AS BIGINT) AS subsec_micro_sum,
+               CAST(COUNT(DISTINCT us // 1000) AS BIGINT) AS n_ms_buckets,
+               CAST(MIN(us) AS BIGINT) AS min_us,
+               CAST(MAX(us) AS BIGINT) AS max_us
+        FROM t GROUP BY event_type
+    """,
+    doc="DateTime64 sub-second precision battery — ClickHouse's "
+    "DateTime64(6) contract on Spark timestamps: microsecond epoch "
+    "extraction, sub-second component arithmetic (us mod 1e6 — "
+    "summed exactly), millisecond bucketing cardinality, and the "
+    "format→parse ROUNDTRIP check (format with 6 fractional "
+    "digits, parse back, compare to the original instant — "
+    "n_roundtrip_ok must equal n, proving no precision loss through "
+    "text). The fixture's TIMESTAMP(NANOS) parquet arrives at "
+    "micro precision via load_table, so every count is exact "
+    "integer arithmetic; text formats never cross engines (each "
+    "side roundtrips its own). Map-only expressions into one "
+    "two-phase agg (plus the count-distinct expand exchange).",
+)
+def func_datetime64_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    rt_ok = F.when(
+        F.to_timestamp(F.date_format("ts", fmt), fmt) == F.col("ts"), 1
+    ).otherwise(0)
+    t = e.select(
+        "event_type", us.alias("us"), rt_ok.alias("rt_ok")
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rt_ok").cast("long").alias("n_roundtrip_ok"),
+        F.sum(F.col("us") % 1000000).cast("long").alias(
+            "subsec_micro_sum"
+        ),
+        F.countDistinct(F.expr("us div 1000")).cast("long").alias(
+            "n_ms_buckets"
+        ),
+        F.min("us").cast("long").alias("min_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )

@@ -64,6 +64,10 @@ R7_KEYS = [
     "quantile_exact_weighted_grid",
     "win_first_last_ignore_nulls",
     "agg_combinators_array",
+    # batch 10: recursion, time-range frames, sub-second precision
+    "sql_recursive_cte",
+    "win_range_interval_frame",
+    "func_datetime64_precision",
 ]
 
 

@@ -631,6 +631,10 @@ R7_PLAN_BUDGET = {
     "quantile_exact_weighted_grid": (1, 0, False),  # 1 exchange, 2 windows
     "win_first_last_ignore_nulls": (1, 0, False),   # 1 user exchange
     "agg_combinators_array": (2, 0, False),  # explode + distinct expand
+    # batch 10: recursion, time-range frames, sub-second precision
+    "sql_recursive_cte": (1, 0, False),     # loop is map-side; 1 agg
+    "win_range_interval_frame": (1, 0, False),  # 1 type exchange
+    "func_datetime64_precision": (2, 0, False),  # agg + distinct expand
 }
 
 

@@ -78,6 +78,9 @@ DEFERRED: set[str] = {
     "quantile_exact_weighted_grid",
     "win_first_last_ignore_nulls",
     "agg_combinators_array",
+    "sql_recursive_cte",
+    "win_range_interval_frame",
+    "func_datetime64_precision",
 }
 
 
