@@ -471,3 +471,35 @@ def test_stateful_sessionize_gap_close_and_timeout_flush(spark):
     assert ends[(7, 3)] == t0 + dt.timedelta(minutes=2)
     assert ends[(7, 2)] == t0 + dt.timedelta(minutes=61)
     assert ends[(9, 2)] == t0 + dt.timedelta(minutes=5)
+
+
+def test_stream_stateful_totals_folds_state_across_batches(spark, sf_dir):
+    """The driver key's evidence must come from REAL multi-batch state
+    folding, not a single-batch degenerate run: after the query
+    drains, the memory sink must hold MORE update rows than distinct
+    users (some user appeared in ≥2 micro-batches, so its state was
+    loaded, folded, and re-emitted), and the per-user max-n row the
+    key returns must match the plain batch aggregate."""
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.tables import load_table
+
+    final = all_specs()["stream_stateful_totals"].fn(spark, sf_dir)
+    per_user = {r["user_id"]: r["n_events"] for r in final.collect()}
+
+    updates = spark.table("sst_updates")
+    n_updates = updates.count()
+    n_users = updates.select("user_id").distinct().count()
+    assert n_users == len(per_user)
+    assert n_updates > n_users, (
+        "every user emitted exactly once — the 4-file feed collapsed "
+        "into a single micro-batch, so cross-batch state folding was "
+        "never exercised"
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {r["user_id"]: r["count"] for r in batch} == per_user
