@@ -530,7 +530,7 @@ def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
                    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-            FROM events WHERE event_id % 97 = 0
+            FROM events WHERE event_id % 293 = 0
         ), agg AS (
             SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(cents) AS BIGINT) AS cents
@@ -552,7 +552,7 @@ def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time-series with explicit zero rows for empty buckets, the "
     "monitoring-dashboard contract (a missing hour must PLOT as 0, "
     "not vanish). Engine form: hourly aggregate over a deterministic "
-    "sparse event subset (id % 97), a global [min,max] hour bound "
+    "sparse event subset (id % 293 — sparse enough that empty hours exist at EVERY fixture scale; the sf0.1 audit caught % 97 covering all 720 hours), a global [min,max] hour bound "
     "(1-row agg), the dense grid via sequence()/explode, and a "
     "left join marking injected rows with filled=1. Hours emitted "
     "as formatted strings, money on the cent grid, fill values "
@@ -565,7 +565,7 @@ def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orderby_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 97 == 0)
+        .filter(F.col("event_id") % 293 == 0)
         .select(
             F.date_trunc("hour", "ts").alias("hr"),
             F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias(
