@@ -165,12 +165,12 @@ def str_keyvalue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_multisearch",
     oracle="""
         SELECT p_partkey,
-               CAST(instr(p_name, 'green') AS BIGINT) AS pos_green,
-               CAST(instr(p_name, 'steel') AS BIGINT) AS pos_steel,
-               CAST(instr(p_name, 'tomato') AS BIGINT) AS pos_tomato,
-               CAST(CASE WHEN instr(p_name, 'green') > 0 THEN 1 ELSE 0 END
-                  + CASE WHEN instr(p_name, 'steel') > 0 THEN 1 ELSE 0 END
-                  + CASE WHEN instr(p_name, 'tomato') > 0 THEN 1 ELSE 0 END
+               CAST(instr(p_name, 'red') AS BIGINT) AS pos_red,
+               CAST(instr(p_name, 'gizmo') AS BIGINT) AS pos_gizmo,
+               CAST(instr(p_name, 'bolt') AS BIGINT) AS pos_bolt,
+               CAST(CASE WHEN instr(p_name, 'red') > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN instr(p_name, 'gizmo') > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN instr(p_name, 'bolt') > 0 THEN 1 ELSE 0 END
                   AS BIGINT) AS n_hits
         FROM part
     """,
@@ -182,19 +182,22 @@ def str_keyvalue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole-stage-codegen projection over the same single pass of "
     "the column — either way a narrow map stage, no shuffle, and "
     "the scan reads only p_partkey/p_name (column pruning). "
+    "Needles come from the fixture's real name vocabulary (the "
+    "round-7 audit caught the original green/steel/tomato set "
+    "matching nothing — vacuous positions). "
     "part_trigram_search is the indexed variant for unbounded "
     "needle sets; this is the fixed-needle fast path.",
 )
 def str_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    hits = [F.instr("p_name", n) for n in ("green", "steel", "tomato")]
+    hits = [F.instr("p_name", n) for n in ("red", "gizmo", "bolt")]
     n_hits = sum(
         (F.when(h > 0, 1).otherwise(0) for h in hits), F.lit(0)
     )
     return p.select(
         "p_partkey",
-        hits[0].cast("long").alias("pos_green"),
-        hits[1].cast("long").alias("pos_steel"),
-        hits[2].cast("long").alias("pos_tomato"),
+        hits[0].cast("long").alias("pos_red"),
+        hits[1].cast("long").alias("pos_gizmo"),
+        hits[2].cast("long").alias("pos_bolt"),
         n_hits.cast("long").alias("n_hits"),
     )

@@ -152,6 +152,7 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT user_id,
                    epoch_us(ts) // {WEEK_US} AS week
             FROM events
+            WHERE event_type = 'purchase' AND event_id % 7 = 0
         ), horizon AS (
             SELECT MAX(week) AS max_week FROM uw
         ), flagged AS (
@@ -176,7 +177,11 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "week with no activity the following week (including falling "
     "silent before the corpus horizon); a resurrection is a return "
     "after ≥1 silent week (every resurrection is also counted as "
-    "the churn that preceded it). Weeks are epoch-µs integer "
+    "the churn that preceded it). Activity = QUALIFYING purchases "
+    "(the deterministic event_id%7 subset — dense-enough fixtures "
+    "made every user active every week, flagged by the round-7 "
+    "degeneracy audit; churn flags must actually fire). Weeks are "
+    "epoch-µs integer "
     "division (no dialect week()/ISO divergence). Plan: distinct "
     "(user, week) grid, one lead window and the per-user aggregate "
     "REUSING the same user partitioning, plus a 1-row horizon "
@@ -186,6 +191,10 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     uw = (
         load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 7 == 0)
+        )
         .select(
             "user_id",
             F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),

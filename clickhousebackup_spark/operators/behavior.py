@@ -1042,7 +1042,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos
             FROM events
-            WHERE event_type IN ('click', 'cart', 'purchase')
+            WHERE event_type IN ('view', 'click', 'purchase')
         ), m AS (
             SELECT a.user_id,
                    CAST(MIN(a.pos) AS BIGINT) AS first_match_pos,
@@ -1050,7 +1050,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM f a
             JOIN f b ON a.user_id = b.user_id AND b.pos = a.pos + 1
             JOIN f c ON a.user_id = c.user_id AND c.pos = a.pos + 2
-            WHERE a.event_type = 'click' AND b.event_type = 'cart'
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
               AND c.event_type = 'purchase'
               AND c.us - a.us <= 86400000000
             GROUP BY a.user_id
@@ -1065,7 +1065,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT user_id FROM f) u
         LEFT JOIN m ON u.user_id = m.user_id
     """,
-    doc="windowFunnel(strict_order): click→cart→purchase must occur "
+    doc="windowFunnel(strict_order): view→click→purchase must occur "
     "as three CONSECUTIVE funnel events (no other funnel step "
     "between them) within 24h — CH's strict_order mode, which "
     "existing funnel_steps_windowed (subsequence semantics) cannot "
@@ -1073,6 +1073,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intervening funnel event breaks the chain. Implemented on the "
     "funnel-event position index (row_number over funnel rows "
     "only): the strict chain is pos, pos+1, pos+2 — two user-keyed "
+    "(steps chosen from the fixture's REAL event vocabulary — the "
+    "round-7 degeneracy audit caught the original 'cart' step "
+    "matching zero users at every scale) "
     "equi self-joins on adjacent positions, never a pattern scan. "
     "Sentinel -1 for non-converters (no nullable ints). One window "
     "+ co-partitioned joins on user_id; at 100 TB the funnel-type "
@@ -1082,7 +1085,7 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     f = (
-        ev.filter(F.col("event_type").isin("click", "cart", "purchase"))
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .select(
             "user_id",
             "event_type",
@@ -1104,8 +1107,8 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c.pos") == F.col("a.pos") + 2),
         )
         .filter(
-            (F.col("a.event_type") == "click")
-            & (F.col("b.event_type") == "cart")
+            (F.col("a.event_type") == "view")
+            & (F.col("b.event_type") == "click")
             & (F.col("c.event_type") == "purchase")
             & (F.col("c.us") - F.col("a.us") <= 86400000000)
         )

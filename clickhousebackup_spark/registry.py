@@ -218,6 +218,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "win_range_interval_frame",
     "func_datetime64_precision",
+    # re-enters after the round-7 degeneracy audit changed its
+    # needles (old green row vacuous: searched terms absent from the
+    # fixture vocabulary)
+    "str_multisearch",
 )
 
 

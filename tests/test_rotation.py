@@ -32,7 +32,14 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 #: (so that row is stale and they must re-enter the window). Round 6
 #: de-vacuized these two: dedup_embedding_cosine (τ 0.99→0.4),
 #: part_trigram_search (query steel→gizmo).
-RECHECK: set[str] = {"dedup_embedding_cosine", "part_trigram_search"}
+RECHECK: set[str] = {
+    "dedup_embedding_cosine",
+    "part_trigram_search",
+    # round-7 degeneracy audit: needles green/steel/tomato matched no
+    # fixture part name (all positions 0 — vacuous evidence); needles
+    # changed to red/gizmo/bolt, so the r6 green row is stale.
+    "str_multisearch",
+}
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
@@ -81,6 +88,7 @@ DEFERRED: set[str] = {
     "sql_recursive_cte",
     "win_range_interval_frame",
     "func_datetime64_precision",
+    "str_multisearch",
 }
 
 
