@@ -1140,7 +1140,8 @@ def agg_group_array_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH u AS (
             SELECT user_id % 2 AS variant,
                    user_id,
-                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND event_id % 7 = 0 THEN 1 ELSE 0
                        END) AS converted
             FROM events GROUP BY user_id % 2, user_id
         ), v AS (
@@ -1169,8 +1170,11 @@ def agg_group_array_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     """,
     doc="ClickHouse proportionsZTest: the two-proportion z-score "
-    "between A/B variants (user_id parity) on user-level purchase "
-    "conversion — the experiment-readout query. Per-user conversion "
+    "between A/B variants (user_id parity) on user-level QUALIFYING "
+    "purchase conversion (the deterministic event_id%7 subset — on "
+    "the raw fixture every user converts in both arms, so the pooled "
+    "variance was 0 and the z expression never exercised; round-7 "
+    "degeneracy audit) — the experiment-readout query. Per-user conversion "
     "flags (one agg), variant totals (one conditional agg to a "
     "single row), then the pooled-variance z expression — divisions "
     "and one sqrt on identical integer-derived operands, the "
@@ -1181,12 +1185,18 @@ def agg_group_array_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles, constant output.",
 )
 def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
     u = ev.groupBy(
         F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "user_id"
     ).agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("event_id") % 7 == 0),
+                1,
+            ).otherwise(0)
         ).alias("converted")
     )
     v = u.agg(

@@ -651,9 +651,11 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH flags AS (
             SELECT user_id,
-                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   max(CASE WHEN event_type = 'click'
+                                 AND event_id % 7 = 0 THEN 1 ELSE 0 END)
                        AS has_click,
-                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   max(CASE WHEN event_type = 'view'
+                                 AND event_id % 11 = 0 THEN 1 ELSE 0 END)
                        AS has_view
             FROM events GROUP BY user_id
         )
@@ -667,7 +669,10 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flags
     """,
     doc="groupBitmap AND/OR/XOR cardinalities: audience overlap "
-    "between clickers and viewers computed from per-user membership "
+    "between QUALIFYING clickers and viewers (deterministic "
+    "event_id%7 / %11 subsets — the dense fixture put every user in "
+    "both sets, so the XOR cardinality was structurally 0; round-7 "
+    "degeneracy audit) computed from per-user membership "
     "flags — one user-grain agg (the 'bitmap build': state is one "
     "bit per set per user) + one scalar roll-up, no joins. This is "
     "the exact form; ClickHouse's roaring bitmaps make the same "
@@ -675,14 +680,24 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (the flags agg IS mergeable shard state).",
 )
 def bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
     flags = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "has_click"
-        ),
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
-            "has_view"
-        ),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("event_id") % 7 == 0),
+                1,
+            ).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("event_id") % 11 == 0),
+                1,
+            ).otherwise(0)
+        ).alias("has_view"),
     )
     both = F.col("has_click") + F.col("has_view")
     return flags.agg(

@@ -218,10 +218,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "win_range_interval_frame",
     "func_datetime64_precision",
-    # re-enters after the round-7 degeneracy audit changed its
-    # needles (old green row vacuous: searched terms absent from the
-    # fixture vocabulary)
+    # re-enter after the round-7 degeneracy audit staled their green
+    # rows: absent search needles (str_multisearch), everyone-converts
+    # zero-variance z (stats_proportions_ztest), everyone-in-both-sets
+    # zero XOR (bitmap_set_ops) — all rebuilt on deterministic
+    # qualifying subsets so the evidence columns actually fire
     "str_multisearch",
+    "stats_proportions_ztest",
+    "bitmap_set_ops",
 )
 
 

@@ -360,3 +360,53 @@ def test_kmeans_deterministic_partition(spark, sf_dir):
     assert len(ids) == len(set(ids))
     clusters = {r["cent_id"] for r in r1}
     assert clusters <= set(range(KMEANS_K)) and len(clusters) > 1
+
+
+def test_dormant_gate_expressions_fire_on_crafted_corpus(spark, tmp_path):
+    """Round-7 degeneracy audit follow-up: on the word-soup fixture
+    several gate columns are legitimately zero corpus-wide (no digits,
+    no 'lorem ipsum', no curly braces, no >20-char words, no terminal
+    punctuation, no punctuation at all) — which means a broken regex
+    would pass the driver gate silently. Prove each dormant expression
+    FIRES on a crafted corpus: the key functions run unchanged against
+    a synthetic documents.parquet."""
+    import pyspark.sql.functions as F
+
+    from clickhousebackup_spark.registry import all_specs
+
+    rows = [
+        # doc 1: digits + curly braces + terminal punctuation + punct
+        (1, "version 2 of {config} shipped, at last!", "en", "srcA", 40),
+        # doc 2: lorem placeholder + a >20-char word
+        (2, "lorem ipsum dolor " + "x" * 25 + " filler words here",
+         "en", "srcA", 60),
+        # doc 3: clean control doc (no flags should fire)
+        (3, "the quick brown fox jumps over the lazy dog",
+         "en", "srcB", 43),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    sf = str(tmp_path)
+    d.write.parquet(f"{sf}/documents.parquet")
+
+    gates = {
+        r["doc_id"]: r
+        for r in all_specs()["text_c4_gates"].fn(spark, sf).collect()
+    }
+    assert gates[1]["n_digit"] > 0 and gates[1]["digit_permille"] > 0
+    assert gates[1]["flag_curly"] == 1
+    assert gates[1]["flag_terminal_punct"] == 1
+    assert gates[2]["flag_lorem"] == 1
+    assert gates[2]["flag_long_word"] == 1
+    assert gates[3]["n_digit"] == 0
+    assert gates[3]["flag_curly"] == 0
+    assert gates[3]["flag_lorem"] == 0
+
+    quality = {
+        r["doc_id"]: r
+        for r in all_specs()["text_quality_score"].fn(spark, sf).collect()
+    }
+    assert quality[1]["n_punct"] >= 2  # comma + exclamation... and more
+    assert quality[3]["n_punct"] == 0

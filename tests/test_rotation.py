@@ -39,6 +39,12 @@ RECHECK: set[str] = {
     # fixture part name (all positions 0 — vacuous evidence); needles
     # changed to red/gizmo/bolt, so the r6 green row is stale.
     "str_multisearch",
+    # same audit: every user converted in both A/B arms (pooled
+    # variance 0 → z expression never exercised) and every user was
+    # in both bitmap sets (XOR structurally 0); both now run on
+    # deterministic qualifying subsets, staling their green rows.
+    "stats_proportions_ztest",
+    "bitmap_set_ops",
 }
 
 #: Keys that require a slot but are consciously pushed past position
@@ -89,6 +95,8 @@ DEFERRED: set[str] = {
     "win_range_interval_frame",
     "func_datetime64_precision",
     "str_multisearch",
+    "stats_proportions_ztest",
+    "bitmap_set_ops",
 }
 
 
