@@ -268,6 +268,16 @@ def backup_verify_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         period_key="19970101-000001",
     )
     restored = spark.read.parquet(res.path)
+    return integrity_diff(src, restored)
+
+
+def integrity_diff(src: DataFrame, restored: DataFrame) -> DataFrame:
+    """Multiplicity-aware source-vs-restored drift report (the diff
+    half of backup_verify_integrity, factored out so the MISMATCH
+    path is provable in tests — on an intact snapshot n_missing and
+    n_extra are legitimately 0 forever, which is exactly why the
+    detection machinery needs its own tampered-input proof,
+    tests/test_backup.py)."""
 
     def hashed_counts(df: DataFrame, col: str) -> DataFrame:
         h = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])))

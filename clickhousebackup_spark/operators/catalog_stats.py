@@ -140,12 +140,20 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(*) FROM orders
                      WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders_totalprice_under_soft_cap',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice > 300000.0) AS BIGINT)
     """,
     doc="Data-quality expectation suite (the dbt-test / "
     "Great-Expectations shape, and the audit a backup engine runs "
     "before trusting a restore): uniqueness, not-null, domain, "
     "range, and referential-integrity checks emitted as one "
-    "(check_name, n_violations) report. Each check is the "
+    "(check_name, n_violations) report, INCLUDING one "
+    "deliberately strict warn-severity check (the 300k soft price "
+    "cap) that real rows violate — so the driver pins a non-zero "
+    "violation count and a broken counter cannot hide behind an "
+    "all-passing suite (round-7 degeneracy audit). Each check is the "
     "scale-correct plan for its class — uniqueness is a two-phase "
     "count-per-key with HAVING (never a self-join), referential "
     "integrity is a LEFT ANTI broadcast join against the dim, the "
@@ -174,12 +182,14 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     bad_status = o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+    over_cap = o.filter(F.col("o_totalprice") > 300000.0)
     checks = [
         ("orders_orderkey_unique", dup_keys),
         ("orders_custkey_not_null", null_cust),
         ("orders_totalprice_positive", bad_price),
         ("orders_custkey_refs_customer", orphans),
         ("orders_status_in_domain", bad_status),
+        ("orders_totalprice_under_soft_cap", over_cap),
     ]
     out = report(*checks[0])
     for name, df in checks[1:]:

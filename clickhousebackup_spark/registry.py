@@ -226,6 +226,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "str_multisearch",
     "stats_proportions_ztest",
     "bitmap_set_ops",
+    "dq_expectations",
 )
 
 

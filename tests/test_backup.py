@@ -247,3 +247,32 @@ def test_retention_laws(spark, rows):
     for r in latest_pointers(newest).collect():
         assert r["latest_target"] == newest_by_group[(r["db"], r["generation"])][2]
         assert r["latest_ts"] == newest_by_group[(r["db"], r["generation"])][0]
+
+
+def test_integrity_diff_detects_tampering(spark, sf_dir):
+    """The drift counters are 0 on every intact snapshot (the happy
+    path the driver checks), so prove the DETECTION machinery on
+    tampered input: drop one row (missing), duplicate another
+    (extra), and mutate a value (one missing + one extra)."""
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.backup.queries import integrity_diff
+    from clickhousebackup_spark.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders")
+    dropped = src.filter(~F.col("o_orderkey").isin(1, 3))
+    dup_row = src.filter(F.col("o_orderkey") == 2)
+    mutated = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 3, F.lit(-1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tampered = dropped.unionAll(dup_row).unionAll(
+        mutated.filter(F.col("o_orderkey") == 3)
+    )
+    r = integrity_diff(src, tampered).collect()[0]
+    assert r["n_missing"] == 2   # dropped key 1 + original key-3 row
+    assert r["n_extra"] == 2     # duplicated key 2 + mutated key-3 row
+    clean = integrity_diff(src, src).collect()[0]
+    assert clean["n_missing"] == 0 and clean["n_extra"] == 0

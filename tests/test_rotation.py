@@ -45,6 +45,10 @@ RECHECK: set[str] = {
     # deterministic qualifying subsets, staling their green rows.
     "stats_proportions_ztest",
     "bitmap_set_ops",
+    # same audit: all five expectations passed on the clean fixture
+    # (suite-wide n_violations = 0); a sixth deliberately strict
+    # warn-severity check now pins a non-zero count, staling the row.
+    "dq_expectations",
 }
 
 #: Keys that require a slot but are consciously pushed past position
@@ -97,6 +101,7 @@ DEFERRED: set[str] = {
     "str_multisearch",
     "stats_proportions_ztest",
     "bitmap_set_ops",
+    "dq_expectations",
 }
 
 
