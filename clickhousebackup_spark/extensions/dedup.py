@@ -1373,3 +1373,186 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a_id").cast("long").alias("n_dup_docs"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate_vs_truth",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                                        toks[i + 2]))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS shs
+            FROM t
+        ), shingle AS (
+            SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+        ), sigs AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   {mins}
+            FROM shingle GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ({match}) AS n_match,
+                   a.n_shingles AS na, b.n_shingles AS nb
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE ({band})
+        ), inter AS (
+            SELECT p.a_id, p.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM pairs p
+            JOIN shingle sa ON sa.doc_id = p.a_id
+            JOIN shingle sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+            GROUP BY p.a_id, p.b_id
+        )
+        SELECT p.a_id, p.b_id,
+               CAST(p.n_match AS BIGINT) AS est_matches,
+               CAST(p.n_match * 1000 // 8 AS BIGINT) AS est_permille,
+               CAST(COALESCE(i.inter, 0) AS BIGINT)
+                   AS n_common_shingles,
+               CAST(COALESCE(i.inter, 0) * 1000
+                    // (p.na + p.nb - COALESCE(i.inter, 0)) AS BIGINT)
+                   AS jac_permille,
+               CAST(p.n_match * 1000 // 8
+                    - COALESCE(i.inter, 0) * 1000
+                      // (p.na + p.nb - COALESCE(i.inter, 0))
+                   AS BIGINT) AS err_permille
+        FROM pairs p LEFT JOIN inter i
+            ON p.a_id = i.a_id AND p.b_id = i.b_id
+    """.format(
+        mins=_MINHASH_MINS_SQL,
+        band=_NEAR_BAND_PRED_SQL,
+        match=_NEAR_MATCH_SQL,
+    ),
+    doc="MinHash estimator CALIBRATION against ground truth — for "
+    "every LSH-banded candidate pair, the sketch-estimated Jaccard "
+    "(matching minhash positions / 8, integer permille) next to the "
+    "EXACT shingle-set Jaccard (true intersection over union, "
+    "computed only for the bucket-bounded candidates — never "
+    "all-pairs) and the signed estimation error. This is the "
+    "operator that justifies every τ threshold the dedup family "
+    "uses (dedup_threshold_sweep picks τ on estimates; this key "
+    "pins what those estimates MEAN), the per-pair sibling of the "
+    "corpus-level recall floors in sketch_recall_probe. All "
+    "integers on the portable md5 grid — the driver hash-checks "
+    "actual estimator errors. Plan: signatures = one shingle "
+    "distinct + one 8-min agg; candidates via the 4-band LSH "
+    "self-join (bucket-equi keys, doc_id< dedup); truth = two "
+    "md5-shingle joins RESTRICTED to candidate docs (broadcast of "
+    "the candidate list prunes the shingle table before the "
+    "intersection shuffle). At 100 TB truth-verification cost "
+    "scales with candidate count — the LSH recall/cost dial — not "
+    "with corpus size.",
+)
+def dedup_minhash_estimate_vs_truth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    sigs = md5_minhash_wide(d).localCheckpoint(eager=True)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
+    bands = sigs.select(
+        "doc_id",
+        F.col("n_shingles"),
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.col(f"h{2 * bi}").alias("x1"),
+                        F.col(f"h{2 * bi + 1}").alias("x2"),
+                    )
+                    for bi in range(NEAR_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "n_shingles", "sig", "bb.band", "bb.x1", "bb.x2")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            lambda eq: eq == 1,
+        )
+    )
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x1") == F.col("b.x1"))
+            & (F.col("a.x2") == F.col("b.x2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            n_match.alias("n_match"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact truth, candidates only: md5-keyed shingle intersection
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    shs = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat(element_at(toks, i), ' ',"
+            " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+        ),
+    ).otherwise(F.array(F.array_join("toks", " ")))
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(shs).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("shm"))
+        .distinct()
+    )
+    cand_docs = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    inter = (
+        pairs.select("a_id", "b_id")
+        .join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b_id") == F.col("sb.doc_id"))
+            & (F.col("sa.shm") == F.col("sb.shm")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    j = pairs.join(inter, ["a_id", "b_id"], "left")
+    i0 = F.coalesce(F.col("inter"), F.lit(0))
+    union = F.col("na") + F.col("nb") - i0
+    est = (F.col("n_match") * 1000).cast("long")
+    return j.select(
+        "a_id",
+        "b_id",
+        F.col("n_match").cast("long").alias("est_matches"),
+        F.expr("CAST(n_match * 1000 div 8 AS LONG)").alias(
+            "est_permille"
+        ),
+        i0.cast("long").alias("n_common_shingles"),
+        F.expr(
+            "CAST(coalesce(inter, 0) * 1000"
+            " div (na + nb - coalesce(inter, 0)) AS LONG)"
+        ).alias("jac_permille"),
+        F.expr(
+            "CAST(n_match * 1000 div 8 - coalesce(inter, 0) * 1000"
+            " div (na + nb - coalesce(inter, 0)) AS LONG)"
+        ).alias("err_permille"),
+    )

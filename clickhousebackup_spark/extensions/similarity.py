@@ -1127,3 +1127,154 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code2",
         "code3",
     )
+
+
+def _mrl_cos_sql(lo: int, hi: int) -> str:
+    """Identical-fold cosine between e.embedding[lo:hi] and the query
+    prefix — the emb_dim_slice_search expression family."""
+    def f(e: str) -> str:
+        return (
+            f"list_transform(list_slice({e}, {lo}, {hi}),"
+            " x -> CAST(x AS DOUBLE))"
+        )
+
+    dot = (
+        f"list_reduce(list_transform(list_zip({f('e.embedding')},"
+        f" {f('q.embedding')}), p -> p[1] * p[2]), (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform(list_slice(e.embedding,"
+        f" {lo}, {hi}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " (a, b) -> a + b))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform(list_slice(q.embedding,"
+        f" {lo}, {hi}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " (a, b) -> a + b))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+@register(
+    "emb_mrl_overlap_curve",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding
+            FROM embeddings WHERE vec_id < 5
+        ), p AS (
+            SELECT q.qid, e.vec_id,
+                   {_mrl_cos_sql(1, 64)} AS cf,
+                   {_mrl_cos_sql(1, 8)} AS c8,
+                   {_mrl_cos_sql(1, 16)} AS c16,
+                   {_mrl_cos_sql(1, 32)} AS c32
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.qid
+        ), r AS (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cf DESC, vec_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY c8 DESC, vec_id) AS r8,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY c16 DESC, vec_id) AS r16,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY c32 DESC, vec_id) AS r32
+            FROM p
+        )
+        SELECT qid,
+               CAST(COUNT(*) FILTER (WHERE rf <= 20 AND r8 <= 20)
+                   AS BIGINT) AS overlap20_d8,
+               CAST(COUNT(*) FILTER (WHERE rf <= 20 AND r16 <= 20)
+                   AS BIGINT) AS overlap20_d16,
+               CAST(COUNT(*) FILTER (WHERE rf <= 20 AND r32 <= 20)
+                   AS BIGINT) AS overlap20_d32
+        FROM r GROUP BY qid
+    """,
+    doc="Matryoshka retrieval-quality CURVE: per query, the top-20 "
+    "overlap between prefix-dimension search (8/16/32 of 64 dims) "
+    "and full-dimension exact search — the dial every MRL deployment "
+    "reads before picking its serving dimension (Kusupati et al. "
+    "2022). Complements emb_dim_slice_search (whose top-1 agreement "
+    "at 8 dims is legitimately 0 on these near-orthogonal synthetic "
+    "vectors — the round-7 audit's 'informative zero'): overlap@20 "
+    "is the statistically stable version, and the fixture yields a "
+    "clean monotone curve (≈1-5 → ≈2-8 → ≈9-10 of 20). All cosines "
+    "are identical left-to-right IEEE folds; ranks carry vec_id "
+    "tiebreaks; checked outputs are integer overlap counts. Plan: "
+    "ONE fact scan computes all four cosines against the 5-query "
+    "broadcast, one qid exchange serves all four rank windows, one "
+    "conditional agg emits the curve — the 4-metric eval costs one "
+    "pass, not four.",
+)
+def emb_mrl_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def cos(lo: int, n: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice("embedding", lo, n),
+                F.slice("qe", lo, n),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+
+        def norm(col: str):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.slice(col, lo, n),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p,
+                )
+            )
+
+        return dot / (norm("embedding") * norm("qe"))
+
+    p = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cos(1, 64).alias("cf"),
+            cos(1, 8).alias("c8"),
+            cos(1, 16).alias("c16"),
+            cos(1, 32).alias("c32"),
+        )
+    )
+
+    def rank(col: str):
+        return F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col(col).desc(), F.col("vec_id")
+            )
+        )
+
+    r = p.select(
+        "qid",
+        rank("cf").alias("rf"),
+        rank("c8").alias("r8"),
+        rank("c16").alias("r16"),
+        rank("c32").alias("r32"),
+    )
+
+    def ov(col: str):
+        return F.count(
+            F.when((F.col("rf") <= 20) & (F.col(col) <= 20), 1)
+        ).cast("long")
+
+    return r.groupBy("qid").agg(
+        ov("r8").alias("overlap20_d8"),
+        ov("r16").alias("overlap20_d16"),
+        ov("r32").alias("overlap20_d32"),
+    )

@@ -227,6 +227,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "stats_proportions_ztest",
     "bitmap_set_ops",
     "dq_expectations",
+    "dedup_minhash_estimate_vs_truth",
+    "emb_mrl_overlap_curve",
 )
 
 

@@ -68,6 +68,9 @@ R7_KEYS = [
     "sql_recursive_cte",
     "win_range_interval_frame",
     "func_datetime64_precision",
+    # batch 11: estimator calibration + MRL curve
+    "dedup_minhash_estimate_vs_truth",
+    "emb_mrl_overlap_curve",
 ]
 
 

@@ -101,6 +101,10 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
                           "content_md5": "other"},
     "scan_xml_source": {"event_type": "other", "n": "int", "cents": "int",
                         "min_id": "int", "max_id": "int"},
+    "dedup_minhash_estimate_vs_truth": {
+        "a_id": "int", "b_id": "int", "est_matches": "int",
+        "est_permille": "int", "n_common_shingles": "int",
+        "jac_permille": "int", "err_permille": "int"},
 }
 
 

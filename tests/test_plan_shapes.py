@@ -635,6 +635,10 @@ R7_PLAN_BUDGET = {
     "sql_recursive_cte": (1, 0, False),     # loop is map-side; 1 agg
     "win_range_interval_frame": (1, 0, False),  # 1 type exchange
     "func_datetime64_precision": (2, 0, False),  # agg + distinct expand
+    # batch 11: estimator calibration + MRL curve
+    "dedup_minhash_estimate_vs_truth": (6, 2, False),  # sig agg + band
+    # join + candidate-pruned shingle intersection (bounded by LSH)
+    "emb_mrl_overlap_curve": (1, 0, True),  # 5-row query bcast NLJ
 }
 
 

@@ -102,6 +102,8 @@ DEFERRED: set[str] = {
     "stats_proportions_ztest",
     "bitmap_set_ops",
     "dq_expectations",
+    "dedup_minhash_estimate_vs_truth",
+    "emb_mrl_overlap_curve",
 }
 
 
