@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""The LLM training-data pipeline, end to end — the round-7 showcase.
+
+Chains the engine's curation vertical the way a production corpus
+build does, each stage a registry key (so every step shown here is
+also driver-hash-checked against a DuckDB oracle):
+
+    quality gates -> dedup (exact, near-dup + estimator calibration)
+    -> contamination -> mixing/upsampling -> deterministic shuffle
+    -> packing      ...and the ANN serving side:
+    brute-force -> PQ codes -> ADC top-k -> MRL dimension dial
+
+Runs standalone against the sf0.001 fixtures in ~1 minute:
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("training-pipeline")
+    q = {k: s.fn for k, s in all_specs().items()}
+
+    print(f"== training-data pipeline over {SF} ==")
+
+    # 1. Per-doc quality gates (C4/Gopher battery + linear score)
+    gates = q["text_c4_gates"](spark, SF)
+    short = gates.filter(F.col("flag_short_doc") == 1).count()
+    print(f"quality: {gates.count()} docs, {short} fail the short-doc gate")
+
+    # 2. Dedup: exact identity, then near-dup with calibrated sketches
+    exact = q["dedup_exact"](spark, SF)
+    print(f"dedup exact: {exact.count()} surviving docs")
+    calib = q["dedup_minhash_estimate_vs_truth"](spark, SF)
+    err = calib.agg(
+        F.max(F.abs("err_permille")).alias("max_abs_err")
+    ).collect()[0]
+    print(
+        f"dedup near-dup: {calib.count()} LSH candidate pairs; "
+        f"minhash-vs-truth max |error| {err['max_abs_err']} permille"
+    )
+
+    # 3. Contamination screen against the eval set
+    contam = q["contamination_overlap"](spark, SF)
+    print(f"contamination: {contam.count()} flagged doc/eval overlaps")
+
+    # 4. Mix + upsample + deterministic epoch shuffle
+    mix = q["corpus_mix_plan"](spark, SF)
+    print(f"mix plan: {mix.count()} source rows")
+    up = q["corpus_upsample_repeat"](spark, SF)
+    print(f"upsampled corpus: {up.count()} doc-copies")
+    shuf = q["corpus_global_shuffle"](spark, SF)
+    n_shards = shuf.select("shard").distinct().count()
+    print(f"epoch shuffle: {shuf.count()} docs over {n_shards} shards")
+
+    # 5. Pack into fixed-length training sequences
+    packed = q["corpus_pack_sequences"](spark, SF)
+    print(f"packed sequences: {packed.count()}")
+
+    # 6. ANN serving side: PQ codes -> ADC top-k -> MRL dial
+    codes = q["emb_pq_codes"](spark, SF)
+    print(f"PQ codes: {codes.count()} vectors encoded")
+    topk = q["sim_pq_adc_topk"](spark, SF)
+    print("ADC top-5 for query 0:")
+    for r in topk.collect():
+        print(
+            f"  rank {r['rank']}: vec {r['vec_id']} "
+            f"(codes {r['code0']}{r['code1']}{r['code2']}{r['code3']})"
+        )
+    curve = q["emb_mrl_overlap_curve"](spark, SF)
+    avg = curve.agg(
+        *[
+            F.avg(c).alias(c)
+            for c in ("overlap20_d8", "overlap20_d16", "overlap20_d32")
+        ]
+    ).collect()[0]
+    print(
+        "MRL overlap@20 by prefix dims: "
+        f"8d {avg['overlap20_d8']:.1f}, 16d {avg['overlap20_d16']:.1f}, "
+        f"32d {avg['overlap20_d32']:.1f} of 20"
+    )
+
+    spark.stop()
+    print("== pipeline complete ==")
+
+
+if __name__ == "__main__":
+    main()
