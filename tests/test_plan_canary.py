@@ -1,0 +1,81 @@
+"""Registry-WIDE physical-plan canary.
+
+test_plan_shapes pins per-key budgets for rounds 4-7; this canary
+closes the gap for every other key and every FUTURE key: across the
+whole registry, (a) no plan may contain a CartesianProduct, and (b)
+BroadcastNestedLoopJoin may appear only for the keys pinned below —
+the constant-width probe class (1-8 row scalar/codebook/query-set
+broadcasts, each justified in its key's doc) plus the one key whose
+NLJ is the point (join_cross). A new key that accidentally drops a
+join predicate fails here the day it is registered, not at 100 TB.
+
+Measured at sf0.001 (analysis only); side-effecting keys (scratch
+writers, iterative fixpoints, the streaming run) are skipped — their
+shapes are pinned where they are built.
+"""
+
+from __future__ import annotations
+
+from clickhousebackup_spark.plans import inspect
+from clickhousebackup_spark.registry import all_specs
+
+from .test_oracle_types import _DECLARED_SCHEMA
+
+#: key -> max BroadcastNestedLoopJoin count (measured round 7; every
+#: entry is a constant-width probe documented in the key's doc).
+NLJ_ALLOWED: dict[str, int] = {
+    "emb_pq_codes": 1,           # 1-row codebook
+    "sim_range_search": 1,       # 3-row query set
+    "merge_graphite_rollup": 1,  # 1-row time anchor
+    "mergetree_ttl_expire": 1,   # 1-row TTL horizon
+    "backup_pit_select": 1,      # 1-row point-in-time cutoff
+    "emb_binary_quantize": 1,    # 1-row query mask
+    "agg_time_decay_halflife": 1,  # 1-row decay anchor
+    "session_type_affinity": 1,  # 1-row session-count total
+    "backup_restore_chain": 2,   # 1-row cutoff + base pointer
+    "user_churn_flags": 1,       # 1-row week horizon
+    "stats_cohens_d": 1,         # 1x1 two-group moment join
+    "sim_pq_adc_topk": 4,        # 1-row codebook/LUT/query probes
+    "emb_mrl_overlap_curve": 1,  # 5-row query set
+    "filter_age": 1,             # 1-row max-date scalar subquery
+    "join_cross": 1,             # the key IS a (bounded) cross join
+    "date_fill_forward": 1,      # 1-row [min,max] bounds
+    "date_fill_interpolate": 1,  # 1-row [min,max] bounds
+    "stats_welch_ttest": 1,      # 1x1 two-group moment join
+    "stats_cramers_v": 1,        # 1-row grand total
+    "q11_important_parts": 1,    # TPC-H Q11 scalar threshold
+    "q22_global_sales": 1,       # TPC-H Q22 scalar avg balance
+    "part_fuzzy_levenshtein": 1,  # bounded probe set
+    "mv_incremental_refresh": 2,  # 1-row refresh watermarks
+    "stream_late_data": 1,       # 1-row watermark anchor
+    "backup_retention_plan": 1,  # 1-row policy row
+    "sim_topk_cosine": 1,        # 1-row query vector
+    "sim_topk_lsh": 1,           # 1-row query signature
+    "sim_topk_ivf": 3,           # 1-row query + 2 probe lists
+    "emb_dim_slice_search": 1,   # 5-row query set
+    "corpus_mix_plan": 1,        # 1-row corpus totals
+    "sketch_recall_probe": 8,    # 4 paired exact/sketch 1-row probes
+}
+
+SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}
+
+
+def test_no_cartesian_and_only_pinned_nljs(spark, sf_dir):
+    offenders: dict[str, str] = {}
+    for key, spec in all_specs().items():
+        if key in SKIP:
+            continue
+        plan = inspect.physical_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[key] = "CartesianProduct"
+            continue
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        if nlj > NLJ_ALLOWED.get(key, 0):
+            offenders[key] = (
+                f"{nlj} BroadcastNestedLoopJoin "
+                f"(allowed {NLJ_ALLOWED.get(key, 0)})"
+            )
+    assert not offenders, (
+        "unpinned quadratic join shapes — either fix the plan or, for "
+        f"a constant-width probe, pin it in NLJ_ALLOWED: {offenders}"
+    )
