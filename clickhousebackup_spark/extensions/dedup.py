@@ -1556,3 +1556,99 @@ def dedup_minhash_estimate_vs_truth(
             " div (na + nb - coalesce(inter, 0)) AS LONG)"
         ).alias("err_permille"),
     )
+
+
+@register(
+    "text_dedup_span_removal",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS gm
+            FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)
+            WHERE len(toks) >= 8
+        ), d AS (
+            SELECT gm FROM g GROUP BY gm
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), cov AS (
+            SELECT DISTINCT g.doc_id, g.i + o.off AS p
+            FROM g JOIN d USING (gm), unnest(range(0, 8)) o(off)
+        ), n AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM t WHERE len(toks) >= 8
+        ), c AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+            FROM cov GROUP BY doc_id
+        )
+        SELECT n.doc_id, n.n_tokens,
+               CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+               CAST(COALESCE(c.n_covered, 0) * 1000 // n.n_tokens
+                   AS BIGINT) AS removed_permille
+        FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+    """,
+    doc="Duplicated-span REMOVAL accounting — the apply step of "
+    "'Deduplicating Training Data Makes Language Models Better' "
+    "(Lee et al. 2022) downstream of corpus_dup_ngrams (which only "
+    "MINES the spans): a token position is removed iff some "
+    "cross-document-duplicated 8-gram covers it; per doc the key "
+    "emits token count, covered-token count, and the exact permille "
+    "of text that span-dedup would cut — the corpus-shrinkage "
+    "number that decides whether span removal is worth running. "
+    "Grams are md5-keyed; coverage = dup-gram occurrences exploded "
+    "to their 8 positions and de-duplicated per (doc, position) — "
+    "overlapping dup spans never double-count. Plan: gram build is "
+    "map-side; the dup-gram set is one two-phase distinct-doc agg "
+    "(partials absorb within-doc repetition); the coverage join is "
+    "gram-keyed equi (never all-pairs); position dedup and the doc "
+    "rollup ride narrow int keys. At 100 TB every exchange is "
+    "bounded by gram/doc cardinality, and the dup-gram table is "
+    "the SAME artifact the mining pass already materializes.",
+)
+def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 8
+    ).localCheckpoint(eager=True)
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> md5(array_join(slice(toks, i, 8), ' ')))"
+            )
+        ).alias("i0", "gm"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "gm")
+    dup = (
+        g.groupBy("gm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gm")
+    )
+    cov = (
+        g.join(dup, "gm")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + 7)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    n = t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    j = n.join(cov, "doc_id", "left")
+    c0 = F.coalesce(F.col("n_covered"), F.lit(0).cast("long"))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        c0.alias("n_covered"),
+        F.expr(
+            "CAST(coalesce(n_covered, 0) * 1000 div n_tokens AS LONG)"
+        ).alias("removed_permille"),
+    )

@@ -229,6 +229,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dq_expectations",
     "dedup_minhash_estimate_vs_truth",
     "emb_mrl_overlap_curve",
+    "text_dedup_span_removal",
 )
 
 

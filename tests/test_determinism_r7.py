@@ -71,6 +71,7 @@ R7_KEYS = [
     # batch 11: estimator calibration + MRL curve
     "dedup_minhash_estimate_vs_truth",
     "emb_mrl_overlap_curve",
+    "text_dedup_span_removal",
 ]
 
 

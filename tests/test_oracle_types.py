@@ -105,6 +105,9 @@ _DECLARED_SCHEMA: dict[str, dict[str, str]] = {
         "a_id": "int", "b_id": "int", "est_matches": "int",
         "est_permille": "int", "n_common_shingles": "int",
         "jac_permille": "int", "err_permille": "int"},
+    "text_dedup_span_removal": {
+        "doc_id": "int", "n_tokens": "int", "n_covered": "int",
+        "removed_permille": "int"},
 }
 
 

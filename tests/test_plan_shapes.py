@@ -639,6 +639,8 @@ R7_PLAN_BUDGET = {
     "dedup_minhash_estimate_vs_truth": (6, 2, False),  # sig agg + band
     # join + candidate-pruned shingle intersection (bounded by LSH)
     "emb_mrl_overlap_curve": (1, 0, True),  # 5-row query bcast NLJ
+    "text_dedup_span_removal": (4, 2, False),  # dup-set agg +
+    # gram-keyed coverage join + position dedup + doc rollup
 }
 
 

@@ -104,6 +104,7 @@ DEFERRED: set[str] = {
     "dq_expectations",
     "dedup_minhash_estimate_vs_truth",
     "emb_mrl_overlap_curve",
+    "text_dedup_span_removal",
 }
 
 
