@@ -57,6 +57,22 @@ ALLOW: set[tuple[str, str]] = {
     ("sim_pq_adc_topk", "code3"),
 }
 
+#: Keys whose sf0.1 zeros are CORPUS-STRUCTURAL (triaged round 7;
+#: the driver's sf0.01 gate has independent non-zero evidence):
+#: - contamination_overlap returns 0 rows at sf0.1 because the
+#:   fixture's bigram vocabulary is CLOSED (~930 grams at every sf),
+#:   so document frequencies scale with corpus size and no gram
+#:   stays under the rarity cutoff — real corpora grow vocabulary
+#:   heavy-tailed, which is what rare-gram decontamination exploits;
+#:   the sibling decontam_span_stats still fires at sf0.1.
+#: - dq_volume_anomaly's |delta|*2>prev flag finds nothing at sf0.1:
+#:   10x events per day smooth the relative day-over-day swings
+#:   below the alert threshold (statistically correct behavior).
+SF01_STRUCTURAL: dict[str, str] = {
+    "contamination_overlap": "closed fixture vocabulary",
+    "dq_volume_anomaly": "smoother day volumes at 10x rows",
+}
+
 NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double",
            "long", "integer", "short"}
 
@@ -87,10 +103,14 @@ def main(argv: list[str]) -> int:
                 *[F.max(F.abs(F.col(c))).alias(c) for c in cols],
             ).collect()[0]
             if row["__n"] == 0:
+                if "sf0.1" in SF_DIR and k in SF01_STRUCTURAL:
+                    continue  # documented corpus-structural zero
                 findings.append(f"{k}: 0 ROWS")
                 continue
             for c in cols:
                 if (k, c) in ALLOW:
+                    continue
+                if "sf0.1" in SF_DIR and k in SF01_STRUCTURAL:
                     continue
                 if row[c] is None:
                     findings.append(f"{k}.{c}: all-NULL")
