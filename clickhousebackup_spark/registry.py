@@ -104,79 +104,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 6 (union of CORRECTNESS_r01–r06): 290 keys have driver
-#: rows, all green at their latest check. The round-7 window below is
-#: (a) the 2 legacy keys whose round-6 de-vacuization changed their
-#: semantics, so their old green rows are stale — ``dedup_embedding_
-#: cosine`` (τ 0.99→0.4) and ``part_trigram_search`` (query
-#: steel→gizmo) — then (b) the 46 round-6 additions still lacking a
-#: driver row (``source_numbers_range`` deferred, see below), then
-#: (c) the 2 rows-only→oracled conversions whose exact-oracle path
-#: has never been driver-checked. 2+46+2 = 50 slots exactly;
-#: ``source_numbers_range`` sits at position 51 so it leads the
-#: round-8 window automatically. Keys listed here come first, in this
-#: order; any registered key not listed follows in module
-#: registration order. ``tests/test_rotation.py`` derives the
-#: required window mechanically from the committed CORRECTNESS_r*.json
-#: files and fails if this tuple ever goes stale — rotation is no
-#: longer a manual last-minute step.
+#: after round 7 (union of CORRECTNESS_r01-r07): 340 keys have green
+#: driver rows at their latest check (CORRECTNESS_r07 was 50/50 full
+#: pass). The round-8 window below is the 48-key queue pinned at
+#: positions 51+ last round: 44 round-7 additions with no driver row
+#: yet (source_numbers_range leads, deferred twice) plus the 4 keys
+#: whose green rows went stale after the round-7 degeneracy-audit
+#: fixes (str_multisearch, stats_proportions_ztest, bitmap_set_ops,
+#: dq_expectations). 48 slots used; ~2 spare for round-8 additions.
+#: Keys listed here come first, in this order; any registered key not
+#: listed follows in module registration order.
+#: ``tests/test_rotation.py`` derives the required window mechanically
+#: from the committed CORRECTNESS_r*.json files and fails if this
+#: tuple ever goes stale.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- (a) round-6 de-vacuized legacy keys (old green rows vacuous) --
-    "dedup_embedding_cosine",
-    "part_trigram_search",
-    # -- (b) round-6 additions, no driver row yet --
-    "sessionize_gap",
-    "seq_rle_encode",
-    "ts_seasonality_profile",
-    "stats_chi2_cells",
-    "cohort_revenue_ltv",
-    "array_enumerate_dense",
-    "str_format_readable",
-    "corpus_dup_ngrams",
-    "corpus_length_histogram",
-    "corpus_dsir_features",
-    "token_fertility_stats",
-    "text_c4_gates",
-    "dedup_incremental",
-    "emb_pq_codes",
-    "sim_range_search",
-    "merge_graphite_rollup",
-    "mergetree_ttl_expire",
-    "stream_windowed_topk",
-    "map_higher_order",
-    "scan_schema_merge",
-    "geo_grid_bbox_join",
-    "geo_point_in_polygon",
-    "curation_percentile_gate",
-    "decontam_span_stats",
-    "dedup_threshold_sweep",
-    "backup_pit_select",
-    "backup_manifest_diff",
-    "ip_cidr_join",
-    "emb_binary_quantize",
-    "dedup_keep_best",
-    "topk_with_others",
-    "dq_volume_anomaly",
-    "merge_replacing_deleted",
-    "join_asof_nearest",
-    "text_langid_confusion",
-    "audience_overlap_jaccard",
-    "orders_interarrival_hist",
-    "scan_csv_malformed",
-    "agg_time_decay_halflife",
-    "dedup_source_matrix",
-    "session_type_affinity",
-    "funnel_strict_order",
-    "orders_mix_shift",
-    "text_boilerplate_prefix",
-    "text_inverted_index",
-    "backup_restore_chain",
-    # -- (c) rows-only→oracled conversions (oracle path unchecked) --
-    "dedup_clusters",
-    "dedup_clusters_neardup",
-    # -- positions 51+: round-8 window head — source_numbers_range
-    # (deferred from r7) then the round-7 additions, in registration
-    # order. tests/test_rotation.py asserts this tail stays in sync.
+    # -- round-8 window: the 48-key queue from round 7, in order --
     "source_numbers_range",
     "multimodal_payload_export",
     "ts_ohlc_bars",
@@ -218,11 +160,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "win_range_interval_frame",
     "func_datetime64_precision",
-    # re-enter after the round-7 degeneracy audit staled their green
-    # rows: absent search needles (str_multisearch), everyone-converts
-    # zero-variance z (stats_proportions_ztest), everyone-in-both-sets
-    # zero XOR (bitmap_set_ops) — all rebuilt on deterministic
-    # qualifying subsets so the evidence columns actually fire
     "str_multisearch",
     "stats_proportions_ztest",
     "bitmap_set_ops",

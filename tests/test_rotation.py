@@ -29,12 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 
 #: Keys whose semantics changed AFTER their latest green driver row
-#: (so that row is stale and they must re-enter the window). Round 6
-#: de-vacuized these two: dedup_embedding_cosine (τ 0.99→0.4),
-#: part_trigram_search (query steel→gizmo).
+#: (so that row is stale and they must re-enter the window).
+#: dedup_embedding_cosine / part_trigram_search got post-fix green
+#: rows in CORRECTNESS_r07 and left this set.
 RECHECK: set[str] = {
-    "dedup_embedding_cosine",
-    "part_trigram_search",
     # round-7 degeneracy audit: needles green/steel/tomato matched no
     # fixture part name (all positions 0 — vacuous evidence); needles
     # changed to red/gizmo/bolt, so the r6 green row is stale.
@@ -53,59 +51,11 @@ RECHECK: set[str] = {
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
-#: right after the window, so they lead the next round's rotation):
-#: source_numbers_range was the 51st candidate for round 7's 50
-#: slots; the rest are round-7 additions that queue for round 8.
-DEFERRED: set[str] = {
-    "source_numbers_range",
-    "multimodal_payload_export",
-    "ts_ohlc_bars",
-    "ts_vwap",
-    "user_churn_flags",
-    "attribution_last_touch",
-    "sequence_match_timed",
-    "limit_by_offset",
-    "stats_wilson_ci",
-    "stats_cohens_d",
-    "sql_pipe_syntax",
-    "sql_parameterized",
-    "func_try_arith",
-    "json_variant_ops",
-    "join_hint_merge",
-    "scan_observed_metrics",
-    "scan_json_malformed",
-    "sink_partitioned_overwrite",
-    "scan_recursive_glob",
-    "sink_parquet_codecs",
-    "stream_stateful_totals",
-    "join_lateral_topn",
-    "sql_group_order_by_all",
-    "sql_qualify_topk",
-    "sql_select_modifiers",
-    "agg_filter_where",
-    "orderby_with_fill",
-    "corpus_global_shuffle",
-    "text_ngram_novelty",
-    "corpus_upsample_repeat",
-    "scan_text_lines",
-    "scan_binary_files",
-    "scan_xml_source",
-    "sim_pq_adc_topk",
-    "backup_dedup_savings",
-    "quantile_exact_weighted_grid",
-    "win_first_last_ignore_nulls",
-    "agg_combinators_array",
-    "sql_recursive_cte",
-    "win_range_interval_frame",
-    "func_datetime64_precision",
-    "str_multisearch",
-    "stats_proportions_ztest",
-    "bitmap_set_ops",
-    "dq_expectations",
-    "dedup_minhash_estimate_vs_truth",
-    "emb_mrl_overlap_curve",
-    "text_dedup_span_removal",
-}
+#: right after the window, so they lead the next round's rotation).
+#: Round 8 promoted the entire 48-key round-7 queue into the window
+#: (48 used, 2 spare), so nothing is deferred yet; round-8 additions
+#: beyond the 2 spare slots must be named here for round 9.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
