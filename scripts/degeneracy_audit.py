@@ -57,20 +57,28 @@ ALLOW: set[tuple[str, str]] = {
     ("sim_pq_adc_topk", "code3"),
 }
 
-#: Keys whose sf0.1 zeros are CORPUS-STRUCTURAL (triaged round 7;
-#: the driver's sf0.01 gate has independent non-zero evidence):
+#: Keys whose sf0.1 ZERO-ROW result is CORPUS-STRUCTURAL (triaged
+#: round 7; the driver's sf0.01 gate has independent non-zero
+#: evidence). This set gates ONLY the 0-row branch — column-level
+#: sf0.1 triage lives in SF01_ALLOW so a NEW all-zero column in one
+#: of these keys still gets reported:
 #: - contamination_overlap returns 0 rows at sf0.1 because the
 #:   fixture's bigram vocabulary is CLOSED (~930 grams at every sf),
 #:   so document frequencies scale with corpus size and no gram
 #:   stays under the rarity cutoff — real corpora grow vocabulary
 #:   heavy-tailed, which is what rare-gram decontamination exploits;
 #:   the sibling decontam_span_stats still fires at sf0.1.
-#: - dq_volume_anomaly's |delta|*2>prev flag finds nothing at sf0.1:
-#:   10x events per day smooth the relative day-over-day swings
-#:   below the alert threshold (statistically correct behavior).
 SF01_STRUCTURAL: dict[str, str] = {
     "contamination_overlap": "closed fixture vocabulary",
-    "dq_volume_anomaly": "smoother day volumes at 10x rows",
+}
+
+#: (key, column) pairs triaged as structural zeros AT sf0.1 ONLY
+#: (sf0.01 has non-zero evidence for the same column):
+#: - dq_volume_anomaly.anomaly: the |delta|*2>prev flag finds nothing
+#:   at sf0.1 — 10x events per day smooth the relative day-over-day
+#:   swings below the alert threshold (statistically correct).
+SF01_ALLOW: set[tuple[str, str]] = {
+    ("dq_volume_anomaly", "anomaly"),
 }
 
 NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double",
@@ -110,7 +118,7 @@ def main(argv: list[str]) -> int:
             for c in cols:
                 if (k, c) in ALLOW:
                     continue
-                if "sf0.1" in SF_DIR and k in SF01_STRUCTURAL:
+                if "sf0.1" in SF_DIR and (k, c) in SF01_ALLOW:
                     continue
                 if row[c] is None:
                     findings.append(f"{k}.{c}: all-NULL")

@@ -9,9 +9,14 @@ broadcasts, each justified in its key's doc) plus the one key whose
 NLJ is the point (join_cross). A new key that accidentally drops a
 join predicate fails here the day it is registered, not at 100 TB.
 
-Measured at sf0.001 (analysis only); side-effecting keys (scratch
-writers, iterative fixpoints, the streaming run) are skipped — their
-shapes are pinned where they are built.
+Measured at sf0.001. NOT pure analysis: ~40 keys' builders eagerly
+materialize scratch artifacts while constructing their DataFrame
+(sink roundtrips, snapshot writers, localCheckpoint boundaries in the
+dedup/graph fixpoints) — those jobs run here too, and that cost is
+accepted so the canary still inspects their FINAL plan; only keys
+whose result is declared-schema-only (no inspectable plan) and the
+long-running stateful streaming key are skipped, with their shapes
+pinned where they are built.
 """
 
 from __future__ import annotations
