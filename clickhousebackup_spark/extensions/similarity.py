@@ -1278,3 +1278,88 @@ def emb_mrl_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov("r16").alias("overlap20_d16"),
         ov("r32").alias("overlap20_d32"),
     )
+
+
+@register(
+    "emb_hard_negatives",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS qlabel,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS qn
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   list_reduce(list_transform(
+                        list_zip(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE)), q.qv),
+                        p -> p[1] * p[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, b) -> a + b)) * q.qn) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label <> q.qlabel
+        )
+        SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+               CAST(rnk AS BIGINT) AS rnk,
+               vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+               cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    doc="Hard-negative mining for contrastive training: per query "
+    "embedding (vec_id < 5), the top-3 MOST similar vectors with a "
+    "DIFFERENT label — the near-miss negatives that dominate "
+    "InfoNCE/triplet gradients (semi-hard mining, Schroff et al. "
+    "2015). Exact brute force: the 5-row query set broadcasts, ONE "
+    "linear scan computes every cosine as the identical "
+    "left-to-right IEEE fold both engines share, the label "
+    "exclusion rides the scan predicate, and one qid-partitioned "
+    "rank window (WindowGroupLimit prunes to 3 per query before "
+    "the sort spills) emits the negatives with (cosine, vec_id) "
+    "total order. At 100 TB the same plan holds per query batch "
+    "— mining is embarrassingly parallel over the fact scan; the "
+    "sublinear variants (sim_topk_lsh / sim_topk_ivf) drop in when "
+    "the query set itself is corpus-sized.",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    cos = _dot(
+        F.transform("embedding", lambda x: x.cast("double")), F.col("qv")
+    ) / (_norm("embedding") * F.col("qn"))
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cos.alias("cosine"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            "cosine",
+        )
+    )

@@ -412,3 +412,100 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+def interleave_positions(df: DataFrame) -> DataFrame:
+    """Round-robin interleave order WITHOUT a global sort/window.
+
+    Input: any DataFrame with ``doc_id`` and ``source`` columns.
+    Output adds ``rank_in_source`` (row_number per source by doc_id)
+    and ``global_pos`` — the 1-based position the row would get under
+    ``ORDER BY (rank_in_source, source)``, i.e. round-robin across
+    sources with lexicographic source order inside each round and
+    shorter sources dropping out as they exhaust.
+
+    The global position is computed ANALYTICALLY from the per-source
+    size vector instead of a single-partition global window (the
+    sort_multi lesson): for a row at (s, r),
+
+        pos = 1 + SUM_s' min(r - 1, m_s') + |{s' < s : m_s' >= r}|
+
+    — the first term counts all rows from earlier rounds (every
+    source contributes its rows with rank < r, capped by its size),
+    the second counts same-round rows from lexicographically earlier
+    sources still alive at round r. The size vector is a
+    vocabulary-sized 1-row broadcast; every row's position is a
+    map-side array fold. No shuffle beyond the per-source rank
+    window.
+    """
+    w = Window.partitionBy("source").orderBy("doc_id")
+    r = df.select("doc_id", "source").withColumn(
+        "rank_in_source", F.row_number().over(w).cast("long")
+    )
+    sizes = (
+        df.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("source", "m"))
+            ).alias("sz")
+        )
+    )
+    rk = F.col("rank_in_source")
+    before_rounds = F.aggregate(
+        F.col("sz"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(rk - 1, s["m"]),
+    )
+    same_round_prior = F.aggregate(
+        F.col("sz"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            (s["source"] < F.col("source")) & (s["m"] >= rk), 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return r.join(F.broadcast(sizes)).select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (1 + before_rounds + same_round_prior).alias("global_pos"),
+    )
+
+
+@register(
+    "corpus_interleave_round_robin",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY doc_id) AS BIGINT) AS rank_in_source
+            FROM documents
+        )
+        SELECT doc_id, source, rank_in_source,
+               CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source)
+                   AS BIGINT) AS global_pos
+        FROM r
+    """,
+    doc="Deterministic multi-source round-robin interleave — the "
+    "training-data ordering step that stripes heterogeneous sources "
+    "evenly through a run so no data-mixture drift hits early "
+    "optimization (the fixed-ratio sibling of corpus_mix_plan's "
+    "budgets; corpus_global_shuffle is the keyless cousin). The "
+    "oracle states it as a GLOBAL row_number over (rank, source) — "
+    "exactly the single-partition bottleneck you cannot run at "
+    "100 TB; the engine computes the identical position "
+    "analytically from the per-source size vector (see "
+    "interleave_positions): one per-source rank window + a "
+    "vocabulary-sized broadcast + a map-side fold, no global sort. "
+    "The hash gate proves the closed form IS the global sort. The "
+    "equal-sized fixture keeps min(r-1, m) on its r-1 branch; the "
+    "unequal-sources branch (short sources exhausting mid-stream) "
+    "is pinned by a crafted-fixture unit test.",
+)
+def corpus_interleave_round_robin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return interleave_positions(load_table(spark, sf_dir, "documents"))

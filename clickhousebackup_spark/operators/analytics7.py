@@ -1,0 +1,585 @@
+"""Round-8 operator additions: correlation matrix, Kendall's tau-b,
+Tukey-fence series outliers, Holt linear (double exponential)
+smoothing, MySQL/ClickHouse week modes, and three SQL-surface parity
+keys (UNPIVOT clause, named WINDOW clause, inline VALUES table).
+
+ClickHouse parity targets: `corrMatrix` (`stats_corr_matrix` — all
+pairwise Pearson r in ONE aggregation pass), `kendallTau`/`rankCorr`
+(`stats_kendall_tau` — tau-b with tie correction from pure integer
+pair counts), `seriesOutliersDetectTukey` (`ts_outliers_tukey` —
+1.5-IQR fences per series), `exponentialMovingAverage`'s trend-aware
+sibling Holt linear smoothing (`ts_holt_linear` — deterministic
+left-fold recursion, the same both-engines fold sim/dedup use),
+`toWeek`/`toYearWeek` mode arithmetic (`date_week_mode` — MySQL mode
+0 weeks vs ISO weeks from integer day-of-year arithmetic), and the
+modern SQL surface ClickHouse/DuckDB/Spark all grew: UNPIVOT
+(`sql_unpivot_syntax`), the named WINDOW clause (`sql_named_window`),
+and inline VALUES derived tables (`sql_values_inline`).
+
+Reference mapping: the reference (backup.sh:38-45) delegates all
+query execution to the ClickHouse server; each key re-expresses one
+server-side capability as a first-class Spark DataFrame plan.
+
+Float-determinism rules (registry docstring): doubles come from
+exact DECIMAL(38,6) sums, exact IEEE +,-,*,/ and sqrt over them, or
+left-to-right folds with identical expression trees in both engines;
+the corr chain crosses the DECIMAL(20,12) bridge agg_corr
+established (FMA regrouping flips the last ulp). Window/integer SUMs
+CAST to BIGINT in oracles (HUGEINT trap); every rank carries a
+total-order tiebreak; no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+#: Numeric lineitem columns entering the correlation matrix.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: Holt linear smoothing constants (level / trend). Written as the
+#: literals 0.5 / 0.3 / 0.7 in BOTH engines' fold expressions so the
+#: parsed doubles are identical.
+HOLT_ALPHA = "0.5"
+HOLT_BETA = "0.3"
+HOLT_ONE_MINUS_BETA = "0.7"
+
+
+def _corr_sql(a: str, b: str) -> str:
+    """DuckDB Pearson r of (a, b) from exact decimal moments, through
+    the DECIMAL(20,12) bridge (same formulation as agg_corr)."""
+    return f"""CAST(CAST(
+        ({osum(f'{a} * {b}')} - {osum(a)} * {osum(b)} / COUNT(*))
+        / sqrt(({osum(f'{a} * {a}')} - {osum(a)} * {osum(a)} / COUNT(*))
+               * ({osum(f'{b} * {b}')} - {osum(b)} * {osum(b)} / COUNT(*)))
+        AS DECIMAL(20,12)) AS DOUBLE)"""
+
+
+@register(
+    "stats_corr_matrix",
+    oracle="SELECT * FROM ("
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, {_corr_sql(a, b)} AS corr "
+        "FROM lineitem"
+        for a, b in combinations(CORR_COLS, 2)
+    )
+    + ")",
+    doc="Pairwise Pearson correlation matrix over the four numeric "
+    "lineitem measures (ClickHouse corrMatrix), emitted long-format "
+    "(col_a, col_b, corr). ALL 14 moments (4 sums, 4 square sums, 6 "
+    "cross sums) come out of ONE partial+final hash aggregation over "
+    "ONE table scan — the single-pass shape corrMatrix exists for; "
+    "the 6 output rows are a 1-row explode afterwards. The oracle "
+    "necessarily rescans per pair (plain SQL), but values match "
+    "because every moment is an order-free exact decimal sum and "
+    "the r chain crosses agg_corr's DECIMAL(20,12) bridge.",
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).alias("n")
+    aggs = [n]
+    for c in CORR_COLS:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in combinations(CORR_COLS, 2):
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sx_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        saa, sbb = F.col(f"ss_{a}"), F.col(f"ss_{b}")
+        sab = F.col(f"sx_{a}_{b}")
+        nn = F.col("n")
+        r = (sab - sa * sb / nn) / F.sqrt(
+            (saa - sa * sa / nn) * (sbb - sb * sb / nn)
+        )
+        return r.cast("decimal(20,12)").cast("double")
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in combinations(CORR_COLS, 2)
+        ]
+    )
+    return m.select(F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN (a.x < b.x AND a.y < b.y)
+                          OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+                   CASE WHEN (a.x < b.x AND a.y > b.y)
+                          OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS d,
+                   CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+            FROM cells a JOIN cells b
+              ON a.event_type = b.event_type AND a.day < b.day
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(c) AS BIGINT) AS concordant,
+               CAST(SUM(d) AS BIGINT) AS discordant,
+               (CAST(SUM(c) AS DOUBLE) - CAST(SUM(d) AS DOUBLE))
+                   / sqrt((CAST(COUNT(*) AS DOUBLE) - CAST(SUM(tx) AS DOUBLE))
+                          * (CAST(COUNT(*) AS DOUBLE) - CAST(SUM(ty) AS DOUBLE)))
+                   AS tau_b
+        FROM pairs GROUP BY event_type
+    """,
+    doc="Kendall's tau-b between a series' daily VOLUME and its daily "
+    "VALUE SUM, per event_type (ClickHouse kendallTau / the rankCorr "
+    "family): do days with more events also move more value? "
+    "Concordant/discordant/tie counts are PURE INTEGER comparisons "
+    "over all day pairs (y is an exact decimal day-sum, so even the "
+    "double equality in the tie term is deterministic), and tau_b = "
+    "(C-D)/sqrt((n0-tx)(n0-ty)) is exact arithmetic + one sqrt. The "
+    "O(days^2) pair join is quadratic in the BOUNDED calendar, not "
+    "in rows — the cell table is |types|x|days| regardless of scale, "
+    "so at 100 TB the cost stays in the one day-cell aggregation "
+    "scan and the pair join is a broadcast of a vocabulary-sized "
+    "table.",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        dsum(F.col("value")).alias("y"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("c"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("d"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    n0 = F.count(F.lit(1)).cast("double")
+    sc, sd = F.sum("c").cast("double"), F.sum("d").cast("double")
+    stx, sty = F.sum("tx").cast("double"), F.sum("ty").cast("double")
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("d").cast("long").alias("discordant"),
+        ((sc - sd) / F.sqrt((n0 - stx) * (n0 - sty))).alias("tau_b"),
+    )
+
+
+def _q_sql(q: str) -> str:
+    """DuckDB exact interpolated quantile of `value` from shared
+    row_number arithmetic (agg_percentile_exact's formulation)."""
+    return f"""(MAX(CASE WHEN rn = CAST(floor((n - 1) * {q}) AS BIGINT) + 1
+                    THEN value END)
+        + ((MAX(n) - 1) * {q} - floor((MAX(n) - 1) * {q}))
+          * (MAX(CASE WHEN rn = least(CAST(floor((n - 1) * {q}) AS BIGINT) + 2, n)
+                 THEN value END)
+             - MAX(CASE WHEN rn = CAST(floor((n - 1) * {q}) AS BIGINT) + 1
+                   THEN value END)))"""
+
+
+@register(
+    "ts_outliers_tukey",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), fences AS (
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   {_q_sql('0.25')} AS q1,
+                   {_q_sql('0.75')} AS q3
+            FROM ranked GROUP BY event_type
+        )
+        SELECT f.event_type, f.n, f.q1, f.q3,
+               f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+               f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+               CAST(SUM(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM events e JOIN fences f ON e.event_type = f.event_type
+        GROUP BY f.event_type, f.n, f.q1, f.q3
+    """,
+    doc="Tukey-fence outlier detection per series (ClickHouse "
+    "seriesOutliersDetectTukey): exact interpolated Q1/Q3 of value "
+    "per event_type via agg_percentile_exact's shared row_number "
+    "arithmetic, 1.5-IQR fences, and the count of points beyond "
+    "each fence. Every double is stored values + exact IEEE "
+    "+,-,*,/ — no float hazard; fence counts are integers. Plan: "
+    "one per-type rank window (the per-key sort CH gets free from "
+    "MergeTree order), one vocabulary-sized fence aggregate "
+    "broadcast back onto a second scan for the beyond-fence "
+    "counts. The fixture's value distribution is right-skewed, so "
+    "n_high genuinely fires (n_low = 0 is corpus truth: the "
+    "distribution is bounded at 0 on the left, nothing sits "
+    "1.5 IQR below Q1 — the unit test pins both branches on a "
+    "crafted series).",
+)
+def ts_outliers_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tukey_outliers(load_table(spark, sf_dir, "events"))
+
+
+def tukey_outliers(ev: DataFrame) -> DataFrame:
+    """Tukey-fence outliers over any (event_type, event_id, value)
+    frame — factored out so the unit test can drive a crafted series
+    through BOTH fence branches (the fixture only fires n_high)."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def qcol(q: float):
+        pos = (F.max("n") - 1) * F.lit(q)
+        g = pos - F.floor(pos)
+        lo = F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1,
+                F.col("value"),
+            )
+        )
+        hi = F.max(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 2,
+                    F.col("n"),
+                ),
+                F.col("value"),
+            )
+        )
+        return lo + g * (hi - lo)
+
+    fences = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        qcol(0.25).alias("q1"),
+        qcol(0.75).alias("q3"),
+    )
+    lo_f = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi_f = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.select("event_type", "value")
+        .join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.max(lo_f).alias("lo_fence"),
+            F.max(hi_f).alias("hi_fence"),
+            F.sum(F.when(F.col("value") < lo_f, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > hi_f, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   {osum('value')} / COUNT(*) AS ym
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT event_type,
+                   list_transform(
+                       list_sort(list(struct_pack(day := day, ym := ym))),
+                       s -> [s.ym, 0.0]) AS seq
+            FROM cells GROUP BY event_type
+        ), folded AS (
+            SELECT event_type, len(seq) AS n_days,
+                   list_reduce(seq, (acc, x) ->
+                       [{HOLT_ALPHA} * x[1]
+                            + {HOLT_ALPHA} * (acc[1] + acc[2]),
+                        {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                            + {HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                            + {HOLT_ONE_MINUS_BETA} * acc[2]]
+                   ) AS st
+            FROM series
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               st[1] AS level, st[2] AS trend,
+               st[1] + st[2] AS forecast_next
+        FROM folded
+    """,
+    doc="Holt linear (double exponential) smoothing of the daily "
+    "mean-value series per event_type — the trend-aware sibling of "
+    "agg_ema / ClickHouse exponentialMovingAverage: level l = "
+    "0.5*y + 0.5*(l+b), trend b = 0.3*(l'-l) + 0.7*b, seeded at "
+    "(y_1, 0). The recursion is a LEFT-TO-RIGHT FOLD over the "
+    "day-sorted series with textually identical literals in both "
+    "engines (Spark aggregate() over slice(2..) seeded with element "
+    "1 == DuckDB list_reduce's first-element seed), so every double "
+    "is bit-identical; day means are exact decimal sums / counts. "
+    "The fold is over the BOUNDED calendar (|days| per type), "
+    "collected AFTER the day-cell aggregation — at 100 TB the scan "
+    "aggregates down to |types|x|days| cells first and the "
+    "sequential recursion (inherently serial, like any EMA) runs "
+    "per-type on vocabulary-sized arrays.",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("ym"))
+    series = cells.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "ym"))),
+            lambda s: F.array(s["ym"], F.lit(0.0)),
+        ).alias("seq")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("seq"), 2, F.size("seq") - 1),
+        F.element_at(F.col("seq"), 1),
+        lambda acc, x: F.array(
+            F.lit(0.5) * x[0] + F.lit(0.5) * (acc[0] + acc[1]),
+            F.lit(0.3)
+            * (
+                (F.lit(0.5) * x[0] + F.lit(0.5) * (acc[0] + acc[1]))
+                - acc[0]
+            )
+            + F.lit(0.7) * acc[1],
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.size("seq").cast("long").alias("n_days"),
+        fold[0].alias("level"),
+        fold[1].alias("trend"),
+        (fold[0] + fold[1]).alias("forecast_next"),
+    )
+
+
+@register(
+    "date_week_mode",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(dayofyear(date_trunc('day', ts)) AS BIGINT) AS doy,
+                   CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow_sun0,
+                   CAST(dayofweek(date_trunc('year', ts)) AS BIGINT) AS jan1_dow,
+                   CAST(isoyear(ts) AS BIGINT) AS iso_year,
+                   CAST(weekofyear(ts) AS BIGINT) AS week_iso,
+                   CAST(year(ts) AS BIGINT) AS yr
+            FROM events
+        )
+        SELECT day, doy, dow_sun0,
+               CASE WHEN doy - 1 < (7 - jan1_dow) % 7 THEN 0
+                    ELSE (doy - 1 - (7 - jan1_dow) % 7) // 7 + 1 END
+                   AS week_mode0,
+               week_iso, iso_year,
+               yr * 100
+                 + CASE WHEN doy - 1 < (7 - jan1_dow) % 7 THEN 0
+                        ELSE (doy - 1 - (7 - jan1_dow) % 7) // 7 + 1 END
+                   AS yearweek_mode0
+        FROM days
+    """,
+    doc="toWeek / toYearWeek mode arithmetic (ClickHouse inherits "
+    "MySQL's week modes): mode 0 (weeks start Sunday, days before "
+    "the year's first Sunday are week 0) derived from PURE INTEGER "
+    "day-of-year / day-of-week arithmetic — identical in both "
+    "engines once Spark's Sunday=1 dayofweek is normalized to "
+    "DuckDB's Sunday=0 — next to the ISO week/isoyear builtins "
+    "(mode 3) both engines share. The fixture's January days "
+    "exercise the week-0 boundary (Jan 1 2024 is a Monday, so days "
+    "1-6 land in week 0). One distinct over the calendar-bounded "
+    "day set; constant-time expressions after that.",
+)
+def date_week_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct the calendar-bounded day set FIRST (one agg over the
+    # scan), then the week arithmetic is constant work per day row.
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+    )
+    doy = F.dayofyear("d").cast("long")
+    dow_sun0 = (F.dayofweek("d") - 1).cast("long")
+    jan1_dow = (F.dayofweek(F.trunc("d", "year")) - 1).cast("long")
+    offset = (7 - jan1_dow) % 7
+    week_mode0 = F.when(doy - 1 < offset, F.lit(0).cast("long")).otherwise(
+        F.floor((doy - 1 - offset) / 7).cast("long") + 1
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        doy.alias("doy"),
+        dow_sun0.alias("dow_sun0"),
+        week_mode0.alias("week_mode0"),
+        F.weekofyear("d").cast("long").alias("week_iso"),
+        F.expr("extract(YEAROFWEEK FROM d)").cast("long").alias("iso_year"),
+        (F.year("d").cast("long") * 100 + week_mode0).alias(
+            "yearweek_mode0"
+        ),
+    )
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle=f"""
+        SELECT l_returnflag, measure, val FROM (
+            SELECT l_returnflag,
+                   {osum('l_quantity')} AS sum_qty,
+                   {osum('l_extendedprice')} AS sum_price,
+                   {osum('l_discount')} AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        ) UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+    doc="The SQL-standard UNPIVOT clause (Spark 3.4+, DuckDB, "
+    "ClickHouse via ARRAY JOIN): three per-flag decimal-exact "
+    "measure sums rotated to (measure, val) rows. Both engines run "
+    "the same UNPIVOT text — proving the clause itself, not a "
+    "stack()/unnest desugaring, matches. Wide-to-long after "
+    "aggregation is a projection over the vocabulary-sized result; "
+    "the one hash agg is the whole cost at any scale "
+    "(unpivot_measures covers the pre-aggregation stack() form).",
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_unpv_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, measure, val FROM (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_disc
+            FROM lineitem_unpv_v GROUP BY l_returnflag
+        ) UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+        """
+    )
+
+
+@register(
+    "sql_named_window",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(rank() OVER w AS BIGINT) AS price_rank,
+               CAST(SUM(cents) OVER w2 AS BIGINT) AS run_cents
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_orderdate,
+                   CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY cents DESC, o_orderkey),
+               w2 AS (PARTITION BY o_orderstatus
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="The named WINDOW clause (SQL standard; Spark, DuckDB and "
+    "ClickHouse all support it): one window reused by rank() and a "
+    "second for a running cent sum, defined once after FROM instead "
+    "of inline per expression. Both engines run the same WINDOW "
+    "text. Money on the integer cent grid, both window SUM/rank "
+    "outputs CAST BIGINT (HUGEINT trap), (cents, o_orderkey) and "
+    "(o_orderdate, o_orderkey) total orders. Plan: both windows "
+    "share the o_orderstatus partitioning — ONE exchange, two "
+    "window operators over the same sort.",
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_nw_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(rank() OVER w AS LONG) AS price_rank,
+               CAST(SUM(cents) OVER w2 AS LONG) AS run_cents
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_orderdate,
+                   CAST(floor(o_totalprice * 100.0) AS LONG) AS cents
+            FROM orders_nw_v
+        )
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY cents DESC, o_orderkey),
+               w2 AS (PARTITION BY o_orderstatus
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+        SELECT t.prio, t.weight,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * t.weight AS BIGINT) AS weighted_n
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+             AS t(prio, weight)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.prio, t.weight
+    """,
+    doc="Inline VALUES derived table (the literal lookup-table "
+    "pattern ClickHouse writes as VALUES/transform and every SQL "
+    "dialect supports): a 5-row priority->weight map joined to "
+    "orders, weighted counts per priority. Both engines run the "
+    "same VALUES text; weights are integers so weighted_n is pure "
+    "integer arithmetic (CAST BIGINT for the HUGEINT trap). Spark "
+    "auto-broadcasts the LocalRelation — the join is a "
+    "BroadcastHashJoin on the equi-key, one scan, one agg.",
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_vi_v"
+    )
+    return spark.sql(
+        """
+        SELECT t.prio, t.weight,
+               CAST(COUNT(*) AS LONG) AS n,
+               CAST(COUNT(*) * t.weight AS LONG) AS weighted_n
+        FROM orders_vi_v o
+        JOIN (SELECT * FROM VALUES
+                  ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+              AS t(prio, weight)) t
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.prio, t.weight
+        """
+    )

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics4",
     "clickhousebackup_spark.operators.analytics5",
     "clickhousebackup_spark.operators.analytics6",
+    "clickhousebackup_spark.operators.analytics7",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -111,7 +112,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: yet (source_numbers_range leads, deferred twice) plus the 4 keys
 #: whose green rows went stale after the round-7 degeneracy-audit
 #: fixes (str_multisearch, stats_proportions_ztest, bitmap_set_ops,
-#: dq_expectations). 48 slots used; ~2 spare for round-8 additions.
+#: dq_expectations) — then the 2 round-8 additions that took the
+#: spare slots (stats_corr_matrix, ts_outliers_tukey): 50 slots used.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
@@ -167,6 +169,20 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_estimate_vs_truth",
     "emb_mrl_overlap_curve",
     "text_dedup_span_removal",
+    # -- round-8 additions filling the 2 spare window slots (49-50) --
+    "stats_corr_matrix",
+    "ts_outliers_tukey",
+    # -- positions 51+: round-9 window head — the remaining round-8
+    # additions, in registration order (tests/test_rotation.py
+    # DEFERRED pins them just past the window).
+    "stats_kendall_tau",
+    "ts_holt_linear",
+    "date_week_mode",
+    "sql_unpivot_syntax",
+    "sql_named_window",
+    "sql_values_inline",
+    "emb_hard_negatives",
+    "corpus_interleave_round_robin",
 )
 
 

@@ -60,6 +60,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "emb_dim_slice_search": 1,   # 5-row query set
     "corpus_mix_plan": 1,        # 1-row corpus totals
     "sketch_recall_probe": 8,    # 4 paired exact/sketch 1-row probes
+    "emb_hard_negatives": 1,     # 5-row query set (label != is the key)
+    "corpus_interleave_round_robin": 1,  # 1-row size-vector broadcast
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

@@ -673,3 +673,54 @@ def test_r6_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R8_PLAN_BUDGET = {
+    # batch 1: analytics7 — CH stats/series parity
+    "stats_corr_matrix": (1, 0, False),   # ALL 14 moments, one agg pass
+    "stats_kendall_tau": (3, 1, False),   # day-cell agg + bcast self-join + agg
+    "ts_outliers_tukey": (2, 1, False),   # rank window + bcast fence join
+    "ts_holt_linear": (2, 0, False),      # day-cell agg + per-type fold agg
+    "date_week_mode": (1, 0, False),      # calendar distinct, map-side math
+    # batch 2: analytics7 — modern SQL surface, third helping
+    "sql_unpivot_syntax": (1, 0, False),  # one hash agg; UNPIVOT is a projection
+    "sql_named_window": (1, 0, False),    # both windows share ONE exchange
+    "sql_values_inline": (1, 1, False),   # VALUES LocalRelation bcast join
+    # batch 3: training-pipeline — mining + ordering
+    "emb_hard_negatives": (1, 0, True),   # 5-row query NLJ + qid rank exchange
+    "corpus_interleave_round_robin": (2, 0, True),  # source rank window +
+    # size-vector agg; position is a map-side fold (NO global sort)
+}
+
+
+@pytest.mark.parametrize("key", sorted(R8_PLAN_BUDGET))
+def test_r8_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R8_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interleave_has_no_global_window(spark, sf_dir):
+    # the whole point of the analytic position formula: the oracle's
+    # ROW_NUMBER() OVER (ORDER BY rank, source) would be an
+    # UNPARTITIONED window — every row through one task. The engine
+    # plan's only window must be the per-source rank; the only
+    # SinglePartition exchange is the vocabulary-sized size-vector
+    # collect (|sources| rows), which is fine.
+    plan = inspect.physical_plan(
+        SPECS["corpus_interleave_round_robin"].fn(spark, sf_dir)
+    )
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, plan  # the per-source rank window must exist
+    for seg in specs:
+        assert seg.startswith("source#"), (
+            "window not partitioned by source — global window crept in:\n"
+            + plan
+        )

@@ -52,10 +52,20 @@ RECHECK: set[str] = {
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 8 promoted the entire 48-key round-7 queue into the window
-#: (48 used, 2 spare), so nothing is deferred yet; round-8 additions
-#: beyond the 2 spare slots must be named here for round 9.
-DEFERRED: set[str] = set()
+#: Round 8 promoted the entire 48-key round-7 queue into the window,
+#: and the round-8 additions stats_corr_matrix / ts_outliers_tukey
+#: took the 2 spare slots; the other eight round-8 additions queue
+#: here for round 9.
+DEFERRED: set[str] = {
+    "stats_kendall_tau",
+    "ts_holt_linear",
+    "date_week_mode",
+    "sql_unpivot_syntax",
+    "sql_named_window",
+    "sql_values_inline",
+    "emb_hard_negatives",
+    "corpus_interleave_round_robin",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
