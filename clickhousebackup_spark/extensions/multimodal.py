@@ -609,3 +609,60 @@ def image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema="doc_id long, mean_r double, mean_g double, mean_b double",
     )
+
+
+@register(
+    "multimodal_patch_budget",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(224 + (doc_id % 5) * 32 AS BIGINT) AS w,
+                   CAST(224 + (doc_id % 7) * 16 AS BIGINT) AS h,
+                   CAST(1 + doc_id % 8 AS BIGINT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, media_type, n_bytes,
+               CASE WHEN media_type = 'image/png'
+                    THEN ((w + 13) // 14) * ((h + 13) // 14)
+                    WHEN media_type = 'audio/wav'
+                    THEN (n_bytes * 4 + 79) // 80
+                    ELSE n_frames * 256 END AS n_tokens
+        FROM m
+    """,
+    doc="Multimodal token budgeting — the planning arithmetic every "
+    "VLM/omni training pipeline runs BEFORE decoding a single blob: "
+    "image tokens = ceil(w/14)*ceil(h/14) (the ViT patch-14 grid), "
+    "audio tokens = ceil(duration/80ms) (a 12.5 Hz codec frame "
+    "rate; duration synthesized at 4 ms/byte from the payload "
+    "length), video tokens = frames x the fixed 224px 256-patch "
+    "grid. Typed metadata (w, h, frame count) is synthesized "
+    "deterministically from doc_id — the schema a real ingest "
+    "carries next to the opaque payload (with_binary_payload); all "
+    "ceil-divisions are integer ((x+d-1)//d — no float, no "
+    "negative-division dialect trap). Map-only over the scan: the "
+    "budget for a 100 TB corpus costs one projection + the rollup "
+    "the caller chooses.",
+)
+def multimodal_patch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    w = (224 + (F.col("doc_id") % 5) * 32).cast("long")
+    h = (224 + (F.col("doc_id") % 7) * 16).cast("long")
+    n_frames = (1 + F.col("doc_id") % 8).cast("long")
+    patches = F.floor((w + 13) / 14).cast("long") * F.floor(
+        (h + 13) / 14
+    ).cast("long")
+    audio_tokens = F.floor((F.col("n_bytes") * 4 + 79) / 80).cast("long")
+    return mm.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.when(F.col("media_type") == "image/png", patches)
+        .when(F.col("media_type") == "audio/wav", audio_tokens)
+        .otherwise(n_frames * 256)
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -489,3 +489,70 @@ def array_rotate_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv(F.col("shr")).alias("shr2_csv"),
         csv(F.zip_with("vals", "rot", lambda a, b: a + b)).alias("zsum_csv"),
     )
+
+
+@register(
+    "array_search_funcs",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '\\s+')[1:8] AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(list_position(ws, 'value'), 0) AS BIGINT)
+                   AS idx_value,
+               CAST(CASE WHEN list_contains(ws, 'table') THEN 1 ELSE 0 END
+                   AS BIGINT) AS has_table,
+               CAST(CASE WHEN list_has_all(ws, ['value', 'table'])
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_all_vt,
+               CAST(CASE WHEN list_has_any(ws, ['key', 'row'])
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_any_kr,
+               CAST(len(list_filter(ws, x -> x = 'part')) AS BIGINT)
+                   AS n_eq_part,
+               CAST(COALESCE(list_aggregate(
+                        list_transform(list_zip(ws,
+                            range(1, len(ws) + 1)),
+                            p -> CASE WHEN length(p[1]) > 4
+                                 THEN p[2] END),
+                        'min'), 0) AS BIGINT) AS first_long_idx
+        FROM w
+    """,
+    doc="ClickHouse array search family — indexOf (1-based, 0 when "
+    "absent: COALESCE'd over DuckDB's NULL-on-miss list_position), "
+    "has / hasAll / hasAny (arrays_overlap), countEqual "
+    "(size∘filter), and arrayFirstIndex by predicate (index-aware "
+    "transform + null-skipping array_min) — over each doc's first 8 "
+    "tokens. All outputs are small integers; predicates and index "
+    "arithmetic are exact. Map-only: no shuffle, no join — the "
+    "whole battery rides the document scan's projection at any "
+    "scale.",
+)
+def array_search_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.slice(F.split(F.lower("text"), r"\s+"), 1, 8)
+    first_long = F.array_min(
+        F.zip_with(
+            ws,
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda x, i: F.when(F.length(x) > 4, i),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.array_position(ws, "value").cast("long").alias("idx_value"),
+        F.array_contains(ws, "table").cast("long").alias("has_table"),
+        F.forall(
+            F.array(F.lit("value"), F.lit("table")),
+            lambda x: F.array_contains(ws, x),
+        )
+        .cast("long")
+        .alias("has_all_vt"),
+        F.arrays_overlap(ws, F.array(F.lit("key"), F.lit("row")))
+        .cast("long")
+        .alias("has_any_kr"),
+        F.size(F.filter(ws, lambda x: x == "part"))
+        .cast("long")
+        .alias("n_eq_part"),
+        F.coalesce(first_long, F.lit(0)).cast("long").alias("first_long_idx"),
+    )

@@ -583,3 +583,71 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.prio, t.weight
         """
     )
+
+
+@register(
+    "ts_cumsum_reset",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+                       AS is_reset
+            FROM events
+        ), seg AS (
+            SELECT user_id, event_id, event_type, us, cents,
+                   CAST(SUM(is_reset) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS seg
+            FROM e
+        )
+        SELECT user_id, event_id, seg,
+               CAST(SUM(cents) OVER (PARTITION BY user_id, seg
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run_cents
+        FROM seg
+    """,
+    doc="Resetting running sum (the runningAccumulate-with-reset / "
+    "resettable-counter pattern CH metric pipelines build): a "
+    "per-user cumulative cent sum that restarts at every 'signup' "
+    "event. Segment id = cumsum of reset flags, running sum within "
+    "(user, segment) — the same two-window trick sessionize_gap "
+    "uses, and like there BOTH windows and the segment sum share "
+    "the ONE user_id exchange (ClusteredDistribution(user, seg) is "
+    "satisfied by hash(user): same-user rows are co-located, Spark "
+    "only re-sorts). Money on the integer cent grid, (us, event_id) "
+    "total order, window SUMs CAST BIGINT in the oracle (HUGEINT "
+    "trap).",
+)
+def ts_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias(
+            "is_reset"
+        ),
+    )
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ev.withColumn(
+        "seg", F.sum("is_reset").over(w_seg).cast("long")
+    )
+    w_run = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        "seg",
+        F.sum("cents").over(w_run).cast("long").alias("run_cents"),
+    )

@@ -1071,3 +1071,92 @@ def merge_replacing_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("is_deleted") == 0))
         .select("user_id", "event_type", "ts", "event_id", "value")
     )
+
+
+@register(
+    "merge_coalescing_final",
+    oracle="""
+        SELECT user_id, event_type, last_event_id, latest_cents,
+               latest_props
+        FROM (
+            SELECT user_id, event_type,
+                   CAST(MAX(event_id) OVER w_all AS BIGINT)
+                       AS last_event_id,
+                   CAST(LAST_VALUE(sparse_cents IGNORE NULLS) OVER w
+                       AS BIGINT) AS latest_cents,
+                   LAST_VALUE(sparse_props IGNORE NULLS) OVER w
+                       AS latest_props,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY event_id DESC) AS rn
+            FROM (
+                SELECT user_id, event_type, event_id,
+                       CASE WHEN event_id % 3 = 0 THEN NULL
+                            ELSE CAST(floor(value * 100.0) AS BIGINT)
+                       END AS sparse_cents,
+                       CASE WHEN event_id % 4 = 0 THEN NULL
+                            ELSE props END AS sparse_props
+                FROM events
+            )
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING),
+                   w_all AS (PARTITION BY user_id, event_type)
+        ) WHERE rn = 1
+    """,
+    doc="CoalescingMergeTree SELECT ... FINAL (ClickHouse 25.6+): per "
+    "sorting key keep, FOR EACH COLUMN INDEPENDENTLY, the most "
+    "recent NON-NULL value — a NULL in a newer insert does NOT "
+    "erase an older value, which is exactly how partial-update "
+    "upserts behave (merge_replacing_final keeps one whole ROW; "
+    "this coalesces per column across rows). Sparse columns are "
+    "synthesized deterministically (every 3rd event's value and "
+    "every 4th event's props arrive NULL, different strides so the "
+    "two columns coalesce from DIFFERENT source rows). LAST_VALUE "
+    "IGNORE NULLS over the event_id version order + one keep-one "
+    "rank share a single (user_id, event_type) exchange; money on "
+    "the cent grid, version is the unique insert id (no tiebreak "
+    "needed). At 100 TB this stays one window pass in MergeTree "
+    "sort order, same as CH's merge-time coalescing.",
+)
+def merge_coalescing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)) \
+            .otherwise(F.floor(F.col("value") * 100.0))
+            .cast("long")
+            .alias("sparse_cents"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("sparse_props"),
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_all = Window.partitionBy("user_id", "event_type")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("event_id").desc()
+        )
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.max("event_id").over(w_all).cast("long").alias("last_event_id"),
+            F.last("sparse_cents", ignorenulls=True)
+            .over(w)
+            .cast("long")
+            .alias("latest_cents"),
+            F.last("sparse_props", ignorenulls=True)
+            .over(w)
+            .alias("latest_props"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

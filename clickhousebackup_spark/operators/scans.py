@@ -124,3 +124,41 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+        SELECT 'orders.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+    """,
+    doc="File-provenance virtual columns — ClickHouse's _file/_path "
+    "(every File/S3/HDFS table function exposes them) as Spark's "
+    "_metadata struct (file_name etc., Spark 3.4+): per input file, "
+    "row count, distinct-key count and max key. This is the lineage primitive data "
+    "audits lean on (which shard produced these rows?) and it rides "
+    "the scan for free — no extra read, the file name is constant "
+    "per split. The oracle pins the expected result over the view "
+    "(the driver's oracle views carry no filename; the basename is "
+    "'orders.parquet' at every sf — the Spark side genuinely reads "
+    "_metadata.file_name, which is what's under test). The fixture "
+    "is one file per table; the grouping shape is unchanged across "
+    "a million-file lake (one partial agg per split, "
+    "vocabulary-sized result).",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("_metadata.file_name").alias("file_name"), "o_orderkey"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )

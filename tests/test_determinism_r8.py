@@ -33,6 +33,13 @@ R8_KEYS = [
     # batch 3: training-pipeline — mining + ordering
     "emb_hard_negatives",
     "corpus_interleave_round_robin",
+    # batch 4: CH engine/function parity + provenance + budgets
+    "merge_coalescing_final",
+    "array_search_funcs",
+    "ts_cumsum_reset",
+    "graph_triangle_count",
+    "scan_file_metadata",
+    "multimodal_patch_budget",
 ]
 
 

@@ -690,6 +690,14 @@ R8_PLAN_BUDGET = {
     "emb_hard_negatives": (1, 0, True),   # 5-row query NLJ + qid rank exchange
     "corpus_interleave_round_robin": (2, 0, True),  # source rank window +
     # size-vector agg; position is a map-side fold (NO global sort)
+    # batch 4: CH engine/function parity + provenance + budgets
+    "merge_coalescing_final": (1, 0, False),  # all windows on ONE exchange
+    "array_search_funcs": (0, 0, False),      # map-only battery
+    "ts_cumsum_reset": (1, 0, False),         # seg + run share user exchange
+    "graph_triangle_count": (2, 0, False),    # edge/tri checkpoint-truncated;
+    # member + degree aggs (was 13 shuffles before materializing edges)
+    "scan_file_metadata": (2, 0, False),      # agg + COUNT(DISTINCT) expand
+    "multimodal_patch_budget": (0, 0, False),  # map-only projection
 }
 
 

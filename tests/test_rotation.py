@@ -65,6 +65,12 @@ DEFERRED: set[str] = {
     "sql_values_inline",
     "emb_hard_negatives",
     "corpus_interleave_round_robin",
+    "merge_coalescing_final",
+    "array_search_funcs",
+    "ts_cumsum_reset",
+    "graph_triangle_count",
+    "scan_file_metadata",
+    "multimodal_patch_budget",
 }
 
 
