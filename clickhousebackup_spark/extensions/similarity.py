@@ -1363,3 +1363,80 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register(
+    "emb_centroid_distances",
+    oracle="""
+        WITH dims AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE))) AS val
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(SUM(CAST(floor(val * 1099511627776.0) AS BIGINT))
+                        AS DOUBLE) / (1099511627776.0 * COUNT(val)) AS m
+            FROM dims GROUP BY label, dim
+        ), vecs AS (
+            SELECT label,
+                   list_transform(list_sort(list(struct_pack(
+                       dim := dim, m := m))), s -> s.m) AS v
+            FROM cent GROUP BY label
+        )
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               sqrt(list_reduce(list_transform(list_zip(a.v, b.v),
+                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                    (x, y) -> x + y)) AS dist
+        FROM vecs a JOIN vecs b ON a.label < b.label
+    """,
+    doc="Inter-class separation matrix: Euclidean distance between "
+    "every pair of label centroids — the embedding-quality "
+    "diagnostic (are classes separable? which pairs confuse?) read "
+    "before mining hard negatives (emb_hard_negatives probes "
+    "instances; this audits the class geometry). Centroids reuse "
+    "emb_label_centroids' exact per-dim mean (2^40 floor-grid "
+    "integer sums — order-free), the pairwise distance is a "
+    "left-to-right fold over the dim-sorted centroid arrays, and "
+    "sqrt is exact IEEE — every double bit-identical across "
+    "engines. Plan: one explode + (label, dim) agg over the fact "
+    "scan; everything after runs on the |labels|x|dims| table, and "
+    "the pair join is a broadcast of |labels| rows at any scale.",
+)
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "val_f")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    scale = F.lit(2.0**40)
+    mean = F.sum(F.floor(F.col("val") * scale).cast("long")).cast(
+        "double"
+    ) / (scale * F.count("val"))
+    cent = dims.groupBy("label", "dim").agg(mean.alias("m"))
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("v")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+    )
+    return a.join(
+        F.broadcast(b), F.col("a.label") < F.col("b.label")
+    ).select(
+        F.col("a.label").cast("long").alias("label_a"),
+        F.col("b.label").cast("long").alias("label_b"),
+        dist.alias("dist"),
+    )

@@ -556,3 +556,57 @@ def array_search_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_eq_part"),
         F.coalesce(first_long, F.lit(0)).cast("long").alias("first_long_idx"),
     )
+
+
+@register(
+    "array_sort_funcs",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '\\s+')[1:6] AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(list_sort(ws), ','), '')
+                   AS sorted_csv,
+               COALESCE(array_to_string(list_reverse_sort(ws), ','), '')
+                   AS rsorted_csv,
+               COALESCE(array_to_string(list_transform(
+                   list_sort(list_transform(ws,
+                       x -> struct_pack(l := length(x), w := x))),
+                   s -> s.w), ','), '') AS bylen_csv,
+               COALESCE(array_to_string(list_sort(ws)[1:3], ','), '')
+                   AS top3_csv
+        FROM w
+    """,
+    doc="ClickHouse arraySort / arrayReverseSort / arraySort(lambda) "
+    "/ arrayPartialSort parity over each doc's first 6 tokens: "
+    "lexicographic sort, reverse sort, sort BY A KEY FUNCTION "
+    "((length, word) via the sort-structs trick — Spark's comparator "
+    "lambda and DuckDB's field-order struct sort express the same "
+    "key), and partial top-3 (sort-then-slice; CH's arrayPartialSort "
+    "saves the tail sort, the sliced result is identical). CSV "
+    "rendering via array_to_string with the empty-list COALESCE "
+    "(the round-5 dialect trap). Map-only at any scale — per-row "
+    "arrays never shuffle.",
+)
+def array_sort_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.slice(F.split(F.lower("text"), r"\s+"), 1, 6)
+    bylen = F.transform(
+        F.array_sort(
+            F.transform(
+                ws, lambda x: F.struct(F.length(x).alias("l"), x.alias("w"))
+            )
+        ),
+        lambda s: s["w"],
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(ws), ",").alias("sorted_csv"),
+        F.array_join(F.reverse(F.array_sort(ws)), ",").alias("rsorted_csv"),
+        F.array_join(bylen, ",").alias("bylen_csv"),
+        F.array_join(F.slice(F.array_sort(ws), 1, 3), ",").alias(
+            "top3_csv"
+        ),
+    )

@@ -123,3 +123,51 @@ def date_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "date_timezone_convert",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+               strftime(ts - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S')
+                   AS ny_wall,
+               strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S')
+                   AS tokyo_wall,
+               CAST(hour(ts - INTERVAL 5 HOUR) AS BIGINT) AS ny_hour,
+               CAST(CASE WHEN strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d')
+                              <> strftime(ts, '%Y-%m-%d')
+                    THEN 1 ELSE 0 END AS BIGINT) AS tokyo_next_day
+        FROM events
+    """,
+    doc="Timezone conversion (ClickHouse toTimeZone): UTC event "
+    "times rendered as America/New_York and Asia/Tokyo wall clocks, "
+    "with the hour and the date-line rollover flag. The Spark side "
+    "runs the REAL tzdb path (from_utc_timestamp); the oracle pins "
+    "the expected walls as fixed interval arithmetic because the "
+    "January-2024 fixture sits entirely in EST (UTC-5, no DST "
+    "transition) and JST is offset-constant — so the gate verifies "
+    "Spark's tz machinery against the known answer rather than "
+    "trusting two tzdb copies to agree on arbitrary dates. Wall "
+    "clocks emitted as STRINGS (date-through-pandas trap). "
+    "Map-only at any scale.",
+)
+def date_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_wall"),
+        F.date_format(ny, fmt).alias("ny_wall"),
+        F.date_format(tk, fmt).alias("tokyo_wall"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        F.when(
+            F.date_format(tk, "yyyy-MM-dd") != F.date_format("ts", "yyyy-MM-dd"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("tokyo_next_day"),
+    )

@@ -651,3 +651,90 @@ def ts_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         F.sum("cents").over(w_run).cast("long").alias("run_cents"),
     )
+
+
+@register(
+    "sql_nulls_ordering",
+    oracle="""
+        SELECT user_id, event_id, sparse_cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY sparse_cents ASC NULLS LAST, event_id)
+                   AS BIGINT) AS rn_nl,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY sparse_cents DESC NULLS FIRST, event_id)
+                   AS BIGINT) AS rn_nf
+        FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE CAST(floor(value * 100.0) AS BIGINT)
+                   END AS sparse_cents
+            FROM events
+        )
+    """,
+    doc="Explicit NULLS FIRST/LAST ordering parity — the dialect trap "
+    "made first-class: Spark's default ASC is NULLS FIRST, DuckDB's "
+    "is NULLS LAST, so any rank over a nullable key silently "
+    "disagrees unless the placement is explicit. Both engines run "
+    "the same explicit NULLS LAST (asc) and NULLS FIRST (desc) "
+    "window text over a deterministically sparsified cent column; "
+    "the ranks are the checked evidence that null placement "
+    "matches. (event_id) tiebreak gives a total order among the "
+    "NULL rows too. One user exchange serves both windows.",
+)
+def sql_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_no_v"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, event_id, sparse_cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY sparse_cents ASC NULLS LAST, event_id)
+                   AS LONG) AS rn_nl,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY sparse_cents DESC NULLS FIRST, event_id)
+                   AS LONG) AS rn_nf
+        FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE CAST(floor(value * 100.0) AS LONG)
+                   END AS sparse_cents
+            FROM events_no_v
+        )
+        """
+    )
+
+
+@register(
+    "sql_distinct_on",
+    oracle="""
+        SELECT DISTINCT ON (user_id)
+               user_id, event_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events
+        ORDER BY user_id, epoch_us(ts) DESC, event_id DESC
+    """,
+    doc="DISTINCT ON parity (DuckDB/Postgres syntax; ClickHouse "
+    "spells it LIMIT 1 BY): latest event per user. The oracle runs "
+    "NATIVE DISTINCT ON text; Spark has neither keyword, so the "
+    "engine provides the canonical desugaring — row_number over the "
+    "(ts, event_id) DESC total order, keep rn=1 — and the hash gate "
+    "proves the desugar IS DISTINCT ON. Same WindowGroupLimit-"
+    "pruned single-exchange shape as limit_by/win_keep_newest; this "
+    "key pins the cross-dialect equivalence itself.",
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

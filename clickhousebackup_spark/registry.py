@@ -189,6 +189,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "scan_file_metadata",
     "multimodal_patch_budget",
+    "date_timezone_convert",
+    "emb_centroid_distances",
+    "array_sort_funcs",
+    "sql_nulls_ordering",
+    "sql_distinct_on",
 )
 
 

@@ -40,6 +40,12 @@ R8_KEYS = [
     "graph_triangle_count",
     "scan_file_metadata",
     "multimodal_patch_budget",
+    # batch 5: tz conversion, class geometry, sort battery, dialect pins
+    "date_timezone_convert",
+    "emb_centroid_distances",
+    "array_sort_funcs",
+    "sql_nulls_ordering",
+    "sql_distinct_on",
 ]
 
 

@@ -62,6 +62,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "sketch_recall_probe": 8,    # 4 paired exact/sketch 1-row probes
     "emb_hard_negatives": 1,     # 5-row query set (label != is the key)
     "corpus_interleave_round_robin": 1,  # 1-row size-vector broadcast
+    "emb_centroid_distances": 1,  # |labels|-row centroid pair join
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

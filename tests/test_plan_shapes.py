@@ -698,6 +698,14 @@ R8_PLAN_BUDGET = {
     # member + degree aggs (was 13 shuffles before materializing edges)
     "scan_file_metadata": (2, 0, False),      # agg + COUNT(DISTINCT) expand
     "multimodal_patch_budget": (0, 0, False),  # map-only projection
+    # batch 5: tz conversion, class geometry, sort battery, dialect pins
+    "date_timezone_convert": (0, 0, False),   # map-only tzdb projection
+    "emb_centroid_distances": (4, 0, True),   # explode agg + label agg +
+    # the |labels|-row pair NLJ (a < b); everything after the fact scan
+    # runs on the |labels|x|dims| table
+    "array_sort_funcs": (0, 0, False),        # map-only battery
+    "sql_nulls_ordering": (1, 0, False),      # both windows, one exchange
+    "sql_distinct_on": (1, 0, False),         # WGL-pruned keep-one rank
 }
 
 
