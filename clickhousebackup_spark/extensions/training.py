@@ -509,3 +509,62 @@ def corpus_interleave_round_robin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return interleave_positions(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle="""
+        WITH sharded AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 8 AS shard,
+                   CAST(len(string_split_regex(lower(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM sharded GROUP BY shard
+    """,
+    doc="Corpus export shard manifest — the write plan a 100 TB "
+    "training-data export is driven by: docs assigned to 8 output "
+    "shards on the portable md5-hex-prefix grid (the same "
+    "exact-checkable hash lattice text_minhash_export pinned; a "
+    "production run would swap in xxhash64 and partitionBy(shard)), "
+    "and per shard the doc count, token count, byte size and id "
+    "range — what the downstream loader reads to plan epochs "
+    "without touching the data. One hash agg over the scan; the "
+    "manifest is |shards| rows at any scale and doubles as the "
+    "skew check before the actual write (uniform hash => balanced "
+    "shards).",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 8
+    )
+    return (
+        d.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -307,3 +307,77 @@ def ip_cidr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cidr_id", "user_id", F.col("ip_num").cast("long").alias("ip_num"))
     )
+
+
+@register(
+    "ip_prefix_rollup",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   ((user_id % 65536) * 2654435761) % 4294967296 AS ip
+            FROM events
+        )
+        SELECT CAST(level AS BIGINT) AS level, net,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM (
+            SELECT user_id, event_id, 16 AS level,
+                   concat(CAST((ip >> 24) & 255 AS VARCHAR), '.',
+                          CAST((ip >> 16) & 255 AS VARCHAR), '.0.0/16')
+                       AS net
+            FROM ev
+            UNION ALL
+            SELECT user_id, event_id, 24 AS level,
+                   concat(CAST((ip >> 24) & 255 AS VARCHAR), '.',
+                          CAST((ip >> 16) & 255 AS VARCHAR), '.',
+                          CAST((ip >> 8) & 255 AS VARCHAR), '.0/24') AS net
+            FROM ev
+        )
+        GROUP BY level, net
+    """,
+    doc="CIDR prefix rollup — the telemetry aggregation ClickHouse "
+    "deployments build on IPv4CIDRToRange/IPv4NumToString: event and "
+    "distinct-user counts per /16 and per /24 network, both levels "
+    "in one result (the drill-down a NOC dashboard pages through). "
+    "IPs are the same deterministic Knuth-hash synthesis ip_funcs "
+    "established; prefixes are pure 64-bit shift/mask arithmetic "
+    "identical in both engines. Plan: the two levels are a "
+    "projection union over ONE scan followed by one hash agg — at "
+    "100 TB you'd trade the union for GROUPING SETS on the octet "
+    "columns (same single-shuffle shape, half the scan bytes); "
+    "COUNT(DISTINCT user) is the two-phase expand Spark plans "
+    "natively.",
+)
+def ip_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (((F.col("user_id") % 65536) * 2654435761) % 4294967296).alias(
+            "ip"
+        ),
+    )
+    o1 = F.shiftright("ip", 24).bitwiseAND(F.lit(255)).cast("string")
+    o2 = F.shiftright("ip", 16).bitwiseAND(F.lit(255)).cast("string")
+    o3 = F.shiftright("ip", 8).bitwiseAND(F.lit(255)).cast("string")
+    l16 = ev.select(
+        "user_id",
+        "event_id",
+        F.lit(16).cast("long").alias("level"),
+        F.concat(o1, F.lit("."), o2, F.lit(".0.0/16")).alias("net"),
+    )
+    l24 = ev.select(
+        "user_id",
+        "event_id",
+        F.lit(24).cast("long").alias("level"),
+        F.concat(o1, F.lit("."), o2, F.lit("."), o3, F.lit(".0/24")).alias(
+            "net"
+        ),
+    )
+    return (
+        l16.unionByName(l24)
+        .groupBy("level", "net")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

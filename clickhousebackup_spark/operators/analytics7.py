@@ -738,3 +738,66 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "dq_histogram_drift",
+    oracle="""
+        WITH binned AS (
+            SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+            FROM events WHERE event_type IN ('click', 'error')
+        ), cells AS (
+            SELECT bin, CAST(SUM(a) AS BIGINT) AS n_a,
+                   CAST(SUM(b) AS BIGINT) AS n_b
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cells
+        )
+        SELECT bin, n_a, n_b,
+               CAST(n_a * 1000 // ta AS BIGINT) AS share_a_pm,
+               CAST(n_b * 1000 // tb AS BIGINT) AS share_b_pm,
+               CAST(abs(n_a * 1000 // ta - n_b * 1000 // tb) AS BIGINT)
+                   AS gap_pm
+        FROM cells CROSS JOIN tot
+    """,
+    doc="Distribution-drift check between two series (the "
+    "data-quality sibling of dq_volume_anomaly: volume watches row "
+    "COUNTS, this watches the value DISTRIBUTION — the first thing "
+    "that silently shifts when an upstream schema or unit changes): "
+    "10 fixed-width value bins, per-bin share in permille for each "
+    "series, and the per-bin absolute gap whose sum is the L1 "
+    "(total-variation x2) drift score. Shares are integer permille "
+    "(n*1000 // total — no float division), bins are "
+    "floor-arithmetic on the NON-NEGATIVE value domain (no "
+    "negative-division dialect trap). One conditional two-counter "
+    "agg over the scan + a 1-row totals broadcast; the cell table "
+    "is 10 rows at any scale.",
+)
+def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("b"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    share_a = F.floor(F.col("n_a") * 1000 / F.col("ta")).cast("long")
+    share_b = F.floor(F.col("n_b") * 1000 / F.col("tb")).cast("long")
+    return cells.join(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a_pm"),
+        share_b.alias("share_b_pm"),
+        F.abs(share_a - share_b).cast("long").alias("gap_pm"),
+    )

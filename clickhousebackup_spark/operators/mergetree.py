@@ -1160,3 +1160,78 @@ def merge_coalescing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "mergetree_ttl_rollup",
+    oracle="""
+        WITH anchored AS (
+            SELECT event_type, event_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                   date_diff('day', date_trunc('day', ts),
+                       (SELECT date_trunc('day', MAX(ts)) FROM events))
+                       AS age_days
+            FROM events
+        )
+        SELECT 'raw' AS kind, event_type, day,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(1 AS BIGINT) AS n, cents
+        FROM anchored WHERE age_days <= 14
+        UNION ALL
+        SELECT 'rollup' AS kind, event_type, day,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM anchored WHERE age_days > 14
+        GROUP BY event_type, day
+    """,
+    doc="TTL ... GROUP BY tiered rollup (ClickHouse's age-based "
+    "re-aggregation, the sibling of mergetree_ttl_expire's DELETE "
+    "arm): rows younger than 14 days stay RAW at event granularity; "
+    "older rows collapse into per-(type, day) aggregates — the "
+    "hot/cold tiering every long-retention metrics table ships. "
+    "Age is anchored at max(ts) for determinism (same anchor trick "
+    "as ttl_expire); money on the cent grid; the rollup rows carry "
+    "NULL event_id and their (n, cents) sums CAST BIGINT. Plan: one "
+    "scan forks into a filter (raw arm, map-only) and a hash agg "
+    "(rollup arm) unioned back — at 100 TB the rollup arm is the "
+    "usual two-phase agg and the raw arm never shuffles.",
+)
+def mergetree_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("aday"))
+    base = ev.join(F.broadcast(anchor)).select(
+        "event_type",
+        "event_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        F.datediff(F.col("aday"), F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("age_days"),
+    )
+    raw = base.filter(F.col("age_days") <= 14).select(
+        F.lit("raw").alias("kind"),
+        "event_type",
+        "day",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(1).cast("long").alias("n"),
+        "cents",
+    )
+    rolled = (
+        base.filter(F.col("age_days") > 14)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            F.lit("rollup").alias("kind"),
+            "event_type",
+            "day",
+            F.lit(None).cast("long").alias("event_id"),
+            "n",
+            "cents",
+        )
+    )
+    return raw.unionByName(rolled)

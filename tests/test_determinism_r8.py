@@ -46,6 +46,11 @@ R8_KEYS = [
     "array_sort_funcs",
     "sql_nulls_ordering",
     "sql_distinct_on",
+    # batch 6: tiered TTL rollup, drift DQ, export manifests, CIDR rollup
+    "mergetree_ttl_rollup",
+    "dq_histogram_drift",
+    "corpus_shard_manifest",
+    "ip_prefix_rollup",
 ]
 
 

@@ -63,6 +63,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "emb_hard_negatives": 1,     # 5-row query set (label != is the key)
     "corpus_interleave_round_robin": 1,  # 1-row size-vector broadcast
     "emb_centroid_distances": 1,  # |labels|-row centroid pair join
+    "mergetree_ttl_rollup": 2,    # 1-row max-ts anchor, one per arm
+    "dq_histogram_drift": 1,      # 1-row bin-totals broadcast
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

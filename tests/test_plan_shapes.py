@@ -706,6 +706,11 @@ R8_PLAN_BUDGET = {
     "array_sort_funcs": (0, 0, False),        # map-only battery
     "sql_nulls_ordering": (1, 0, False),      # both windows, one exchange
     "sql_distinct_on": (1, 0, False),         # WGL-pruned keep-one rank
+    # batch 6: tiered TTL rollup, drift DQ, export manifests, CIDR rollup
+    "mergetree_ttl_rollup": (1, 0, True),     # 1-row anchor NLJ x both arms
+    "dq_histogram_drift": (2, 0, True),       # bin agg + 1-row totals NLJ
+    "corpus_shard_manifest": (1, 0, False),   # one shard hash agg
+    "ip_prefix_rollup": (2, 0, False),        # union + agg + distinct expand
 }
 
 

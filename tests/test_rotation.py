@@ -76,6 +76,10 @@ DEFERRED: set[str] = {
     "array_sort_funcs",
     "sql_nulls_ordering",
     "sql_distinct_on",
+    "mergetree_ttl_rollup",
+    "dq_histogram_drift",
+    "corpus_shard_manifest",
+    "ip_prefix_rollup",
 }
 
 
