@@ -1419,11 +1419,19 @@ def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / (scale * F.count("val"))
     cent = dims.groupBy("label", "dim").agg(mean.alias("m"))
-    vecs = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))),
-            lambda s: s["m"],
-        ).alias("v")
+    # the centroid table self-joins; materialize the |labels| rows
+    # once or Spark replays the whole posexplode+agg chain (a second
+    # full fact scan) for the broadcast side — the same
+    # multi-consumer lesson as graph_triangle_count's edge set
+    vecs = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     dist = F.sqrt(

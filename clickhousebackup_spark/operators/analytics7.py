@@ -160,12 +160,20 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("x"),
-        dsum(F.col("value")).alias("y"),
+    # the day-cell table self-joins; materialize the |types|x|days|
+    # rows once or both join sides replay the full events scan + agg
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            dsum(F.col("value")).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
     a, b = cells.alias("a"), cells.alias("b")
     ax, bx = F.col("a.x"), F.col("b.x")
@@ -390,29 +398,73 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def week_mode0_col(d):
+    """MySQL/ClickHouse toWeek(d, 0): weeks start Sunday; days before
+    the year's first Sunday are week 0. Pure integer arithmetic."""
+    doy = F.dayofyear(d).cast("long")
+    jan1_dow = (F.dayofweek(F.trunc(d, "year")) - 1).cast("long")
+    offset = (7 - jan1_dow) % 7
+    return F.when(doy - 1 < offset, F.lit(0).cast("long")).otherwise(
+        F.floor((doy - 1 - offset) / 7).cast("long") + 1
+    )
+
+
+def yearweek_mode0_col(d):
+    """MySQL YEARWEEK(d, 0) / ClickHouse toYearWeek(d): never emits
+    week 00 — days before the year's first Sunday belong to the
+    PREVIOUS year's last week (YEARWEEK('2024-01-01') = 202353, not
+    202400). The rollback recomputes mode-0 week for Dec 31 of the
+    prior year (never itself week 0: its doy >= 365 > any offset)."""
+    yr = F.year(d).cast("long")
+    py = (yr - 1).cast("int")
+    p_jan1_dow = (F.dayofweek(F.make_date(py, F.lit(1), F.lit(1))) - 1).cast(
+        "long"
+    )
+    p_offset = (7 - p_jan1_dow) % 7
+    p_dec31_doy = F.dayofyear(F.make_date(py, F.lit(12), F.lit(31))).cast(
+        "long"
+    )
+    p_week = F.floor((p_dec31_doy - 1 - p_offset) / 7).cast("long") + 1
+    wk = week_mode0_col(d)
+    return F.when(wk == 0, (yr - 1) * 100 + p_week).otherwise(
+        yr * 100 + wk
+    )
+
+
 @register(
     "date_week_mode",
     oracle="""
         WITH days AS (
-            SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                   CAST(dayofyear(date_trunc('day', ts)) AS BIGINT) AS doy,
-                   CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow_sun0,
-                   CAST(dayofweek(date_trunc('year', ts)) AS BIGINT) AS jan1_dow,
-                   CAST(isoyear(ts) AS BIGINT) AS iso_year,
-                   CAST(weekofyear(ts) AS BIGINT) AS week_iso,
-                   CAST(year(ts) AS BIGINT) AS yr
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
             FROM events
-        )
-        SELECT day, doy, dow_sun0,
-               CASE WHEN doy - 1 < (7 - jan1_dow) % 7 THEN 0
-                    ELSE (doy - 1 - (7 - jan1_dow) % 7) // 7 + 1 END
-                   AS week_mode0,
-               week_iso, iso_year,
-               yr * 100
-                 + CASE WHEN doy - 1 < (7 - jan1_dow) % 7 THEN 0
+        ), parts AS (
+            SELECT d,
+                   CAST(dayofyear(d) AS BIGINT) AS doy,
+                   CAST(dayofweek(d) AS BIGINT) AS dow_sun0,
+                   CAST(dayofweek(date_trunc('year', d)) AS BIGINT)
+                       AS jan1_dow,
+                   CAST(isoyear(d) AS BIGINT) AS iso_year,
+                   CAST(weekofyear(d) AS BIGINT) AS week_iso,
+                   CAST(year(d) AS BIGINT) AS yr,
+                   CAST(dayofweek(make_date(CAST(year(d) AS INT) - 1, 1, 1))
+                       AS BIGINT) AS p_jan1_dow,
+                   CAST(dayofyear(make_date(CAST(year(d) AS INT) - 1, 12, 31))
+                       AS BIGINT) AS p_dec31_doy
+            FROM days
+        ), weeks AS (
+            SELECT *,
+                   CASE WHEN doy - 1 < (7 - jan1_dow) % 7 THEN 0
                         ELSE (doy - 1 - (7 - jan1_dow) % 7) // 7 + 1 END
-                   AS yearweek_mode0
-        FROM days
+                       AS week_mode0,
+                   (p_dec31_doy - 1 - (7 - p_jan1_dow) % 7) // 7 + 1
+                       AS p_week
+            FROM parts
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, doy, dow_sun0, week_mode0,
+               week_iso, iso_year,
+               CASE WHEN week_mode0 = 0 THEN (yr - 1) * 100 + p_week
+                    ELSE yr * 100 + week_mode0 END AS yearweek_mode0
+        FROM weeks
     """,
     doc="toWeek / toYearWeek mode arithmetic (ClickHouse inherits "
     "MySQL's week modes): mode 0 (weeks start Sunday, days before "
@@ -420,10 +472,15 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day-of-year / day-of-week arithmetic — identical in both "
     "engines once Spark's Sunday=1 dayofweek is normalized to "
     "DuckDB's Sunday=0 — next to the ISO week/isoyear builtins "
-    "(mode 3) both engines share. The fixture's January days "
-    "exercise the week-0 boundary (Jan 1 2024 is a Monday, so days "
-    "1-6 land in week 0). One distinct over the calendar-bounded "
-    "day set; constant-time expressions after that.",
+    "(mode 3) both engines share. toYearWeek NEVER emits week 00: "
+    "week-0 days roll back to the previous year's last week "
+    "(YEARWEEK('2024-01-01') = 202353), which the fixture's Jan 1-6 "
+    "days exercise; the known-value contract is pinned against "
+    "MySQL ground truth in tests/test_determinism_r8.py (both "
+    "engines share this formula, so parity alone could not catch a "
+    "semantic drift — the round-8 review's lesson). One distinct "
+    "over the calendar-bounded day set; constant-time expressions "
+    "after that.",
 )
 def date_week_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct the calendar-bounded day set FIRST (one agg over the
@@ -433,23 +490,14 @@ def date_week_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date(F.date_trunc("day", "ts")).alias("d"))
         .distinct()
     )
-    doy = F.dayofyear("d").cast("long")
-    dow_sun0 = (F.dayofweek("d") - 1).cast("long")
-    jan1_dow = (F.dayofweek(F.trunc("d", "year")) - 1).cast("long")
-    offset = (7 - jan1_dow) % 7
-    week_mode0 = F.when(doy - 1 < offset, F.lit(0).cast("long")).otherwise(
-        F.floor((doy - 1 - offset) / 7).cast("long") + 1
-    )
     return days.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        doy.alias("doy"),
-        dow_sun0.alias("dow_sun0"),
-        week_mode0.alias("week_mode0"),
+        F.dayofyear("d").cast("long").alias("doy"),
+        (F.dayofweek("d") - 1).cast("long").alias("dow_sun0"),
+        week_mode0_col(F.col("d")).alias("week_mode0"),
         F.weekofyear("d").cast("long").alias("week_iso"),
         F.expr("extract(YEAROFWEEK FROM d)").cast("long").alias("iso_year"),
-        (F.year("d").cast("long") * 100 + week_mode0).alias(
-            "yearweek_mode0"
-        ),
+        yearweek_mode0_col(F.col("d")).alias("yearweek_mode0"),
     )
 
 

@@ -1202,7 +1202,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
     w = F.split(F.lower("text"), r"\s+")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.struct(
             F.least(F.element_at(w, i), F.element_at(w, i + 1)).alias("a"),
             F.greatest(F.element_at(w, i), F.element_at(w, i + 1)).alias(
@@ -1215,7 +1215,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once or every consumer replays the corpus gram scan (measured:
     # 13 shuffles → 4).
     edges = (
-        d.select(F.explode(grams).alias("g"))
+        # single-token docs have no bigram edges; without this filter
+        # sequence(1, 0) is DESCENDING [1, 0] (the round-5 trap) and
+        # element_at(w, 2) throws under ANSI on a 1-element array
+        d.filter(F.size(w) >= 2)
+        .select(F.explode(grams).alias("g"))
         .select("g.a", "g.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()

@@ -57,7 +57,7 @@ ALLOW: set[tuple[str, str]] = {
     ("sim_pq_adc_topk", "code3"),
     # corpus truth (round 8): events.value is bounded at 0 on the
     # left, so nothing sits 1.5 IQR below Q1 at any sf; the low-fence
-    # branch is pinned on a crafted series in tests/test_analytics7.py
+    # branch is pinned on a crafted series in tests/test_determinism_r8.py
     ("ts_outliers_tukey", "n_low"),
 }
 

@@ -124,3 +124,65 @@ def test_interleave_handles_unequal_sources(spark):
         4: ("a", 2), 5: ("b", 2),
         6: ("a", 3),
     }
+
+
+def test_yearweek_mode0_matches_mysql_ground_truth(spark):
+    # Both engines share the week formula, so oracle parity alone
+    # cannot catch a semantic drift (the round-8 review's lesson) —
+    # pin known MySQL YEARWEEK(d, 0) / WEEK(d, 0) values instead.
+    # MySQL: YEARWEEK('2024-01-01',0)=202353 (week-0 rollback),
+    # YEARWEEK('2024-01-07',0)=202401 (first Sunday),
+    # YEARWEEK('2023-01-01',0)=202301 (Jan 1 IS a Sunday),
+    # YEARWEEK('2023-12-31',0)=202353 (Sunday starting week 53),
+    # YEARWEEK('2021-01-02',0)=202052 (prev year ends mid-week).
+    from clickhousebackup_spark.operators.analytics7 import (
+        week_mode0_col,
+        yearweek_mode0_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-07",), ("2023-01-01",),
+         ("2023-12-31",), ("2021-01-02",)],
+        "ds string",
+    ).select(
+        "ds",
+        week_mode0_col(F.to_date("ds")).alias("wk"),
+        yearweek_mode0_col(F.to_date("ds")).alias("yw"),
+    )
+    got = {r["ds"]: (r["wk"], r["yw"]) for r in df.collect()}
+    assert got == {
+        "2024-01-01": (0, 202353),
+        "2024-01-07": (1, 202401),
+        "2023-01-01": (1, 202301),
+        "2023-12-31": (53, 202353),
+        "2021-01-02": (0, 202052),
+    }
+
+
+def test_triangle_count_survives_single_token_docs(spark):
+    # sequence(1, 0) is DESCENDING in Spark and element_at(w, 2) on a
+    # 1-element array throws under ANSI — a 1-token doc must not kill
+    # the key (the fixture never has one; a real corpus will).
+    import clickhousebackup_spark.operators.behavior  # noqa: F401
+    from clickhousebackup_spark.registry import get_spec
+    from unittest.mock import patch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha beta gamma"), (3, "beta gamma alpha")],
+        "doc_id long, text string",
+    )
+    with patch(
+        "clickhousebackup_spark.operators.behavior.load_table",
+        return_value=docs,
+    ):
+        rows = {
+            r["word"]: (r["degree"], r["n_triangles"])
+            for r in get_spec("graph_triangle_count").fn(spark, "ignored").collect()
+        }
+    # alpha-beta, beta-gamma, alpha-gamma all co-occur → one triangle
+    assert rows == {
+        "alpha": (2, 1),
+        "beta": (2, 1),
+        "gamma": (2, 1),
+    }

@@ -678,7 +678,8 @@ def test_r6_plan_budgets(spark, sf_dir, key):
 R8_PLAN_BUDGET = {
     # batch 1: analytics7 — CH stats/series parity
     "stats_corr_matrix": (1, 0, False),   # ALL 14 moments, one agg pass
-    "stats_kendall_tau": (3, 1, False),   # day-cell agg + bcast self-join + agg
+    "stats_kendall_tau": (1, 1, False),   # cell table checkpointed once;
+    # the pair join + agg is all the returned plan does
     "ts_outliers_tukey": (2, 1, False),   # rank window + bcast fence join
     "ts_holt_linear": (2, 0, False),      # day-cell agg + per-type fold agg
     "date_week_mode": (1, 0, False),      # calendar distinct, map-side math
@@ -700,9 +701,9 @@ R8_PLAN_BUDGET = {
     "multimodal_patch_budget": (0, 0, False),  # map-only projection
     # batch 5: tz conversion, class geometry, sort battery, dialect pins
     "date_timezone_convert": (0, 0, False),   # map-only tzdb projection
-    "emb_centroid_distances": (4, 0, True),   # explode agg + label agg +
-    # the |labels|-row pair NLJ (a < b); everything after the fact scan
-    # runs on the |labels|x|dims| table
+    "emb_centroid_distances": (0, 0, True),   # centroid table checkpointed
+    # once (the explode+agg runs at build time); the returned plan is
+    # just the |labels|-row pair NLJ (a < b) over checkpointed blocks
     "array_sort_funcs": (0, 0, False),        # map-only battery
     "sql_nulls_ordering": (1, 0, False),      # both windows, one exchange
     "sql_distinct_on": (1, 0, False),         # WGL-pruned keep-one rank

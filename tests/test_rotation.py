@@ -54,8 +54,8 @@ RECHECK: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 8 promoted the entire 48-key round-7 queue into the window,
 #: and the round-8 additions stats_corr_matrix / ts_outliers_tukey
-#: took the 2 spare slots; the other eight round-8 additions queue
-#: here for round 9.
+#: took the 2 spare slots; the other 23 round-8 additions queue here
+#: for round 9 (23 + up to 27 backfill slots next round).
 DEFERRED: set[str] = {
     "stats_kendall_tau",
     "ts_holt_linear",
