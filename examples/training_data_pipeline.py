@@ -70,6 +70,26 @@ def main() -> None:
     packed = q["corpus_pack_sequences"](spark, SF)
     print(f"packed sequences: {packed.count()}")
 
+    # 5b. Round-8 ordering/export stages: stripe sources evenly
+    # through the run, then plan the shard writes
+    inter = q["corpus_interleave_round_robin"](spark, SF)
+    first = inter.orderBy("global_pos").limit(4).collect()
+    print(
+        "interleave head: "
+        + ", ".join(f"#{r['global_pos']} {r['source']}" for r in first)
+    )
+    manifest = q["corpus_shard_manifest"](spark, SF)
+    mrow = manifest.agg(
+        F.max("n_docs").alias("mx"), F.min("n_docs").alias("mn")
+    ).collect()[0]
+    print(
+        f"shard manifest: {manifest.count()} shards, "
+        f"{mrow['mn']}-{mrow['mx']} docs/shard"
+    )
+    budget = q["multimodal_patch_budget"](spark, SF)
+    tok = budget.agg(F.sum("n_tokens").alias("t")).collect()[0]
+    print(f"multimodal token budget: {tok['t']} tokens")
+
     # 6. ANN serving side: PQ codes -> ADC top-k -> MRL dial
     codes = q["emb_pq_codes"](spark, SF)
     print(f"PQ codes: {codes.count()} vectors encoded")
@@ -91,6 +111,17 @@ def main() -> None:
         "MRL overlap@20 by prefix dims: "
         f"8d {avg['overlap20_d8']:.1f}, 16d {avg['overlap20_d16']:.1f}, "
         f"32d {avg['overlap20_d32']:.1f} of 20"
+    )
+
+    # 7. Contrastive-training mining (round 8): hardest wrong-label
+    # neighbors per query, plus the class-geometry audit behind them
+    hard = q["emb_hard_negatives"](spark, SF)
+    print(f"hard negatives: {hard.count()} (top-3 x 5 queries)")
+    sep = q["emb_centroid_distances"](spark, SF)
+    closest = sep.orderBy("dist").limit(1).collect()[0]
+    print(
+        f"closest class pair: labels {closest['label_a']}/"
+        f"{closest['label_b']} at centroid distance {closest['dist']:.3f}"
     )
 
     spark.stop()
