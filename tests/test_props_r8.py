@@ -1,0 +1,260 @@
+"""Independent invariant checks for round-8 operators (SURVEY §5.2.4
+style): recompute expected results with plain pandas/python — a THIRD
+engine besides Spark and DuckDB. This round made the blind spot
+concrete: date_week_mode's first yearweek formula was wrong in BOTH
+engines identically and parity could not see it. Every key below has
+its semantics recomputed from scratch with no SQL at all.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from zoneinfo import ZoneInfo
+
+import pandas as pd
+
+from clickhousebackup_spark.registry import all_specs
+
+SPECS = None
+
+
+def _spec(key):
+    global SPECS
+    if SPECS is None:
+        SPECS = all_specs()
+    return SPECS[key]
+
+
+# -- pure-python MySQL WEEK(d, 0) / YEARWEEK(d, 0) reference --------
+
+
+def _py_week0(d: dt.date) -> int:
+    jan1 = dt.date(d.year, 1, 1)
+    dow_sun0 = (jan1.weekday() + 1) % 7  # Monday=0 -> Sunday=0 grid
+    offset = (7 - dow_sun0) % 7
+    doy = d.timetuple().tm_yday
+    return 0 if doy - 1 < offset else (doy - 1 - offset) // 7 + 1
+
+
+def _py_yearweek0(d: dt.date) -> int:
+    wk = _py_week0(d)
+    if wk > 0:
+        return d.year * 100 + wk
+    prev = dt.date(d.year - 1, 12, 31)
+    return prev.year * 100 + _py_week0(prev)
+
+
+def test_week_mode0_matches_python_reference_across_years(spark):
+    """Sweep 1990-2030 every 11 days (covers leap years and Jan 1 on
+    every weekday) and compare the Spark column builders against the
+    datetime reference — the third engine for the week arithmetic."""
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.operators.analytics7 import (
+        week_mode0_col,
+        yearweek_mode0_col,
+    )
+
+    dates = []
+    d = dt.date(1990, 1, 1)
+    while d <= dt.date(2030, 12, 31):
+        dates.append(d)
+        d += dt.timedelta(days=11)
+    # force every January 1st in range too (the week-0 hot spot)
+    dates += [dt.date(y, 1, 1) for y in range(1990, 2031)]
+    df = spark.createDataFrame(
+        [(x.isoformat(),) for x in dates], "ds string"
+    ).select(
+        "ds",
+        week_mode0_col(F.to_date("ds")).alias("wk"),
+        yearweek_mode0_col(F.to_date("ds")).alias("yw"),
+    )
+    for r in df.collect():
+        d = dt.date.fromisoformat(r["ds"])
+        assert r["wk"] == _py_week0(d), d
+        assert r["yw"] == _py_yearweek0(d), d
+        assert r["yw"] % 100 != 0 or r["yw"] == 0  # never week 00
+
+
+def test_interleave_is_dense_and_matches_python_sort(spark, sf_dir):
+    """global_pos must be exactly the 1-based rank under the python
+    sort by (rank_in_source, source) — and a dense permutation."""
+    pdf = _spec("corpus_interleave_round_robin").fn(spark, sf_dir).toPandas()
+    assert sorted(pdf.global_pos) == list(range(1, len(pdf) + 1))
+    expected = (
+        pdf.sort_values(["rank_in_source", "source", "doc_id"])
+        .reset_index(drop=True)
+        .assign(exp_pos=lambda x: x.index + 1)
+    )
+    assert (expected.global_pos == expected.exp_pos).all()
+
+
+def test_tukey_matches_python_interpolation(spark, sf_dir):
+    """Q1/Q3/fences/counts recomputed with a plain sorted-list
+    interpolation per series."""
+    out = {
+        r["event_type"]: r
+        for r in _spec("ts_outliers_tukey").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    for etype, grp in ev.groupby("event_type"):
+        vals = sorted(grp.value)
+        n = len(vals)
+
+        def q(p):
+            pos = (n - 1) * p
+            lo, g = int(math.floor(pos)), pos - math.floor(pos)
+            hi = min(lo + 1, n - 1)
+            return vals[lo] + g * (vals[hi] - vals[lo])
+
+        q1, q3 = q(0.25), q(0.75)
+        lo_f, hi_f = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        row = out[etype]
+        assert row["n"] == n
+        assert abs(row["q1"] - q1) < 1e-9 and abs(row["q3"] - q3) < 1e-9
+        assert row["n_low"] == int((grp.value < lo_f).sum())
+        assert row["n_high"] == int((grp.value > hi_f).sum())
+
+
+def test_kendall_matches_python_pair_count(spark, sf_dir):
+    """C/D/tau recomputed with the O(days^2) python double loop over
+    pandas day cells."""
+    out = {
+        r["event_type"]: r
+        for r in _spec("stats_kendall_tau").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    for etype, grp in ev.groupby("event_type"):
+        cells = grp.groupby("day").agg(
+            x=("event_id", "size"), y=("value", "sum")
+        )
+        xs, ys = list(cells.x), list(cells.y)
+        n = len(xs)
+        c = d = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+                sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+                if sx == 0:
+                    tx += 1
+                if sy == 0:
+                    ty += 1
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+        row = out[etype]
+        n0 = n * (n - 1) // 2
+        assert row["n_pairs"] == n0
+        assert row["concordant"] == c and row["discordant"] == d
+        tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        # y-sums differ in the last ulp between pandas' fold and the
+        # engines' exact decimal sums, which can flip a tie — allow
+        # the tiny resulting slack on tau only
+        assert abs(row["tau_b"] - tau) < 1e-6, etype
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    """Level/trend recomputed with an explicit python recursion over
+    the day-mean series (pandas means are float-close, not exact —
+    1e-9 slack)."""
+    out = {
+        r["event_type"]: r
+        for r in _spec("ts_holt_linear").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    for etype, grp in ev.groupby("event_type"):
+        series = grp.groupby("day").value.mean().sort_index()
+        ys = list(series)
+        lvl, b = ys[0], 0.0
+        for y in ys[1:]:
+            new_l = 0.5 * y + 0.5 * (lvl + b)
+            b = 0.3 * (new_l - lvl) + 0.7 * b
+            lvl = new_l
+        row = out[etype]
+        assert row["n_days"] == len(ys)
+        assert abs(row["level"] - lvl) < 1e-9
+        assert abs(row["trend"] - b) < 1e-9
+        assert abs(row["forecast_next"] - (lvl + b)) < 1e-9
+
+
+def test_timezone_walls_match_zoneinfo(spark, sf_dir):
+    """ny/tokyo walls recomputed through the REAL python tzdb
+    (zoneinfo) — a third tz implementation next to Spark's JVM tzdb
+    and the oracle's pinned January offsets."""
+    rows = _spec("date_timezone_convert").fn(spark, sf_dir).limit(200).collect()
+    utc, ny, tk = (
+        ZoneInfo("UTC"),
+        ZoneInfo("America/New_York"),
+        ZoneInfo("Asia/Tokyo"),
+    )
+    for r in rows:
+        t = dt.datetime.strptime(r["utc_wall"], "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=utc
+        )
+        assert r["ny_wall"] == t.astimezone(ny).strftime("%Y-%m-%d %H:%M:%S")
+        assert r["tokyo_wall"] == t.astimezone(tk).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        assert r["ny_hour"] == t.astimezone(ny).hour
+        assert r["tokyo_next_day"] == int(
+            t.astimezone(tk).date() != t.date()
+        )
+
+
+def test_coalescing_matches_pandas_last_valid(spark, sf_dir):
+    """Per-column last-non-null recomputed with pandas last_valid_index
+    over the version order."""
+    out = {
+        (r["user_id"], r["event_type"]): r
+        for r in _spec("merge_coalescing_final").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("event_id")
+    ev["sparse_cents"] = (ev.value * 100.0).apply(math.floor).astype("Int64")
+    ev.loc[ev.event_id % 3 == 0, "sparse_cents"] = pd.NA
+    ev["sparse_props"] = ev.props
+    ev.loc[ev.event_id % 4 == 0, "sparse_props"] = None
+    for (uid, etype), grp in ev.groupby(["user_id", "event_type"]):
+        row = out[(uid, etype)]
+        assert row["last_event_id"] == int(grp.event_id.max())
+        cents = grp.sparse_cents.dropna()
+        props = grp.sparse_props.dropna()
+        assert row["latest_cents"] == (
+            int(cents.iloc[-1]) if len(cents) else None
+        )
+        assert row["latest_props"] == (
+            props.iloc[-1] if len(props) else None
+        )
+
+
+def test_corr_matrix_matches_pandas(spark, sf_dir):
+    """Pearson r recomputed by pandas .corr() — float-close, 1e-9."""
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in _spec("stats_corr_matrix").fn(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for (a, b), got in out.items():
+        assert abs(got - li[a].corr(li[b])) < 1e-9, (a, b)
+
+
+def test_patch_budget_matches_python_arithmetic(spark, sf_dir):
+    """Token budgets recomputed with plain integer python."""
+    rows = _spec("multimodal_patch_budget").fn(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index(
+        "doc_id"
+    )
+    for r in rows:
+        doc_id, nb = r["doc_id"], len(docs.loc[r["doc_id"]].text.encode())
+        assert r["n_bytes"] == nb
+        if r["media_type"] == "image/png":
+            w, h = 224 + (doc_id % 5) * 32, 224 + (doc_id % 7) * 16
+            exp = -(-w // 14) * -(-h // 14)
+        elif r["media_type"] == "audio/wav":
+            exp = -(-(nb * 4) // 80)
+        else:
+            exp = (1 + doc_id % 8) * 256
+        assert r["n_tokens"] == exp, doc_id
