@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
@@ -665,4 +665,96 @@ def multimodal_patch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_frames * 256)
         .cast("long")
         .alias("n_tokens"),
+    )
+
+
+@register(
+    "multimodal_interleaved_layout",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, i AS pos,
+                   CASE WHEN (doc_id * 31 + i) % 11 = 0 THEN 1 ELSE 0 END
+                       AS is_img
+            FROM (SELECT doc_id,
+                         len(string_split_regex(lower(text), '\\s+')) AS n
+                  FROM documents),
+                 unnest(generate_series(1, n)) AS t(i)
+        ), flagged AS (
+            SELECT doc_id, pos, is_img,
+                   CASE WHEN is_img = 1
+                          OR COALESCE(LAG(is_img) OVER (
+                              PARTITION BY doc_id ORDER BY pos), 0) = 1
+                        THEN 1 ELSE 0 END AS boundary
+            FROM words
+        ), seg AS (
+            SELECT doc_id, pos, is_img,
+                   CAST(SUM(boundary) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS segid
+            FROM flagged
+        )
+        SELECT doc_id, segid,
+               CASE WHEN MAX(is_img) = 1 THEN 'image' ELSE 'text' END
+                   AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN MAX(is_img) = 1
+                    THEN doc_id * 10000 + MIN(pos) END AS BIGINT) AS ref_id
+        FROM seg GROUP BY doc_id, segid
+    """,
+    doc="Interleaved multimodal document layout — the OBELICS-style "
+    "prep that turns a doc into an ordered sequence of text spans "
+    "and image slots for VLM training: token positions where an "
+    "image ref sits (synthesized deterministically at (doc_id*31 + "
+    "pos) % 11 = 0 — the schema a real ingest carries) break the "
+    "doc into segments; each segment row is (doc_id, segid, kind, "
+    "n_tokens, ref_id). Segment ids come from the classic "
+    "enter-or-leave cumsum (a new segment starts AT an image and "
+    "right AFTER one), so images are singleton segments and "
+    "consecutive text coalesces — one per-doc window over the "
+    "position explode, a single doc_id exchange at any scale. "
+    "ref_id joins back to the payload table (multimodal_join / "
+    "multimodal_payload_export carry the blobs).",
+)
+def multimodal_interleaved_layout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when((F.col("doc_id") * 31 + F.col("pos0") + 1) % 11 == 0, 1)
+        .otherwise(0)
+        .alias("is_img"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = words.withColumn(
+        "segid",
+        F.sum(
+            F.when(
+                (F.col("is_img") == 1)
+                | (F.coalesce(F.lag("is_img").over(w), F.lit(0)) == 1),
+                1,
+            ).otherwise(0)
+        )
+        .over(run)
+        .cast("long"),
+    )
+    return seg.groupBy("doc_id", "segid").agg(
+        F.when(F.max("is_img") == 1, "image")
+        .otherwise("text")
+        .alias("kind"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.when(
+            F.max("is_img") == 1,
+            F.col("doc_id") * 10000 + F.min("pos"),
+        )
+        .cast("long")
+        .alias("ref_id"),
     )

@@ -849,3 +849,36 @@ def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_b.alias("share_b_pm"),
         F.abs(share_a - share_b).cast("long").alias("gap_pm"),
     )
+
+
+@register(
+    "sql_lateral_alias",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+               cents // 100 AS dollars,
+               dollars // 1000 AS kilo,
+               CASE WHEN kilo >= 100 THEN 'big' ELSE 'small' END AS band
+        FROM orders
+    """,
+    doc="Lateral column aliases (Spark 3.4+/DuckDB/ClickHouse all "
+    "resolve a SELECT-list alias inside later items of the same "
+    "SELECT): a 3-deep alias chain (cents -> dollars -> kilo -> "
+    "band) both engines run as the same text — no subquery "
+    "nesting, proving the resolution order matches. Integer "
+    "division only (`//` / DIV); map-only projection at any scale.",
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_la_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0) AS LONG) AS cents,
+               cents DIV 100 AS dollars,
+               dollars DIV 1000 AS kilo,
+               CASE WHEN kilo >= 100 THEN 'big' ELSE 'small' END AS band
+        FROM orders_la_v
+        """
+    )

@@ -11,7 +11,7 @@ map-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import osum
@@ -248,4 +248,86 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_ord"))
         .alias("current_orderkey"),
         F.col("i_key").isNotNull().alias("was_updated"),
+    )
+
+
+@register(
+    "sample_bottom_k",
+    oracle="""
+        SELECT doc_id, source, hkey
+        FROM (
+            SELECT doc_id, source,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hkey,
+                   ROW_NUMBER() OVER (
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+                                doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 40
+    """,
+    doc="Bottom-k uniform sample: the k rows with the SMALLEST md5 "
+    "key — the distributed/streaming-safe way to draw a uniform "
+    "fixed-size sample (order statistics on a hash are "
+    "merge-able: union two bottom-k sets and re-take bottom-k; a "
+    "classic reservoir is insertion-ORDER dependent and therefore "
+    "nondeterministic on a cluster). Complements "
+    "sample_systematic (key-residue rate sample) and "
+    "sample_stratified (per-stratum rate): bottom-k fixes the "
+    "SIZE, not the rate. Spark plan: TakeOrderedAndProject — no "
+    "global sort, each partition keeps its local bottom-k and the "
+    "driver merges k-sized heaps; (hkey, doc_id) total order.",
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16)
+    return (
+        d.select("doc_id", "source", hkey.alias("hkey"))
+        .orderBy("hkey", "doc_id")
+        .limit(40)
+    )
+
+
+@register(
+    "agg_histogram_equi_depth",
+    oracle="""
+        WITH ranked AS (
+            SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+                   ntile(8) OVER (
+                       ORDER BY floor(l_extendedprice * 100.0),
+                                l_orderkey, l_linenumber) AS bucket
+            FROM lineitem
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(MIN(cents) AS BIGINT) AS lo_cents,
+               CAST(MAX(cents) AS BIGINT) AS hi_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ranked GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (the statistics shape cost-based "
+    "optimizers and ClickHouse's quantile-based stats collect; "
+    "agg_histogram is the equi-WIDTH sibling, dq_histogram_drift "
+    "the fixed-bin one): ntile(8) over the cent-grid total order "
+    "puts an equal row count (+/-1) in every bucket, then min/max "
+    "give the variable bucket boundaries. Deterministic because "
+    "ntile rides a (cents, orderkey, linenumber) TOTAL order; all "
+    "outputs integer. The global ntile is a single-partition "
+    "window — correct for stats collection over an AGGREGATED "
+    "sample at scale; for raw 100 TB input you'd bottom-k-sample "
+    "first (sample_bottom_k) or use approx_percentile boundaries "
+    "(agg_percentile_approx is that key).",
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
+    w = Window.orderBy(
+        F.floor(F.col("l_extendedprice") * 100.0),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = li.select(
+        cents.alias("cents"), F.ntile(8).over(w).alias("bucket")
+    )
+    return ranked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )

@@ -51,6 +51,11 @@ R8_KEYS = [
     "dq_histogram_drift",
     "corpus_shard_manifest",
     "ip_prefix_rollup",
+    # batch 7: bottom-k sampling, CBO stats, lateral aliases, VLM layout
+    "sample_bottom_k",
+    "agg_histogram_equi_depth",
+    "sql_lateral_alias",
+    "multimodal_interleaved_layout",
 ]
 
 

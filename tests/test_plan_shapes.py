@@ -712,7 +712,23 @@ R8_PLAN_BUDGET = {
     "dq_histogram_drift": (2, 0, True),       # bin agg + 1-row totals NLJ
     "corpus_shard_manifest": (1, 0, False),   # one shard hash agg
     "ip_prefix_rollup": (2, 0, False),        # union + agg + distinct expand
+    # batch 7: bottom-k sampling, CBO stats, lateral aliases, VLM layout
+    "sample_bottom_k": (0, 0, False),         # TakeOrderedAndProject (asserted
+    # below), never a global sort
+    "agg_histogram_equi_depth": (1, 0, False),  # the one global-ntile exchange
+    # (stats collection runs on a sample/aggregate at scale; see doc)
+    "sql_lateral_alias": (0, 0, False),       # map-only alias chain
+    "multimodal_interleaved_layout": (1, 0, False),  # one doc_id window
+    # exchange; explode + segment cumsum + rollup all share it
 }
+
+
+def test_bottom_k_sample_is_take_ordered(spark, sf_dir):
+    # the whole point of bottom-k: per-partition heaps + driver merge,
+    # never a global sort of the corpus
+    plan = inspect.physical_plan(SPECS["sample_bottom_k"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 @pytest.mark.parametrize("key", sorted(R8_PLAN_BUDGET))

@@ -80,6 +80,10 @@ DEFERRED: set[str] = {
     "dq_histogram_drift",
     "corpus_shard_manifest",
     "ip_prefix_rollup",
+    "sample_bottom_k",
+    "agg_histogram_equi_depth",
+    "sql_lateral_alias",
+    "multimodal_interleaved_layout",
 }
 
 
