@@ -334,7 +334,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
                CAST(1 AS BIGINT) AS within_2pct,
-               CAST(1 AS BIGINT) AS merge_invariant
+               CAST(1 AS BIGINT) AS direct_within_2pct
         FROM events GROUP BY event_type
     """,
     doc="uniqMerge analog — mergeable HLL sketch states (Apache "
@@ -347,12 +347,17 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB. Hash-checkable (r5): the checked columns are the exact "
     "distinct count plus two sketch-quality flags the oracle pins to "
     "1 — within_2pct (merged estimate within 2% of exact) and "
-    "merge_invariant (sharded-merge estimate == direct unsharded "
-    "estimate, the DataSketches merge-invariance law). The raw "
-    "estimate itself is engine-specific so it stays out of the "
-    "hashed surface; the flags FAIL the hash if the sketch ever "
-    "degrades, which is strictly stronger than the old rows-only "
-    "check.",
+    "direct_within_2pct (direct unsharded estimate within 2% of "
+    "exact). BOTH flags anchor on the deterministic exact count, "
+    "never on each other: hll_sketch_agg is itself a two-phase "
+    "aggregate, so even the 'direct' sketch is a union of "
+    "partition-local sketches and its estimate moves a few counts "
+    "with partition layout — the round-8 sf0.1 exact sweep caught "
+    "the original merged==direct equality flag flipping once dense-"
+    "mode sketches made estimates layout-sensitive (sparse-mode "
+    "sf0.01 sketches matched exactly, hiding it). The raw estimate "
+    "stays out of the hashed surface; the flags FAIL the hash if "
+    "the sketch ever degrades past its error contract.",
 )
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -383,10 +388,14 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .cast("long")
             .alias("within_2pct"),
-            F.when(F.col("uniq_est") == F.col("uniq_direct"), 1)
+            F.when(
+                F.abs(F.col("uniq_direct") - F.col("uniq_exact"))
+                <= F.col("uniq_exact") * F.lit(0.02),
+                1,
+            )
             .otherwise(0)
             .cast("long")
-            .alias("merge_invariant"),
+            .alias("direct_within_2pct"),
         )
     )
 

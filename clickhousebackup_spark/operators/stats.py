@@ -80,9 +80,10 @@ _FLOOR_SUM_SQL = (
             FROM r GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n,
-               ((n * sxy) - (sx * sy))
+               CAST(CAST(((n * sxy) - (sx * sy))
                    / (sqrt((n * sxx) - (sx * sx))
-                      * sqrt((n * syy) - (sy * sy))) AS spearman_rho
+                      * sqrt((n * syy) - (sy * sy)))
+                   AS DECIMAL(20,12)) AS DOUBLE) AS spearman_rho
         FROM m
     """,
     doc="Spearman rank correlation (ClickHouse rankCorr) between "
@@ -92,7 +93,11 @@ _FLOOR_SUM_SQL = (
     "two per-group windows; ranks and their products are exact "
     "multiples of 0.25, so the decimal moment sums are EXACT (no "
     "rounding boundary exists, unlike general computed doubles). "
-    "Then Pearson on the ranks from five mergeable moment sums. "
+    "Then Pearson on the ranks from five mergeable moment sums, "
+    "through the DECIMAL(20,12) bridge: at sf0.1 the n*sxx products "
+    "reach ~5e16 and the engines' FMA grouping flips the last ulp "
+    "(the agg_corr lesson; invisible at sf0.01 magnitudes — caught "
+    "by the round-8 sf0.1 exact sweep). "
     "Windows partition by event_type (a sort per group, distributed "
     "across groups); the agg is one two-phase shuffle.",
 )
@@ -135,7 +140,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt((n * sxx) - (sx * sx))
                 * F.sqrt((n * syy) - (sy * sy))
             )
-        ).alias("spearman_rho"),
+        )
+        .cast("decimal(20,12)")
+        .cast("double")
+        .alias("spearman_rho"),
     )
 
 

@@ -202,6 +202,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_histogram_equi_depth",
     "sql_lateral_alias",
     "multimodal_interleaved_layout",
+    # re-enter after the round-8 sf0.1 exact sweep staled their rows
+    # (see tests/test_rotation.py RECHECK)
+    "agg_hll_merge",
+    "stats_spearman",
 )
 
 

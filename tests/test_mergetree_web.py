@@ -166,14 +166,16 @@ def test_sum_map_parallel_arrays_align(spark, sf_dir):
 
 
 def test_hll_merge_invariant_and_accurate(spark, sf_dir):
-    """uniqMerge contract: merging shard sketches must equal the
-    direct (unsharded) sketch estimate, and land within 2% of exact
-    for every group."""
+    """uniqMerge contract: the merged shard sketches AND the direct
+    (unsharded) sketch must each land within 2% of exact for every
+    group. (Round 8: the old merged==direct equality is NOT a real
+    DataSketches contract — estimates are partition-layout-sensitive
+    in dense mode; both flags anchor on exact now.)"""
     from clickhousebackup_spark.operators.mergetree import agg_hll_merge
 
     out = {r["event_type"]: r.asDict() for r in agg_hll_merge(spark, sf_dir).collect()}
     assert all(r["within_2pct"] == 1 for r in out.values())
-    assert all(r["merge_invariant"] == 1 for r in out.values())
+    assert all(r["direct_within_2pct"] == 1 for r in out.values())
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     exact = {

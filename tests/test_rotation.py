@@ -47,6 +47,13 @@ RECHECK: set[str] = {
     # (suite-wide n_violations = 0); a sixth deliberately strict
     # warn-severity check now pins a non-zero count, staling the row.
     "dq_expectations",
+    # round-8 sf0.1 exact sweep: agg_hll_merge's merged==direct
+    # equality flag was not a real DataSketches contract (layout-
+    # sensitive dense-mode estimates) — flags re-anchored on exact;
+    # stats_spearman's rho crossed the DECIMAL(20,12) bridge (FMA
+    # ulp flip at sf0.1 magnitudes). Both green rows predate this.
+    "agg_hll_merge",
+    "stats_spearman",
 }
 
 #: Keys that require a slot but are consciously pushed past position
@@ -84,6 +91,8 @@ DEFERRED: set[str] = {
     "agg_histogram_equi_depth",
     "sql_lateral_alias",
     "multimodal_interleaved_layout",
+    "agg_hll_merge",
+    "stats_spearman",
 }
 
 
