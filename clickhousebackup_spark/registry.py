@@ -105,76 +105,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 7 (union of CORRECTNESS_r01-r07): 340 keys have green
-#: driver rows at their latest check (CORRECTNESS_r07 was 50/50 full
-#: pass). The round-8 window below is the 48-key queue pinned at
-#: positions 51+ last round: 44 round-7 additions with no driver row
-#: yet (source_numbers_range leads, deferred twice) plus the 4 keys
-#: whose green rows went stale after the round-7 degeneracy-audit
-#: fixes (str_multisearch, stats_proportions_ztest, bitmap_set_ops,
-#: dq_expectations) — then the 2 round-8 additions that took the
-#: spare slots (stats_corr_matrix, ts_outliers_tukey): 50 slots used.
+#: after round 8 (union of CORRECTNESS_r01-r08): 372 keys carry green
+#: driver rows at their latest check (CORRECTNESS_r08 was 50/50 full
+#: pass). The round-9 window below is the 29-key queue pinned at
+#: positions 51+ last round: the 27 round-8 additions with no driver
+#: row yet, plus the 2 keys whose green rows (r5) went stale after the
+#: round-8 sf0.1 exact-sweep fixes (agg_hll_merge exact-anchored HLL
+#: flags; stats_spearman DECIMAL(20,12) bridge). 21 spare slots remain
+#: for round-9 additions — append them directly after the queue.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-8 window: the 48-key queue from round 7, in order --
-    "source_numbers_range",
-    "multimodal_payload_export",
-    "ts_ohlc_bars",
-    "ts_vwap",
-    "user_churn_flags",
-    "attribution_last_touch",
-    "sequence_match_timed",
-    "limit_by_offset",
-    "stats_wilson_ci",
-    "stats_cohens_d",
-    "sql_pipe_syntax",
-    "sql_parameterized",
-    "func_try_arith",
-    "json_variant_ops",
-    "join_hint_merge",
-    "scan_observed_metrics",
-    "scan_json_malformed",
-    "sink_partitioned_overwrite",
-    "scan_recursive_glob",
-    "sink_parquet_codecs",
-    "stream_stateful_totals",
-    "join_lateral_topn",
-    "sql_group_order_by_all",
-    "sql_qualify_topk",
-    "sql_select_modifiers",
-    "agg_filter_where",
-    "orderby_with_fill",
-    "corpus_global_shuffle",
-    "text_ngram_novelty",
-    "corpus_upsample_repeat",
-    "scan_text_lines",
-    "scan_binary_files",
-    "scan_xml_source",
-    "sim_pq_adc_topk",
-    "backup_dedup_savings",
-    "quantile_exact_weighted_grid",
-    "win_first_last_ignore_nulls",
-    "agg_combinators_array",
-    "sql_recursive_cte",
-    "win_range_interval_frame",
-    "func_datetime64_precision",
-    "str_multisearch",
-    "stats_proportions_ztest",
-    "bitmap_set_ops",
-    "dq_expectations",
-    "dedup_minhash_estimate_vs_truth",
-    "emb_mrl_overlap_curve",
-    "text_dedup_span_removal",
-    # -- round-8 additions filling the 2 spare window slots (49-50) --
-    "stats_corr_matrix",
-    "ts_outliers_tukey",
-    # -- positions 51+: round-9 window head — the remaining round-8
-    # additions, in registration order (tests/test_rotation.py
-    # DEFERRED pins them just past the window).
+    # -- round-9 window: the 29-key queue from round 8, in order --
     "stats_kendall_tau",
     "ts_holt_linear",
     "date_week_mode",
@@ -206,6 +151,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # (see tests/test_rotation.py RECHECK)
     "agg_hll_merge",
     "stats_spearman",
+    # -- round-9 additions fill the remaining window slots (30-50) --
 )
 
 

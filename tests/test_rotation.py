@@ -30,28 +30,17 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 
 #: Keys whose semantics changed AFTER their latest green driver row
 #: (so that row is stale and they must re-enter the window).
-#: dedup_embedding_cosine / part_trigram_search got post-fix green
-#: rows in CORRECTNESS_r07 and left this set.
+#: The four round-7 degeneracy-audit keys (str_multisearch,
+#: stats_proportions_ztest, bitmap_set_ops, dq_expectations) got
+#: post-fix green rows in CORRECTNESS_r08 and left this set.
 RECHECK: set[str] = {
-    # round-7 degeneracy audit: needles green/steel/tomato matched no
-    # fixture part name (all positions 0 — vacuous evidence); needles
-    # changed to red/gizmo/bolt, so the r6 green row is stale.
-    "str_multisearch",
-    # same audit: every user converted in both A/B arms (pooled
-    # variance 0 → z expression never exercised) and every user was
-    # in both bitmap sets (XOR structurally 0); both now run on
-    # deterministic qualifying subsets, staling their green rows.
-    "stats_proportions_ztest",
-    "bitmap_set_ops",
-    # same audit: all five expectations passed on the clean fixture
-    # (suite-wide n_violations = 0); a sixth deliberately strict
-    # warn-severity check now pins a non-zero count, staling the row.
-    "dq_expectations",
     # round-8 sf0.1 exact sweep: agg_hll_merge's merged==direct
     # equality flag was not a real DataSketches contract (layout-
     # sensitive dense-mode estimates) — flags re-anchored on exact;
     # stats_spearman's rho crossed the DECIMAL(20,12) bridge (FMA
-    # ulp flip at sf0.1 magnitudes). Both green rows predate this.
+    # ulp flip at sf0.1 magnitudes). Both r5 green rows predate this;
+    # both sit in the round-9 window and leave this set once
+    # CORRECTNESS_r09 lands green.
     "agg_hll_merge",
     "stats_spearman",
 }
@@ -59,41 +48,10 @@ RECHECK: set[str] = {
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 8 promoted the entire 48-key round-7 queue into the window,
-#: and the round-8 additions stats_corr_matrix / ts_outliers_tukey
-#: took the 2 spare slots; the other 23 round-8 additions queue here
-#: for round 9 (23 + up to 27 backfill slots next round).
-DEFERRED: set[str] = {
-    "stats_kendall_tau",
-    "ts_holt_linear",
-    "date_week_mode",
-    "sql_unpivot_syntax",
-    "sql_named_window",
-    "sql_values_inline",
-    "emb_hard_negatives",
-    "corpus_interleave_round_robin",
-    "merge_coalescing_final",
-    "array_search_funcs",
-    "ts_cumsum_reset",
-    "graph_triangle_count",
-    "scan_file_metadata",
-    "multimodal_patch_budget",
-    "date_timezone_convert",
-    "emb_centroid_distances",
-    "array_sort_funcs",
-    "sql_nulls_ordering",
-    "sql_distinct_on",
-    "mergetree_ttl_rollup",
-    "dq_histogram_drift",
-    "corpus_shard_manifest",
-    "ip_prefix_rollup",
-    "sample_bottom_k",
-    "agg_histogram_equi_depth",
-    "sql_lateral_alias",
-    "multimodal_interleaved_layout",
-    "agg_hll_merge",
-    "stats_spearman",
-}
+#: Round 9 promoted the entire 29-key round-8 queue into the window
+#: (27 additions + the 2 RECHECK re-entries), leaving 21 spare slots
+#: for round-9 additions; nothing is deferred.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
