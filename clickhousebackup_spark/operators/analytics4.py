@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clickhousebackup_spark.operators.distrank import global_order_scan
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -70,12 +71,12 @@ from clickhousebackup_spark.tables import load_table
     "cumsum of negatives below each score, then "
     "sum(p·(2·neg_below + n_at)) — an INTEGER numerator; the only "
     "float op is the final division, identical in both engines. The "
-    "window runs over the score VOCABULARY (distinct values), not "
-    "rows — the same state arrayAUC's sorted pair array holds. Two "
-    "shuffles (histogram + single-partition vocab window); at 100 TB "
-    "the vocabulary window is the bounded tail, and a banded "
-    "two-pass rank (sort_multi's shape) swaps in without changing "
-    "the checked output.",
+    "cumulative negatives-below-score prefix comes from the two-pass "
+    "distributed prefix sum (distrank.global_order_scan — range-"
+    "partition on score, local running sum, broadcast partition "
+    "offsets), because a continuous score column makes the 'distinct "
+    "values' histogram effectively row-scale (66% distinct in the "
+    "fixture) — no single-partition window anywhere in the plan.",
 )
 def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
@@ -87,11 +88,12 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("p_at"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("n_at"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    c = d.select(
+    c = global_order_scan(
+        d, (F.col("value"),), cumsum={"cum_n": F.col("n_at")}
+    ).select(
         "p_at",
         "n_at",
-        F.coalesce(F.sum("n_at").over(w), F.lit(0)).alias("neg_below"),
+        (F.col("cum_n") - F.col("n_at")).alias("neg_below"),
     )
     num2 = F.sum(
         F.col("p_at") * (F.lit(2) * F.col("neg_below") + F.col("n_at"))
@@ -140,9 +142,13 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D = max |ECDF1 - ECDF2| evaluated at the pooled distinct "
     "values; clearing denominators gives the INTEGER numerator "
     "max|cum1·n2 - cum2·n1| — every checked value except the final "
-    "division is exact integer arithmetic. Same bounded shape as "
-    "stats_roc_auc: one histogram shuffle, one vocabulary-sized "
-    "cumulative window, one final agg.",
+    "division is exact integer arithmetic. Same distributed shape as "
+    "stats_roc_auc: one histogram shuffle, then BOTH running ECDFs "
+    "and both sample totals come from one two-pass distributed "
+    "prefix scan (distrank.global_order_scan — the totals ride the "
+    "tiny per-partition summary table, no Window.partitionBy() "
+    "global-sum and no single-partition window over the score "
+    "histogram, which is row-scale for continuous scores).",
 )
 def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
@@ -154,16 +160,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
     )
-    w_cum = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    c = d.select(
-        F.sum("c1").over(w_cum).alias("cum1"),
-        F.sum("c2").over(w_cum).alias("cum2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    )
+    c = global_order_scan(
+        d,
+        (F.col("value"),),
+        cumsum={"cum1": F.col("c1"), "cum2": F.col("c2")},
+        totals={"n1": F.col("c1"), "n2": F.col("c2")},
+    ).select("cum1", "cum2", "n1", "n2")
     gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     return c.agg(
         F.max("n1").cast("long").alias("n_click"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import DEC, dsum
+from clickhousebackup_spark.operators.distrank import global_order_scan, ntile_from_pos
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
@@ -573,13 +574,14 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM customer segmentation: per-customer recency (last order "
     "date), frequency (order count), monetary (decimal-exact spend), "
-    "each cut into quartiles with ntile(4) under a total order "
-    "(custkey tiebreak — ntile is rank-dependent, so the tiebreak is "
-    "what makes quartile labels deterministic). One hash agg, then "
-    "three global ntile windows over the CUSTOMER-grain table (small "
-    "relative to orders); at larger scale the exact ntile swaps for "
-    "percentile_approx thresholds broadcast back — same output "
-    "contract, no global sort.",
+    "each cut into exact quartiles under a total order (custkey "
+    "tiebreak — quartile labels are rank-dependent, so the tiebreak "
+    "is what makes them deterministic). One hash agg, then THREE "
+    "two-pass distributed ranks (distrank.global_order_scan, one per "
+    "metric — range shuffles of the customer-grain table, never a "
+    "single-partition window) and NTILE(4) in closed form from "
+    "global position + total count (distrank.ntile_from_pos). "
+    "Identical output to the global-ntile formulation at any scale.",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -588,21 +590,27 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
     )
-    def quart(col: str) -> F.Column:
-        return (
-            F.ntile(4)
-            .over(Window.orderBy(F.col(col), F.col("o_custkey")))
-            .cast("long")
-        )
-
-    return base.select(
+    s = global_order_scan(
+        base,
+        (F.col("last_order"), F.col("o_custkey")),
+        pos="_rp",
+        totals={"_n": F.lit(1)},
+    )
+    s = global_order_scan(
+        s, (F.col("frequency"), F.col("o_custkey")), pos="_fp"
+    )
+    s = global_order_scan(
+        s, (F.col("monetary"), F.col("o_custkey")), pos="_mp"
+    )
+    n = F.col("_n")
+    return s.select(
         "o_custkey",
         "last_order",
         "frequency",
         "monetary",
-        quart("last_order").alias("r_quartile"),
-        quart("frequency").alias("f_quartile"),
-        quart("monetary").alias("m_quartile"),
+        ntile_from_pos(F.col("_rp"), n, 4).alias("r_quartile"),
+        ntile_from_pos(F.col("_fp"), n, 4).alias("f_quartile"),
+        ntile_from_pos(F.col("_mp"), n, 4).alias("m_quartile"),
     )
 
 
@@ -740,29 +748,26 @@ def bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "5*cum >= 4*total stays in decimal arithmetic (no 0.8 float, "
     "no division) so both engines cut at the identical rank; the "
     "only double is the final ratio — one IEEE division of identical "
-    "integers. The cumulative window is a GLOBAL order — correct "
-    "for a per-tenant/per-partition report (customer counts are "
-    "dimension-scale); the 100 TB corpus-wide variant computes the "
-    "same crossing on a quantile-bucketed histogram of per-customer "
-    "revenue (two-phase agg) instead of a total-order window.",
+    "integers. The global cumulative revenue, rank, and both totals "
+    "all come from ONE two-pass distributed prefix scan "
+    "(distrank.global_order_scan: range-partition on (rev DESC, "
+    "custkey), local running sum + row_number, broadcast partition "
+    "offsets; totals ride the tiny per-partition summary) — no "
+    "single-partition window over the customer-grain table, so the "
+    "same plan serves the 100 TB corpus-wide report.",
 )
 def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
     )
-    w_cum = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
-    )
+    ranked = global_order_scan(
+        per_cust,
+        (F.col("rev").desc(), F.col("o_custkey")),
+        pos="rk",
+        cumsum={"cum_rev": F.col("rev")},
+        totals={"total_rev": F.col("rev"), "n_cust": F.lit(1)},
+    ).select("cum_rev", "total_rev", "rk", "n_cust")
     return ranked.filter(
         F.col("cum_rev") * 5 >= F.col("total_rev") * 4
     ).agg(

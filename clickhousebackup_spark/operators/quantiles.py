@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import DEC, dsum, osum
+from clickhousebackup_spark.operators.distrank import global_order_scan
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -428,33 +429,40 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Mann-Whitney U (ClickHouse mannWhitneyUTest): rank-sum of "
     "the click sample over the pooled click/view values with "
-    "midrank tie handling — midranks are exact half-integers "
-    "((min_rank + max_rank)/2), so DOUBLING them before the sum "
-    "keeps every partial sum an exact integer-valued double "
-    "(order-free without any decimal detour); one halving at the "
-    "end. The pooled global RANK runs once over the two-group "
-    "subset; at bigger-than-memory scale the same midranks come "
-    "from the two-pass distributed rank used by sort_multi.",
+    "midrank tie handling. Midranks depend only on the VALUE (ties "
+    "share one midrank), so the whole statistic reduces to the "
+    "distinct-value histogram: for value v with n_all(v) pooled "
+    "rows of which n_click(v) are clicks, rmin+rmax = "
+    "2*cum_all(v) - n_all(v) + 1 (cum_all = inclusive running row "
+    "count in value order), and the doubled rank sum is "
+    "sum(n_click * (2*cum_all - n_all + 1)) — every term an exact "
+    "integer, one halving at the end. The running count comes from "
+    "the two-pass distributed prefix sum (distrank.global_order_scan "
+    "— sort_multi's shape), so no single-partition window touches "
+    "row-scaled data and the histogram grain replaces the old "
+    "row-grain global RANK entirely; summed in DECIMAL(38,0) so the "
+    "partial order never matters.",
 )
 def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     ).select("event_type", "value")
-    w_rank = Window.orderBy("value")
-    w_ties = Window.partitionBy("value")
-    pooled = ev.select(
-        "event_type",
-        F.rank().over(w_rank).alias("rmin"),
-        (F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).alias(
-            "rmax"
-        ),
+    hist = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
     )
-    avg2 = F.col("rmin").cast("double") + F.col("rmax").cast("double")
-    is_click = F.col("event_type") == "click"
-    agg = pooled.select("event_type", avg2.alias("avg2")).agg(
-        F.count(F.when(is_click, 1)).cast("double").alias("n1"),
-        F.count(F.when(~is_click, 1)).cast("double").alias("n2"),
-        F.sum(F.when(is_click, F.col("avg2"))).alias("r1_doubled"),
+    scanned = global_order_scan(
+        hist, (F.col("value"),), cumsum={"cum_all": F.col("n_all")}
+    )
+    avg2 = (
+        F.lit(2) * F.col("cum_all") - F.col("n_all") + F.lit(1)
+    )  # rmin + rmax, exact integer per distinct value
+    agg = scanned.agg(
+        F.sum("n_click").cast("double").alias("n1"),
+        F.sum(F.col("n_all") - F.col("n_click")).cast("double").alias("n2"),
+        F.sum((F.col("n_click") * avg2).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("r1_doubled"),
     )
     r1 = F.col("r1_doubled") / F.lit(2.0)
     return agg.select(

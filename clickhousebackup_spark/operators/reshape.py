@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import osum
+from clickhousebackup_spark.operators.distrank import global_order_scan, ntile_from_pos
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -305,29 +306,37 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Equi-DEPTH histogram (the statistics shape cost-based "
     "optimizers and ClickHouse's quantile-based stats collect; "
     "agg_histogram is the equi-WIDTH sibling, dq_histogram_drift "
-    "the fixed-bin one): ntile(8) over the cent-grid total order "
-    "puts an equal row count (+/-1) in every bucket, then min/max "
-    "give the variable bucket boundaries. Deterministic because "
-    "ntile rides a (cents, orderkey, linenumber) TOTAL order; all "
-    "outputs integer. The global ntile is a single-partition "
-    "window — correct for stats collection over an AGGREGATED "
-    "sample at scale; for raw 100 TB input you'd bottom-k-sample "
-    "first (sample_bottom_k) or use approx_percentile boundaries "
-    "(agg_percentile_approx is that key).",
+    "the fixed-bin one): an equal row count (+/-1) in every bucket, "
+    "then min/max give the variable bucket boundaries. NTILE "
+    "semantics WITHOUT the single-partition window: the bucket of a "
+    "row is a closed-form function of its global position and the "
+    "total count (distrank.ntile_from_pos), and the position comes "
+    "from the two-pass distributed rank (range-partition on the "
+    "(cents, orderkey, linenumber) TOTAL order, local row_number, "
+    "broadcast per-partition offsets — sort_multi's shape), so the "
+    "fact table is never coalesced to one partition and the plan "
+    "holds at 100 TB. Deterministic because the order is total; all "
+    "outputs integer.",
 )
 def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
-    w = Window.orderBy(
-        F.floor(F.col("l_extendedprice") * 100.0),
-        "l_orderkey",
-        "l_linenumber",
+    base = li.select(
+        cents.alias("cents"), "l_orderkey", "l_linenumber"
     )
-    ranked = li.select(
-        cents.alias("cents"), F.ntile(8).over(w).alias("bucket")
+    scanned = global_order_scan(
+        base,
+        (F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")),
+        pos="_pos",
+        totals={"_n_rows": F.lit(1)},
     )
-    return ranked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
-        F.min("cents").cast("long").alias("lo_cents"),
-        F.max("cents").cast("long").alias("hi_cents"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    bucket = ntile_from_pos(F.col("_pos"), F.col("_n_rows"), 8)
+    return (
+        scanned.select("cents", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )

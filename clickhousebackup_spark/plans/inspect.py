@@ -53,6 +53,48 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def count_unpartitioned_windows(df: DataFrame) -> int:
+    """Number of WindowExec nodes with NO partition spec — the 'move
+    all data to a single partition' shape that WindowExec warns about.
+    A partitioned+ordered Window renders three top-level bracket
+    groups (``Window [specs], [partition], [order]``); with two
+    groups the second is EITHER a partition spec (fine) or a sort
+    order (unpartitioned — the bad shape), distinguished by the
+    ``ASC``/``DESC`` markers only sort orders carry; one group means
+    neither partition nor order (global frame over one partition).
+    Only row-scaled inputs make this an anti-pattern; bounded inputs
+    (the n_partitions-row offsets table of the two-pass distributed
+    rank, vocabulary-sized cell tables, <=k-row re-ranks) are
+    legitimate and allow-listed per key in
+    tests/test_plan_canary.py."""
+    import re
+
+    n = 0
+    for line in physical_plan(df).splitlines():
+        node = re.sub(r"^[\s:+\-*()\d]*", "", line)
+        if not node.startswith("Window ["):
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in node:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            if depth > 0 and groups:
+                groups[-1] += ch
+            if ch == "]":
+                depth -= 1
+        if len(groups) >= 3:
+            continue  # [specs], [partition], [order]
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC) NULLS (FIRST|LAST)", groups[1]
+        ):
+            continue  # [specs], [partition] — partitioned, unordered
+        n += 1
+    return n
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency; every one is a full network rewrite of its input."""

@@ -67,15 +67,46 @@ NLJ_ALLOWED: dict[str, int] = {
     "dq_histogram_drift": 1,      # 1-row bin-totals broadcast
 }
 
+#: key -> max unpartitioned-WindowExec count (total-order windows,
+#: the 'move all data to a single partition' shape). A key NOT listed
+#: here must have ZERO — a new operator that sorts row-scaled input
+#: through one partition fails the day it is registered. Every entry
+#: below is a BOUNDED input, audited round 9:
+#:   - "offsets": the n_shuffle_partitions-row per-partition summary
+#:     table of the two-pass distributed rank (distrank.py /
+#:     sort_multi) — bounded by cluster config, not data. Counts of
+#:     2 = separate cumulative-offset and global-total window specs
+#:     over that same tiny table.
+#:   - vocabulary / candidate-set / <=k-row cases, noted inline.
+#: Eager localCheckpoint stages are invisible to final-plan
+#: inspection; their semantics are pinned in tests/test_distrank.py.
+UNPART_WINDOW_ALLOWED: dict[str, int] = {
+    "sort_multi": 1,                # offsets
+    "agg_histogram_equi_depth": 2,  # offsets + totals
+    "stats_mannwhitney_u": 1,       # offsets
+    "stats_roc_auc": 1,             # offsets
+    "stats_ks_test": 2,             # offsets + totals
+    "orders_rfm_segments": 1,       # offsets (earlier scans checkpointed)
+    "orders_pareto_8020": 2,        # offsets + totals
+    "join_null_safe": 1,            # vocabulary-sized dim code assign
+    "dict_encode_lowcard": 1,       # vocabulary-sized dictionary codes
+    "stats_chi2_cells": 1,          # contingency CELL table (|types|x2)
+    "skyline_orders": 1,            # final sweep over local-skyline
+    #                                 survivors (skyline algebra bounds
+    #                                 the candidate set, never the table)
+    "sim_pq_adc_topk": 1,           # rank over the 5-row top-k
+}
+
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}
 
 
-def test_no_cartesian_and_only_pinned_nljs(spark, sf_dir):
+def test_no_cartesian_only_pinned_nljs_and_unpart_windows(spark, sf_dir):
     offenders: dict[str, str] = {}
     for key, spec in all_specs().items():
         if key in SKIP:
             continue
-        plan = inspect.physical_plan(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        plan = inspect.physical_plan(df)
         if "CartesianProduct" in plan:
             offenders[key] = "CartesianProduct"
             continue
@@ -85,7 +116,16 @@ def test_no_cartesian_and_only_pinned_nljs(spark, sf_dir):
                 f"{nlj} BroadcastNestedLoopJoin "
                 f"(allowed {NLJ_ALLOWED.get(key, 0)})"
             )
+            continue
+        upw = inspect.count_unpartitioned_windows(df)
+        if upw > UNPART_WINDOW_ALLOWED.get(key, 0):
+            offenders[key] = (
+                f"{upw} unpartitioned WindowExec "
+                f"(allowed {UNPART_WINDOW_ALLOWED.get(key, 0)})"
+            )
     assert not offenders, (
-        "unpinned quadratic join shapes — either fix the plan or, for "
-        f"a constant-width probe, pin it in NLJ_ALLOWED: {offenders}"
+        "unpinned scale-killer plan shapes — fix the plan (distrank."
+        "global_order_scan for total-order ranks/cumsums) or, for a "
+        "genuinely bounded input, pin it with a justification in "
+        f"NLJ_ALLOWED / UNPART_WINDOW_ALLOWED: {offenders}"
     )

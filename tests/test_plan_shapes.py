@@ -190,10 +190,12 @@ R3B_PLAN_BUDGET = {
     "user_active_streaks": (2, 0),      # (user,day) distinct + user window
     "skyline_orders": (2, 0),           # bucket sweep + candidate sweep
     "text_top_terms": (5, 0),           # fan-out + tf/df aggs + join + window
-    "orders_rfm_segments": (3, 0),      # cust agg + ntile windows
+    "orders_rfm_segments": (2, 1),      # post-checkpoint distrank scan:
+    # _pid window exchange + offsets agg; offsets broadcast back
     "agg_skew_kurtosis": (1, 0),        # one two-phase moment agg
     "stats_welch_ttest": (2, 0),        # per-branch agg + 1x1 cross
-    "stats_mannwhitney_u": (3, 0),      # pooled rank + tie counts + agg
+    "stats_mannwhitney_u": (2, 1),      # distrank prefix scan over the
+    # value histogram: _pid window + offsets agg; offsets broadcast
     "stats_cramers_v": (4, 2),          # cell agg + marginals bcast back
     "agg_topk_weighted": (2, 0),        # weighted agg + type window
     "bitmap_set_ops": (2, 0),           # user flags + scalar rollup
@@ -431,7 +433,8 @@ R4_PLAN_BUDGET = {
     "part_fuzzy_levenshtein": (1, 0, True),   # bcast cross probes + window
     "win_ratio_to_report": (1, 0, False),     # unordered partition window
     "dedup_fuzzy_blocked": (0, 1, False),     # bcast block self-join
-    "orders_pareto_8020": (1, 0, False),      # cust agg; global window local
+    "orders_pareto_8020": (2, 1, False),      # distrank: _pid window +
+    # offsets agg; broadcast offsets/totals
     "date_bucket_custom": (1, 0, False),      # one two-phase agg
     "cdc_apply_changelog": (1, 0, False),     # union + one rank window
     "explode_outer_empty": (0, 0, False),     # outer Generate, map-only
@@ -469,8 +472,9 @@ R5_PLAN_BUDGET = {
     "array_compact_dedup": (0, 0, False),  # map-only filter lambda
     "quantile_timing_grid": (2, 0, False),  # cell counts + cum window
     "agg_hll_set_ops": (1, 0, False),      # one sketch+distinct agg
-    "stats_roc_auc": (1, 0, False),        # score histogram + vocab window
-    "stats_ks_test": (1, 0, False),        # same bounded ECDF shape
+    "stats_roc_auc": (2, 1, False),        # distrank prefix over score
+    # histogram: _pid window + offsets agg; broadcast offsets
+    "stats_ks_test": (2, 1, False),        # same distrank ECDF shape
     "stats_mad": (2, 1, False),            # two quantile aggs; median bcast join
     "ts_bounding_ratio": (1, 0, False),    # one min_by/max_by agg
     "intervals_union_length": (1, 0, False),  # one partition-sorted island pass
@@ -715,8 +719,9 @@ R8_PLAN_BUDGET = {
     # batch 7: bottom-k sampling, CBO stats, lateral aliases, VLM layout
     "sample_bottom_k": (0, 0, False),         # TakeOrderedAndProject (asserted
     # below), never a global sort
-    "agg_histogram_equi_depth": (1, 0, False),  # the one global-ntile exchange
-    # (stats collection runs on a sample/aggregate at scale; see doc)
+    "agg_histogram_equi_depth": (3, 1, False),  # distrank two-pass rank:
+    # _pid window exchange + offsets agg + final bucket agg; closed-form
+    # NTILE from global position (no global-ntile single-partition window)
     "sql_lateral_alias": (0, 0, False),       # map-only alias chain
     "multimodal_interleaved_layout": (1, 0, False),  # one doc_id window
     # exchange; explode + segment cumsum + rollup all share it
