@@ -140,9 +140,10 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(c) AS BIGINT) AS concordant,
                CAST(SUM(d) AS BIGINT) AS discordant,
                (CAST(SUM(c) AS DOUBLE) - CAST(SUM(d) AS DOUBLE))
-                   / sqrt((CAST(COUNT(*) AS DOUBLE) - CAST(SUM(tx) AS DOUBLE))
-                          * (CAST(COUNT(*) AS DOUBLE) - CAST(SUM(ty) AS DOUBLE)))
-                   AS tau_b
+                   / sqrt(NULLIF(
+                       (CAST(COUNT(*) AS DOUBLE) - CAST(SUM(tx) AS DOUBLE))
+                       * (CAST(COUNT(*) AS DOUBLE) - CAST(SUM(ty) AS DOUBLE)),
+                       0)) AS tau_b
         FROM pairs GROUP BY event_type
     """,
     doc="Kendall's tau-b between a series' daily VOLUME and its daily "
@@ -156,7 +157,9 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in rows — the cell table is |types|x|days| regardless of scale, "
     "so at 100 TB the cost stays in the one day-cell aggregation "
     "scan and the pair join is a broadcast of a vocabulary-sized "
-    "table.",
+    "table. A series whose day cells ALL tie in x (or y) zeroes a "
+    "tie-corrected term; tau_b is NULL then (both engines via the "
+    "same guard) instead of NaN-vs-error divergence.",
 )
 def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -200,7 +203,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("c").cast("long").alias("concordant"),
         F.sum("d").cast("long").alias("discordant"),
-        ((sc - sd) / F.sqrt((n0 - stx) * (n0 - sty))).alias("tau_b"),
+        F.when(
+            (n0 - stx) * (n0 - sty) > 0,
+            (sc - sd) / F.sqrt((n0 - stx) * (n0 - sty)),
+        ).alias("tau_b"),
     )
 
 
@@ -804,9 +810,10 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cells
         )
         SELECT bin, n_a, n_b,
-               CAST(n_a * 1000 // ta AS BIGINT) AS share_a_pm,
-               CAST(n_b * 1000 // tb AS BIGINT) AS share_b_pm,
-               CAST(abs(n_a * 1000 // ta - n_b * 1000 // tb) AS BIGINT)
+               CAST(n_a * 1000 // NULLIF(ta, 0) AS BIGINT) AS share_a_pm,
+               CAST(n_b * 1000 // NULLIF(tb, 0) AS BIGINT) AS share_b_pm,
+               CAST(abs(n_a * 1000 // NULLIF(ta, 0)
+                        - n_b * 1000 // NULLIF(tb, 0)) AS BIGINT)
                    AS gap_pm
         FROM cells CROSS JOIN tot
     """,
@@ -839,8 +846,13 @@ def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
     )
-    share_a = F.floor(F.col("n_a") * 1000 / F.col("ta")).cast("long")
-    share_b = F.floor(F.col("n_b") * 1000 / F.col("tb")).cast("long")
+    # NULL shares (not NaN-vs-error divergence) if a series is absent
+    share_a = F.floor(
+        F.col("n_a") * 1000 / F.nullif(F.col("ta"), F.lit(0))
+    ).cast("long")
+    share_b = F.floor(
+        F.col("n_b") * 1000 / F.nullif(F.col("tb"), F.lit(0))
+    ).cast("long")
     return cells.join(F.broadcast(tot)).select(
         "bin",
         "n_a",

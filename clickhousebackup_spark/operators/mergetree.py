@@ -333,8 +333,8 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
-               CAST(1 AS BIGINT) AS within_2pct,
-               CAST(1 AS BIGINT) AS direct_within_2pct
+               CAST(1 AS BIGINT) AS within_5pct,
+               CAST(1 AS BIGINT) AS direct_within_5pct
         FROM events GROUP BY event_type
     """,
     doc="uniqMerge analog — mergeable HLL sketch states (Apache "
@@ -346,9 +346,13 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows — the only way distinct-count rollups stay cheap at "
     "100 TB. Hash-checkable (r5): the checked columns are the exact "
     "distinct count plus two sketch-quality flags the oracle pins to "
-    "1 — within_2pct (merged estimate within 2% of exact) and "
-    "direct_within_2pct (direct unsharded estimate within 2% of "
-    "exact). BOTH flags anchor on the deterministic exact count, "
+    "1 — within_5pct (merged estimate within 5% of exact) and "
+    "direct_within_5pct (direct unsharded estimate within 5% of "
+    "exact); 5% is ~3x the default-lgK(12) HLL RSE of ~1.6%, so a "
+    "different core count / partition layout cannot flip the flag "
+    "(the estimate IS layout-sensitive: DataSketches' HIP estimator "
+    "depends on insertion grouping). BOTH flags anchor on the "
+    "deterministic exact count, "
     "never on each other: hll_sketch_agg is itself a two-phase "
     "aggregate, so even the 'direct' sketch is a union of "
     "partition-local sketches and its estimate moves a few counts "
@@ -382,20 +386,20 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniq_exact",
             F.when(
                 F.abs(F.col("uniq_est") - F.col("uniq_exact"))
-                <= F.col("uniq_exact") * F.lit(0.02),
+                <= F.col("uniq_exact") * F.lit(0.05),
                 1,
             )
             .otherwise(0)
             .cast("long")
-            .alias("within_2pct"),
+            .alias("within_5pct"),
             F.when(
                 F.abs(F.col("uniq_direct") - F.col("uniq_exact"))
-                <= F.col("uniq_exact") * F.lit(0.02),
+                <= F.col("uniq_exact") * F.lit(0.05),
                 1,
             )
             .otherwise(0)
             .cast("long")
-            .alias("direct_within_2pct"),
+            .alias("direct_within_5pct"),
         )
     )
 

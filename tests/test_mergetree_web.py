@@ -174,8 +174,8 @@ def test_hll_merge_invariant_and_accurate(spark, sf_dir):
     from clickhousebackup_spark.operators.mergetree import agg_hll_merge
 
     out = {r["event_type"]: r.asDict() for r in agg_hll_merge(spark, sf_dir).collect()}
-    assert all(r["within_2pct"] == 1 for r in out.values())
-    assert all(r["direct_within_2pct"] == 1 for r in out.values())
+    assert all(r["within_5pct"] == 1 for r in out.values())
+    assert all(r["direct_within_5pct"] == 1 for r in out.values())
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     exact = {

@@ -191,6 +191,21 @@ def test_timezone_walls_match_zoneinfo(spark, sf_dir):
         ZoneInfo("America/New_York"),
         ZoneInfo("Asia/Tokyo"),
     )
+    # The oracle pins FIXED UTC-5/UTC+9 offsets, valid only while the
+    # fixture sits entirely before the US DST spring-forward (second
+    # Sunday of March). If fixtures are ever regenerated across that
+    # boundary this must fail loudly HERE, not as an opaque
+    # driver hash mismatch.
+    from clickhousebackup_spark.tables import load_table as _lt
+
+    max_ts = (
+        _lt(spark, sf_dir, "events").agg({"ts": "max"}).collect()[0][0]
+    )
+    assert max_ts < dt.datetime(max_ts.year, 3, 8), (
+        f"events fixture spans past {max_ts.year}-03-08 ({max_ts}); the "
+        "date_timezone_convert oracle's pinned EST offset no longer "
+        "holds — re-derive the oracle before trusting the driver gate"
+    )
     for r in rows:
         t = dt.datetime.strptime(r["utc_wall"], "%Y-%m-%d %H:%M:%S").replace(
             tzinfo=utc
