@@ -73,13 +73,53 @@ def _shingles(text_col: str = "text"):
 
 
 # Odd 31-bit multipliers + offsets for the affine permutation family
-# h_k(x) = A_k·(x & 0xFFFFFFFF) + B_k — the standard one-hash MinHash:
-# each shingle is xxhash64'd ONCE and the K "permutations" are
-# arithmetic, ~K× cheaper than K salted hashes. The 32-bit masked
-# domain keeps every product below 2^63 (ANSI mode forbids silent long
-# wraparound); 32-bit per-doc shingle collisions are noise for min().
+# h_k(x) = A_k·x + B_k over the 32-bit base hash — the standard
+# one-hash MinHash: each shingle is hashed ONCE and the K
+# "permutations" are arithmetic, ~K× cheaper than K salted hashes.
+# The 32-bit base domain keeps every product below 2^63 (ANSI mode
+# forbids silent long wraparound); 32-bit per-doc shingle collisions
+# are noise for min(). The base hash is the PORTABLE 32-bit md5
+# prefix (r9 conversion from xxhash64 — bit-identical in DuckDB, so
+# the whole pair set is exact-hash-checkable); a production corpus
+# would swap xxhash64 back in with zero plan change, the hash is a
+# one-line parameter.
 _MINHASH_A = [(0x9E3779B9 * (k + 1)) % (1 << 31) | 1 for k in range(N_MINHASH)]
 _MINHASH_B = [(0x51E2D1FB * k) % (1 << 31) for k in range(N_MINHASH)]
+
+_MERSENNE31 = (1 << 31) - 1
+
+#: DuckDB rendering of the same affine minhash family over the same
+#: portable 32-bit md5-prefix base hash (column `h`).
+_RT_MINS_SQL = ",\n               ".join(
+    f"CAST(MIN((h * {_MINHASH_A[k]} + {_MINHASH_B[k]}) % {_MERSENNE31})"
+    f" AS BIGINT) AS m{k}"
+    for k in range(N_MINHASH)
+)
+_RT_BAND_PRED_SQL = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.m{b * (N_MINHASH // N_BANDS) + r} = "
+        f"b.m{b * (N_MINHASH // N_BANDS) + r}"
+        for r in range(N_MINHASH // N_BANDS)
+    )
+    + ")"
+    for b in range(N_BANDS)
+)
+_RT_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+    for k in range(N_MINHASH)
+)
+
+
+def _md5_long32(col):
+    """Portable 32-bit integer hash: md5 hex 8-char prefix → BIGINT.
+
+    Spark ``conv(substr(md5(x),1,8),16,10)`` ↔ DuckDB
+    ``CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)`` — the 32-bit
+    sibling of the repo's 60-bit md5-grid convention (``_md5_long``),
+    sized so the affine minhash products stay below 2^63.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -98,10 +138,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     hs = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                _shingles(),
-                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
-            )
+            F.transform(_shingles(), lambda s: _md5_long32(s))
         ).alias("h"),
     )
     # mod 2^31-1 (Mersenne prime) — without the reduction the affine map
@@ -134,11 +171,49 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_minhash",
-    oracle=None,  # algorithm-specific signatures → rows-only; Jaccard
-    # threshold behavior is unit-tested against a brute-force oracle.
-    doc="Near-dup pairs via MinHash+LSH banding: shingle → 16 salted "
-    "min-hashes → 4 band buckets → join within buckets → verified "
-    "signature similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b.",
+    # Round-9 conversion from rows-only (the dedup_clusters_neardup
+    # round-6 precedent): the one-hash base moved to the portable
+    # 32-bit md5 prefix, so the ENTIRE pair set + sim values are
+    # bit-identical in DuckDB and the driver pins real pairs, not row
+    # counts. The oracle replicates the banded candidate predicate
+    # exactly: a qualifying pair missed by every band is (correctly)
+    # absent in BOTH engines.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS shs
+            FROM t
+        ), sh AS (
+            SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+            FROM sh
+        ), sigs AS (
+            SELECT doc_id,
+               {_RT_MINS_SQL}
+            FROM hs GROUP BY doc_id
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ({_RT_MATCH_SQL}) / {N_MINHASH}.0 AS sim
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE ({_RT_BAND_PRED_SQL})
+          AND ({_RT_MATCH_SQL}) / {N_MINHASH}.0 >= 0.5
+    """,
+    doc="Near-dup pairs via MinHash+LSH banding: shingle → one "
+    "portable 32-bit hash → 16 affine-permutation min-hashes → 4 "
+    "band buckets → join within buckets → verified signature "
+    "similarity ≥ 0.5. Returns (a_id, b_id, sim), a<b. "
+    "Exact-hash-checkable since r9: the base hash is the md5-grid "
+    "32-bit prefix (bit-identical in DuckDB), the band key is the "
+    "signature SLICE itself (tuple equality, no opaque bucket "
+    "hash), and sim is an integer match-count / 16 — so the oracle "
+    "reproduces candidate generation AND verification exactly.",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
@@ -153,10 +228,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builds fall back to interpreted expression eval for this plan.)
     sigs = minhash_signatures(d).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
-    # One xxhash64 over each SLICED signature sub-array (hash
-    # expressions fold arrays natively) — 4 small expressions instead
-    # of 16 element_at's feeding string concats, which cut whole-stage
-    # codegen size (the dominant cold-start cost per NOTES.md §4).
+    # The band key is the signature SLICE itself (array<long> is a
+    # valid hash-join key) — tuple equality the oracle replicates
+    # verbatim, where an opaque bucket hash (the pre-r9 xxhash64 of
+    # the slice) could not be cross-checked and could, with 2^-64
+    # probability, admit a collision pair the oracle lacks.
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -165,8 +241,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        F.slice(
+                            "sig", b * rows_per_band + 1, rows_per_band
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -210,43 +286,101 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Runtime simhash width: 60 bits — the full portable md5-grid hash
+#: width (15 hex chars), split into 4 pigeonhole chunks of 15 bits
+#: (any pair with Hamming ≤ 3 shares at least one chunk).
+RT_SIMHASH_BITS = 60
+RT_SIMHASH_CHUNKS = 4
+_RT_CHUNK_BITS = RT_SIMHASH_BITS // RT_SIMHASH_CHUNKS
+_RT_CHUNK_MASK = (1 << _RT_CHUNK_BITS) - 1
+
+_RT_SIM_BITSUMS_SQL = ",\n                   ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(RT_SIMHASH_BITS)
+)
+_RT_SIM_VALUE_SQL = " + ".join(
+    f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(RT_SIMHASH_BITS)
+)
+_RT_CHUNK_PRED_SQL = " OR ".join(
+    f"((a.simhash >> {c * _RT_CHUNK_BITS}) & {_RT_CHUNK_MASK}) = "
+    f"((b.simhash >> {c * _RT_CHUNK_BITS}) & {_RT_CHUNK_MASK})"
+    for c in range(RT_SIMHASH_CHUNKS)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # engine-specific bit sketch → rows-only + unit tests
-    doc="SimHash near-dup: 64-bit signed-projection signature per doc; "
-    "candidate pairs share a 16-bit chunk (pigeonhole for Hamming≤3) "
-    "and verify popcount(xor) ≤ 3. Returns (a_id, b_id, hamming).",
+    # Round-9 conversion from rows-only: the shingle hash is the
+    # portable 60-bit md5 grid, so signatures, chunks, and the final
+    # Hamming-verified pair set are bit-identical in DuckDB.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS shs
+            FROM t
+        ), sh AS (
+            SELECT doc_id, unnest(shs) AS sh FROM s
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+            FROM sh
+        ), bits AS (
+            SELECT doc_id,
+                   {_RT_SIM_BITSUMS_SQL}
+            FROM hs GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id,
+                   CAST({_RT_SIM_VALUE_SQL} AS BIGINT) AS simhash
+            FROM bits
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE ({_RT_CHUNK_PRED_SQL})
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc=f"SimHash near-dup: {RT_SIMHASH_BITS}-bit signed-projection "
+    "signature per doc (portable md5-grid shingle hash — "
+    "exact-hash-checkable since r9, the full pair set reproduced in "
+    f"DuckDB); candidate pairs share a {_RT_CHUNK_BITS}-bit chunk "
+    "(pigeonhole for Hamming≤3) and verify popcount(xor) ≤ 3. "
+    "Returns (a_id, b_id, hamming). A production corpus would swap "
+    "xxhash64 back in for the shingle hash with zero plan change.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    # Explode shingle hashes to rows; each of the 64 bit-votes is a
+    # Explode shingle hashes to rows; each of the 60 bit-votes is a
     # plain SUM aggregate of ±1 (same explode+hash-agg shape as
     # minhash_signatures — vectorized, map-side combined, small codegen).
     hs = d.select(
         "doc_id",
-        F.explode(F.transform(_shingles(), lambda s: F.xxhash64(s))).alias("h"),
+        F.explode(F.transform(_shingles(), lambda s: _md5_long(s))).alias(
+            "h"
+        ),
     )
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(RT_SIMHASH_BITS)
     ]
     voted = hs.groupBy("doc_id").agg(*votes)
-    # signature bit i = (vote_i >= 0); assemble the 64-bit long.
-    sig = F.aggregate(
-        F.array(
-            *[
-                F.when(F.col(f"v{i}") >= 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(64)
-            ]
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
-    )
-    sigs = voted.select("doc_id", sig.alias("simhash"))
+    # signature bit i = (vote_i >= 0), valued 2^i — the same
+    # sum-of-powers assembly the oracle states.
+    sig = None
+    for i in range(RT_SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else sig + term
+    sigs = voted.select("doc_id", sig.cast("long").alias("simhash"))
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -255,11 +389,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", c * _RT_CHUNK_BITS)
+                        .bitwiseAND(F.lit(_RT_CHUNK_MASK))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(RT_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cc"),
@@ -435,7 +569,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quadratic in verify count (a Hamming-1 probe would silently miss "
     "pairs whose signatures differ in ≥2 bits — both vectors near two "
     "hyperplanes); the sub-quadratic SCALE path is the approximate "
-    "sketch family (dedup_simhash / sim_topk_lsh, rows-only + "
+    "sketch family (dedup_simhash / sim_topk_lsh, exact-checked r9 + "
     "recall-tested), while this operator is the oracle-checkable exact "
     "baseline. Left-fold dot products match bitwise across engines.",
 )
@@ -940,11 +1074,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns — the artifact a cross-corpus dedup pipeline persists "
     "and joins on later (signatures computed once, banded many "
     "times). Hashes are the portable md5-hex-prefix 60-bit grid "
-    "(bit-identical across engines), so unlike the xxhash-based "
-    "dedup_minhash runtime key (rows-only by driver design), THIS "
-    "key is exact-hash-checkable — it closes the sketch family's "
-    "evidential gap: the driver now pins real minhash values, not "
-    "just row counts. Plan: shingle explode + per-doc distinct + "
+    "(bit-identical across engines) — the convention the runtime "
+    "dedup_minhash key itself adopted in round 9, so the family is "
+    "exact-hash-checked end to end: the driver pins signature "
+    "values here AND the full pair set there. Plan: shingle explode + per-doc distinct + "
     "ONE two-phase agg computing all 8 mins (map-side combine; "
     f"state = {MINHASH_K} longs per doc, the CH "
     "minHash state). Docs under 3 tokens degrade to one "
@@ -1029,7 +1162,7 @@ _SIMHASH_VALUE_SQL = " + ".join(
     doc=f"SimHash signature EXPORT: the {SIMHASH_BITS}-bit "
     "tf-weighted simhash of each document's unigrams as an exact "
     "integer — the persisted fingerprint the pigeonhole-bucketed "
-    "near-dup join (dedup_simhash, rows-only at the driver) keys "
+    "near-dup join (dedup_simhash, exact-hash-checked since r9) keys "
     "on. Same portable md5-grid hash as text_minhash_export, so "
     "the driver pins exact simhash VALUES here, completing the "
     "sketch family's exact evidence. Per-bit majority votes are "

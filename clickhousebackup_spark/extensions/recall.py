@@ -1,17 +1,17 @@
-"""Driver-visible quality probe for the approximate (rows-only)
-sketch family (VERDICT r2 item #4).
+"""Driver-visible quality probe for the approximate sketch family
+(VERDICT r2 item #4).
 
 The ANN / sketch operators (`sim_topk_lsh`, `sim_topk_ivf`,
-`dedup_simhash`, `dedup_minhash`) are rows-only in the driver because
-their outputs are algorithm-specific — a DuckDB oracle cannot re-derive
-an LSH bucket walk. That left their QUALITY invisible to the driver: a
-recall regression would keep the row counts plausible.
+`dedup_simhash`, `dedup_minhash`) were rows-only in the driver until
+round 9 (algorithm-specific xxhash buckets); they are now md5-grid
+portable and exact-hash-checked, but exact parity still says nothing
+about QUALITY: a recall regression would keep both engines agreeing.
 
 This probe closes the gap: it computes each method's recall against
 the exact in-engine baseline (`sim_topk_cosine` for ANN, the
 oracle-verified `dedup_ngram_jaccard` pair set for near-dup) and emits
 ONE ROW PER METHOD **only when that method's recall clears its
-floor** — so the driver's rows-only count (expected 4) becomes a
+floor** — so this probe's own rows-only count (expected 4) is a
 behavioral assertion: any recall regression drops a row. pytest
 additionally pins the deterministic recall values (test_recall.py).
 
@@ -73,7 +73,9 @@ def _recall_row(
     "dedup_minhash / dedup_simhash against the exact bigram-Jaccard "
     ">= 0.8 pair set — one output row per method WITH recall >= its "
     "floor, so a recall regression in ANY of the four sketches removes "
-    "a row and the driver's rows-only check (expected 4) catches it.",
+    "a row and the driver's rows-only check (expected 4) catches it. "
+    "The sketch keys themselves are exact-hash-checked since r9; this "
+    "probe remains the QUALITY gate (recall, not parity).",
 )
 def sketch_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.extensions.dedup import (

@@ -9,7 +9,8 @@ Two tiers, per SURVEY.md §4.3:
   at any scale: it reads each vector once.
 - ``sim_topk_lsh``: the sublinear path — random-hyperplane (sign) LSH
   buckets; the query probes only its own bucket. Recall is
-  probabilistic, so it is rows-only checked; bucket determinism comes
+  probabilistic; since round 9 its md5-grid buckets are portable and
+  the whole candidate walk is exact-hash-checked; determinism comes
   from fixed literal hyperplane seeds via xxhash64.
 
 Dot products fold left-to-right in both engines → bit-identical
@@ -100,40 +101,115 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_bucket_expr(vec_col: str, n_planes: int = N_PLANES):
     """Sign-LSH bucket id: bit i = sign of <v, h_i> where hyperplane
-    h_i's components are deterministic pseudo-gaussians from
-    xxhash64(i, dim) — fixed literal seeds, no RNG state."""
+    h_i's components are deterministic pseudo-uniforms in [-1, 1)
+    from the portable 32-bit md5 grid of (plane, dim) — fixed
+    literal salts, no RNG state, bit-identical in DuckDB (r9
+    conversion from xxhash64, making the bucketing — and therefore
+    sim_topk_lsh's whole candidate set — oracle-checkable)."""
     dim_idx = F.sequence(F.lit(1), F.size(vec_col))
 
     def plane_component(i: int):
         # closure factory — keeps the zip_with lambda exactly 2-ary
         def comp(x, d):
-            h = (F.xxhash64(d, F.lit(i)) % 1000).cast("double")
-            return x.cast("double") * (h / 500.0 - 1.0)
+            m = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), d.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            )
+            return x.cast("double") * (m.cast("double") / 500.0 - 1.0)
 
         return comp
 
-    bits = []
+    bucket = None
     for i in range(n_planes):
         proj = F.aggregate(
             F.zip_with(vec_col, dim_idx, plane_component(i)),
             F.lit(0.0),
             lambda acc, p: acc + p,
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-    return F.aggregate(
-        F.array(*bits),
-        F.lit(0).cast("long"),
-        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+        term = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def _sql_dot(vec: str) -> str:
+    """DuckDB dot(vec, q.qv) with the proven left-to-right reduce."""
+    return (
+        f"list_reduce(list_transform(list_zip(list_transform({vec},"
+        " x -> CAST(x AS DOUBLE)), q.qv), p -> p[1] * p[2]),"
+        " (x, y) -> x + y)"
     )
+
+
+def _sql_norm(vec: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({vec},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+    )
+
+
+def _sql_cos(vec: str) -> str:
+    return f"{_sql_dot(vec)} / ({_sql_norm(vec)} * q.qn)"
+
+
+def _sql_lsh_proj(i: int) -> str:
+    """DuckDB rendering of plane i's projection — same md5-grid
+    weights, same sequential double sum as lsh_bucket_expr."""
+    return (
+        "list_reduce(list_transform(list_zip(list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)), generate_series(1, len(embedding))),"
+        f" p -> p[1] * (CAST(CAST(concat('0x', substr(md5(concat('{i}:',"
+        " CAST(p[2] AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 AS DOUBLE)"
+        " / 500.0 - 1.0)), (a, b) -> a + b)"
+    )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_sql_lsh_proj(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(N_PLANES)
+)
 
 
 @register(
     "sim_topk_lsh",
-    oracle=None,  # probabilistic recall → rows-only; recall-vs-exact is
-    # unit-tested against sim_topk_cosine's result.
+    # Round-9 conversion from rows-only: hyperplanes moved to the
+    # portable md5 grid, so buckets, the Hamming-1 probe set, and
+    # the re-ranked top-k are bit-identical in DuckDB.
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   {_sql_norm('embedding')} AS qn,
+                   bucket AS qbucket
+            FROM b WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, cosine FROM (
+            SELECT e.vec_id, e.label,
+                   {_sql_cos('e.embedding')} AS cosine,
+                   ROW_NUMBER() OVER (ORDER BY
+                       {_sql_cos('e.embedding')} DESC, e.vec_id) AS rn
+            FROM b e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+              AND (e.bucket = q.qbucket
+                   OR bit_count(xor(e.bucket, q.qbucket)) = 1)
+        ) WHERE rn <= {TOP_K}
+    """,
     doc="Sign-LSH bucketed ANN: candidates share the query's bucket "
     "(probe widened by also matching Hamming-1 buckets), then exact "
-    "cosine re-rank. The sublinear 100 TB path for repeated queries.",
+    "cosine re-rank. The sublinear 100 TB path for repeated "
+    "queries. Exact-hash-checkable since r9: hyperplane components "
+    "are md5-grid pseudo-uniforms (not xxhash), so the oracle "
+    "reproduces bucketing, probing, and re-rank exactly.",
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize(load_table(spark, sf_dir, "embeddings"))
@@ -198,23 +274,66 @@ def ivf_assignments(e: DataFrame) -> DataFrame:
     return scored.withColumn("cent_rank", F.row_number().over(w))
 
 
+_IVF_CENT_COS = f"{_sql_dot('e.embedding')} / ({_sql_norm('e.embedding')} * q.cn)"
+
+
 @register(
     "sim_topk_ivf",
-    oracle=None,  # probe subset is algorithm-specific → rows-only;
-    # recall + determinism are unit-tested against sim_topk_cosine.
+    # Round-9 conversion from rows-only: the whole pipeline is
+    # deterministic float/integer arithmetic (no engine-specific
+    # hash), so the oracle simply restates it in SQL — centroid
+    # argmax and the final ranking are selection-only doubles over
+    # identical expression trees (the sim_topk_cosine-proven safe
+    # pattern). Also fixes a pre-r9 quirk: probe lists were derived
+    # by re-running assignment on the query-ONLY frame, which
+    # degenerates the centroid set to the query vector itself and
+    # probed 1 list instead of the documented N_PROBE nearest.
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cent_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   {_sql_norm('embedding')} AS cn
+            FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ), scored AS (
+            SELECT e.vec_id, e.label, e.embedding, q.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_IVF_CENT_COS} DESC, q.cent_id) AS cent_rank
+            FROM embeddings e CROSS JOIN c q
+        ), probes AS (
+            SELECT cent_id AS probe_cent FROM scored
+            WHERE vec_id = {QUERY_VEC_ID} AND cent_rank <= {N_PROBE}
+        ), q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   {_sql_norm('embedding')} AS qn
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, cosine FROM (
+            SELECT e.vec_id, e.label,
+                   {_sql_cos('e.embedding')} AS cosine,
+                   ROW_NUMBER() OVER (ORDER BY
+                       {_sql_cos('e.embedding')} DESC, e.vec_id) AS rn
+            FROM scored e
+            JOIN probes p ON e.cent_id = p.probe_cent
+            CROSS JOIN q
+            WHERE e.cent_rank = 1 AND e.vec_id <> {QUERY_VEC_ID}
+        ) WHERE rn <= {TOP_K}
+    """,
     doc=f"IVF-bucketed ANN: vectors assigned to {N_CENTROIDS} "
     "deterministic centroids (argmax cosine, tie on cent_id); the "
     f"query probes its {N_PROBE} nearest lists then re-ranks with "
     "exact cosine. The two-level inverted-file layout that makes "
-    "repeated similarity queries sublinear at 100 TB.",
+    "repeated similarity queries sublinear at 100 TB. "
+    "Exact-hash-checkable since r9 (no engine-specific hash "
+    "anywhere — the oracle restates the identical arithmetic).",
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize(load_table(spark, sf_dir, "embeddings"))
-    assigned = ivf_assignments(e).filter(F.col("cent_rank") == 1).select(
+    assigned_all = ivf_assignments(e)
+    assigned = assigned_all.filter(F.col("cent_rank") == 1).select(
         "vec_id", "label", "embedding", "cent_id"
     )
     q_lists = (
-        ivf_assignments(e.filter(F.col("vec_id") == QUERY_VEC_ID))
+        assigned_all.filter(F.col("vec_id") == QUERY_VEC_ID)
         .filter(F.col("cent_rank") <= N_PROBE)
         .select(F.col("cent_id").alias("probe_cent"))
     )

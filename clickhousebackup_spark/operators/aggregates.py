@@ -79,14 +79,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL estimate is engine-specific → rows-only check
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(1 AS BIGINT) AS approx_within_6pct
+        FROM events GROUP BY event_type
+    """,
     doc="HLL approximate distinct — the at-scale substitute for "
-    "countDistinct (single shuffle, fixed-size sketch).",
+    "countDistinct (single shuffle, fixed-size sketch). Converted "
+    "from rows-only to exact-checkable (r9, the agg_hll_merge "
+    "pattern): the raw HLL++ estimate is engine-specific so it "
+    "stays OUT of the hashed surface; the checked columns are the "
+    "exact distinct count and a flag pinning the estimate within "
+    "6% of it — 3x the requested rsd=0.02, so the deterministic "
+    "register-maxima estimate (HLL++ without HIP is insertion-"
+    "order-free) never flips the gate on layout. The flag FAILS "
+    "the hash if the sketch degrades past its error contract.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        F.when(
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * F.lit(0.06),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("approx_within_6pct"),
     )
 
 

@@ -91,27 +91,90 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(*out_aggs)
 
 
+#: rank half-width of the accuracy band the approx flags pin: the
+#: GK sketch at accuracy=10000 guarantees rank error <= n/10000, so a
+#: +/-0.5-percentile band is a 50x margin — tight enough that a broken
+#: sketch fails, loose enough that it can never flip spuriously.
+_APPROX_BAND = 0.005
+
+
 @register(
     "agg_percentile_approx",
-    oracle=None,  # sketch-based estimate is engine-specific
-    doc="approx_percentile — the single-pass fixed-memory quantile for "
-    "100 TB (KLL/GK sketch); accuracy bound unit-testable, values not "
-    "hashable cross-engine.",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM events
+        )
+        SELECT event_type, MAX(n) AS n_rows,
+               CAST(1 AS BIGINT) AS q25_in_band,
+               CAST(1 AS BIGINT) AS q50_in_band,
+               CAST(1 AS BIGINT) AS q75_in_band
+        FROM ranked GROUP BY event_type
+    """,
+    doc="approx_percentile — the single-pass fixed-memory quantile "
+    "for 100 TB (KLL/GK sketch). Converted from rows-only to "
+    "exact-checkable (r9, the agg_hll_merge pattern): the sketch "
+    "values are engine-specific so they stay OUT of the hashed "
+    "surface; the checked columns are the group row count plus one "
+    "flag per quartile pinning the sketch value INSIDE the exact "
+    "order-statistics band [value@rank(q-0.005), "
+    "value@rank(q+0.005)] — a 50x margin on the accuracy=10000 "
+    "rank-error guarantee (eps <= 1e-4), computed from the same "
+    "shared row_number arithmetic agg_percentile_exact hashes. "
+    "approx_percentile returns a real data element, so the band "
+    "containment is exact-value comparable; a degraded sketch "
+    "fails the hash.",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # scalar columns only — the driver's canonicalizer sorts/hashes every
-    # output column and cannot handle array cells, so the sketch's three
-    # quantiles are projected out of the array immediately
-    sketch = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", list(QS), 10000).alias("quartiles")
-    )
-    return sketch.select(
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
         "event_type",
-        F.element_at("quartiles", 1).alias("q25"),
-        F.element_at("quartiles", 2).alias("q50"),
-        F.element_at("quartiles", 3).alias("q75"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
     )
+    aggs = [
+        F.max("n").cast("long").alias("n_rows"),
+        F.percentile_approx("value", list(QS), 10000).alias("_qs"),
+    ]
+    for q in QS:
+        lo_rn = (
+            F.floor((F.col("n") - 1) * F.lit(q - _APPROX_BAND)).cast("long")
+            + 1
+        )
+        hi_rn = F.least(
+            F.floor((F.col("n") - 1) * F.lit(q + _APPROX_BAND)).cast("long")
+            + 2,
+            F.col("n"),
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias(
+                f"_lo{int(q * 100)}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias(
+                f"_hi{int(q * 100)}"
+            )
+        )
+    g = ranked.groupBy("event_type").agg(*aggs)
+    out = [F.col("event_type"), F.col("n_rows")]
+    for i, q in enumerate(QS):
+        tag = int(q * 100)
+        est = F.element_at("_qs", i + 1)
+        out.append(
+            F.when(
+                (est >= F.col(f"_lo{tag}")) & (est <= F.col(f"_hi{tag}")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias(f"q{tag}_in_band")
+        )
+    return g.select(*out)
 
 
 @register(

@@ -152,6 +152,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_hll_merge",
     "stats_spearman",
     # -- round-9 additions fill the remaining window slots (30-50) --
+    # The six round-9 rows-only→oracled conversions: stale/no prior
+    # exact rows, need a current driver row under the new contracts
+    # (flag-anchored sketches; portable md5-grid pair sets).
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
 )
 
 

@@ -122,12 +122,13 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
         r["event_type"]: r["distinct_users"]
         for r in SPECS["agg_count_distinct"].fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in SPECS["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 0.1 * v)
+        assert rows[k]["exact_users"] == v
+        assert rows[k]["approx_within_6pct"] == 1
 
 
 def test_query_rerun_hash_stability(spark, sf_dir):
