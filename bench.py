@@ -79,6 +79,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Idle-box protocol (VERDICT r8 item 6): the r8 mid-session 11.3 s
+    # vs idle 9.6 s spread was pure contention. Tag every run with the
+    # pre-run 1-min load average so round-over-round comparisons can
+    # reject busy-box numbers mechanically instead of by footnote; a
+    # load above ~half the cores means some other workload (usually a
+    # concurrent test suite) is eating the executors.
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    contended = load1 > ncpu / 2
+    if contended:
+        print(
+            f"# WARNING: load1={load1:.1f} on {ncpu} cpus — timings "
+            "will read high; rerun idle before recording comparisons",
+            file=sys.stderr,
+        )
+
     # Time the three one-off overheads SEPARATELY from query time so
     # round-over-round totals compare plans, not sandbox load: the
     # r3→r5 headline drift (8.79 → 10.25 s) was uniform across all 15
@@ -200,6 +216,11 @@ def main() -> None:
                     "warmup_sec": round(warmup_sec, 3),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "box": {
+                    "load1_at_start": round(load1, 2),
+                    "cpus": ncpu,
+                    "contended": contended,
+                },
             }
         )
     )

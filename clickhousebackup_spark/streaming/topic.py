@@ -113,18 +113,23 @@ def _register_queries() -> None:
     @register(
         "topic_roundtrip",
         oracle="SELECT event_id, user_id, value FROM events",
-        doc="Broker-shaped source e2e: publish events as 3 immutable "
+        doc="Broker-shaped source e2e THROUGH the RecordFeed seam "
+        "(streaming/feed.py): publish events as 3 immutable "
         "offset-numbered topic segments (FileTopic — the file-source "
         "stand-in for a Kafka partition; no broker client in this "
-        "image), then the batch-backfill read over all segments. "
+        "image), then the batch-backfill read via the protocol. "
         "Hash-checked against the source table: segmentation loses "
         "nothing and preserves values. The streaming consume path "
         "(checkpointed offsets, exactly-once per segment, "
         "maxFilesPerTrigger backpressure) is golden-tested in "
-        "tests/test_topic.py.",
+        "tests/test_topic.py; source-agnosticism (same transforms "
+        "over FileTopic AND the rate source) in "
+        "tests/test_streaming_feed.py.",
     )
     def topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
+
+        from clickhousebackup_spark.streaming.feed import feed_backfill
 
         path = scratch_path(spark, "topic_rt", sf_dir)
         shutil.rmtree(path, ignore_errors=True)
@@ -134,7 +139,7 @@ def _register_queries() -> None:
         )
         for i in range(3):
             topic.publish(ev.filter(F.pmod("event_id", F.lit(3)) == i))
-        return topic.read_all(spark)
+        return feed_backfill(topic, spark)
 
 
 _register_queries()

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # registry-wide sweep; see pytest.ini
+
 from clickhousebackup_spark.registry import all_specs
 from tests.compare import assert_same_result
 

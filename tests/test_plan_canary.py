@@ -21,6 +21,10 @@ pinned where they are built.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # registry-wide sweep; see pytest.ini
+
 from clickhousebackup_spark.plans import inspect
 from clickhousebackup_spark.registry import all_specs
 
