@@ -1,0 +1,355 @@
+"""Round-9 operator batch: data-quality auditing, sequence runs,
+graph degree profiles, backlog aging, and the bias-corrected
+association statistic.
+
+Reference anchor: the reference (a shell backup orchestrator,
+backup.sh) delegates all query work to ClickHouse; these map the
+ClickHouse-side surfaces a user of that stack leans on —
+referential-integrity checks before a backup is declared consistent,
+`cramersVBiasCorrected`, run/streak sequence analysis — onto
+Spark-first plans. Every key follows the round-8 ground-truth
+discipline: oracled in DuckDB AND pinned against an independent
+recompute in tests/test_props_r9.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+#: (name, child table, fk col, parent table, pk col) — the TPC-H
+#: foreign-key spine this engine's joins assume. An orphan here means
+#: a join silently drops rows; the audit makes that a checked fact.
+_FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+        SELECT 'lineitem.l_orderkey->orders' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphan,
+               CAST(CASE WHEN SUM(CASE WHEN p.o_orderkey IS NULL
+                                  THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS ok
+        FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(CASE WHEN SUM(CASE WHEN p.c_custkey IS NULL
+                                  THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(CASE WHEN SUM(CASE WHEN p.n_nationkey IS NULL
+                                  THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(CASE WHEN SUM(CASE WHEN p.n_nationkey IS NULL
+                                  THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM supplier c LEFT JOIN nation p ON c.s_nationkey = p.n_nationkey
+    """,
+    doc="Referential-integrity audit over the TPC-H FK spine (the "
+    "data-quality gate a backup/restore pipeline runs before "
+    "declaring a snapshot consistent — the engine-side analog of "
+    "backup_verify_integrity's file-level checks): per relation, "
+    "child row count, orphan count (child key with no parent), and "
+    "a pass flag. Plan: one LEFT join + two-counter agg per "
+    "relation (parent side deduplicated to its PK; Catalyst "
+    "broadcasts the small dims), unioned — each relation "
+    "independent, so at 100 TB the audits run as four parallel "
+    "joins with no cross-relation shuffle.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, child_t, fk, parent_t, pk in _FK_RELATIONS:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(fk).alias("_k")
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        n_orphan = F.sum(
+            F.when(F.col("_hit").isNull(), 1).otherwise(0)
+        ).cast("long")
+        outs.append(
+            child.join(parent, "_k", "left").agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                n_orphan.alias("n_orphan"),
+                F.when(n_orphan == 0, 1).otherwise(0).cast("long").alias("ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "seq_longest_increase",
+    oracle="""
+        WITH lagged AS (
+            SELECT user_id, value, ts, event_id,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        ), grp AS (
+            SELECT user_id,
+                   SUM(CASE WHEN prev IS NULL OR value <= prev
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS g
+            FROM lagged
+        ), runs AS (
+            SELECT user_id, g, COUNT(*) AS run_len
+            FROM grp GROUP BY user_id, g
+        ), best AS (
+            SELECT user_id, MAX(run_len) AS best_run FROM runs
+            GROUP BY user_id
+        )
+        SELECT CAST(best_run AS BIGINT) AS best_run,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM best GROUP BY best_run
+    """,
+    doc="Longest strictly-increasing value run per user (the "
+    "sequence/streak analysis ClickHouse users build from "
+    "runningDifference + arraySplit), reported as a histogram "
+    "(best_run → user count) so the output is distribution-sized. "
+    "Gaps-and-islands: per-user LAG flags run breaks (strict <= — "
+    "double comparisons of identical values are deterministic), a "
+    "partitioned running sum numbers the runs, two hash aggs finish. "
+    "Every window is partitioned by user — no global order, "
+    "scale-safe as-is at 100 TB.",
+)
+def seq_longest_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two stages: LAG first, then the running sum over its result —
+    # a window function cannot nest inside another window aggregate
+    lagged = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.lag("value").over(w).alias("prev"),
+    )
+    brk = F.when(
+        F.col("prev").isNull() | (F.col("value") <= F.col("prev")), 1
+    ).otherwise(0)
+    grp = lagged.select(
+        "user_id", F.sum(brk).over(wrun).alias("g")
+    )
+    runs = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    best = runs.groupBy("user_id").agg(F.max("run_len").alias("best_run"))
+    return best.groupBy(F.col("best_run").cast("long").alias("best_run")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+        ), deg AS (
+            SELECT l_suppkey, COUNT(*) AS degree FROM edges
+            GROUP BY l_suppkey
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the supplier–part bipartite graph "
+    "observed in lineitem (the first profile of any interaction "
+    "graph — skew here is what decides the salting strategy for "
+    "joins downstream): distinct (supp, part) edges → per-supplier "
+    "degree → histogram. Two two-phase hash aggs over the fact "
+    "scan, output bounded by the supplier dimension; no windows, "
+    "no joins — linear at any scale.",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+        WITH ref AS (
+            SELECT MAX(o_orderdate) AS maxd FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(least(date_diff('day', o_orderdate, ref.maxd) // 180, 4)
+                    AS BIGINT) AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS backlog_value
+        FROM orders CROSS JOIN ref
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority, age_bucket
+    """,
+    doc="Backlog aging report: unfinished orders (status <> 'F') "
+    "bucketed by half-year age bands relative to the dataset's "
+    "latest order date, per priority — counts plus decimal-exact "
+    "backlog value. Age is integer day arithmetic (date_diff // "
+    "180, capped at bucket 4) — no calendar-month dialect "
+    "divergence; the reference date is a 1-row broadcast (the "
+    "pinned-NLJ scalar pattern). One scan + one two-phase agg at "
+    "any scale.",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("maxd"))
+    open_o = o.filter(F.col("o_orderstatus") != "F").crossJoin(
+        F.broadcast(ref)
+    )
+    bucket = F.least(
+        F.floor(F.datediff(F.col("maxd"), F.col("o_orderdate")) / 180),
+        F.lit(4),
+    ).cast("long")
+    return open_o.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("double")
+        .alias("backlog_value"),
+    )
+
+
+@register(
+    "stats_cramers_v_corrected",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT SUM(o) AS n,
+                   CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS kr,
+                   CAST(COUNT(DISTINCT ub) AS DOUBLE) AS kc
+            FROM obs
+        ), rows_ AS (
+            SELECT event_type, SUM(o) AS ro FROM obs GROUP BY event_type
+        ), cols_ AS (
+            SELECT ub, SUM(o) AS co FROM obs GROUP BY ub
+        ), chi AS (
+            SELECT (CAST(SUM(CAST(floor(
+                       ((obs.o - (rows_.ro * cols_.co / tot.n))
+                        * (obs.o - (rows_.ro * cols_.co / tot.n)))
+                       / (rows_.ro * cols_.co / tot.n)
+                       * 1000000000000.0)
+                       AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1000000000000.0) AS chi2,
+                   min(tot.n) AS n, min(tot.kr) AS kr, min(tot.kc) AS kc
+            FROM obs
+            JOIN rows_ ON obs.event_type = rows_.event_type
+            JOIN cols_ ON obs.ub = cols_.ub
+            CROSS JOIN tot
+        )
+        SELECT chi2,
+               greatest(chi2 / n - (kr - 1.0) * (kc - 1.0) / (n - 1.0), 0.0)
+                   AS phi2_corr,
+               sqrt(
+                   greatest(chi2 / n - (kr - 1.0) * (kc - 1.0) / (n - 1.0),
+                            0.0)
+                   / least(kr - (kr - 1.0) * (kr - 1.0) / (n - 1.0) - 1.0,
+                           kc - (kc - 1.0) * (kc - 1.0) / (n - 1.0) - 1.0)
+               ) AS cramers_v_corr
+        FROM chi
+    """,
+    doc="Bias-corrected Cramer's V (ClickHouse "
+    "cramersVBiasCorrected, the Bergsma correction): phi2 minus its "
+    "small-sample expectation and V = sqrt(phi2~/min(kr~-1, kc~-1)) "
+    "with Bergsma-corrected category counts — "
+    "the statistic that stays comparable across differently-sized "
+    "slices. Same vocabulary-sized contingency machinery as "
+    "stats_cramers_v (whose chi2 term it re-states: per-cell terms "
+    "on the exact 1e-12 floor grid), then ONLY +,-,*,/, greatest/"
+    "least and one sqrt on identical doubles — deterministic to "
+    "the bit in both engines.",
+)
+def stats_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("ub"),
+    )
+    obs = (
+        ev.groupBy("event_type", "ub")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast("double").alias("kr"),
+        F.countDistinct("ub").cast("double").alias("kc"),
+    )
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("ro"))
+    cols_ = obs.groupBy("ub").agg(F.sum("o").alias("co"))
+    cell = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "ub")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ro") * F.col("co") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    chi = cell.agg(
+        (
+            F.sum(F.floor(term * F.lit(1e12)).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("chi2"),
+        F.min("n").alias("n"),
+        F.min("kr").alias("kr"),
+        F.min("kc").alias("kc"),
+    )
+    n, kr, kc = F.col("n"), F.col("kr"), F.col("kc")
+    phi2_corr = F.greatest(
+        F.col("chi2") / n - (kr - 1.0) * (kc - 1.0) / (n - 1.0), F.lit(0.0)
+    )
+    kr_corr = kr - (kr - 1.0) * (kr - 1.0) / (n - 1.0)
+    kc_corr = kc - (kc - 1.0) * (kc - 1.0) / (n - 1.0)
+    return chi.select(
+        "chi2",
+        phi2_corr.alias("phi2_corr"),
+        F.sqrt(phi2_corr / F.least(kr_corr - 1.0, kc_corr - 1.0)).alias(
+            "cramers_v_corr"
+        ),
+    )

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics5",
     "clickhousebackup_spark.operators.analytics6",
     "clickhousebackup_spark.operators.analytics7",
+    "clickhousebackup_spark.operators.analytics8",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -161,6 +162,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    # round-9 new keys (operators/analytics8.py)
+    "dq_referential_integrity",
+    "seq_longest_increase",
+    "graph_degree_histogram",
+    "orders_backlog_aging",
+    "stats_cramers_v_corrected",
 )
 
 

@@ -226,6 +226,169 @@ def fuzzy_knn_maxima(spark, sf_dir: str) -> dict:
     return {"fuzzy_block_max": fuzzy_max, "knn_lsh_bucket_max": knn_max}
 
 
+def build_sf1_facts(spark, base_sf: str) -> None:
+    """10x fact tables for the round-9 probe (VERDICT r8 item 3): the
+    six de-scale-killed distrank operators rank/cumsum over lineitem,
+    orders, and events, so those are the tables that must grow.
+    Copies offset every key column (10x orders AND 10x customers —
+    rank-scale tests should see more groups, not just heavier ones);
+    events.value gets a +i*1e-6 per-copy nudge so the DISTINCT-value
+    domain (what made stats_roc_auc row-scale) also grows ~10x."""
+    root = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
+    os.makedirs(root, exist_ok=True)
+
+    def tenfold(df, mutate):
+        copies = [mutate(df, i) for i in range(10)]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        return big.repartition(32)
+
+    out = os.path.join(root, "lineitem.parquet")
+    if not os.path.exists(out):
+        li = spark.read.parquet(f"{base_sf}/lineitem.parquet")
+        tenfold(
+            li,
+            lambda df, i: df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+            ),
+        ).write.mode("overwrite").parquet(out)
+    out = os.path.join(root, "orders.parquet")
+    if not os.path.exists(out):
+        o = spark.read.parquet(f"{base_sf}/orders.parquet")
+        tenfold(
+            o,
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+            ).withColumn(
+                "o_custkey", F.col("o_custkey") + F.lit(i * 100_000_000)
+            ),
+        ).write.mode("overwrite").parquet(out)
+    out = os.path.join(root, "events.parquet")
+    if not os.path.exists(out):
+        ev = spark.read.parquet(f"{base_sf}/events.parquet")
+        tenfold(
+            ev,
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            )
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 100_000_000))
+            .withColumn("value", F.col("value") + F.lit(i * 1e-6)),
+        ).write.mode("overwrite").parquet(out)
+    # unscaled dims: link through so load_table finds every table
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+    ):
+        dst = os.path.join(root, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{base_sf}/{t}.parquet", dst)
+
+
+def _shuffle_bytes_total(spark) -> int:
+    """Cumulative shuffle write bytes across completed stages, via the
+    UI REST API (the only place PySpark exposes stage metrics)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return -1
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE",
+            timeout=10,
+        ) as r:
+            stages = json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+#: round-9 probe set: the six distrank conversions + every bench
+#: extra whose driving table the emulated sf1 scales (docs/embeddings
+#: from the original builders; lineitem/orders/events from
+#: build_sf1_facts). Vocabulary-input extras (dict_hierarchy_flatten)
+#: and the streaming-trigger-floor key (stream_stateful_totals) are
+#: excluded — their walls measure fixed overhead, not data scaling.
+R9_KEYS = (
+    "agg_histogram_equi_depth",
+    "stats_mannwhitney_u",
+    "stats_roc_auc",
+    "stats_ks_test",
+    "orders_rfm_segments",
+    "orders_pareto_8020",
+    "sort_multi",
+    "text_chunk_passages",
+    "merge_aggregating_shards",
+    "graph_pagerank",
+    "skyline_orders",
+    "dedup_ngram_jaccard",
+    "quality_linear_score",
+    "bpe_merge_candidates",
+    "ts_lttb_downsample",
+    "text_minhash_export",
+    "win_sliding_distinct",
+    "corpus_dup_ngrams",
+    "emb_pq_codes",
+    "sessionize_gap",
+    "merge_graphite_rollup",
+    "sim_pq_adc_topk",
+    "text_ngram_novelty",
+    "join_lateral_topn",
+    "backup_dedup_savings",
+    "dedup_minhash",
+)
+
+
+def main_r9() -> None:
+    base_sf = (
+        sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    )
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("cbs-sf1-probe-r9")
+    specs = all_specs()
+    sf1_dir = build_sf1(spark, base_sf)
+    build_sf1_part(spark, base_sf)
+    build_sf1_embeddings(spark, base_sf)
+    build_sf1_facts(spark, base_sf)
+    report: dict = {"base_sf": base_sf, "keys": {}}
+    for k in R9_KEYS:
+        row: dict = {}
+        for label, sf in (("sf0.1", base_sf), ("sf1", sf1_dir)):
+            t0 = time.perf_counter()
+            sh0 = _shuffle_bytes_total(spark)
+            rows = specs[k].fn(spark, sf).count()
+            wall = round(time.perf_counter() - t0, 2)
+            sh = _shuffle_bytes_total(spark)
+            row[label] = {
+                "wall_s": wall,
+                "rows": rows,
+                "shuffle_mb": round((sh - sh0) / 1e6, 1)
+                if sh >= 0 and sh0 >= 0
+                else None,
+            }
+            print(f"# {label} {k}: {wall}s rows={rows}", file=sys.stderr)
+        r = (
+            round(row["sf1"]["wall_s"] / row["sf0.1"]["wall_s"], 2)
+            if row["sf0.1"]["wall_s"] > 0
+            else None
+        )
+        row["wall_ratio"] = r
+        row["linear_ok"] = bool(r is not None and r <= 10.0)
+        report["keys"][k] = row
+    report["all_linear"] = all(
+        v["linear_ok"] for v in report["keys"].values()
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
 def main() -> None:
     base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from clickhousebackup_spark.registry import all_specs
@@ -266,4 +429,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--r9":
+        main_r9()
+    else:
+        main()

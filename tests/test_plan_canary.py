@@ -69,6 +69,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "emb_centroid_distances": 1,  # |labels|-row centroid pair join
     "mergetree_ttl_rollup": 2,    # 1-row max-ts anchor, one per arm
     "dq_histogram_drift": 1,      # 1-row bin-totals broadcast
+    "orders_backlog_aging": 1,    # 1-row reference-date broadcast
+    "stats_cramers_v_corrected": 1,  # 1-row contingency-totals bcast
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

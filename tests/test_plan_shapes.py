@@ -729,6 +729,22 @@ R8_PLAN_BUDGET = {
     # exchange; explode + segment cumsum + rollup all share it
 }
 
+# Round-9 additions (operators/analytics8.py), measured at sf0.001:
+# (max_shuffles, min_broadcasts, allow_nlj). allow_nlj rows are the
+# 1-row scalar broadcasts (reference date / contingency totals).
+R9_PLAN_BUDGET = {
+    "dq_referential_integrity": (4, 2, False),  # per-relation agg
+    # exchanges; dims broadcast (fact-fact relations may shuffle-join
+    # at scale, still 1 join + 1 agg each, relation-parallel)
+    "seq_longest_increase": (2, 0, False),  # user window + run agg
+    # (best/histogram aggs reuse the run agg's partitioning)
+    "graph_degree_histogram": (3, 0, False),  # distinct + degree agg
+    # + histogram agg
+    "orders_backlog_aging": (1, 0, True),   # one agg; 1-row ref date
+    "stats_cramers_v_corrected": (3, 2, True),  # cell agg + marginal
+    # re-aggs; marginals broadcast back; 1-row totals cross
+}
+
 
 def test_bottom_k_sample_is_take_ordered(spark, sf_dir):
     # the whole point of bottom-k: per-partition heaps + driver merge,
@@ -741,6 +757,18 @@ def test_bottom_k_sample_is_take_ordered(spark, sf_dir):
 @pytest.mark.parametrize("key", sorted(R8_PLAN_BUDGET))
 def test_r8_plan_budgets(spark, sf_dir, key):
     max_shuffles, min_bcast, allow_nlj = R8_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("key", sorted(R9_PLAN_BUDGET))
+def test_r9_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R9_PLAN_BUDGET[key]
     df = SPECS[key].fn(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert inspect.count_shuffles(df) <= max_shuffles, plan

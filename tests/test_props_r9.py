@@ -1,0 +1,124 @@
+"""Round-9 ground-truth pinning (VERDICT r8 item 8): every new key
+whose oracle shares the engine's formula gets an INDEPENDENT
+third-engine recompute (pandas/numpy/pure python) so a shared wrong
+formula cannot pass parity silently.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from clickhousebackup_spark.registry import all_specs
+
+
+def _spec(key):
+    return all_specs()[key]
+
+
+def test_referential_integrity_matches_set_difference(spark, sf_dir):
+    out = {
+        r["relation"]: r
+        for r in _spec("dq_referential_integrity").fn(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    cases = {
+        "lineitem.l_orderkey->orders": (
+            li["l_orderkey"], set(orders["o_orderkey"])
+        ),
+        "orders.o_custkey->customer": (
+            orders["o_custkey"], set(cust["c_custkey"])
+        ),
+        "customer.c_nationkey->nation": (
+            cust["c_nationkey"], set(nation["n_nationkey"])
+        ),
+        "supplier.s_nationkey->nation": (
+            supp["s_nationkey"], set(nation["n_nationkey"])
+        ),
+    }
+    assert set(out) == set(cases)
+    for rel, (child, parents) in cases.items():
+        n_orphan = int((~child.isin(parents)).sum())
+        assert out[rel]["n_child"] == len(child), rel
+        assert out[rel]["n_orphan"] == n_orphan, rel
+        assert out[rel]["ok"] == int(n_orphan == 0), rel
+        # fixture truth: the TPC-H generator emits a consistent spine
+        assert out[rel]["ok"] == 1, rel
+
+
+def test_longest_increase_matches_python_scan(spark, sf_dir):
+    out = {
+        r["best_run"]: r["n_users"]
+        for r in _spec("seq_longest_increase").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    best: dict[int, int] = {}
+    for uid, g in ev.groupby("user_id"):
+        run = longest = 0
+        prev = None
+        for v in g["value"]:
+            run = run + 1 if (prev is not None and v > prev) else 1
+            longest = max(longest, run)
+            prev = v
+        best[uid] = longest
+    want = pd.Series(best).value_counts().to_dict()
+    assert out == {int(k): int(v) for k, v in want.items()}
+
+
+def test_degree_histogram_matches_pandas_nunique(spark, sf_dir):
+    out = {
+        r["degree"]: r["n_suppliers"]
+        for r in _spec("graph_degree_histogram").fn(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    deg = li.groupby("l_suppkey")["l_partkey"].nunique()
+    want = deg.value_counts().to_dict()
+    assert out == {int(k): int(v) for k, v in want.items()}
+
+
+def test_backlog_aging_matches_pandas(spark, sf_dir):
+    rows = _spec("orders_backlog_aging").fn(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o["o_orderstatus"] != "F"].copy()
+    ref = pd.read_parquet(f"{sf_dir}/orders.parquet")["o_orderdate"].max()
+    days = (ref - o["o_orderdate"]).dt.days
+    o["bucket"] = (days // 180).clip(upper=4)
+    g = o.groupby(["o_orderpriority", "bucket"])
+    want_n = g.size().to_dict()
+    want_v = g["o_totalprice"].sum().to_dict()
+    assert len(rows) == len(want_n)
+    for r in rows:
+        k = (r["o_orderpriority"], r["age_bucket"])
+        assert r["n_orders"] == want_n[k], k
+        assert abs(r["backlog_value"] - want_v[k]) < 1e-4 * max(
+            1.0, abs(want_v[k])
+        ), k
+
+
+def test_cramers_v_corrected_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    row = (
+        _spec("stats_cramers_v_corrected").fn(spark, sf_dir).collect()[0]
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    tab = pd.crosstab(ev["event_type"], ev["user_id"] % 4).to_numpy(
+        dtype=float
+    )
+    n = tab.sum()
+    exp = tab.sum(1, keepdims=True) @ tab.sum(0, keepdims=True) / n
+    chi2 = ((tab - exp) ** 2 / exp).sum()
+    kr, kc = tab.shape
+    phi2c = max(chi2 / n - (kr - 1) * (kc - 1) / (n - 1), 0.0)
+    krc = kr - (kr - 1) ** 2 / (n - 1)
+    kcc = kc - (kc - 1) ** 2 / (n - 1)
+    vc = (phi2c / min(krc - 1, kcc - 1)) ** 0.5
+    assert abs(row["chi2"] - chi2) < 1e-6
+    assert abs(row["phi2_corr"] - phi2c) < 1e-9
+    assert abs(row["cramers_v_corr"] - vc) < 1e-9
+    assert 0.0 <= row["cramers_v_corr"] <= 1.0
