@@ -353,3 +353,188 @@ def stats_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v_corr"
         ),
     )
+
+
+#: bucket-bitset width for the runtime-filter pattern keys: 2^16
+#: buckets ≈ the size class where the filter broadcast stays KBs
+#: while the exact key set may not.
+_BITSET_BUCKETS = 65536
+
+
+@register(
+    "join_bitset_prefilter",
+    # The bitset prefilter is semantics-preserving (false positives
+    # are removed by the exact join), so the oracle is the PLAIN
+    # semi-join aggregate — equality proves the filter dropped
+    # nothing it shouldn't.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY l_returnflag
+    """,
+    doc="Runtime-filter join pattern (what Spark's AQE bloom/runtime "
+    "filters and ClickHouse's JOIN set lookups do under the hood, "
+    "stated explicitly): the urgent-orders key set is summarized as "
+    "a 2^16-bucket BITSET (portable md5 bucket per key, distinct — "
+    "KBs however many keys there are), broadcast, and the fact scan "
+    "is pre-filtered by bucket membership BEFORE the exact semi "
+    "join removes the bucket-collision false positives. At 100 TB "
+    "the bitset broadcast prunes most of the shuffle the exact join "
+    "would otherwise pay; at fixture scale both joins broadcast — "
+    "same answer either way, which is what the oracle checks.",
+)
+def join_bitset_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.extensions.dedup import _md5_long32
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bucket_of = lambda c: (  # noqa: E731 — tiny local expr factory
+        _md5_long32(F.col(c).cast("string")) % _BITSET_BUCKETS
+    )
+    bitset = (
+        urgent.select(bucket_of("o_orderkey").alias("_b")).distinct()
+    )
+    prefiltered = li.withColumn("_b", bucket_of("l_orderkey")).join(
+        F.broadcast(bitset), "_b"
+    )
+    exact = prefiltered.join(
+        F.broadcast(urgent),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "contamination_bitset",
+    oracle=f"""
+        WITH ev AS (
+            SELECT md5(text) AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                       % {_BITSET_BUCKETS} AS b
+            FROM documents WHERE doc_id % 20 = 0
+        ), train AS (
+            SELECT doc_id, md5(text) AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                       % {_BITSET_BUCKETS} AS b
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN t.b IN (SELECT DISTINCT b FROM ev)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN t.h IN (SELECT DISTINCT h FROM ev)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN t.b IN (SELECT DISTINCT b FROM ev)
+                        THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN t.h IN (SELECT DISTINCT h FROM ev)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM train t
+    """,
+    doc="Contamination screening at bloom-filter cost, with its error "
+    "EXACTLY accounted: the eval set (every 20th doc — drawn FROM "
+    "the corpus, i.e. the leak is real by construction, so the key "
+    "is never vacuously zero) is summarized as a 2^16-bucket bitset "
+    "of md5 buckets; every corpus doc is flagged by bucket "
+    "membership (the broadcast-filter scan a 100 TB decontam pass "
+    "runs FIRST), and the exact md5-identity hit count plus the "
+    "bucket-collision false-positive count are emitted alongside — "
+    "all four counts deterministic and hash-checked, so the driver "
+    "pins the estimator AND its exact overcount (n_flagged ⊇ "
+    "n_exact: same text ⇒ same bucket). The exact-verify second "
+    "pass only ever runs on the flagged subset — the two-stage "
+    "shape contamination_overlap (n-gram grain) scales by.",
+)
+def contamination_bitset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # bucket = md5_32(text) % buckets — matches the oracle's arithmetic
+    withb = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            % _BITSET_BUCKETS
+        ).alias("b"),
+    )
+    ev = withb.filter(F.pmod("doc_id", F.lit(20)) == 0)
+    train = withb  # the full corpus — the eval docs ARE leaked into it
+    bitset = ev.select("b").distinct().withColumn("_inb", F.lit(1))
+    exact_set = ev.select("h").distinct().withColumn("_inh", F.lit(1))
+    joined = (
+        train.join(F.broadcast(bitset), "b", "left")
+        .join(F.broadcast(exact_set), "h", "left")
+    )
+    n_flagged = F.sum(
+        F.when(F.col("_inb").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    n_exact = F.sum(
+        F.when(F.col("_inh").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        n_flagged.alias("n_flagged"),
+        n_exact.alias("n_exact"),
+        (n_flagged - n_exact).alias("n_false_pos"),
+    )
+
+
+@register(
+    "agg_combinators_ornull",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN value > 400
+                    THEN CAST(floor(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS sum_cents_ornull,
+               CAST(COALESCE(SUM(CASE WHEN value > 400
+                    THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS sum_cents_ordefault,
+               CAST(MIN(CASE WHEN value > 400
+                    THEN CAST(floor(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS min_cents_ornull,
+               CAST(NULLIF(COUNT(CASE WHEN value > 400 THEN 1 END), 0)
+                    AS BIGINT) AS count_ornull
+        FROM events GROUP BY event_type
+    """,
+    doc="ClickHouse -OrNull / -OrDefault aggregate combinators "
+    "(sumOrNull, sumOrDefault, minOrNull, countOrNull): when the "
+    "conditional input set is EMPTY for a group, -OrNull yields NULL "
+    "where the default aggregate yields 0 (count) or NULL-vs-0 "
+    "ambiguity (sum) — the semantics that make 'no data' "
+    "distinguishable from 'sums to zero' in rollup tables. SQL "
+    "aggregates over a filtered CASE input reproduce all four "
+    "exactly (Spark sum/min of an all-NULL column are already NULL; "
+    "countOrNull = NULLIF(count, 0)); the value grid is integer "
+    "cents so every checked number is exact. One two-phase hash "
+    "agg.",
+)
+def agg_combinators_ornull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("value") > 400, F.floor(F.col("value") * 100).cast("long")
+    )
+    cnt = F.count(cents)
+    return ev.groupBy("event_type").agg(
+        F.sum(cents).cast("long").alias("sum_cents_ornull"),
+        F.coalesce(F.sum(cents), F.lit(0))
+        .cast("long")
+        .alias("sum_cents_ordefault"),
+        F.min(cents).cast("long").alias("min_cents_ornull"),
+        F.nullif(cnt, F.lit(0)).cast("long").alias("count_ornull"),
+    )

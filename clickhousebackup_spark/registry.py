@@ -168,6 +168,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "graph_degree_histogram",
     "orders_backlog_aging",
     "stats_cramers_v_corrected",
+    "join_bitset_prefilter",
+    "contamination_bitset",
+    "agg_combinators_ornull",
 )
 
 

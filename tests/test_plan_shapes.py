@@ -743,6 +743,11 @@ R9_PLAN_BUDGET = {
     "orders_backlog_aging": (1, 0, True),   # one agg; 1-row ref date
     "stats_cramers_v_corrected": (3, 2, True),  # cell agg + marginal
     # re-aggs; marginals broadcast back; 1-row totals cross
+    "join_bitset_prefilter": (2, 2, False),  # bitset bcast + exact
+    # semi bcast; distinct + final agg exchanges
+    "contamination_bitset": (2, 2, False),   # two bcast membership
+    # joins; bitset/exact-set distinct exchanges
+    "agg_combinators_ornull": (1, 0, False),  # one two-phase agg
 }
 
 

@@ -122,3 +122,69 @@ def test_cramers_v_corrected_matches_numpy(spark, sf_dir):
     assert abs(row["phi2_corr"] - phi2c) < 1e-9
     assert abs(row["cramers_v_corr"] - vc) < 1e-9
     assert 0.0 <= row["cramers_v_corr"] <= 1.0
+
+
+def test_bitset_prefilter_matches_pandas_semi_join(spark, sf_dir):
+    rows = {
+        r["l_returnflag"]: r
+        for r in _spec("join_bitset_prefilter").fn(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"]
+    )
+    kept = li[li["l_orderkey"].isin(urgent)]
+    g = kept.groupby("l_returnflag")
+    want_n = g.size().to_dict()
+    want_rev = g["l_extendedprice"].sum().to_dict()
+    assert set(rows) == set(want_n)
+    for k in want_n:
+        assert rows[k]["n_lines"] == want_n[k]
+        assert abs(rows[k]["revenue"] - want_rev[k]) < 1e-4 * max(
+            1.0, abs(want_rev[k])
+        )
+
+
+def test_contamination_bitset_invariants(spark, sf_dir):
+    """The estimator contract, recomputed independently: exact hits
+    = eval-sample size plus any duplicate texts, flagged ⊇ exact,
+    and the false-positive count is exactly the difference."""
+    row = _spec("contamination_bitset").fn(spark, sf_dir).collect()[0]
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    h = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    b = h.map(lambda x: int(x[:8], 16) % 65536)
+    ev_mask = docs["doc_id"] % 20 == 0
+    ev_h, ev_b = set(h[ev_mask]), set(b[ev_mask])
+    assert row["n_train"] == len(docs)
+    assert row["n_exact"] == int(h.isin(ev_h).sum())
+    assert row["n_flagged"] == int(b.isin(ev_b).sum())
+    assert row["n_false_pos"] == row["n_flagged"] - row["n_exact"]
+    assert row["n_exact"] >= int(ev_mask.sum())  # the leak is real
+
+
+def test_ornull_combinators_empty_group_semantics(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("agg_combinators_ornull").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    import math
+
+    for et, g in ev.groupby("event_type"):
+        sel = g.loc[g["value"] > 400, "value"].map(
+            lambda v: math.floor(v * 100)
+        )
+        r = rows[et]
+        if len(sel) == 0:
+            assert r["sum_cents_ornull"] is None
+            assert r["sum_cents_ordefault"] == 0
+            assert r["min_cents_ornull"] is None
+            assert r["count_ornull"] is None
+        else:
+            assert r["sum_cents_ornull"] == sel.sum()
+            assert r["sum_cents_ordefault"] == sel.sum()
+            assert r["min_cents_ornull"] == sel.min()
+            assert r["count_ornull"] == len(sel)
