@@ -348,10 +348,27 @@ def main_r9() -> None:
     base_sf = (
         sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     )
+    from pyspark.sql import SparkSession
+
     from clickhousebackup_spark.registry import all_specs
     from clickhousebackup_spark.session import get_spark
 
+    # the engine session disables the UI; the probe needs its REST
+    # API for stage shuffle metrics, so rebuild with it on (a fresh
+    # SparkContext in the same JVM honors spark.ui.enabled)
     spark = get_spark("cbs-sf1-probe-r9")
+    if not spark.sparkContext.uiWebUrl:
+        spark.stop()
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("cbs-sf1-probe-r9")
+            .config("spark.ui.enabled", "true")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     sf1_dir = build_sf1(spark, base_sf)
     build_sf1_part(spark, base_sf)
