@@ -538,3 +538,138 @@ def agg_combinators_ornull(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(cents).cast("long").alias("min_cents_ornull"),
         F.nullif(cnt, F.lit(0)).cast("long").alias("count_ornull"),
     )
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle="""
+        SELECT 'orders.o_orderkey' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_dup_rows,
+               CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey)
+                    THEN 1 ELSE 0 END AS BIGINT) AS unique_ok
+        FROM orders
+        UNION ALL
+        SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+               CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT c_custkey)
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.(l_orderkey,l_linenumber)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+                    AS BIGINT),
+               CAST(COUNT(*)
+                    - COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+                    AS BIGINT),
+               CAST(CASE WHEN COUNT(*) =
+                         COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id (expected non-unique)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT user_id)
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM events
+    """,
+    doc="Primary-key uniqueness audit (the sister gate to "
+    "dq_referential_integrity — together they are the consistency "
+    "contract a snapshot must pass before backup_verify_integrity "
+    "blesses the files): per declared key, row count, distinct-key "
+    "count, duplicate-row count, and the uniqueness flag. The "
+    "lineitem composite key packs into one integer "
+    "(l_linenumber < 16 — a checked fixture invariant, "
+    "tests/test_props_r9.py) so the audit stays a plain "
+    "count-distinct; events.user_id is audited as a deliberately "
+    "NON-unique column proving the counter counts (n_dup_rows > 0 "
+    "there, 0 on the real PKs). One two-phase count-distinct agg "
+    "per table, mutually independent — parallel at any scale.",
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(name, df, key_expr):
+        return df.agg(
+            F.lit(name).alias("key_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key_expr).cast("long").alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(key_expr))
+            .cast("long")
+            .alias("n_dup_rows"),
+            F.when(F.count(F.lit(1)) == F.countDistinct(key_expr), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("unique_ok"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        audit("orders.o_orderkey", o, F.col("o_orderkey")),
+        audit("customer.c_custkey", c, F.col("c_custkey")),
+        audit(
+            "lineitem.(l_orderkey,l_linenumber)",
+            li,
+            F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+        ),
+        audit(
+            "events.user_id (expected non-unique)", ev, F.col("user_id")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "orders_fulfillment_latency",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS min_days,
+               CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS max_days,
+               CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS total_days,
+               CAST(SUM(CASE WHEN
+                        date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Order-to-ship fulfillment latency per priority class: per "
+    "line, days from order date to ship date — min/max/total (the "
+    "exact integer sufficient statistics for the mean) and the "
+    "90-day SLA breach count. Pure integer day arithmetic (no "
+    "calendar-month dialect drift), one fact-fact equi-join + one "
+    "two-phase agg; at 100 TB the join shuffles on l_orderkey/"
+    "o_orderkey — the co-location the bucketed-sink keys "
+    "(sink_bucketed_sorted) exist to pre-pay.",
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min(days).cast("long").alias("min_days"),
+        F.max(days).cast("long").alias("max_days"),
+        F.sum(days).cast("long").alias("total_days"),
+        F.sum(F.when(days > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_90d"),
+    )

@@ -171,6 +171,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "join_bitset_prefilter",
     "contamination_bitset",
     "agg_combinators_ornull",
+    "dq_uniqueness_audit",
+    "orders_fulfillment_latency",
 )
 
 

@@ -748,6 +748,10 @@ R9_PLAN_BUDGET = {
     "contamination_bitset": (2, 2, False),   # two bcast membership
     # joins; bitset/exact-set distinct exchanges
     "agg_combinators_ornull": (1, 0, False),  # one two-phase agg
+    "dq_uniqueness_audit": (4, 0, False),    # one count-distinct agg
+    # per audited table (expand + two-phase), table-parallel
+    "orders_fulfillment_latency": (1, 1, False),  # one join (orders
+    # broadcast at fixture scale; co-located shuffle at 100 TB) + agg
 }
 
 

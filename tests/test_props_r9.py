@@ -188,3 +188,56 @@ def test_ornull_combinators_empty_group_semantics(spark, sf_dir):
             assert r["sum_cents_ordefault"] == sel.sum()
             assert r["min_cents_ornull"] == sel.min()
             assert r["count_ornull"] == len(sel)
+
+
+def test_uniqueness_audit_matches_pandas(spark, sf_dir):
+    out = {
+        r["key_name"]: r
+        for r in _spec("dq_uniqueness_audit").fn(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    # the composite-key packing invariant the audit relies on
+    assert int(li["l_linenumber"].max()) < 16
+    cases = {
+        "orders.o_orderkey": pd.read_parquet(f"{sf_dir}/orders.parquet")[
+            "o_orderkey"
+        ],
+        "customer.c_custkey": pd.read_parquet(
+            f"{sf_dir}/customer.parquet"
+        )["c_custkey"],
+        "lineitem.(l_orderkey,l_linenumber)": li["l_orderkey"] * 16
+        + li["l_linenumber"],
+        "events.user_id (expected non-unique)": pd.read_parquet(
+            f"{sf_dir}/events.parquet"
+        )["user_id"],
+    }
+    for name, s in cases.items():
+        r = out[name]
+        assert r["n_rows"] == len(s)
+        assert r["n_keys"] == s.nunique()
+        assert r["n_dup_rows"] == len(s) - s.nunique()
+        assert r["unique_ok"] == int(len(s) == s.nunique())
+    assert out["orders.o_orderkey"]["unique_ok"] == 1
+    # the non-unique probe column proves the counter counts
+    assert out["events.user_id (expected non-unique)"]["n_dup_rows"] > 0
+
+
+def test_fulfillment_latency_matches_pandas(spark, sf_dir):
+    rows = {
+        r["o_orderpriority"]: r
+        for r in _spec("orders_fulfillment_latency")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    days = (j["l_shipdate"] - j["o_orderdate"]).dt.days
+    j = j.assign(days=days)
+    for pri, g in j.groupby("o_orderpriority"):
+        r = rows[pri]
+        assert r["n_lines"] == len(g)
+        assert r["min_days"] == g["days"].min()
+        assert r["max_days"] == g["days"].max()
+        assert r["total_days"] == g["days"].sum()
+        assert r["n_over_90d"] == int((g["days"] > 90).sum())
