@@ -53,7 +53,14 @@ def main() -> None:
         f"minhash-vs-truth max |error| {err['max_abs_err']} permille"
     )
 
-    # 3. Contamination screen against the eval set
+    # 3. Contamination screen against the eval set — the cheap
+    # bitset flag pass first (round 9; exact FP accounting), then the
+    # n-gram-grain exact overlap on what it flags
+    screen = q["contamination_bitset"](spark, SF).collect()[0]
+    print(
+        f"contamination screen: {screen['n_flagged']} flagged of "
+        f"{screen['n_train']} ({screen['n_false_pos']} bucket FPs)"
+    )
     contam = q["contamination_overlap"](spark, SF)
     print(f"contamination: {contam.count()} flagged doc/eval overlaps")
 
