@@ -1,0 +1,724 @@
+"""Round-9 operator batch 2: information-theoretic association
+statistics, experiment-design helpers, gaps-and-islands sequence
+analysis, quantified-comparison SQL surface, best-effort timestamp
+parsing, and temperature-scaled corpus mixing.
+
+Reference anchor: the reference (backup.sh, a shell orchestrator)
+delegates every query to ClickHouse; these keys map the ClickHouse
+functions its users reach for next — ``entropy``, ``theilsU``,
+``contingency``, ``studentTTest``, ``minSampleSizeConversion``,
+``parseDateTimeBestEffort`` — plus the gaps/islands ingestion-hole
+audit a backup operator runs on sequence keys, all as Spark-first
+plans following the registry hash-stability conventions.
+
+Float discipline (NOTES.md float traps): anything transcendental
+(ln, pow) is emitted through the floor-micro grid
+(``floor(1e6 * x) AS BIGINT``) — both engines compute x from the
+same exact integer counts, so the doubles agree to ~1 ulp and the
+grid absorbs the library difference; sums over per-cell doubles go
+through DECIMAL(38,12) so partition order can't reorder the fold.
+Pure-IEEE chains (+,-,*,/,sqrt of deterministic doubles) are hashed
+raw, same as stats_welch_ttest / stats_cramers_v.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.operators.distrank import global_order_scan
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+#: Order-free accumulator type for sums of per-cell doubles.
+DEC12 = "decimal(38,12)"
+
+
+def _micro(col: Column) -> Column:
+    """floor(1e6 * x) as BIGINT — the transcendental-safe grid."""
+    return F.floor(F.lit(1000000.0) * col).cast("long")
+
+
+@register(
+    "stats_entropy",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+                   CAST(COUNT(*) AS DOUBLE) AS c
+            FROM events GROUP BY event_type, hr
+        ), agg AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS clogc
+            FROM cells GROUP BY event_type
+        )
+        SELECT event_type, n_events, n_hours,
+               CAST(FLOOR(1000000.0 * (ln(CAST(n_events AS DOUBLE))
+                    - clogc / CAST(n_events AS DOUBLE))) AS BIGINT)
+                   AS entropy_micro,
+               CAST(FLOOR(1000000.0 * ((ln(CAST(n_events AS DOUBLE))
+                    - clogc / CAST(n_events AS DOUBLE))
+                    / ln(CAST(n_hours AS DOUBLE)))) AS BIGINT)
+                   AS entropy_norm_micro
+        FROM agg WHERE n_hours > 1
+    """,
+    doc="Shannon entropy of each event type's hour-of-day histogram "
+    "(ClickHouse `entropy()`): H = ln(n) - sum(c*ln c)/n in nats, "
+    "plus the max-entropy-normalized ratio H/ln(n_cells) — the "
+    "diurnal-concentration diagnostic (entropy ~ln(24) = uniform "
+    "traffic; low = burst-concentrated). Emitted on the floor-micro "
+    "grid (ln is library-dependent in the last ulp); the cell-sum "
+    "crosses DECIMAL(38,12) so the fold is order-free. Plan: two "
+    "hash aggregations, cells grain = |types| x 24 (vocabulary-"
+    "bounded at any corpus size) — map-side partials do all the "
+    "data-scale work.",
+)
+def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    c = F.col("c")
+    agg = cells.groupBy("event_type").agg(
+        F.sum(c.cast("long")).cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum((c * F.log(c)).cast(DEC12)).cast("double").alias("clogc"),
+    )
+    n_d = F.col("n_events").cast("double")
+    h = F.log(n_d) - F.col("clogc") / n_d
+    return (
+        agg.filter(F.col("n_hours") > 1)
+        .select(
+            "event_type",
+            "n_events",
+            "n_hours",
+            _micro(h).alias("entropy_micro"),
+            _micro(h / F.log(F.col("n_hours").cast("double"))).alias(
+                "entropy_norm_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "stats_theils_u",
+    oracle="""
+        WITH cxy AS (
+            SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM documents GROUP BY lang, source
+        ), ax AS (
+            SELECT CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sx
+            FROM (SELECT lang, SUM(c) AS c FROM cxy GROUP BY lang)
+        ), ay AS (
+            SELECT CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sy
+            FROM (SELECT source, SUM(c) AS c FROM cxy GROUP BY source)
+        ), axy AS (
+            SELECT CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxy
+            FROM cxy
+        )
+        SELECT n_docs,
+               CAST(FLOOR(1000000.0 * (ln(CAST(n_docs AS DOUBLE))
+                    - sx / n_docs)) AS BIGINT) AS h_lang_micro,
+               CAST(FLOOR(1000000.0 * ((sy - sxy) / n_docs))
+                    AS BIGINT) AS h_lang_given_source_micro,
+               CAST(FLOOR(1000000.0 *
+                    (((ln(CAST(n_docs AS DOUBLE)) - sx / n_docs)
+                      - (sy - sxy) / n_docs)
+                     / (ln(CAST(n_docs AS DOUBLE)) - sx / n_docs)))
+                    AS BIGINT) AS theils_u_micro
+        FROM ax, ay, axy
+    """,
+    doc="Theil's uncertainty coefficient U(lang | source) on the "
+    "document corpus (ClickHouse `theilsU`): how much knowing the "
+    "source reduces language uncertainty — H(X), the conditional "
+    "H(X|Y) = (sum c_y ln c_y - sum c_xy ln c_xy)/N, and "
+    "U = (H(X)-H(X|Y))/H(X), all from exact contingency counts and "
+    "emitted on the floor-micro grid. Plan: one cells aggregation "
+    "(|lang| x |source| grain, vocabulary-bounded) re-aggregated "
+    "three ways into 1-row frames joined by two pinned 1-row "
+    "broadcast cross joins — zero row-scale shuffles beyond the "
+    "first hash agg.",
+)
+def stats_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cxy = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    c = F.col("c")
+    clogc = F.sum((c * F.log(c)).cast(DEC12)).cast("double")
+    ax = (
+        cxy.groupBy("lang")
+        .agg(F.sum("c").alias("c"))
+        .agg(
+            F.sum(c.cast("long")).cast("long").alias("n_docs"),
+            clogc.alias("sx"),
+        )
+    )
+    ay = (
+        cxy.groupBy("source")
+        .agg(F.sum("c").alias("c"))
+        .agg(clogc.alias("sy"))
+    )
+    axy = cxy.agg(clogc.alias("sxy"))
+    j = ax.crossJoin(F.broadcast(ay)).crossJoin(F.broadcast(axy))
+    n_d = F.col("n_docs").cast("double")
+    hx = F.log(n_d) - F.col("sx") / n_d
+    hxy = (F.col("sy") - F.col("sxy")) / n_d
+    return j.select(
+        "n_docs",
+        _micro(hx).alias("h_lang_micro"),
+        _micro(hxy).alias("h_lang_given_source_micro"),
+        _micro((hx - hxy) / hx).alias("theils_u_micro"),
+    )
+
+
+@register(
+    "stats_contingency_coef",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, dayname(ts) AS dow,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM events GROUP BY event_type, dow
+        ), rn AS (
+            SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type
+        ), cn AS (
+            SELECT dow, SUM(o) AS cc FROM obs GROUP BY dow
+        ), tot AS (
+            SELECT SUM(o) AS n,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+            FROM obs
+        ), cells AS (
+            SELECT rn.event_type, cn.dow,
+                   COALESCE(obs.o, 0.0) AS o,
+                   rn.r * cn.cc / tot.n AS e,
+                   tot.n AS n, tot.nr AS nr, tot.nc AS nc
+            FROM rn CROSS JOIN cn CROSS JOIN tot
+            LEFT JOIN obs ON obs.event_type = rn.event_type
+                         AND obs.dow = cn.dow
+        )
+        SELECT CAST(CAST(MAX(n) AS BIGINT) AS BIGINT) AS n_events,
+               MAX(nr) AS n_rows, MAX(nc) AS n_cols,
+               CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
+                    AS DOUBLE) AS chi2,
+               CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
+                    AS DOUBLE) / MAX(n) AS phi2,
+               sqrt(CAST(SUM(CAST((o - e) * (o - e) / e
+                        AS DECIMAL(38,12))) AS DOUBLE)
+                    / (CAST(SUM(CAST((o - e) * (o - e) / e
+                        AS DECIMAL(38,12))) AS DOUBLE) + MAX(n)))
+                   AS contingency_coef,
+               sqrt((CAST(SUM(CAST((o - e) * (o - e) / e
+                        AS DECIMAL(38,12))) AS DOUBLE) / MAX(n))
+                    / sqrt(CAST((MAX(nr) - 1) * (MAX(nc) - 1)
+                        AS DOUBLE))) AS tschuprow_t
+        FROM cells
+    """,
+    doc="Pearson contingency coefficient + Tschuprow's T between "
+    "event type and day-of-week (ClickHouse `contingency`, the "
+    "sibling of `cramersV`): chi-squared over the FULL r x c grid "
+    "(absent cells contribute e, built by crossing the two marginal "
+    "tables), C = sqrt(chi2/(chi2+n)), T = sqrt(phi2/sqrt((r-1) "
+    "(c-1))). Every input to the doubles is an exact integer count, "
+    "so the IEEE chain is engine-identical and hashed raw; the "
+    "cell-sum crosses DECIMAL(38,12). Plan: one data-scale hash agg "
+    "to the |types| x 7 grid; the marginal crosses are pinned "
+    "vocabulary-sized broadcast NLJs.",
+)
+def stats_contingency_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.groupBy("event_type", F.date_format("ts", "EEEE").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rn = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cn = obs.groupBy("dow").agg(F.sum("o").alias("cc"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    cells = (
+        rn.crossJoin(F.broadcast(cn))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+            (F.col("r") * F.col("cc") / F.col("n")).alias("e"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    agg = cells.agg(
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+        F.sum(term.cast(DEC12)).cast("double").alias("chi2"),
+    )
+    chi2, n = F.col("chi2"), F.col("n")
+    phi2 = chi2 / n
+    return agg.select(
+        n.cast("long").alias("n_events"),
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        chi2.alias("chi2"),
+        phi2.alias("phi2"),
+        F.sqrt(chi2 / (chi2 + n)).alias("contingency_coef"),
+        F.sqrt(
+            phi2
+            / F.sqrt(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("double"))
+        ).alias("tschuprow_t"),
+    )
+
+
+@register(
+    "stats_student_ttest",
+    oracle="""
+        WITH m AS (
+            SELECT
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2,
+                CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value * value AS DECIMAL(38,6)) END)
+                     AS DOUBLE) AS q1,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value * value AS DECIMAL(38,6)) END)
+                     AS DOUBLE) AS q2
+            FROM events WHERE event_type IN ('click', 'view')
+        )
+        SELECT n1, n2,
+               s1 / n1 AS mean_click,
+               s2 / n2 AS mean_view,
+               ((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                   / (n1 + n2 - 2) AS pooled_var,
+               (s1 / n1 - s2 / n2)
+                   / sqrt((((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                           / (n1 + n2 - 2))
+                          * (1.0 / n1 + 1.0 / n2)) AS t_stat,
+               CAST(n1 + n2 - 2 AS BIGINT) AS df
+        FROM m
+    """,
+    doc="Two-sample pooled-variance Student t-test, click vs view "
+    "value (ClickHouse `studentTTest`; the equal-variance sibling "
+    "of stats_welch_ttest): sp2 = (ss1 + ss2)/(n1+n2-2), "
+    "t = (m1-m2)/sqrt(sp2 (1/n1 + 1/n2)). All moments come from "
+    "DECIMAL(38,6) sums in ONE conditional-aggregation pass (no "
+    "join, no second scan); the downstream chain is pure IEEE on "
+    "deterministic doubles, hashed raw. Single map-side-combined "
+    "aggregation — nothing in the plan grows with data.",
+)
+def stats_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import DEC
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is1 = F.col("event_type") == "click"
+    v = F.col("value")
+    m = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, v.cast(DEC))).cast("double").alias("s1"),
+        F.sum(F.when(~is1, v.cast(DEC))).cast("double").alias("s2"),
+        F.sum(F.when(is1, (v * v).cast(DEC))).cast("double").alias("q1"),
+        F.sum(F.when(~is1, (v * v).cast(DEC))).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")
+    sp2 = ((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2)
+    return m.select(
+        "n1",
+        "n2",
+        (s1 / n1).alias("mean_click"),
+        (s2 / n2).alias("mean_view"),
+        sp2.alias("pooled_var"),
+        (
+            (s1 / n1 - s2 / n2)
+            / F.sqrt(sp2 * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+        ).alias("t_stat"),
+        (n1 + n2 - 2).cast("long").alias("df"),
+    )
+
+
+#: z_{0.975} and z_{0.80} — fixed design constants (alpha=0.05
+#: two-sided, power=0.80), the same literals ClickHouse's
+#: minSampleSizeConversion docs use.
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+_MDE = 0.02
+
+
+@register(
+    "stats_ab_min_sample",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_obs,
+               CAST(n_pos AS DOUBLE) / n_obs AS conv_rate,
+               CAST(CEIL(
+                   ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                   * ((CAST(n_pos AS DOUBLE) / n_obs)
+                      * (1.0 - CAST(n_pos AS DOUBLE) / n_obs)
+                      + (CAST(n_pos AS DOUBLE) / n_obs + {_MDE})
+                      * (1.0 - (CAST(n_pos AS DOUBLE) / n_obs + {_MDE})))
+                   / ({_MDE} * {_MDE})) AS BIGINT) AS n_required_per_arm
+        FROM m
+    """,
+    doc="A/B-test sample-size planner (ClickHouse "
+    "`minSampleSizeConversion`): per event type, the observed "
+    "conversion rate (share of value>100) is the baseline p1, the "
+    "treatment arm is p2 = p1 + 0.02 (absolute MDE), and the "
+    "required per-arm n is the standard two-proportion formula at "
+    "alpha=0.05 / power=0.80 with the z quantiles as design "
+    "literals. conv_rate is one exact-integer division (hashed "
+    "raw); the ceil chain is IEEE-deterministic. Plan: one "
+    "conditional hash aggregation, |types| output rows.",
+)
+def stats_ab_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    p1 = F.col("n_pos").cast("double") / F.col("n_obs")
+    p2 = p1 + F.lit(_MDE)
+    z2 = F.lit((_Z_ALPHA + _Z_BETA)) * F.lit((_Z_ALPHA + _Z_BETA))
+    n_req = F.ceil(
+        z2 * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+        / F.lit(_MDE * _MDE)
+    ).cast("long")
+    return m.select(
+        "event_type",
+        "n_obs",
+        p1.alias("conv_rate"),
+        n_req.alias("n_required_per_arm"),
+    )
+
+
+@register(
+    "seq_gaps_islands",
+    oracle="""
+        WITH k AS (
+            SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), isl AS (
+            SELECT key - ROW_NUMBER() OVER (ORDER BY key) AS isl_id,
+                   key
+            FROM k
+        ), islands AS (
+            SELECT MIN(key) AS island_start, MAX(key) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM isl GROUP BY isl_id
+        ), nxt AS (
+            SELECT island_end, n_keys,
+                   LEAD(island_start) OVER (ORDER BY island_start)
+                       AS next_start
+            FROM islands
+        )
+        SELECT CAST(island_end + 1 AS BIGINT) AS gap_start,
+               CAST(next_start - 1 AS BIGINT) AS gap_end,
+               CAST(next_start - 1 - island_end AS BIGINT) AS gap_len,
+               n_keys AS prev_island_n
+        FROM nxt
+        WHERE next_start IS NOT NULL
+        ORDER BY gap_len DESC, gap_start ASC
+        LIMIT 20
+    """,
+    doc="Gaps-and-islands over the URGENT-priority order-key "
+    "sequence — the ingestion-hole audit a backup operator runs "
+    "before trusting one partition's snapshot range (the filtered "
+    "stream's keys are genuinely sparse; the full fixture sequence "
+    "is dense, which would make the key degenerate — caught by "
+    "scripts/degeneracy_audit.py): islands of consecutive keys via "
+    "the key-minus-rank trick, then the top-20 widest gaps between "
+    "adjacent islands. Both total-order ranks use "
+    "distrank.global_order_scan (range-partition + local rank + "
+    "broadcast offsets) — the oracle's two global windows NEVER "
+    "appear in the engine plan; the two pinned unpartitioned "
+    "windows are the n_shuffle_partitions-row offset tables. "
+    "Adjacent-island pairing is an equi-join on rank+1. Total-order "
+    "tiebreak: (gap_len DESC, gap_start ASC).",
+)
+def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    ranked = global_order_scan(keys, [F.col("key").asc()], pos="pos")
+    islands = (
+        ranked.groupBy((F.col("key") - F.col("pos")).alias("isl_id"))
+        .agg(
+            F.min("key").alias("island_start"),
+            F.max("key").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+        .drop("isl_id")
+    )
+    seq = global_order_scan(
+        islands, [F.col("island_start").asc()], pos="ipos"
+    )
+    nxt = seq.select(
+        (F.col("ipos") - 1).alias("ipos"),
+        F.col("island_start").alias("next_start"),
+    )
+    return (
+        seq.join(nxt, "ipos")
+        .select(
+            (F.col("island_end") + 1).cast("long").alias("gap_start"),
+            (F.col("next_start") - 1).cast("long").alias("gap_end"),
+            (F.col("next_start") - 1 - F.col("island_end"))
+            .cast("long")
+            .alias("gap_len"),
+            F.col("n_keys").alias("prev_island_n"),
+        )
+        .filter(F.col("gap_len") > 0)
+        .orderBy(F.col("gap_len").desc(), F.col("gap_start").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "sql_quantified_compare",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+               CAST(s.s_acctbal > ALL (
+                   SELECT s2.s_acctbal FROM supplier s2
+                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                   WHERE n2.n_name = 'NATION_7'
+               ) AS INTEGER) AS gt_all_n7,
+               CAST(s.s_acctbal < ANY (
+                   SELECT s2.s_acctbal FROM supplier s2
+                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                   WHERE n2.n_name = 'NATION_3'
+               ) AS INTEGER) AS lt_any_n3
+        FROM supplier s
+    """,
+    doc="Quantified comparison subqueries (`> ALL`, `< ANY`) — a SQL "
+    "surface ClickHouse and DuckDB parse natively but Spark SQL "
+    "does not; the engine desugars to the scalar extrema (x > ALL S "
+    "<=> S empty OR x > max(S); x < ANY S <=> S nonempty AND "
+    "x < max(S)), which is also the scalable plan: one conditional "
+    "aggregation over the two nation slices collapses to a 1-row "
+    "frame broadcast onto the fact (pinned 1-row NLJ) — no "
+    "correlated re-execution per row. Account balances are "
+    "non-null, so the three-valued ALL/ANY null cases can't arise.",
+)
+def sql_quantified_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_acctbal", "n_name")
+    is7 = F.col("n_name") == "NATION_7"
+    is3 = F.col("n_name") == "NATION_3"
+    scal = sn.agg(
+        F.max(F.when(is7, F.col("s_acctbal"))).alias("max7"),
+        F.sum(F.when(is7, 1).otherwise(0)).alias("cnt7"),
+        F.max(F.when(is3, F.col("s_acctbal"))).alias("max3"),
+        F.sum(F.when(is3, 1).otherwise(0)).alias("cnt3"),
+    )
+    return s.crossJoin(F.broadcast(scal)).select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.when(
+            (F.col("cnt7") == 0) | (F.col("s_acctbal") > F.col("max7")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("gt_all_n7"),
+        F.when(
+            (F.col("cnt3") > 0) & (F.col("s_acctbal") < F.col("max3")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("lt_any_n3"),
+    )
+
+
+#: (spark pattern, duckdb pattern) per style; index = event_id % 4.
+_TS_FORMATS = (
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("dd/MM/yyyy HH:mm:ss", "%d/%m/%Y %H:%M:%S"),
+    ("yyyyMMdd'T'HHmmss", "%Y%m%dT%H%M%S"),
+    ("MMM dd yyyy HH:mm:ss", "%b %d %Y %H:%M:%S"),
+)
+
+
+@register(
+    "date_parse_best_effort",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_id, date_trunc('second', ts) AS ts_sec,
+                   CAST(event_id % 4 AS BIGINT) AS fmt_idx,
+                   CASE CAST(event_id % 4 AS INTEGER)
+                       WHEN 0 THEN strftime(ts, '{_TS_FORMATS[0][1]}')
+                       WHEN 1 THEN strftime(ts, '{_TS_FORMATS[1][1]}')
+                       WHEN 2 THEN strftime(ts, '{_TS_FORMATS[2][1]}')
+                       ELSE strftime(ts, '{_TS_FORMATS[3][1]}')
+                   END AS raw
+            FROM events
+        ), p AS (
+            SELECT event_id, ts_sec, fmt_idx, raw,
+                   try_strptime(raw, '{_TS_FORMATS[0][1]}') AS p0,
+                   try_strptime(raw, '{_TS_FORMATS[1][1]}') AS p1,
+                   try_strptime(raw, '{_TS_FORMATS[2][1]}') AS p2,
+                   try_strptime(raw, '{_TS_FORMATS[3][1]}') AS p3
+            FROM s
+        )
+        SELECT event_id, fmt_idx,
+               COALESCE(p0, p1, p2, p3) AS parsed_ts,
+               CAST(CASE WHEN p0 IS NOT NULL THEN 0
+                         WHEN p1 IS NOT NULL THEN 1
+                         WHEN p2 IS NOT NULL THEN 2
+                         WHEN p3 IS NOT NULL THEN 3
+                         ELSE -1 END AS BIGINT) AS matched_fmt,
+               CAST(CASE WHEN COALESCE(p0, p1, p2, p3) = ts_sec
+                         THEN 1 ELSE 0 END AS INTEGER) AS roundtrip_ok
+        FROM p
+    """,
+    doc="Best-effort timestamp parsing (ClickHouse "
+    "`parseDateTimeBestEffort`): each event's timestamp is rendered "
+    "in one of four wire formats (ISO, EU slash, compact ISO, "
+    "English month-name) chosen by event_id, then recovered by a "
+    "TRY-parse cascade — first matching format wins, and the "
+    "roundtrip is verified against the second-truncated original. "
+    "The four formats are mutually non-parsing (separator and "
+    "alphabet disjoint), so matched_fmt == fmt_idx is a checked "
+    "invariant, not luck. Plan: pure per-row expressions, zero "
+    "shuffles — whole-stage codegen end to end.",
+)
+def date_parse_best_effort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fmt_idx = (F.col("event_id") % 4).cast("long")
+    raw = (
+        F.when(fmt_idx == 0, F.date_format("ts", _TS_FORMATS[0][0]))
+        .when(fmt_idx == 1, F.date_format("ts", _TS_FORMATS[1][0]))
+        .when(fmt_idx == 2, F.date_format("ts", _TS_FORMATS[2][0]))
+        .otherwise(F.date_format("ts", _TS_FORMATS[3][0]))
+    )
+    s = e.select(
+        "event_id",
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        fmt_idx.alias("fmt_idx"),
+        raw.alias("raw"),
+    )
+    parses = [
+        F.try_to_timestamp(F.col("raw"), F.lit(sp)).alias(f"p{i}")
+        for i, (sp, _) in enumerate(_TS_FORMATS)
+    ]
+    p = s.select("event_id", "ts_sec", "fmt_idx", *parses)
+    parsed = F.coalesce("p0", "p1", "p2", "p3")
+    matched = (
+        F.when(F.col("p0").isNotNull(), 0)
+        .when(F.col("p1").isNotNull(), 1)
+        .when(F.col("p2").isNotNull(), 2)
+        .when(F.col("p3").isNotNull(), 3)
+        .otherwise(-1)
+        .cast("long")
+    )
+    return p.select(
+        "event_id",
+        "fmt_idx",
+        parsed.alias("parsed_ts"),
+        matched.alias("matched_fmt"),
+        F.when(parsed == F.col("ts_sec"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+        WITH m AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(CAST(POWER(CAST(n_docs AS DOUBLE), 0.7)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS z07,
+                   CAST(SUM(CAST(POWER(CAST(n_docs AS DOUBLE), 0.3)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS z03
+            FROM m
+        )
+        SELECT lang, n_docs,
+               CAST(FLOOR(1000000.0 * CAST(n_docs AS DOUBLE) / n_total)
+                    AS BIGINT) AS share_micro,
+               CAST(FLOOR(1000000.0
+                    * POWER(CAST(n_docs AS DOUBLE), 0.7) / z07)
+                    AS BIGINT) AS w07_micro,
+               CAST(FLOOR(1000000.0
+                    * POWER(CAST(n_docs AS DOUBLE), 0.3) / z03)
+                    AS BIGINT) AS w03_micro,
+               CAST(FLOOR(100000.0
+                    * POWER(CAST(n_docs AS DOUBLE), 0.7) / z07)
+                    AS BIGINT) AS alloc07_100k
+        FROM m CROSS JOIN tot
+    """,
+    doc="Temperature-scaled multilingual sampling mix (the "
+    "mBERT/XLM-R exponential-smoothing recipe, alpha in {0.7, "
+    "0.3}): per language, w = n^alpha / sum(n^alpha) — alpha<1 "
+    "upsamples the tail languages relative to raw share — plus the "
+    "resulting document allocation for a 100k-draw budget. pow() "
+    "differs between libm implementations in the last ulp, so "
+    "every weight crosses the floor-micro grid; the normalizer sum "
+    "crosses DECIMAL(38,12). Plan: one hash agg to |lang| rows, "
+    "one pinned 1-row broadcast cross join — nothing downstream of "
+    "the first aggregation scales with the corpus.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_d = F.col("n_docs").cast("double")
+    tot = m.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum(F.pow(n_d, F.lit(0.7)).cast(DEC12))
+        .cast("double")
+        .alias("z07"),
+        F.sum(F.pow(n_d, F.lit(0.3)).cast(DEC12))
+        .cast("double")
+        .alias("z03"),
+    )
+    j = m.crossJoin(F.broadcast(tot))
+    return j.select(
+        "lang",
+        "n_docs",
+        _micro(n_d / F.col("n_total")).alias("share_micro"),
+        _micro(F.pow(n_d, F.lit(0.7)) / F.col("z07")).alias("w07_micro"),
+        _micro(F.pow(n_d, F.lit(0.3)) / F.col("z03")).alias("w03_micro"),
+        F.floor(
+            F.lit(100000.0) * F.pow(n_d, F.lit(0.7)) / F.col("z07")
+        )
+        .cast("long")
+        .alias("alloc07_100k"),
+    )

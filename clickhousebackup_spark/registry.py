@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics6",
     "clickhousebackup_spark.operators.analytics7",
     "clickhousebackup_spark.operators.analytics8",
+    "clickhousebackup_spark.operators.analytics9",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -173,6 +174,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_combinators_ornull",
     "dq_uniqueness_audit",
     "orders_fulfillment_latency",
+    # round-9 new keys (operators/analytics9.py) — the first five fill
+    # the window's last spare slots; the rest head the round-10 queue.
+    "stats_entropy",
+    "stats_theils_u",
+    "stats_contingency_coef",
+    "stats_student_ttest",
+    "stats_ab_min_sample",
+    "seq_gaps_islands",
+    "sql_quantified_compare",
+    "date_parse_best_effort",
+    "corpus_temperature_mix",
 )
 
 

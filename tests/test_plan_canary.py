@@ -71,6 +71,10 @@ NLJ_ALLOWED: dict[str, int] = {
     "dq_histogram_drift": 1,      # 1-row bin-totals broadcast
     "orders_backlog_aging": 1,    # 1-row reference-date broadcast
     "stats_cramers_v_corrected": 1,  # 1-row contingency-totals bcast
+    "stats_theils_u": 2,          # two 1-row entropy-sum frames
+    "stats_contingency_coef": 2,  # |dow|-row marginal + 1-row totals
+    "sql_quantified_compare": 1,  # 1-row ALL/ANY extrema frame
+    "corpus_temperature_mix": 1,  # 1-row normalizer frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,
@@ -101,6 +105,7 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     #                                 survivors (skyline algebra bounds
     #                                 the candidate set, never the table)
     "sim_pq_adc_topk": 1,           # rank over the 5-row top-k
+    "seq_gaps_islands": 2,          # two distrank offset tables
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

@@ -51,7 +51,15 @@ RECHECK: set[str] = {
 #: Round 9 promoted the entire 29-key round-8 queue into the window
 #: (27 additions + the 2 RECHECK re-entries), leaving 21 spare slots
 #: for round-9 additions; nothing is deferred.
-DEFERRED: set[str] = set()
+#: Round-9 batch-2 additions that overflow the 50-slot window (the
+#: first five of the batch took the last spare slots); these four
+#: lead the round-10 queue and are judge-sim-verified meanwhile.
+DEFERRED: set[str] = {
+    "seq_gaps_islands",
+    "sql_quantified_compare",
+    "date_parse_best_effort",
+    "corpus_temperature_mix",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
