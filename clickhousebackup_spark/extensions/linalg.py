@@ -176,3 +176,96 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("loading"),
         F.col("lam").alias("eigenvalue"),
     )
+
+
+#: Johnson-Lindenstrauss target dimensionality; 1/sqrt(16) = 0.25 is
+#: an exact binary scale, so the Rademacher entries are +-0.25 with
+#: no rounding.
+_JL_K = 16
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+        WITH mat AS (
+            SELECT list_transform(generate_series(0, {_JL_K - 1}), j ->
+                       list_transform(generate_series(0, {_DIM - 1}), d ->
+                           CASE WHEN CAST(concat('0x',
+                                    substr(md5(concat(j, ':', d)), 32, 1))
+                                    AS BIGINT) % 2 = 0
+                                THEN 0.25 ELSE -0.25 END)) AS m
+        ), proj AS (
+            SELECT e.vec_id,
+                   list_transform(e.x, t -> t) AS x,
+                   list_transform(mat.m, r ->
+                       list_reduce(list_transform(list_zip(e.x, r),
+                           p -> p[1] * p[2]), (a, b) -> a + b)) AS y
+            FROM (SELECT vec_id,
+                         list_transform(embedding, t -> CAST(t AS DOUBLE))
+                             AS x
+                  FROM embeddings) e, mat
+        )
+        SELECT vec_id,
+               CAST(j AS BIGINT) AS j,
+               y[j] AS y_val,
+               list_reduce(list_transform(x, t -> t * t),
+                   (a, b) -> a + b) AS norm2_orig,
+               list_reduce(list_transform(y, t -> t * t),
+                   (a, b) -> a + b) AS norm2_proj,
+               list_reduce(list_transform(y, t -> t * t),
+                   (a, b) -> a + b)
+                   / list_reduce(list_transform(x, t -> t * t),
+                       (a, b) -> a + b) AS distortion
+        FROM proj, unnest(generate_series(1, {_JL_K})) AS u(j)
+    """,
+    doc="Johnson-Lindenstrauss random projection of the embedding "
+    f"corpus from {_DIM} to {_JL_K} dims with a Rademacher matrix "
+    "(+-1/sqrt(k) entries — Achlioptas' database-friendly "
+    "construction), plus each vector's norm distortion "
+    "||y||^2/||x||^2, the JL quality measure (concentrates around "
+    "1). The matrix entry sign is the md5-grid parity of 'j:d' — "
+    "reproducible on any engine and cluster layout, no RNG state "
+    "to ship; 1/sqrt(16) = 0.25 is exact binary so entries carry "
+    "no rounding. Plan: the k x d matrix is ONE broadcast row "
+    "(pinned 1-row NLJ); projection and both norms are per-row "
+    "left-to-right folds (bit-identical doubles, hashed raw); the "
+    "long-format explode is k rows per vector. Nothing shuffles — "
+    "the whole key is a single codegen'd scan at any corpus size.",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    mat = spark.range(1).select(
+        F.expr(
+            f"""transform(sequence(0, {_JL_K - 1}), j ->
+                    transform(sequence(0, {_DIM - 1}), d ->
+                        CASE WHEN CAST(conv(substr(
+                                 md5(concat(j, ':', d)), 32, 1), 16, 10)
+                                 AS BIGINT) % 2 = 0
+                             THEN cast(0.25 as double)
+                             ELSE cast(-0.25 as double) END))"""
+        ).alias("m")
+    )
+    proj = e.crossJoin(F.broadcast(mat)).select(
+        "vec_id",
+        "x",
+        F.transform("m", lambda r: _fold_dot(F.col("x"), r)).alias("y"),
+    )
+    n2x = _fold_sq(F.col("x"))
+    n2y = _fold_sq(F.col("y"))
+    return proj.select(
+        "vec_id",
+        F.posexplode("y").alias("j0", "y_val"),
+        n2x.alias("norm2_orig"),
+        n2y.alias("norm2_proj"),
+        (n2y / n2x).alias("distortion"),
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).cast("long").alias("j"),
+        "y_val",
+        "norm2_orig",
+        "norm2_proj",
+        "distortion",
+    )

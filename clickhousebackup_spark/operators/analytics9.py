@@ -722,3 +722,275 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc07_100k"),
     )
+
+
+@register(
+    "sample_hash_consistent",
+    oracle="""
+        WITH flagged AS (
+            SELECT event_type, user_id,
+                   CASE WHEN CAST(concat('0x',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 100 < 10
+                        THEN 1 ELSE 0 END AS in_sample
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total,
+               CAST(COUNT(DISTINCT CASE WHEN in_sample = 1
+                    THEN user_id END) AS BIGINT) AS n_users_sampled
+        FROM flagged GROUP BY event_type
+    """,
+    doc="Consistent hash sampling (ClickHouse `SAMPLE BY "
+    "intHash32(UserID)`): the 10% sample is a deterministic USER "
+    "subset — every event of a sampled user is kept, none of an "
+    "unsampled user's — so per-user funnels/retention computed on "
+    "the sample are unbiased, unlike row-level Bernoulli sampling. "
+    "Bucket = md5-grid(user_id) % 100 < 10 (portable across "
+    "engines and cluster layouts; a production corpus swaps "
+    "xxhash64 with no plan change). Emits per-type total vs "
+    "sampled event and user counts so the sampling ratio is "
+    "driver-checked evidence, not a claim. Plan: one scan, one "
+    "conditional hash agg with two distinct-counts (two-phase "
+    "partial aggregation — no row ever leaves its partition "
+    "unaggregated).",
+)
+def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    flagged = e.select(
+        "event_type",
+        "user_id",
+        F.when(bucket < 10, 1).otherwise(0).alias("in_sample"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("in_sample").cast("long").alias("n_sampled"),
+        F.countDistinct("user_id").cast("long").alias("n_users_total"),
+        F.countDistinct(
+            F.when(F.col("in_sample") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_users_sampled"),
+    )
+
+
+#: Benford expected share of first digit d is log10(1 + 1/d) — the
+#: only transcendental in the key; it crosses the floor-micro grid.
+@register(
+    "dq_benford_law",
+    oracle="""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM digits
+        )
+        SELECT d.digit, d.n_obs,
+               CAST(FLOOR(1000000.0 * d.n_obs / t.n) AS BIGINT)
+                   AS observed_micro,
+               CAST(FLOOR(1000000.0 *
+                    log10(1.0 + 1.0 / CAST(d.digit AS BIGINT)))
+                    AS BIGINT) AS benford_micro,
+               CAST(FLOOR(1000000.0 *
+                    (d.n_obs - t.n * log10(1.0 + 1.0 / CAST(d.digit AS BIGINT)))
+                    * (d.n_obs - t.n * log10(1.0 + 1.0 / CAST(d.digit AS BIGINT)))
+                    / (t.n * log10(1.0 + 1.0 / CAST(d.digit AS BIGINT))))
+                    AS BIGINT) AS chi2_contrib_micro
+        FROM digits d CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit audit on order totals — the "
+    "fraud/synthetic-data screen auditors run on financial "
+    "columns: observed first-significant-digit shares vs the "
+    "Benford expectation log10(1+1/d), with the per-digit "
+    "chi-squared contribution. The digit is extracted exactly "
+    "(floor -> BIGINT -> leading character; totals are >= 1, and "
+    "floor avoids DuckDB's round-on-cast vs Spark's truncate-on-"
+    "cast divergence); shares and the log10-based columns cross "
+    "the floor-micro grid. Plan: one scan to a 9-row digit "
+    "histogram + a pinned 1-row totals broadcast.",
+)
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    j = digits.crossJoin(F.broadcast(tot))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long"))
+    dev = F.col("n_obs") - F.col("n") * p
+    return j.select(
+        "digit",
+        "n_obs",
+        _micro(F.col("n_obs") / F.col("n")).alias("observed_micro"),
+        _micro(p).alias("benford_micro"),
+        _micro(dev * dev / (F.col("n") * p)).alias("chi2_contrib_micro"),
+    )
+
+
+#: Fixed Markov power-iteration step count (pi <- pi P); the chain
+#: mixes fast (every state reachable), 8 steps pin the distribution
+#: to well past the micro grid on the fixture spectrum.
+_MARKOV_ITERS = 8
+
+
+def _markov_oracle_iter(idx: int) -> str:
+    """One unrolled pi <- pi P step over the flattened k x k matrix."""
+    return f"""
+        it{idx} AS (
+            SELECT tlist, k, pflat, rcl, tot,
+                   list_transform(generate_series(1, k), j ->
+                       list_reduce(list_transform(generate_series(1, k),
+                           i -> pi[i] * pflat[(i - 1) * k + j]),
+                           (a, b) -> a + b)) AS pi
+            FROM it{idx - 1}
+        )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+        WITH tr AS (
+            SELECT event_type AS cur,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events
+        ), cells AS (
+            SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        ), types AS (
+            SELECT DISTINCT event_type AS t FROM events
+        ), grid AS (
+            SELECT a.t AS ti, b.t AS tj, COALESCE(c.c, 0) AS c
+            FROM types a CROSS JOIN types b
+            LEFT JOIN cells c ON c.cur = a.t AND c.nxt = b.t
+        ), rows_ AS (
+            SELECT ti, CAST(SUM(c) AS BIGINT) AS rc FROM grid GROUP BY ti
+        ), base AS (
+            SELECT (SELECT list(t ORDER BY t) FROM types) AS tlist,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM types) AS k,
+                   (SELECT list(CAST(g.c AS DOUBLE) / r.rc
+                                ORDER BY g.ti, g.tj)
+                    FROM grid g JOIN rows_ r ON g.ti = r.ti) AS pflat,
+                   (SELECT list(rc ORDER BY ti) FROM rows_) AS rcl,
+                   (SELECT CAST(SUM(rc) AS BIGINT) FROM rows_) AS tot
+        ), it0 AS (
+            SELECT tlist, k, pflat, rcl, tot,
+                   list_transform(tlist, x -> 1.0 / k) AS pi
+            FROM base
+        ),{",".join(_markov_oracle_iter(i) for i in range(1, _MARKOV_ITERS + 1))}
+        SELECT tlist[j] AS event_type,
+               rcl[j] AS n_transitions,
+               CAST(rcl[j] AS DOUBLE) / tot AS empirical_share,
+               pi[j] AS stationary_prob
+        FROM it{_MARKOV_ITERS}, unnest(generate_series(1, k)) AS u(j)
+    """,
+    doc="Stationary distribution of the user event-type Markov chain "
+    "(the steady-state mix funnel owners compare against the "
+    "empirical mix to find absorbing states): transition counts "
+    "from per-user LEAD pairs, row-normalized to P, then "
+    f"{_MARKOV_ITERS} fixed pi <- pi P steps from uniform. The "
+    "matrix is |types| x |types| (vocabulary-bounded), so the whole "
+    "iteration lives in ONE collected row as flattened arrays — "
+    "left-to-right folds both engines, bit-identical doubles, "
+    "hashed raw. The data-scale work is one partitioned LEAD "
+    "window + one hash agg; the pinned NLJ is the |types|^2 "
+    "marginal cross. A type with no outgoing transitions would "
+    "zero its P row (mass leak) — asserted absent in "
+    "tests/test_props_r9c.py as a corpus-truth invariant.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = tr.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        types.select(F.col("t").alias("ti"))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("tj"))))
+        .join(
+            cells,
+            (F.col("cur") == F.col("ti")) & (F.col("nxt") == F.col("tj")),
+            "left",
+        )
+        .select("ti", "tj", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    rows_ = grid.groupBy("ti").agg(F.sum("c").cast("long").alias("rc"))
+    grid2 = grid.join(rows_, "ti").select(
+        "ti",
+        "tj",
+        (F.col("c").cast("double") / F.col("rc")).alias("p"),
+        "rc",
+    )
+    one = grid2.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ti"), F.col("tj"), F.col("p")))
+            ),
+            lambda st: st["p"],
+        ).alias("pflat"),
+        F.array_sort(F.collect_set("ti")).alias("tlist"),
+        F.transform(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("ti"), F.col("rc")))
+            ),
+            lambda st: st["rc"],
+        ).alias("rcl"),
+    ).withColumn("k", F.size("tlist")).withColumn(
+        "tot",
+        F.aggregate(
+            "rcl", F.lit(0).cast("long"), lambda acc, t: acc + t
+        ),
+    )
+    one = one.withColumn(
+        "pi",
+        F.expr("transform(sequence(1, k), j -> cast(1.0 as double) / k)"),
+    )
+    step = (
+        "transform(sequence(1, k), j -> "
+        "aggregate(sequence(1, k), cast(0.0 as double), "
+        "(acc, i) -> acc + element_at(pi, i)"
+        " * element_at(pflat, (i - 1) * k + j)))"
+    )
+    # each step's transform references element_at(pi, i) k times, so
+    # chaining Columns would embed the previous pi expression k times
+    # per step (k^iters tree) — cut the lineage at every step by
+    # materializing the 1-row frame
+    for _ in range(_MARKOV_ITERS):
+        one = one.select(
+            "tlist", "k", "pflat", "rcl", "tot", F.expr(step).alias("pi")
+        ).localCheckpoint(eager=True)
+    return one.select(
+        F.posexplode("tlist").alias("j0", "event_type"),
+        F.col("rcl"),
+        F.col("tot"),
+        F.col("pi"),
+    ).select(
+        "event_type",
+        F.element_at("rcl", F.col("j0") + 1).alias("n_transitions"),
+        (
+            F.element_at("rcl", F.col("j0") + 1).cast("double")
+            / F.col("tot")
+        ).alias("empirical_share"),
+        F.element_at("pi", F.col("j0") + 1).alias("stationary_prob"),
+    )

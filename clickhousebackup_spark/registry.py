@@ -187,6 +187,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "date_parse_best_effort",
     "corpus_temperature_mix",
     "emb_power_iteration_pc1",
+    "sample_hash_consistent",
+    "dq_benford_law",
+    "events_markov_stationary",
+    "emb_random_projection",
 )
 
 

@@ -75,6 +75,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "stats_contingency_coef": 2,  # |dow|-row marginal + 1-row totals
     "sql_quantified_compare": 1,  # 1-row ALL/ANY extrema frame
     "corpus_temperature_mix": 1,  # 1-row normalizer frame
+    "dq_benford_law": 1,          # 1-row digit-totals frame
+    "emb_random_projection": 1,   # 1-row k x d Rademacher matrix
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

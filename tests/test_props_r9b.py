@@ -234,8 +234,8 @@ def test_temperature_mix_matches_python_pow(spark, sf_dir):
 
 def test_power_iteration_matches_numpy(spark, sf_dir):
     """Third engine: replay the exact gridded 3-step iteration in
-    numpy (primary check), and confirm it is converging toward
-    numpy's true dominant eigenvector of X'X (direction check)."""
+    numpy (primary check), then assert the power-iteration contract
+    invariants — monotone Rayleigh climb bounded by the spectrum."""
     rows = _spec("emb_power_iteration_pc1").fn(spark, sf_dir).collect()
     x = np.stack(
         pd.read_parquet(f"{sf_dir}/embeddings.parquet")["embedding"].to_numpy()

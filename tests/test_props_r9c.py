@@ -1,0 +1,156 @@
+"""Round-9 batch-3 ground-truth pinning: consistent hash sampling,
+Benford's-law auditing, the Markov stationary distribution, and the
+Johnson-Lindenstrauss projection recomputed in a third engine
+(hashlib / numpy / pandas) so a formula shared by the Spark plan and
+its DuckDB oracle cannot be wrong in the same way unnoticed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from clickhousebackup_spark.registry import all_specs
+
+
+def _spec(key):
+    return all_specs()[key]
+
+
+def _md5_bucket(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 100
+
+
+def test_hash_sampling_matches_hashlib(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in _spec("sample_hash_consistent").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["in_sample"] = ev["user_id"].map(
+        lambda u: _md5_bucket(str(u)) < 10
+    )
+    for etype, g in ev.groupby("event_type"):
+        row = out[etype]
+        assert row["n_total"] == len(g)
+        assert row["n_sampled"] == int(g["in_sample"].sum())
+        assert row["n_users_total"] == g["user_id"].nunique()
+        assert row["n_users_sampled"] == g.loc[
+            g["in_sample"], "user_id"
+        ].nunique()
+    # consistency: a user is in or out GLOBALLY, so every type sees
+    # the same sampled-user set restricted to its users — and the
+    # user-level rate is near 10% to binomial tolerance (sf0.001 has
+    # only 15 users, where zero sampled is a 21% outcome; the driver
+    # grain sf0.01 has 150 users / 12 sampled — measured)
+    users = ev["user_id"].unique()
+    rate = sum(_md5_bucket(str(u)) < 10 for u in users) / len(users)
+    tol = max(0.06, 3.5 * math.sqrt(0.1 * 0.9 / len(users)))
+    assert abs(rate - 0.10) < tol, (rate, len(users))
+    if len(users) >= 100:
+        assert any(r["n_sampled"] > 0 for r in out.values())
+
+
+def test_benford_matches_python_log10(spark, sf_dir):
+    rows = {
+        r["digit"]: r
+        for r in _spec("dq_benford_law").fn(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    digits = (
+        np.floor(o["o_totalprice"]).astype("int64").astype(str).str[0]
+    )
+    counts = digits.value_counts()
+    n = counts.sum()
+    assert set(rows) == set(counts.index)
+    for d, row in rows.items():
+        c = int(counts[d])
+        p = math.log10(1.0 + 1.0 / int(d))
+        assert row["n_obs"] == c
+        assert abs(row["observed_micro"] - math.floor(1e6 * c / n)) <= 1
+        assert abs(row["benford_micro"] - math.floor(1e6 * p)) <= 1
+        chi = (c - n * p) ** 2 / (n * p)
+        assert abs(row["chi2_contrib_micro"] - math.floor(1e6 * chi)) <= 1
+    # TPC-H totalprice is NOT Benford (bounded uniform-ish range), so
+    # the audit must show a real signal: some digit deviates hard
+    assert any(
+        abs(r["observed_micro"] - r["benford_micro"]) > 50000
+        for r in rows.values()
+    )
+
+
+def test_markov_stationary_matches_numpy(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("events_markov_stationary").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["nxt"])
+    types = sorted(ev["event_type"].unique())
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    cnt = np.zeros((k, k))
+    for cur, nxt in zip(tr["event_type"], tr["nxt"]):
+        cnt[idx[cur], idx[nxt]] += 1
+    rc = cnt.sum(axis=1)
+    assert (rc > 0).all(), "corpus truth: every type has outgoing edges"
+    p = cnt / rc[:, None]
+    pi = np.full(k, 1.0 / k)
+    for _ in range(8):
+        pi = pi @ p
+    tot = rc.sum()
+    assert set(rows) == set(types)
+    for t in types:
+        row = rows[t]
+        assert row["n_transitions"] == int(rc[idx[t]])
+        assert np.isclose(
+            row["empirical_share"], rc[idx[t]] / tot, rtol=1e-12
+        )
+        assert np.isclose(row["stationary_prob"], pi[idx[t]], rtol=1e-9)
+    # the iterate is still a distribution
+    assert abs(sum(r["stationary_prob"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_random_projection_matches_hashlib_numpy(spark, sf_dir):
+    df = _spec("emb_random_projection").fn(spark, sf_dir)
+    rows = df.collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    k, d = 16, x.shape[1]
+    r = np.empty((k, d))
+    for j in range(k):
+        for dd in range(d):
+            parity = (
+                int(hashlib.md5(f"{j}:{dd}".encode()).hexdigest()[31], 16)
+                % 2
+            )
+            r[j, dd] = 0.25 if parity == 0 else -0.25
+    y = x @ r.T
+    byvec = {}
+    for row in rows:
+        byvec.setdefault(row["vec_id"], {})[row["j"]] = row
+    assert len(byvec) == len(emb)
+    ids = emb["vec_id"].to_numpy()
+    for i, vid in enumerate(ids):
+        got = byvec[int(vid)]
+        assert len(got) == k
+        n2x = float((x[i] * x[i]).sum())
+        n2y = float((y[i] * y[i]).sum())
+        for j in range(1, k + 1):
+            g = got[j]
+            assert abs(g["y_val"] - y[i, j - 1]) <= 1e-9 * max(
+                1.0, abs(y[i, j - 1])
+            )
+        assert np.isclose(got[1]["norm2_orig"], n2x, rtol=1e-9)
+        assert np.isclose(got[1]["norm2_proj"], n2y, rtol=1e-9)
+        assert np.isclose(got[1]["distortion"], n2y / n2x, rtol=1e-9)
+    # JL guarantee, measured: distortions concentrate around 1
+    dist = np.array([byvec[int(v)][1]["distortion"] for v in ids])
+    assert 0.8 < dist.mean() < 1.2, dist.mean()
+    assert (dist > 0.2).all() and (dist < 5.0).all()
