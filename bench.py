@@ -72,6 +72,11 @@ EXTRA = (
     "join_lateral_topn",
     "backup_dedup_savings",
     "stream_stateful_totals",
+    # round-9 flagships
+    "seq_gaps_islands",
+    "emb_power_iteration_pc1",
+    "emb_random_projection",
+    "events_markov_stationary",
 )
 
 

@@ -64,7 +64,26 @@ def main() -> None:
     contam = q["contamination_overlap"](spark, SF)
     print(f"contamination: {contam.count()} flagged doc/eval overlaps")
 
-    # 4. Mix + upsample + deterministic epoch shuffle
+    # 4. Mix + upsample + deterministic epoch shuffle. The language
+    # mix is temperature-scaled first (round 9: the mBERT/XLM-R
+    # alpha-smoothing that upsamples tail languages), and any
+    # held-out split comes from consistent USER-level hash sampling,
+    # not row Bernoulli
+    temp = q["corpus_temperature_mix"](spark, SF)
+    head = temp.orderBy(F.col("n_docs").desc()).limit(2).collect()
+    print(
+        "temperature mix (alpha=0.7): "
+        + ", ".join(
+            f"{r['lang']} {r['share_micro'] / 10000:.1f}%->"
+            f"{r['w07_micro'] / 10000:.1f}%"
+            for r in head
+        )
+    )
+    sample = q["sample_hash_consistent"](spark, SF)
+    srow = sample.agg(
+        F.sum("n_sampled").alias("s"), F.sum("n_total").alias("t")
+    ).collect()[0]
+    print(f"hash sample: {srow['s']}/{srow['t']} events via 10% user buckets")
     mix = q["corpus_mix_plan"](spark, SF)
     print(f"mix plan: {mix.count()} source rows")
     up = q["corpus_upsample_repeat"](spark, SF)
