@@ -343,8 +343,28 @@ R9_KEYS = (
     "dedup_minhash",
 )
 
+#: round-9 batch-2/3 additions (this session): every new key whose
+#: driving table the emulated sf1 scales (events/orders/documents/
+#: embeddings). sql_quantified_compare is excluded — it reads
+#: supplier, which the probe does not scale.
+R9B_KEYS = (
+    "stats_entropy",
+    "stats_theils_u",
+    "stats_contingency_coef",
+    "stats_student_ttest",
+    "stats_ab_min_sample",
+    "seq_gaps_islands",
+    "date_parse_best_effort",
+    "corpus_temperature_mix",
+    "emb_power_iteration_pc1",
+    "emb_random_projection",
+    "sample_hash_consistent",
+    "dq_benford_law",
+    "events_markov_stationary",
+)
 
-def main_r9() -> None:
+
+def main_r9(probe_keys: tuple = R9_KEYS) -> None:
     base_sf = (
         sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     )
@@ -375,7 +395,7 @@ def main_r9() -> None:
     build_sf1_embeddings(spark, base_sf)
     build_sf1_facts(spark, base_sf)
     report: dict = {"base_sf": base_sf, "keys": {}}
-    for k in R9_KEYS:
+    for k in probe_keys:
         row: dict = {}
         for label, sf in (("sf0.1", base_sf), ("sf1", sf1_dir)):
             t0 = time.perf_counter()
@@ -448,5 +468,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--r9":
         main_r9()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r9b":
+        main_r9(R9B_KEYS)
     else:
         main()
