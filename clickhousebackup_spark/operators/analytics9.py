@@ -994,3 +994,334 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("empirical_share"),
         F.element_at("pi", F.col("j0") + 1).alias("stationary_prob"),
     )
+
+
+@register(
+    "stats_wilcoxon_signed",
+    oracle="""
+        WITH pairs AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                       / SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                   - CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                       / SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                       AS d
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id
+            HAVING SUM(CASE WHEN event_type = 'click' THEN 1 END) > 0
+               AND SUM(CASE WHEN event_type = 'view' THEN 1 END) > 0
+        ), hist AS (
+            SELECT abs(d) AS ad,
+                   CAST(COUNT(*) AS BIGINT) AS n_v,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos
+            FROM pairs WHERE d <> 0 GROUP BY abs(d)
+        ), scanned AS (
+            SELECT n_v, n_pos,
+                   SUM(n_v) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM hist
+        ), agg AS (
+            SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+                   CAST(SUM(CAST(n_pos * (2 * cum - n_v + 1)
+                        AS DECIMAL(38,0))) AS DOUBLE) AS wp2,
+                   CAST(SUM(CAST(n_v * n_v * n_v - n_v AS DECIMAL(38,0)))
+                        AS DOUBLE) AS ties
+            FROM scanned
+        )
+        SELECT n AS n_pairs,
+               wp2 / 2.0 AS w_plus,
+               (CAST(n AS DOUBLE) * (n + 1.0) / 2.0) - wp2 / 2.0
+                   AS w_minus,
+               (wp2 / 2.0 - CAST(n AS DOUBLE) * (n + 1.0) / 4.0)
+                   / sqrt(CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0)
+                          / 24.0 - ties / 48.0) AS z_stat
+        FROM agg
+    """,
+    doc="Wilcoxon signed-rank test (paired, the within-subject "
+    "sibling of stats_mannwhitney_u): per user, d = mean click "
+    "value - mean view value (decimal-exact means, bit-identical "
+    "doubles), zero-diff pairs dropped; ranks of |d| with midrank "
+    "ties reduce to the |d|-histogram identity rmin + rmax = "
+    "2*cum - n_v + 1, so W+ doubles to an exact-integer sum in "
+    "DECIMAL(38,0). The running count comes from "
+    "distrank.global_order_scan — the oracle's global cumsum window "
+    "never appears in the engine plan (pinned offsets window). "
+    "z uses the normal approximation with the standard tie "
+    "correction sum(t^3 - t)/48 — exact integers into IEEE sqrt, "
+    "hashed raw. Plan: one conditional agg to user grain, one hash "
+    "agg to the |d| histogram, one two-pass prefix scan.",
+)
+def stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import DEC
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_c = F.col("event_type") == "click"
+    v = F.col("value")
+    pairs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_c, v.cast(DEC))).cast("double").alias("sc"),
+            F.sum(F.when(is_c, 1)).alias("nc"),
+            F.sum(F.when(~is_c, v.cast(DEC))).cast("double").alias("sv"),
+            F.sum(F.when(~is_c, 1)).alias("nv"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("nv") > 0))
+        .select(
+            (F.col("sc") / F.col("nc") - F.col("sv") / F.col("nv")).alias(
+                "d"
+            )
+        )
+        .filter(F.col("d") != 0)
+    )
+    hist = pairs.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    scanned = global_order_scan(
+        hist, (F.col("ad"),), cumsum={"cum": F.col("n_v")}
+    )
+    agg = scanned.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(
+            (
+                F.col("n_pos")
+                * (F.lit(2) * F.col("cum") - F.col("n_v") + F.lit(1))
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("wp2"),
+        F.sum(
+            (
+                F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    n_d = F.col("n").cast("double")
+    wp = F.col("wp2") / F.lit(2.0)
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        wp.alias("w_plus"),
+        (n_d * (n_d + F.lit(1.0)) / F.lit(2.0) - wp).alias("w_minus"),
+        (
+            (wp - n_d * (n_d + F.lit(1.0)) / F.lit(4.0))
+            / F.sqrt(
+                n_d
+                * (n_d + F.lit(1.0))
+                * (F.lit(2.0) * n_d + F.lit(1.0))
+                / F.lit(24.0)
+                - F.col("ties") / F.lit(48.0)
+            )
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_exact_dups
+            FROM documents GROUP BY source
+        ), toplang AS (
+            SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY COUNT(*) DESC, lang ASC) AS rn
+                FROM documents GROUP BY source, lang
+            ) WHERE rn = 1
+        ), tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per
+        )
+        SELECT p.source, p.n_docs, p.n_chars, p.n_langs, t.top_lang,
+               p.n_exact_dups,
+               CAST(p.n_chars AS DOUBLE) / p.n_docs AS mean_chars,
+               CAST(FLOOR(1000000.0 * p.n_docs / tot.total_docs)
+                    AS BIGINT) AS share_micro
+        FROM per p JOIN toplang t ON p.source = t.source
+        CROSS JOIN tot
+    """,
+    doc="Per-source dataset datasheet — the 'datasheets for datasets' "
+    "summary card a corpus release ships: document and character "
+    "volume, language breadth, dominant language (count-desc, "
+    "lang-asc tiebreak), exact-duplicate count (docs minus distinct "
+    "md5), mean document length, and corpus share. One scan feeds "
+    "two hash aggregations (source grain and source x lang grain — "
+    "both vocabulary-bounded outputs); the dominant language is a "
+    "partitioned window over the tiny source x lang table and the "
+    "share denominator is a pinned 1-row broadcast.",
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    toplang = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return (
+        per.join(toplang, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_langs",
+            "top_lang",
+            "n_exact_dups",
+            (F.col("n_chars").cast("double") / F.col("n_docs")).alias(
+                "mean_chars"
+            ),
+            _micro(
+                F.col("n_docs").cast("double") / F.col("total_docs")
+            ).alias("share_micro"),
+        )
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH words AS (
+            SELECT lower(w) AS word FROM documents,
+                 unnest(string_split_regex(text, '\\s+')) AS t(w)
+            WHERE w <> ''
+        ), counts AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM words GROUP BY word
+        ), stats AS (
+            SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size
+            FROM counts
+        ), arr AS (
+            SELECT list(freq ORDER BY freq DESC, word ASC)[
+                       1 : LEAST(20, (SELECT CAST(vocab_size AS INTEGER)
+                                      FROM stats))] AS f
+            FROM counts
+        ), fit AS (
+            SELECT CAST(len(f) AS BIGINT) AS k,
+                   list_reduce(list_transform(generate_series(1, len(f)),
+                       i -> ln(CAST(i AS DOUBLE))), (a, b) -> a + b) AS sx,
+                   list_reduce(list_transform(generate_series(1, len(f)),
+                       i -> ln(CAST(f[i] AS DOUBLE))), (a, b) -> a + b)
+                       AS sy,
+                   list_reduce(list_transform(generate_series(1, len(f)),
+                       i -> ln(CAST(i AS DOUBLE))
+                            * ln(CAST(i AS DOUBLE))), (a, b) -> a + b)
+                       AS sxx,
+                   list_reduce(list_transform(generate_series(1, len(f)),
+                       i -> ln(CAST(i AS DOUBLE))
+                            * ln(CAST(f[i] AS DOUBLE))), (a, b) -> a + b)
+                       AS sxy
+            FROM arr
+        )
+        SELECT s.n_words, s.vocab_size, f.k AS k_fit,
+               CAST(FLOOR(1000000.0 *
+                    ((f.k * f.sxy - f.sx * f.sy)
+                     / (f.k * f.sxx - f.sx * f.sx))) AS BIGINT)
+                   AS zipf_slope_micro,
+               CAST(FLOOR(1000000.0 *
+                    ((f.sy - ((f.k * f.sxy - f.sx * f.sy)
+                              / (f.k * f.sxx - f.sx * f.sx)) * f.sx)
+                     / f.k)) AS BIGINT) AS intercept_micro
+        FROM stats s, fit f
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: least-squares "
+    "slope of ln(freq) vs ln(rank) on the top-20 words (freq-desc, "
+    "word-asc tiebreak) — the distributional sanity check that "
+    "separates natural text (slope ~ -1) from synthetic or "
+    "boilerplate-heavy corpora. The top-k list collapses to ONE "
+    "sorted bounded array (TakeOrdered-class, never a row-scale "
+    "window); all four regression sums are in-row left-to-right "
+    "folds; ln outputs cross the floor-micro grid. The word "
+    "histogram is the only data-scale aggregation.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    stats = counts.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    # TakeOrdered bounds the candidate set BEFORE any collect — the
+    # vocabulary itself can be millions of rows at corpus scale
+    arr = (
+        counts.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(20)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("freq")).alias("nf"), F.col("word"))
+                    )
+                ),
+                lambda st: -st["nf"],
+            ).alias("f")
+        )
+    )
+    fit = arr.select(
+        F.size("f").cast("long").alias("k"),
+        F.expr(
+            "aggregate(sequence(1, size(f)), cast(0.0 as double),"
+            " (acc, i) -> acc + ln(cast(i as double)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(sequence(1, size(f)), cast(0.0 as double),"
+            " (acc, i) -> acc + ln(cast(element_at(f, i) as double)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(sequence(1, size(f)), cast(0.0 as double),"
+            " (acc, i) -> acc + ln(cast(i as double))"
+            " * ln(cast(i as double)))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(sequence(1, size(f)), cast(0.0 as double),"
+            " (acc, i) -> acc + ln(cast(i as double))"
+            " * ln(cast(element_at(f, i) as double)))"
+        ).alias("sxy"),
+    )
+    k_d = F.col("k").cast("double")
+    slope = (k_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / k_d
+    return stats.crossJoin(F.broadcast(fit)).select(
+        "n_words",
+        "vocab_size",
+        F.col("k").alias("k_fit"),
+        _micro(slope).alias("zipf_slope_micro"),
+        _micro(intercept).alias("intercept_micro"),
+    )

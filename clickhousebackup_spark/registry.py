@@ -191,6 +191,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dq_benford_law",
     "events_markov_stationary",
     "emb_random_projection",
+    "stats_wilcoxon_signed",
+    "corpus_datasheet",
+    "text_zipf_fit",
 )
 
 

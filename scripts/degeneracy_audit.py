@@ -38,6 +38,12 @@ SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
 #: (key, column) pairs triaged in round 7 as corpus-truth or
 #: informative zeros (NOTES.md has the reasoning per entry).
 ALLOW: set[tuple[str, str]] = {
+    # CORPUS-TRUTH zero: the fixture has no byte-exact duplicate texts
+    # below sf0.1 (8 dups at sf0.1 — round-6 finding, re-measured
+    # round 9); the expression is proven live on crafted input in
+    # tests/test_props_r9c.py::test_datasheet_counts_crafted_dups and
+    # fires at sf0.1.
+    ("corpus_datasheet", "n_exact_dups"),
     ("text_c4_gates", "n_digit"),
     ("text_c4_gates", "digit_permille"),
     ("text_c4_gates", "flag_long_word"),

@@ -77,6 +77,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "corpus_temperature_mix": 1,  # 1-row normalizer frame
     "dq_benford_law": 1,          # 1-row digit-totals frame
     "emb_random_projection": 1,   # 1-row k x d Rademacher matrix
+    "corpus_datasheet": 1,        # 1-row corpus-totals frame
+    "text_zipf_fit": 1,           # 1-row top-20 fit frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,
@@ -108,6 +110,7 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     #                                 the candidate set, never the table)
     "sim_pq_adc_topk": 1,           # rank over the 5-row top-k
     "seq_gaps_islands": 2,          # two distrank offset tables
+    "stats_wilcoxon_signed": 1,     # distrank offsets (|d| histogram)
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

@@ -154,3 +154,126 @@ def test_random_projection_matches_hashlib_numpy(spark, sf_dir):
     dist = np.array([byvec[int(v)][1]["distortion"] for v in ids])
     assert 0.8 < dist.mean() < 1.2, dist.mean()
     assert (dist > 0.2).all() and (dist < 5.0).all()
+
+
+def test_datasheet_matches_pandas(spark, sf_dir):
+    rows = {
+        r["source"]: r
+        for r in _spec("corpus_datasheet").fn(spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    total = len(d)
+    for src, g in d.groupby("source"):
+        row = rows[src]
+        assert row["n_docs"] == len(g)
+        assert row["n_chars"] == int(g["n_chars"].sum())
+        assert row["n_langs"] == g["lang"].nunique()
+        vc = g["lang"].value_counts()
+        top = sorted(vc.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        assert row["top_lang"] == top
+        n_dups = len(g) - g["text"].map(
+            lambda t: hashlib.md5(t.encode()).hexdigest()
+        ).nunique()
+        assert row["n_exact_dups"] == n_dups
+        assert np.isclose(
+            row["mean_chars"], g["n_chars"].sum() / len(g), rtol=1e-12
+        )
+        assert row["share_micro"] == math.floor(1e6 * len(g) / total)
+
+
+def test_datasheet_counts_crafted_dups(spark):
+    """Corpus-truth triage for the all-zero n_exact_dups finding at
+    sf<=0.01: prove the duplicate counter fires on crafted input."""
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "en", "s0", 9),
+            (2, "same text", "en", "s0", 9),
+            (3, "same text", "fr", "s0", 9),
+            (4, "unique one", "en", "s0", 10),
+            (5, "other", "de", "s1", 5),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in _spec("corpus_datasheet").fn(spark, tmp).collect()
+    }
+    assert out["s0"]["n_exact_dups"] == 2  # three copies -> two dups
+    assert out["s1"]["n_exact_dups"] == 0
+    assert out["s0"]["top_lang"] == "en"
+    assert out["s0"]["n_langs"] == 2
+
+
+def test_wilcoxon_matches_scipy_free_recompute(spark, sf_dir):
+    row = _spec("stats_wilcoxon_signed").fn(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    d = []
+    for _, g in ev.groupby("user_id"):
+        c = g.loc[g.event_type == "click", "value"]
+        v = g.loc[g.event_type == "view", "value"]
+        if len(c) and len(v):
+            diff = c.mean() - v.mean()
+            if diff != 0:
+                d.append(diff)
+    d = np.array(d)
+    n = len(d)
+    order = np.argsort(np.abs(d), kind="stable")
+    ranks = np.empty(n)
+    ad = np.abs(d)[order]
+    i = 0
+    pos = 1
+    tie_term = 0.0
+    while i < n:
+        j = i
+        while j < n and ad[j] == ad[i]:
+            j += 1
+        t = j - i
+        mid = (pos + pos + t - 1) / 2.0
+        ranks[order[i:j]] = mid
+        tie_term += t**3 - t
+        pos += t
+        i = j
+    w_plus = ranks[d > 0].sum()
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie_term / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+    assert row["n_pairs"] == n
+    assert np.isclose(row["w_plus"], w_plus, rtol=1e-9)
+    assert np.isclose(row["w_minus"], n * (n + 1) / 2.0 - w_plus, rtol=1e-9)
+    assert np.isclose(row["z_stat"], z, rtol=1e-9)
+    # rank identity: W+ + W- is the full rank mass
+    assert np.isclose(
+        row["w_plus"] + row["w_minus"], n * (n + 1) / 2.0, rtol=1e-12
+    )
+
+
+def test_zipf_fit_matches_python(spark, sf_dir):
+    row = _spec("text_zipf_fit").fn(spark, sf_dir).collect()[0]
+    import re as _re
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+    cnt = Counter()
+    n_words = 0
+    for t in d["text"]:
+        ws = [w for w in _re.split(r"\s+", t.lower()) if w]
+        cnt.update(ws)
+        n_words += len(ws)
+    assert row["n_words"] == n_words
+    assert row["vocab_size"] == len(cnt)
+    top = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:20]
+    k = len(top)
+    assert row["k_fit"] == k
+    xs = [math.log(i) for i in range(1, k + 1)]
+    ys = [math.log(f) for _, f in top]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    assert abs(row["zipf_slope_micro"] - math.floor(1e6 * slope)) <= 1
+    assert abs(row["intercept_micro"] - math.floor(1e6 * intercept)) <= 1
+    # natural-language shape: the fit is decreasing
+    assert row["zipf_slope_micro"] < 0

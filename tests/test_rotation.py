@@ -64,6 +64,9 @@ DEFERRED: set[str] = {
     "dq_benford_law",
     "events_markov_stationary",
     "emb_random_projection",
+    "stats_wilcoxon_signed",
+    "corpus_datasheet",
+    "text_zipf_fit",
 }
 
 
