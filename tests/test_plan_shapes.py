@@ -754,6 +754,33 @@ R9_PLAN_BUDGET = {
     # broadcast at fixture scale; co-located shuffle at 100 TB) + agg
 }
 
+# Round-9 batch-2/3/4 additions (analytics9.py, extensions/linalg.py),
+# measured at sf0.001: (max_shuffles, min_broadcasts, allow_nlj).
+# Zero-shuffle rows are either pure per-row expression chains
+# (date_parse_best_effort, emb_random_projection) or keys whose plan
+# is read off a localCheckpointed 1-row frame (power iteration,
+# markov) — the upstream exchanges happened before the checkpoint and
+# are pinned by their sf1 probe shuffle-bytes instead.
+R9B_PLAN_BUDGET = {
+    "stats_entropy": (2, 0, False),          # cells agg + type agg
+    "stats_theils_u": (2, 0, True),          # cells agg + marginal re-agg
+    "stats_contingency_coef": (3, 1, True),  # obs agg + marginals
+    "stats_student_ttest": (0, 0, False),    # one conditional agg
+    "stats_ab_min_sample": (1, 0, False),    # one grouped agg
+    "seq_gaps_islands": (4, 3, False),       # two distrank scans + join
+    "sql_quantified_compare": (0, 1, True),  # dim bcast + 1-row extrema
+    "date_parse_best_effort": (0, 0, False),  # pure row expressions
+    "corpus_temperature_mix": (2, 0, True),  # lang agg + 1-row normalizer
+    "emb_power_iteration_pc1": (0, 0, False),  # checkpointed 1-row frame
+    "sample_hash_consistent": (2, 0, False),  # distinct-expand agg
+    "dq_benford_law": (2, 0, True),          # digit agg + 1-row totals
+    "events_markov_stationary": (0, 0, False),  # checkpointed 1-row frame
+    "emb_random_projection": (0, 0, True),   # 1-row matrix cross only
+    "stats_wilcoxon_signed": (2, 1, False),  # pair agg + |d| hist scan
+    "corpus_datasheet": (5, 1, True),        # source/lang aggs + window
+    "text_zipf_fit": (2, 0, True),           # word agg + TakeOrdered
+}
+
 
 def test_bottom_k_sample_is_take_ordered(spark, sf_dir):
     # the whole point of bottom-k: per-partition heaps + driver merge,
@@ -778,6 +805,18 @@ def test_r8_plan_budgets(spark, sf_dir, key):
 @pytest.mark.parametrize("key", sorted(R9_PLAN_BUDGET))
 def test_r9_plan_budgets(spark, sf_dir, key):
     max_shuffles, min_bcast, allow_nlj = R9_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("key", sorted(R9B_PLAN_BUDGET))
+def test_r9b_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R9B_PLAN_BUDGET[key]
     df = SPECS[key].fn(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert inspect.count_shuffles(df) <= max_shuffles, plan
