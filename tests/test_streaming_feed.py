@@ -11,6 +11,7 @@ topic_roundtrip actually routes through.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,3 +112,53 @@ def test_same_transform_runs_over_rate_source(spark, tmp_path):
     q.awaitTermination()
     # one batch of 30 sequential values → 10 per residue class
     assert out == {0: 10, 1: 10, 2: 10}
+
+
+def test_state_v2_gating_and_conformance(spark, tmp_path):
+    """The transformWithStateInPandas surface: when the environment
+    lacks the TWS python deps (this container has no protobuf), the
+    module must say so loudly; when present, the v2 totals must equal
+    the batch aggregate — the same contract stream_stateful_totals
+    pins for the v1 API."""
+    from pyspark.sql import functions as F
+
+    from clickhousebackup_spark.streaming import state_v2
+
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 5, 200), (2, 7, 50), (2, 1, 75)],
+        ["user_id", "value_micro", "us"],
+    )
+    if not state_v2.HAS_TWS_DEPS:
+        with pytest.raises(ImportError, match="HAS_TWS_DEPS"):
+            state_v2.running_totals_v2(ev)
+        pytest.skip("no protobuf in this container; surface gated")
+    src = str(tmp_path / "v2src")
+    ev.write.mode("overwrite").parquet(src)
+    feed = spark.readStream.schema(
+        "user_id long, value_micro long, us long"
+    ).parquet(src)
+    q = (
+        state_v2.running_totals_v2(feed)
+        .writeStream.format("memory")
+        .queryName("v2tot")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "v2ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_micro"], r["last_us"])
+        for r in spark.table("v2tot").collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_micro").alias("t"),
+            F.max("us").alias("m"),
+        )
+        .collect()
+    }
+    assert got == exp
