@@ -1325,3 +1325,138 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(slope).alias("zipf_slope_micro"),
         _micro(intercept).alias("intercept_micro"),
     )
+
+
+#: Candidate periods for the spectral probe, in microseconds.
+_PERIODS = (
+    ("8h", 8 * 3600 * 1_000_000),
+    ("24h", 24 * 3600 * 1_000_000),
+    ("7d", 7 * 24 * 3600 * 1_000_000),
+)
+_TWO_PI = 6.283185307179586
+
+
+def _period_oracle_arm(label: str, p_us: int) -> str:
+    """One candidate-period DFT arm: per-row gridded cos/sin weights
+    against mean-centered integer values, exact DECIMAL sums."""
+    return f"""
+        SELECT '{label}' AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(FLOOR(1000000.0 * cos({_TWO_PI}
+                    * CAST(epoch_us(ts) % {p_us} AS DOUBLE) / {p_us}))
+                    AS BIGINT) * dev AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+               CAST(SUM(CAST(CAST(FLOOR(1000000.0 * sin({_TWO_PI}
+                    * CAST(epoch_us(ts) % {p_us} AS DOUBLE) / {p_us}))
+                    AS BIGINT) * dev AS DECIMAL(38,0))) AS DOUBLE) AS ss
+        FROM centered"""
+
+
+@register(
+    "ts_period_detect",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(SUM(CAST(FLOOR(1000000.0 * value) AS BIGINT))
+                        AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+        ), centered AS (
+            SELECT e.ts,
+                   CAST(FLOOR(1000000.0 * e.value) AS BIGINT)
+                       - (g.tot // g.n) AS dev
+            FROM events e, g
+        ), arms AS (
+            {_period_oracle_arm(*_PERIODS[0])}
+            UNION ALL {_period_oracle_arm(*_PERIODS[1])}
+            UNION ALL {_period_oracle_arm(*_PERIODS[2])}
+        )
+        SELECT period, n,
+               CAST(FLOOR(sqrt(sc * sc + ss * ss) / n) AS BIGINT)
+                   AS amplitude_micro,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                        ORDER BY sqrt(sc * sc + ss * ss) DESC, period)
+                        = 1 THEN 1 ELSE 0 END AS INTEGER) AS dominant
+        FROM arms
+    """,
+    doc="Spectral period probe (ClickHouse `seriesPeriodDetectFFT`, "
+    "probe form): the DFT amplitude of the mean-centered event "
+    "values at three candidate periods (8h / 24h / 7d), plus the "
+    "dominant-period flag. Per-row cos/sin weights are gridded to "
+    "integers BEFORE the cross-row sum (libm sin/cos differ in the "
+    "last ulp per row; the 1e-6 grid absorbs that at ~1e-10 "
+    "boundary risk per row), values are mean-centered on an exact "
+    "integer grid (kills the DC leak), and both component sums ride "
+    "DECIMAL(38,0) — exact, order-free, overflow-proof at any row "
+    "count. Plan: one totals pass + one scan with three "
+    "conditional-sum arms (the union collapses to ONE aggregation "
+    "per arm over the same broadcast-centered scan); the final "
+    "window orders 3 rows. Fixture truth: synthetic values carry no "
+    "real cycle, so amplitudes are small vs the value scale — "
+    "pinned as an invariant, not an accident, in "
+    "tests/test_props_r9c.py.",
+)
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(
+        F.sum(F.floor(F.lit(1000000.0) * F.col("value")).cast("long"))
+        .cast("long")
+        .alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    centered = e.crossJoin(F.broadcast(g)).select(
+        F.unix_micros("ts").alias("us"),
+        (
+            F.floor(F.lit(1000000.0) * F.col("value")).cast("long")
+            - (F.col("tot") - F.pmod(F.col("tot"), F.col("n")))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("dev"),
+    )
+    # ALL arm sums in one aggregation pass — the naive per-arm agg
+    # would rescan the fact (and replay the 1-row broadcast) once per
+    # candidate period
+    sum_cols = [F.count(F.lit(1)).cast("long").alias("n")]
+    for label, p_us in _PERIODS:
+        theta = (
+            F.lit(_TWO_PI)
+            * F.pmod(F.col("us"), F.lit(p_us)).cast("double")
+            / F.lit(float(p_us))
+        )
+        wc = F.floor(F.lit(1000000.0) * F.cos(theta)).cast("long")
+        ws = F.floor(F.lit(1000000.0) * F.sin(theta)).cast("long")
+        sum_cols.append(
+            F.sum((wc * F.col("dev")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"sc_{label}")
+        )
+        sum_cols.append(
+            F.sum((ws * F.col("dev")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"ss_{label}")
+        )
+    one = centered.agg(*sum_cols).localCheckpoint(eager=True)
+    arms = [
+        one.select(
+            F.lit(label).alias("period"),
+            F.col("n"),
+            F.col(f"sc_{label}").alias("sc"),
+            F.col(f"ss_{label}").alias("ss"),
+        )
+        for label, _ in _PERIODS
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    amp = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+    w = Window.orderBy(amp.desc(), F.col("period"))
+    return out.select(
+        "period",
+        "n",
+        F.floor(amp / F.col("n")).cast("long").alias("amplitude_micro"),
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("dominant"),
+    )

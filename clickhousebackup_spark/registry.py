@@ -194,6 +194,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "stats_wilcoxon_signed",
     "corpus_datasheet",
     "text_zipf_fit",
+    "ts_period_detect",
 )
 
 

@@ -111,6 +111,7 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     "sim_pq_adc_topk": 1,           # rank over the 5-row top-k
     "seq_gaps_islands": 2,          # two distrank offset tables
     "stats_wilcoxon_signed": 1,     # distrank offsets (|d| histogram)
+    "ts_period_detect": 1,          # dominant rank over 3 arm rows
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

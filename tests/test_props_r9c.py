@@ -277,3 +277,43 @@ def test_zipf_fit_matches_python(spark, sf_dir):
     assert abs(row["intercept_micro"] - math.floor(1e6 * intercept)) <= 1
     # natural-language shape: the fit is decreasing
     assert row["zipf_slope_micro"] < 0
+
+
+def test_period_detect_matches_numpy(spark, sf_dir):
+    rows = {
+        r["period"]: r
+        for r in _spec("ts_period_detect").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # pandas reads this parquet as datetime64[us]; normalize through
+    # ns so the integer epoch is micros regardless of read resolution
+    us = ev["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    vm = np.floor(1e6 * ev["value"].to_numpy()).astype(np.int64)
+    dev = vm - vm.sum() // len(vm)
+    periods = {"8h": 8 * 3600 * 10**6, "24h": 24 * 3600 * 10**6,
+               "7d": 7 * 24 * 3600 * 10**6}
+    two_pi = 6.283185307179586
+    amps = {}
+    for label, p in periods.items():
+        theta = two_pi * (us % p).astype(np.float64) / float(p)
+        wc = np.floor(1e6 * np.cos(theta)).astype(np.int64)
+        ws = np.floor(1e6 * np.sin(theta)).astype(np.int64)
+        sc = float((wc * dev).sum())
+        ss = float((ws * dev).sum())
+        amps[label] = math.sqrt(sc * sc + ss * ss)
+        row = rows[label]
+        assert row["n"] == len(ev)
+        # per-row libm cos/sin may floor differently on ~1e-10 of
+        # rows; allow a tiny slack on the summed amplitude
+        assert abs(row["amplitude_micro"] - math.floor(amps[label] / len(ev))) <= 1
+    dominant = sorted(amps.items(), key=lambda t: (-t[1], t[0]))[0][0]
+    assert rows[dominant]["dominant"] == 1
+    assert sum(r["dominant"] for r in rows.values()) == 1
+    # corpus truth: the synthetic values carry no planted cycle, so
+    # every spectral amplitude sits at the white-noise floor —
+    # O(rms/sqrt(n)) after de-gridding the 1e6 weight scale — far
+    # below the value deviation RMS (a planted cycle would put the
+    # matching period NEAR the RMS)
+    rms = math.sqrt(float((dev.astype(np.float64) ** 2).mean()))
+    for r in rows.values():
+        assert r["amplitude_micro"] / 1e6 < 0.2 * rms, (r, rms)

@@ -67,6 +67,7 @@ DEFERRED: set[str] = {
     "stats_wilcoxon_signed",
     "corpus_datasheet",
     "text_zipf_fit",
+    "ts_period_detect",
 }
 
 
