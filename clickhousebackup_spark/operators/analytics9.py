@@ -1460,3 +1460,180 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("dominant"),
     )
+
+
+#: a-z -> soundex digit map (Apache commons / Hive / Spark / ClickHouse
+#: all share it): vowels+y->0, bfpv->1, cgjkqsxz->2, dt->3, l->4,
+#: mn->5, r->6. H and W are handled by RULE (skipped entirely), not by
+#: the map.
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+@register(
+    "str_phonetic_soundex",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT lower(w) AS w
+            FROM part, unnest(string_split(p_name, ' ')) AS t(w)
+            WHERE w <> ''
+        ), coded AS (
+            SELECT w,
+                   rpad((list_reduce(
+                       list_transform(generate_series(1, len(w)), i ->
+                           CASE WHEN i = 1 THEN struct_pack(
+                                    o := upper(w[i]),
+                                    l := translate(upper(w[i]),
+                                        'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                        '{_SOUNDEX_MAP}'))
+                                ELSE struct_pack(
+                                    o := upper(w[i]),
+                                    l := translate(upper(w[i]),
+                                        'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                        '{_SOUNDEX_MAP}'))
+                           END),
+                       (acc, x) -> CASE
+                           WHEN len(acc.o) >= 4 THEN acc
+                           WHEN x.o IN ('H', 'W') THEN acc
+                           WHEN x.l = '0' THEN
+                               struct_pack(o := acc.o, l := '0')
+                           WHEN x.l = acc.l THEN acc
+                           ELSE struct_pack(o := acc.o || x.l, l := x.l)
+                       END)).o, 4, '0') AS sx
+            FROM words
+        )
+        SELECT sx AS soundex_code,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               MIN(w) AS example_word,
+               CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_collision
+        FROM coded GROUP BY sx
+    """,
+    doc="Phonetic blocking via Soundex (ClickHouse `soundex`, added "
+    "23.4; the classic entity-resolution blocking key): the part-name "
+    "vocabulary grouped by code — EVERY code emitted with its word "
+    "count, deterministic example, and collision flag, so the driver "
+    "pins the full code assignment, not just the collision groups. "
+    "The engine uses Spark's "
+    "JVM soundex built-in; the oracle REIMPLEMENTS the full "
+    "algorithm (commons mapping + the H/W skip rule + vowel reset + "
+    "adjacent-dup collapse + rpad-4) as a DuckDB list fold, and "
+    "tests/test_props_r9c.py pins both against a third python "
+    "implementation on the classic test vectors (ashcraft->A261, "
+    "tymczak->T522, pfister->P236) and the whole fixture vocabulary. "
+    "Plan: explode + two hash aggs over the vocabulary grain — the "
+    "fact-scale work is one scan; blocking-key joins downstream "
+    "shuffle on the 4-char code exactly like dedup_fuzzy_blocked.",
+)
+def str_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.lower("w").alias("w"))
+        .distinct()
+    )
+    coded = words.select("w", F.soundex("w").alias("sx"))
+    return coded.groupBy(F.col("sx").alias("soundex_code")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.min("w").alias("example_word"),
+        F.when(F.count(F.lit(1)) > 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_collision"),
+    )
+
+
+@register(
+    "text_readability_fk",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        w -> w <> '')) AS BIGINT) AS n_words,
+                   CAST(GREATEST(len(list_filter(
+                        string_split_regex(text, '[.!?]+'),
+                        s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+                   CAST(list_reduce(list_transform(
+                        list_filter(string_split_regex(text, '\\s+'),
+                            w -> w <> ''),
+                        w -> CAST(GREATEST(len(regexp_extract_all(
+                             lower(w), '[aeiouy]+')), 1) AS BIGINT)),
+                        (a, b) -> a + b) AS BIGINT) AS n_syllables
+            FROM documents
+            WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                      w -> w <> '')) > 0
+        )
+        SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+               CAST(FLOOR(1000000.0 *
+                    (0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                     - 15.59)) AS BIGINT) AS fk_grade_micro,
+               CAST(FLOOR(1000000.0 *
+                    (206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                    AS BIGINT) AS flesch_ease_micro
+        FROM scored
+    """,
+    doc="Flesch-Kincaid grade level + Flesch reading ease per "
+    "document — the readability gate real curation pipelines run "
+    "next to the C4/Gopher battery (too-easy = boilerplate lists, "
+    "too-hard = OCR noise): words by whitespace, sentences by "
+    "terminal punctuation (floored at 1), syllables as vowel-group "
+    "runs (floored at 1 per word — the standard heuristic). All "
+    "three counts are exact integers; the two scores are IEEE "
+    "chains of exact ratios emitted on the floor-micro grid (the "
+    "0.39/11.8/... constants are decimal literals whose double "
+    "values are identical in both engines). Plan: pure per-row "
+    "expressions with in-row folds — one codegen'd scan, zero "
+    "shuffles at any corpus size.",
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split("text", r"\s+"), lambda w: w != F.lit("")
+    )
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    syllables = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(
+                    F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)
+                ),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        _micro(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+        ).alias("fk_grade_micro"),
+        _micro(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch_ease_micro"),
+    )

@@ -195,6 +195,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "corpus_datasheet",
     "text_zipf_fit",
     "ts_period_detect",
+    "str_phonetic_soundex",
+    "text_readability_fk",
 )
 
 

@@ -317,3 +317,85 @@ def test_period_detect_matches_numpy(spark, sf_dir):
     rms = math.sqrt(float((dev.astype(np.float64) ** 2).mean()))
     for r in rows.values():
         assert r["amplitude_micro"] / 1e6 < 0.2 * rms, (r, rms)
+
+
+def _py_soundex(word: str) -> str:
+    """Third engine: full American Soundex with the commons-codec
+    H/W rule, vowel reset, adjacent-dup collapse, rpad-4."""
+    m = {c: d for c, d in zip("abcdefghijklmnopqrstuvwxyz",
+                              "01230120022455012623010202")}
+    w = word.lower()
+    out = w[0].upper()
+    last = m[w[0]]
+    for ch in w[1:]:
+        if len(out) >= 4:
+            break
+        if ch in "hw":
+            continue
+        code = m[ch]
+        if code == "0":
+            last = "0"
+            continue
+        if code == last:
+            continue
+        out += code
+        last = code
+    return (out + "0000")[:4]
+
+
+def test_soundex_replica_matches_python_and_spark(spark, sf_dir):
+    # classic vectors first — they exercise every rule
+    for w, exp in [("ashcraft", "A261"), ("tymczak", "T522"),
+                   ("pfister", "P236"), ("robert", "R163"),
+                   ("rupert", "R163"), ("honeyman", "H555"),
+                   ("wheat", "W300"), ("white", "W300"),
+                   ("example", "E251")]:
+        assert _py_soundex(w) == exp, w
+    rows = {
+        r["soundex_code"]: r
+        for r in _spec("str_phonetic_soundex").fn(spark, sf_dir).collect()
+    }
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    vocab = sorted(
+        {w for name in p["p_name"] for w in name.split(" ") if w}
+    )
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for w in vocab:
+        groups[_py_soundex(w.lower())].append(w.lower())
+    assert set(rows) == set(groups)
+    for code, ws in groups.items():
+        assert rows[code]["n_words"] == len(ws)
+        assert rows[code]["example_word"] == min(ws)
+        assert rows[code]["is_collision"] == int(len(ws) > 1)
+    # fixture truth: the color vocabulary has real phonetic collisions
+    assert any(len(ws) > 1 for ws in groups.values())
+
+
+def test_readability_matches_python(spark, sf_dir):
+    import re as _re
+
+    rows = {
+        r["doc_id"]: r
+        for r in _spec("text_readability_fk").fn(spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = [w for w in _re.split(r"\s+", text) if w]
+        if not ws:
+            assert doc_id not in rows
+            continue
+        sents = max(
+            len([s for s in _re.split(r"[.!?]+", text) if s.strip()]), 1
+        )
+        syls = sum(
+            max(len(_re.findall(r"[aeiouy]+", w.lower())), 1) for w in ws
+        )
+        row = rows[int(doc_id)]
+        assert row["n_words"] == len(ws)
+        assert row["n_sentences"] == sents
+        assert row["n_syllables"] == syls
+        fk = 0.39 * len(ws) / sents + 11.8 * syls / len(ws) - 15.59
+        ease = 206.835 - 1.015 * len(ws) / sents - 84.6 * syls / len(ws)
+        assert abs(row["fk_grade_micro"] - math.floor(1e6 * fk)) <= 1
+        assert abs(row["flesch_ease_micro"] - math.floor(1e6 * ease)) <= 1

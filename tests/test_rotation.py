@@ -68,6 +68,8 @@ DEFERRED: set[str] = {
     "corpus_datasheet",
     "text_zipf_fit",
     "ts_period_detect",
+    "str_phonetic_soundex",
+    "text_readability_fk",
 }
 
 
