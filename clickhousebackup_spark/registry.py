@@ -197,6 +197,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_period_detect",
     "str_phonetic_soundex",
     "text_readability_fk",
+    "seq_edit_distance",
 )
 
 

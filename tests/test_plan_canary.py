@@ -79,6 +79,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "emb_random_projection": 1,   # 1-row k x d Rademacher matrix
     "corpus_datasheet": 1,        # 1-row corpus-totals frame
     "text_zipf_fit": 1,           # 1-row top-20 fit frame
+    "seq_edit_distance": 1,       # 1-row modal-reference frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

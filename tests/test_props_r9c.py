@@ -399,3 +399,61 @@ def test_readability_matches_python(spark, sf_dir):
         ease = 206.835 - 1.015 * len(ws) / sents - 84.6 * syls / len(ws)
         assert abs(row["fk_grade_micro"] - math.floor(1e6 * fk)) <= 1
         assert abs(row["flesch_ease_micro"] - math.floor(1e6 * ease)) <= 1
+
+
+def test_edit_distance_matches_python_dp(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in _spec("seq_edit_distance").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    seqs = (
+        ev.groupby("user_id")["event_type"]
+        .apply(lambda s: list(s)[:12])
+        .to_dict()
+    )
+    from collections import Counter
+
+    poscnt = [Counter() for _ in range(12)]
+    for s in seqs.values():
+        for i, t in enumerate(s):
+            poscnt[i][t] += 1
+    ref = [
+        sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        for c in poscnt
+        if c
+    ]
+
+    def lev(a, b):
+        m = len(a)
+        prev = list(range(m + 1))
+        for j, bc in enumerate(b, 1):
+            cur = [j]
+            for i in range(1, m + 1):
+                cur.append(
+                    min(
+                        prev[i] + 1,
+                        cur[i - 1] + 1,
+                        prev[i - 1] + (a[i - 1] != bc),
+                    )
+                )
+            prev = cur
+        return prev[m]
+
+    assert set(rows) == set(seqs)
+    for u, s in seqs.items():
+        row = rows[u]
+        truth = lev(ref, s)
+        assert row["seq_len"] == len(s)
+        assert row["ref_len"] == len(ref)
+        assert row["edit_distance"] == truth, u
+        assert row["normalized_micro"] == math.floor(
+            1e6 * truth / max(len(s), len(ref))
+        )
+        # metric sanity: |len difference| <= d <= max length
+        assert abs(len(s) - len(ref)) <= truth <= max(len(s), len(ref))
+    # the modal reference is SOMEBODY's neighborhood: distances spread
+    dists = [r["edit_distance"] for r in rows.values()]
+    assert min(dists) < max(dists), "degenerate: all users equidistant"

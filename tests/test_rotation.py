@@ -70,6 +70,7 @@ DEFERRED: set[str] = {
     "ts_period_detect",
     "str_phonetic_soundex",
     "text_readability_fk",
+    "seq_edit_distance",
 }
 
 
