@@ -42,10 +42,11 @@ R9_SESSION_KEYS = [
     "stats_wilcoxon_signed",
     "corpus_datasheet",
     "text_zipf_fit",
-    # batch 5: spectral probe, phonetics, readability
+    # batch 5: spectral probe, phonetics, readability, SQL DP
     "ts_period_detect",
     "str_phonetic_soundex",
     "text_readability_fk",
+    "seq_edit_distance",
 ]
 
 

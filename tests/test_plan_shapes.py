@@ -779,6 +779,9 @@ R9B_PLAN_BUDGET = {
     "stats_wilcoxon_signed": (2, 1, False),  # pair agg + |d| hist scan
     "corpus_datasheet": (5, 1, True),        # source/lang aggs + window
     "text_zipf_fit": (2, 0, True),           # word agg + TakeOrdered
+    "str_phonetic_soundex": (2, 0, False),   # vocab distinct + code agg
+    "text_readability_fk": (0, 0, False),    # pure row expressions
+    "seq_edit_distance": (2, 0, True),       # position hist + 1-row ref
 }
 
 
