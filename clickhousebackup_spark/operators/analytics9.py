@@ -1795,3 +1795,229 @@ def seq_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("normalized_micro"),
     )
+
+
+#: Count-min sketch geometry: 4 hash rows x 32 buckets (md5 grid).
+#: Width 32 keeps collisions LIVE at the sf0.01 driver grain (150
+#: users -> nonzero overestimates the driver hash-checks; at 256 the
+#: probe set collided only from sf0.1 up — degeneracy audit finding).
+#: Width is the precision knob; the plan is identical at any w.
+_CMS_D = 4
+_CMS_W = 32
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+        WITH cells AS (
+            SELECT d,
+                   CAST(concat('0x', substr(md5(concat(d, ':', user_id)),
+                        1, 15)) AS BIGINT) % {_CMS_W} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events, unnest(generate_series(0, {_CMS_D - 1})) AS h(d)
+            GROUP BY d, bucket
+        ), exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT CAST(SUM(exact_n) AS BIGINT) AS n FROM exact
+        ), probes AS (
+            SELECT user_id, exact_n FROM exact
+            ORDER BY exact_n DESC, user_id ASC LIMIT 10
+        ), est AS (
+            SELECT p.user_id, p.exact_n,
+                   MIN(cells.c) AS cms_estimate
+            FROM probes p, unnest(generate_series(0, {_CMS_D - 1})) AS h(d)
+            JOIN cells ON cells.d = h.d
+                      AND cells.bucket = CAST(concat('0x',
+                          substr(md5(concat(h.d, ':', p.user_id)), 1, 15))
+                          AS BIGINT) % {_CMS_W}
+            GROUP BY p.user_id, p.exact_n
+        )
+        SELECT e.user_id, e.exact_n,
+               CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(e.cms_estimate - e.exact_n AS BIGINT) AS overestimate,
+               CAST(CASE WHEN e.cms_estimate - e.exact_n
+                         <= 2 * t.n / {_CMS_W}
+                    THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+        FROM est e CROSS JOIN tot t
+    """,
+    doc="Count-min sketch frequency estimation (the Cormode-"
+    f"Muthukrishnan heavy-hitter sketch): {_CMS_D} x {_CMS_W} "
+    "counter grid over md5-grid buckets of user_id, probed at the "
+    "top-10 exact-count users. Deterministic end to end — both "
+    "engines build IDENTICAL counters, so the driver hash-checks "
+    "the estimates themselves, plus the two CMS contracts as "
+    "checked columns: overestimate >= 0 always (min of upper "
+    "bounds), and within the 2N/w Markov bound (the 1/2-probability "
+    "bound holds per row; the min over 4 rows makes violations "
+    "vanishingly rare — flag hashed, not assumed). Plan: one "
+    "explode(4) + hash agg to the 1024-cell grid (vocabulary-"
+    "bounded broadcast at any scale), exact counts via one "
+    "grouped agg, TakeOrdered probes, a broadcast lookup join — "
+    "the sketch path never shuffles more than the cell grid.",
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ds = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    ).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        e.select("user_id", ds)
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    tot = exact.agg(F.sum("exact_n").cast("long").alias("n"))
+    probes = (
+        exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(10)
+        .select("user_id", "exact_n", ds)
+        .select("user_id", "exact_n", "d", bucket.alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n"))
+        .cast("long")
+        .alias("overestimate"),
+        F.when(
+            F.col("cms_estimate") - F.col("exact_n")
+            <= F.lit(2) * F.col("n") / F.lit(_CMS_W),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+#: Kalman random-walk filter constants: observation noise R (value
+#: variance scale) and process noise Q, both exact binary doubles.
+_KAL_R = 128.0
+_KAL_Q = 1.0
+
+
+@register(
+    "ts_kalman_level",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS z
+            FROM events GROUP BY event_type, day
+        ), series AS (
+            SELECT event_type,
+                   list(z ORDER BY day) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               s[len(s)] AS last_obs,
+               (list_reduce(
+                   list_transform(generate_series(1, len(s)), i ->
+                       struct_pack(x := s[i],
+                                   p := CASE WHEN i = 1
+                                        THEN CAST({_KAL_R} AS DOUBLE)
+                                        ELSE CAST(-1.0 AS DOUBLE) END)),
+                   (acc, e) -> struct_pack(
+                       x := acc.x + ((acc.p + CAST({_KAL_Q} AS DOUBLE))
+                            / (acc.p + {_KAL_Q} + CAST({_KAL_R} AS DOUBLE)))
+                            * (e.x - acc.x),
+                       p := (acc.p + CAST({_KAL_Q} AS DOUBLE))
+                            * (CAST(1.0 AS DOUBLE) - (acc.p + CAST({_KAL_Q} AS DOUBLE))
+                               / (acc.p + {_KAL_Q} + CAST({_KAL_R} AS DOUBLE))))
+               ).x) AS kalman_level,
+               (list_reduce(
+                   list_transform(generate_series(1, len(s)), i ->
+                       struct_pack(x := s[i],
+                                   p := CASE WHEN i = 1
+                                        THEN CAST({_KAL_R} AS DOUBLE)
+                                        ELSE CAST(-1.0 AS DOUBLE) END)),
+                   (acc, e) -> struct_pack(
+                       x := acc.x + ((acc.p + CAST({_KAL_Q} AS DOUBLE))
+                            / (acc.p + {_KAL_Q} + CAST({_KAL_R} AS DOUBLE)))
+                            * (e.x - acc.x),
+                       p := (acc.p + CAST({_KAL_Q} AS DOUBLE))
+                            * (CAST(1.0 AS DOUBLE) - (acc.p + CAST({_KAL_Q} AS DOUBLE))
+                               / (acc.p + {_KAL_Q} + CAST({_KAL_R} AS DOUBLE))))
+               ).p) AS error_var
+        FROM series
+    """,
+    doc="Scalar random-walk Kalman filter over each event type's "
+    "daily-mean series — the streaming-friendly level estimator "
+    "(exponential-ish smoothing with a principled, data-adaptive "
+    "gain) monitoring pipelines run on noisy metrics: predict "
+    "p+Q, gain k=(p+Q)/(p+Q+R), update x+=k(z-x). Observations are "
+    "decimal-exact daily means (bit-identical doubles); the filter "
+    "is a single-level left-to-right fold over the day-sorted "
+    "array with a struct accumulator (single-level reduce — safe "
+    "in both engines, unlike the nested shape seq_edit_distance "
+    "documents), so level and error variance hash raw. Series "
+    "length is calendar-bounded (days in window), not row-scaled — "
+    "the data-scale work is one daily hash agg. R=128, Q=1 are "
+    "exact binary literals.",
+)
+def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("z")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("z")))),
+            lambda st: st["z"],
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    upd = (
+        "(acc, z) -> struct("
+        f"acc.x + ((acc.p + {_KAL_Q}D) / (acc.p + {_KAL_Q}D + {_KAL_R}D))"
+        " * (z - acc.x) AS x, "
+        f"(acc.p + {_KAL_Q}D) * (1.0D - (acc.p + {_KAL_Q}D)"
+        f" / (acc.p + {_KAL_Q}D + {_KAL_R}D)) AS p)"
+    )
+    fold = F.expr(
+        "aggregate(slice(s, 2, size(s) - 1), "
+        f"struct(element_at(s, 1) AS x, {_KAL_R}D AS p), {upd})"
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.element_at("s", -1).alias("last_obs"),
+        fold["x"].alias("kalman_level"),
+        fold["p"].alias("error_var"),
+    )

@@ -198,6 +198,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "str_phonetic_soundex",
     "text_readability_fk",
     "seq_edit_distance",
+    "sketch_countmin_freq",
+    "ts_kalman_level",
 )
 
 

@@ -47,6 +47,8 @@ R9_SESSION_KEYS = [
     "str_phonetic_soundex",
     "text_readability_fk",
     "seq_edit_distance",
+    "sketch_countmin_freq",
+    "ts_kalman_level",
 ]
 
 

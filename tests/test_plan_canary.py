@@ -80,6 +80,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "corpus_datasheet": 1,        # 1-row corpus-totals frame
     "text_zipf_fit": 1,           # 1-row top-20 fit frame
     "seq_edit_distance": 1,       # 1-row modal-reference frame
+    "sketch_countmin_freq": 1,    # 1-row grand-total frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

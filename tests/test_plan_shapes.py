@@ -782,6 +782,8 @@ R9B_PLAN_BUDGET = {
     "str_phonetic_soundex": (2, 0, False),   # vocab distinct + code agg
     "text_readability_fk": (0, 0, False),    # pure row expressions
     "seq_edit_distance": (2, 0, True),       # position hist + 1-row ref
+    "sketch_countmin_freq": (2, 1, True),    # exact agg + cell lookup
+    "ts_kalman_level": (2, 0, False),        # daily agg + series agg
 }
 
 

@@ -457,3 +457,67 @@ def test_edit_distance_matches_python_dp(spark, sf_dir):
     # the modal reference is SOMEBODY's neighborhood: distances spread
     dists = [r["edit_distance"] for r in rows.values()]
     assert min(dists) < max(dists), "degenerate: all users equidistant"
+
+
+def test_countmin_matches_hashlib_python(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in _spec("sketch_countmin_freq").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    exact = ev.groupby("user_id").size()
+    n = int(exact.sum())
+    from collections import Counter
+
+    cells = Counter()
+    for u, c in exact.items():
+        for d in range(4):
+            b = int(
+                hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:15], 16
+            ) % 32
+            cells[(d, b)] += int(c)
+    probes = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert set(rows) == {u for u, _ in probes}
+    for u, c in probes:
+        est = min(
+            cells[(d, int(hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:15], 16) % 32)]
+            for d in range(4)
+        )
+        row = rows[u]
+        assert row["exact_n"] == int(c)
+        assert row["cms_estimate"] == est
+        assert row["overestimate"] == est - int(c)
+        # the CMS contract: never an underestimate
+        assert row["overestimate"] >= 0
+        assert row["within_bound"] == int(est - int(c) <= 2 * n // 32)
+    # width 32 keeps collisions live at this grain (the reason for w)
+    if len(exact) >= 100:
+        assert any(r["overestimate"] > 0 for r in rows.values())
+
+
+def test_kalman_matches_python_filter(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("ts_kalman_level").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].astype("datetime64[ns]").dt.date
+    for etype, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["value"].mean().sort_index()
+        z = daily.to_numpy()
+        x, p = float(z[0]), 128.0
+        for obs in z[1:]:
+            pp = p + 1.0
+            k = pp / (pp + 128.0)
+            x = x + k * (float(obs) - x)
+            p = pp * (1.0 - k)
+        row = rows[etype]
+        assert row["n_days"] == len(z)
+        assert np.isclose(row["last_obs"], float(z[-1]), rtol=1e-9)
+        assert np.isclose(row["kalman_level"], x, rtol=1e-9)
+        assert np.isclose(row["error_var"], p, rtol=1e-9)
+        # steady state: error variance converges below R (the filter
+        # is actually filtering, not passing observations through)
+        assert row["error_var"] < 128.0
+        # and the level is a plausible series summary
+        assert z.min() - 1 <= row["kalman_level"] <= z.max() + 1

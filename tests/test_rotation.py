@@ -71,6 +71,8 @@ DEFERRED: set[str] = {
     "str_phonetic_soundex",
     "text_readability_fk",
     "seq_edit_distance",
+    "sketch_countmin_freq",
+    "ts_kalman_level",
 }
 
 
