@@ -2021,3 +2021,166 @@ def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["x"].alias("kalman_level"),
         fold["p"].alias("error_var"),
     )
+
+
+@register(
+    "events_burstiness_index",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        ), m AS (
+            SELECT event_type,
+                   CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(gap_us AS DECIMAL(19,0))
+                        * CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS s2
+            FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n_gaps,
+               CAST(FLOOR(s1 / n_gaps) AS BIGINT) AS mean_gap_us_trunc,
+               (sqrt((s2 - s1 * s1 / n_gaps) / n_gaps) - s1 / n_gaps)
+                   / (sqrt((s2 - s1 * s1 / n_gaps) / n_gaps) + s1 / n_gaps)
+                   AS burstiness,
+               (s2 - s1 * s1 / n_gaps) / n_gaps / (s1 / n_gaps)
+                   AS fano_factor
+        FROM m
+    """,
+    doc="Burstiness index of each event type's inter-arrival process "
+    "(Goh-Barabasi B = (sigma - mu)/(sigma + mu): -1 = periodic, 0 = "
+    "Poisson, ->1 = bursty) plus the Fano factor — the temporal-"
+    "clustering diagnostics behind rate-limiter and anomaly tuning. "
+    "Gaps are exact integer microseconds from a PARTITIONED lag "
+    "window; both moment sums ride DECIMAL(38,0) (gap^2 reaches "
+    "~1e19 and would overflow int64 sums at scale), and the "
+    "population sigma/mu chain is pure IEEE on deterministic "
+    "doubles, hashed raw. Plan: one partitioned window + one "
+    "two-phase hash agg — per-type state is 3 mergeable numbers.",
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_gaps")
+    mu = F.col("s1") / n
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / n)
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.floor(mu).cast("long").alias("mean_gap_us_trunc"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / n) / n / mu
+        ).alias("fano_factor"),
+    )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS z
+            FROM events GROUP BY event_type, day
+        ), series AS (
+            SELECT event_type,
+                   list(z ORDER BY day) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type
+        ), slopes AS (
+            SELECT event_type, n_days,
+                   list_sort(flatten(list_transform(
+                       generate_series(1, len(s) - 1), i ->
+                       list_transform(generate_series(i + 1, len(s)), j ->
+                           (s[j] - s[i]) / CAST(j - i AS DOUBLE)))))
+                       AS sl
+            FROM series
+        )
+        SELECT event_type, n_days,
+               CAST(len(sl) AS BIGINT) AS n_pairs,
+               CASE WHEN len(sl) % 2 = 1
+                    THEN sl[(len(sl) + 1) // 2]
+                    ELSE (sl[len(sl) // 2] + sl[len(sl) // 2 + 1]) / 2.0
+               END AS theil_sen_slope,
+               sl[1] AS min_slope,
+               sl[len(sl)] AS max_slope
+        FROM slopes
+    """,
+    doc="Theil-Sen robust trend estimator over each type's daily-mean "
+    "series: the median of ALL pairwise slopes (z_j - z_i)/(j - i) — "
+    "breakdown point 29%, the standard outlier-proof alternative to "
+    "least squares for monitoring trends. The pair set is "
+    "calendar-bounded (days-in-window choose 2, ~435 for a month), "
+    "built and sorted entirely IN-ROW with nested transforms — "
+    "each slope is one IEEE division of bit-identical doubles, the "
+    "sort is exact, and the median selection is deterministic "
+    "(even-count median averages two identical-both-engines "
+    "doubles), so the estimate hashes raw. Plan: one daily hash "
+    "agg + one per-type collect — nothing scales with row count, "
+    "only with the calendar window.",
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("z")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("z")))),
+            lambda st: st["z"],
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    slopes = series.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "array_sort(flatten(transform(sequence(1, size(s) - 1), i ->"
+            " transform(sequence(i + 1, size(s)), j ->"
+            " (element_at(s, j) - element_at(s, i))"
+            " / cast(j - i as double)))))"
+        ).alias("sl"),
+    )
+    n = F.size("sl")
+    med = F.expr(
+        "CASE WHEN size(sl) % 2 = 1"
+        " THEN element_at(sl, cast((size(sl) + 1) div 2 as int))"
+        " ELSE (element_at(sl, cast(size(sl) div 2 as int))"
+        "       + element_at(sl, cast(size(sl) div 2 + 1 as int)))"
+        " / 2.0 END"
+    )
+    return slopes.select(
+        "event_type",
+        "n_days",
+        n.cast("long").alias("n_pairs"),
+        med.alias("theil_sen_slope"),
+        F.element_at("sl", 1).alias("min_slope"),
+        F.element_at("sl", -1).alias("max_slope"),
+    )

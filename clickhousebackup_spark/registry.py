@@ -200,6 +200,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "seq_edit_distance",
     "sketch_countmin_freq",
     "ts_kalman_level",
+    "events_burstiness_index",
+    "ts_theil_sen_slope",
 )
 
 

@@ -49,6 +49,8 @@ R9_SESSION_KEYS = [
     "seq_edit_distance",
     "sketch_countmin_freq",
     "ts_kalman_level",
+    "events_burstiness_index",
+    "ts_theil_sen_slope",
 ]
 
 

@@ -784,6 +784,8 @@ R9B_PLAN_BUDGET = {
     "seq_edit_distance": (2, 0, True),       # position hist + 1-row ref
     "sketch_countmin_freq": (2, 1, True),    # exact agg + cell lookup
     "ts_kalman_level": (2, 0, False),        # daily agg + series agg
+    "events_burstiness_index": (1, 0, False),  # lag window + one agg
+    "ts_theil_sen_slope": (2, 0, False),     # daily agg + series agg
 }
 
 

@@ -521,3 +521,60 @@ def test_kalman_matches_python_filter(spark, sf_dir):
         assert row["error_var"] < 128.0
         # and the level is a plausible series summary
         assert z.min() - 1 <= row["kalman_level"] <= z.max() + 1
+
+
+def test_burstiness_matches_numpy(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("events_burstiness_index").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    for etype, g in ev.groupby("event_type"):
+        gaps = np.diff(g["us"].to_numpy())
+        mu = gaps.mean()
+        sigma = gaps.std()  # population, ddof=0 — matches the operator
+        row = rows[etype]
+        assert row["n_gaps"] == len(gaps)
+        assert row["mean_gap_us_trunc"] == math.floor(mu)
+        assert np.isclose(
+            row["burstiness"], (sigma - mu) / (sigma + mu), rtol=1e-9
+        )
+        assert np.isclose(
+            row["fano_factor"], sigma * sigma / mu, rtol=1e-9
+        )
+        # Poisson-ish synthetic arrivals: B near 0, never periodic
+        assert -0.5 < row["burstiness"] < 0.5
+
+
+def test_theil_sen_matches_numpy(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("ts_theil_sen_slope").fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].astype("datetime64[ns]").dt.date
+    for etype, g in ev.groupby("event_type"):
+        z = g.groupby("day")["value"].mean().sort_index().to_numpy()
+        n = len(z)
+        slopes = sorted(
+            (z[j] - z[i]) / (j - i)
+            for i in range(n - 1)
+            for j in range(i + 1, n)
+        )
+        m = len(slopes)
+        med = (
+            slopes[(m - 1) // 2]
+            if m % 2 == 1
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+        )
+        row = rows[etype]
+        assert row["n_days"] == n
+        assert row["n_pairs"] == m
+        assert np.isclose(row["theil_sen_slope"], med, rtol=1e-9)
+        assert np.isclose(row["min_slope"], slopes[0], rtol=1e-9)
+        assert np.isclose(row["max_slope"], slopes[-1], rtol=1e-9)
+        # robustness sanity: the median slope sits inside the extremes
+        assert row["min_slope"] <= row["theil_sen_slope"] <= row["max_slope"]

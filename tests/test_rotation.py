@@ -73,6 +73,8 @@ DEFERRED: set[str] = {
     "seq_edit_distance",
     "sketch_countmin_freq",
     "ts_kalman_level",
+    "events_burstiness_index",
+    "ts_theil_sen_slope",
 }
 
 
