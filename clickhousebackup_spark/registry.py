@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics7",
     "clickhousebackup_spark.operators.analytics8",
     "clickhousebackup_spark.operators.analytics9",
+    "clickhousebackup_spark.operators.analytics10",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -202,6 +203,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_kalman_level",
     "events_burstiness_index",
     "ts_theil_sen_slope",
+    # round-9 batch-4 additions (operators/analytics10.py) — deep in
+    # the round-10 queue; exact-verified at three scales this session.
+    "ts_stl_decompose",
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "ts_cusum_alarm",
+    "token_bigram_entropy",
+    "stats_linregress_multi",
+    "dq_schema_profile",
 )
 
 

@@ -852,3 +852,37 @@ def test_interleave_has_no_global_window(spark, sf_dir):
             "window not partitioned by source — global window crept in:\n"
             + plan
         )
+
+
+# Round-9 batch-4 additions (operators/analytics10.py), measured at
+# sf0.001: (max_shuffles, min_broadcasts, allow_nlj). Zero-shuffle
+# stats_linregress_multi is a single map-side-combined moment agg;
+# ts_stl_decompose broadcasts the 35-row seasonal table back onto the
+# daily grid; token_bigram_entropy's per-lang final join broadcasts.
+R9D_PLAN_BUDGET = {
+    "ts_stl_decompose": (4, 1, False),      # daily agg + calendar-
+    # bounded partitioned window + 5x7 seasonal agg, broadcast back
+    "stats_anova_oneway": (1, 0, False),    # one moment agg; k-row
+    # collect rides the same exchange
+    "stats_jarque_bera": (1, 0, False),     # one moment agg
+    "ts_cusum_alarm": (2, 0, False),        # daily agg + per-type
+    # series collect; folds are in-row expressions
+    "token_bigram_entropy": (5, 1, False),  # bigram cell agg (data-
+    # scale) + vocab-scale ctx/agg/ragg re-aggs + per-lang bcast join
+    "stats_linregress_multi": (0, 0, False),  # single moment agg,
+    # partials merged map-side — no exchange before the 1-row result
+    "dq_schema_profile": (2, 0, False),     # explode + one distinct
+    # expand agg (two-phase)
+}
+
+
+@pytest.mark.parametrize("key", sorted(R9D_PLAN_BUDGET))
+def test_r9d_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R9D_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
