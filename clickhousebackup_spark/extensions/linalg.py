@@ -269,3 +269,210 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm2_proj",
         "distortion",
     )
+
+
+def _mv_sql(mat: str, vec: str) -> str:
+    """DuckDB matvec: left-to-right row dots (pc1's normalize shape —
+    single-level reduce inside transform, NOT reduce-in-reduce)."""
+    return (
+        f"list_transform({mat}, row -> list_reduce("
+        f"list_transform(list_zip(row, {vec}), p -> p[1] * p[2]), "
+        "(a, b) -> a + b))"
+    )
+
+
+def _norm_sql(vec: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({vec}, t -> t * t), "
+        "(a, b) -> a + b))"
+    )
+
+
+def _pca2_steps(mat_col: str, carry: str, prefix: str) -> str:
+    """Three unrolled power-iteration CTE pairs over the in-row
+    matrix ``mat_col``, carrying ``carry`` columns through."""
+    out = []
+    prev = f"{prefix}0"
+    for k in (1, 2, 3):
+        out.append(
+            f""", {prefix}u{k} AS (
+            SELECT {mat_col}, {carry}{_mv_sql(mat_col, "v")} AS u
+            FROM {prev}
+        ), {prefix}{k} AS (
+            SELECT {mat_col}, {carry}
+                   list_transform(u, t -> t / {_norm_sql("u")}) AS v,
+                   {_norm_sql("u")} AS lam
+            FROM {prefix}u{k}
+        )"""
+        )
+        prev = f"{prefix}{k}"
+    return "".join(out)
+
+
+@register(
+    "emb_pca2_deflation",
+    oracle=f"""
+        WITH e AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                AS x
+            FROM embeddings
+        ), cells AS (
+            SELECT ti.i AS i, tj.j AS j,
+                   CAST(SUM(CAST(FLOOR(CAST(1000000000 AS DOUBLE)
+                        * x[ti.i] * x[tj.j]) AS BIGINT))
+                        AS DECIMAL(38,0)) AS gg
+            FROM e, unnest(generate_series(1, {_DIM})) AS ti(i),
+                    unnest(generate_series(1, {_DIM})) AS tj(j)
+            GROUP BY ti.i, tj.j
+        ), gmat AS (
+            SELECT list_transform(generate_series(1, {_DIM}), i ->
+                       list_transform(generate_series(1, {_DIM}), j ->
+                           flat[(i - 1) * {_DIM} + j])) AS G
+            FROM (SELECT list(CAST(gg AS DOUBLE)
+                              / CAST(1000000000 AS DOUBLE)
+                              ORDER BY i, j) AS flat
+                  FROM cells)
+        ), g0 AS (
+            SELECT G, list_transform(generate_series(1, {_DIM}),
+                       t -> CAST(0.125 AS DOUBLE)) AS v
+            FROM gmat
+        ){_pca2_steps("G", "", "g")}, defl AS (
+            SELECT list_transform(generate_series(1, {_DIM}), i ->
+                       list_transform(generate_series(1, {_DIM}), j ->
+                           G[i][j] - lam * v[i] * v[j])) AS B,
+                   v AS v1, lam AS lam1
+            FROM g3
+        ), d0 AS (
+            SELECT B, v1, lam1,
+                   list_transform(generate_series(1, {_DIM}),
+                       t -> CAST(0.125 AS DOUBLE)) AS v
+            FROM defl
+        ){_pca2_steps("B", "v1, lam1,", "d")}
+        SELECT CAST(t.d AS BIGINT) AS dim,
+               d3.v1[t.d] AS pc1_loading,
+               d3.v[t.d] AS pc2_loading,
+               d3.lam1 AS eigenvalue1,
+               d3.lam AS eigenvalue2,
+               CAST(FLOOR(CAST(1000000 AS DOUBLE) * abs(
+                   list_reduce(list_transform(
+                       list_zip(d3.v1, d3.v), p -> p[1] * p[2]),
+                       (a, b) -> a + b))) AS BIGINT) AS ortho_dot_micro
+        FROM d3, unnest(generate_series(1, {_DIM})) AS t(d)
+    """,
+    doc="Top-TWO principal components via Gram-matrix power iteration "
+    "with Hotelling deflation — the at-scale upgrade of "
+    "emb_power_iteration_pc1: ONE corpus pass builds the 64x64 Gram "
+    "matrix (per-row outer products on the floor(1e9.)-BIGINT grid, "
+    "summed exactly in DECIMAL(38,0), map-side combined — shuffle is "
+    "dim^2 x n_partitions rows at ANY corpus size), then all "
+    f"{_ITERS}+{_ITERS} fixed iteration steps and the rank-1 "
+    "deflation B = G - lam1 v1 v1' run on a single-row frame of "
+    "vocabulary-bounded arrays (nested zip/fold expressions — "
+    "in-row, zero data passes; pc1 by contrast rescans the corpus "
+    "every step, which is the right trade only when dim^2 outgrows "
+    "a row). The contract is the fixed-step iterate (near-isotropic "
+    "fixture spectrum — see pc1's note), pinned against numpy in "
+    "tests/test_props_r10.py; loadings/eigenvalues are pure IEEE "
+    "left-to-right folds of the identical gridded Gram and hash "
+    "raw; |v1.v2| lands on the floor-micro grid as a CONVERGENCE "
+    "DIAGNOSTIC — ~0.19 on the near-isotropic fixture (fixed-step "
+    "iterates are not yet orthogonal), shrinking with the spectral "
+    "gap on a real corpus.",
+)
+def emb_pca2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parallelize(load_table(spark, sf_dir, "embeddings")).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    a = e.select(F.posexplode("x").alias("i0", "xi"), F.col("x"))
+    cells = a.select(
+        (F.col("i0") + 1).alias("i"),
+        F.col("xi"),
+        F.posexplode("x").alias("j0", "xj"),
+    )
+    g = cells.groupBy("i", (F.col("j0") + 1).alias("j")).agg(
+        F.sum(
+            F.floor(F.lit(_GRID) * F.col("xi") * F.col("xj"))
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("gg")
+    )
+    flat = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("j"), F.col("gg")))
+        ),
+        lambda st: st["gg"].cast("double") / F.lit(_GRID),
+    )
+    idx = F.sequence(F.lit(1), F.lit(_DIM))
+    gmat = g.agg(flat.alias("flat")).select(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.element_at(
+                    F.col("flat"), ((i - 1) * _DIM + j).cast("int")
+                ),
+            ),
+        ).alias("G")
+    )
+
+    def matvec(mat, v):
+        return F.transform(mat, lambda row: _fold_dot(row, v))
+
+    def iterate(frame, mat_name, carry):
+        fr = frame.select(
+            mat_name,
+            *carry,
+            F.transform(idx, lambda t: F.lit(0.125)).alias("v"),
+        ).localCheckpoint(eager=True)
+        for _ in range(_ITERS):
+            fr = fr.select(
+                mat_name,
+                *carry,
+                matvec(F.col(mat_name), F.col("v")).alias("u"),
+            )
+            fr = fr.select(
+                mat_name,
+                *carry,
+                F.transform(
+                    "u", lambda t: t / F.sqrt(_fold_sq(F.col("u")))
+                ).alias("v"),
+                F.sqrt(_fold_sq(F.col("u"))).alias("lam"),
+            ).localCheckpoint(eager=True)
+        return fr
+
+    g3 = iterate(gmat, "G", [])
+    defl = g3.select(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.element_at(F.col("G"), i.cast("int"))[
+                    (j - 1).cast("int")
+                ]
+                - F.col("lam")
+                * F.element_at(F.col("v"), i.cast("int"))
+                * F.element_at(F.col("v"), j.cast("int")),
+            ),
+        ).alias("B"),
+        F.col("v").alias("v1"),
+        F.col("lam").alias("lam1"),
+    ).localCheckpoint(eager=True)
+    d3 = iterate(defl, "B", [F.col("v1"), F.col("lam1")])
+    return d3.select(
+        F.posexplode("v").alias("d0", "pc2_loading"),
+        F.col("v1"),
+        F.col("lam1"),
+        F.col("lam"),
+        _fold_dot(F.col("v1"), F.col("v")).alias("dot12"),
+    ).select(
+        (F.col("d0") + 1).cast("long").alias("dim"),
+        F.element_at("v1", (F.col("d0") + 1).cast("int")).alias(
+            "pc1_loading"
+        ),
+        F.col("pc2_loading"),
+        F.col("lam1").alias("eigenvalue1"),
+        F.col("lam").alias("eigenvalue2"),
+        F.floor(F.lit(1000000.0) * F.abs(F.col("dot12")))
+        .cast("long")
+        .alias("ortho_dot_micro"),
+    )

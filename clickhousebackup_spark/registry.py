@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics8",
     "clickhousebackup_spark.operators.analytics9",
     "clickhousebackup_spark.operators.analytics10",
+    "clickhousebackup_spark.operators.analytics11",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -212,6 +213,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "token_bigram_entropy",
     "stats_linregress_multi",
     "dq_schema_profile",
+    # round-9 batch-5 additions (operators/analytics11.py,
+    # extensions/linalg.py)
+    "stats_levene_bf",
+    "stats_runs_test",
+    "text_mattr_diversity",
+    "date_business_days",
+    "emb_pca2_deflation",
 )
 
 

@@ -886,3 +886,36 @@ def test_r9d_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# Round-9 batch-5 additions (operators/analytics11.py, extensions/
+# linalg.py), measured at sf0.001: (max_shuffles, min_broadcasts,
+# allow_nlj). emb_pca2_deflation reads 0 here because every
+# iteration frame is a localCheckpointed single row — the real data
+# pass is the Gram aggregation before the first checkpoint (one
+# map-side-combined hash agg; verified by eye on the pre-checkpoint
+# plan).
+R9E_PLAN_BUDGET = {
+    "stats_levene_bf": (2, 1, False),       # rank window + moment
+    # aggs; 5-row median table broadcast back
+    "stats_runs_test": (2, 0, False),       # daily agg + per-type
+    # series collect; folds are in-row
+    "text_mattr_diversity": (1, 0, False),  # per-row window arrays +
+    # one per-lang hash agg
+    "date_business_days": (1, 1, False),    # orders broadcast join +
+    # one bounded-grain hash agg
+    "emb_pca2_deflation": (0, 0, False),    # all post-Gram work on
+    # checkpointed 1-row frames
+}
+
+
+@pytest.mark.parametrize("key", sorted(R9E_PLAN_BUDGET))
+def test_r9e_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R9E_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan

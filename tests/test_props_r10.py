@@ -237,3 +237,180 @@ def test_schema_profile_matches_pandas(spark, sf_dir):
         assert row["min_val"] == s.dropna().min()
         assert row["max_val"] == s.dropna().max()
         assert row["sum_len"] == int(s.dropna().str.len().sum())
+
+
+def test_levene_bf_matches_numpy(spark, sf_dir):
+    row = _spec("stats_levene_bf").fn(spark, sf_dir).collect()[0]
+    ev = _events(sf_dir)
+    devs = []
+    for _, g in ev.sort_values(["value", "event_id"]).groupby(
+        "event_type"
+    ):
+        v = g["value"].to_numpy()  # already value-sorted
+        med = v[(len(v) + 1) // 2 - 1]  # lower median, rn=(n+1)//2
+        devs.append(np.abs(g["value"].to_numpy() - med))
+    n = sum(len(d) for d in devs)
+    k = len(devs)
+    grand = np.concatenate(devs).mean()
+    ssb = sum(len(d) * (d.mean() - grand) ** 2 for d in devs)
+    ssw = sum(((d - d.mean()) ** 2).sum() for d in devs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n"] == n and row["k"] == k
+    assert abs(row["ss_between"] - ssb) < 1e-6 * max(1.0, abs(ssb))
+    assert abs(row["ss_within"] - ssw) < 1e-6 * abs(ssw)
+    assert abs(row["f_bf"] - f) < 1e-6 * max(1.0, abs(f))
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in _spec("stats_runs_test").fn(spark, sf_dir).collect()
+    }
+    ev = _events(sf_dir)
+    daily = (
+        ev.assign(day=ev["ts"].dt.normalize())
+        .groupby(["event_type", "day"])["value"]
+        .mean()
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    for etype, g in daily.groupby("event_type"):
+        zs = g["value"].to_numpy()
+        mu = 0.0
+        for z in zs:
+            mu += z
+        mu /= len(zs)
+        sg = [1 if z > mu else 0 for z in zs]
+        runs = 1 + sum(a != b for a, b in zip(sg, sg[1:]))
+        n1, n2 = sum(sg), len(sg) - sum(sg)
+        row = rows[etype]
+        assert row["n_days"] == len(zs)
+        assert row["n_above"] == n1 and row["n_below"] == n2
+        assert row["n_runs"] == runs
+        if n1 > 0 and n2 > 0 and n1 + n2 > 1:
+            nt = n1 + n2
+            e = 1.0 + 2.0 * n1 * n2 / nt
+            var = (
+                2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / (nt * nt * (nt - 1.0))
+            )
+            assert abs(row["z_runs"] - (runs - e) / math.sqrt(var)) < 1e-7
+        else:
+            assert row["z_runs"] is None
+
+
+def test_mattr_matches_python(spark, sf_dir):
+    rows = {
+        r["lang"]: r
+        for r in _spec("text_mattr_diversity").fn(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    import re as _re
+
+    agg: dict[str, dict] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        ws = [w for w in _re.split(r"\s+", text.lower()) if w]
+        if not ws:
+            continue
+        win = min(25, len(ws))
+        nwin = len(ws) - win + 1
+        sd = sum(
+            len(set(ws[i : i + win])) for i in range(nwin)
+        )
+        st = agg.setdefault(
+            lang, {"n": 0, "tok": 0, "sd": 0, "ratios": []}
+        )
+        st["n"] += 1
+        st["tok"] += len(ws)
+        st["sd"] += sd
+        st["ratios"].append(sd / (win * nwin))
+    for lang, st in agg.items():
+        row = rows[lang]
+        assert row["n_docs"] == st["n"]
+        assert row["n_tokens"] == st["tok"]
+        assert row["sum_distinct"] == st["sd"]
+        mean = sum(st["ratios"]) / st["n"]
+        assert abs(row["mean_mattr_micro"] - math.floor(1e6 * mean)) <= 2
+        assert 0 < row["mean_mattr_micro"] <= 1000000
+
+
+def test_business_days_matches_numpy_busday(spark, sf_dir):
+    rows = _spec("date_business_days").fn(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.merge(
+        o[["o_orderkey", "o_orderpriority", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    a = j["o_orderdate"].to_numpy().astype("datetime64[D]")
+    b = j["l_shipdate"].to_numpy().astype("datetime64[D]")
+    # the operator's contract is the signed measure f(b) - f(a)
+    # (weekdays in [a, b), negated for reversed ranges); numpy's
+    # busday_count flips to begin-EXCLUSIVE for reversed ranges, so
+    # mirror the measure explicitly. Reversed ranges are real fixture
+    # rows (ship before order) — the anomaly the report surfaces.
+    lat = np.where(
+        b >= a,
+        np.busday_count(a, b),
+        -np.busday_count(b, a),
+    )
+    truth = (
+        pd.DataFrame(
+            {"p": j["o_orderpriority"].to_numpy(), "bd": lat}
+        )
+        .groupby(["p", "bd"])
+        .size()
+        .to_dict()
+    )
+    got = {
+        (r["o_orderpriority"], r["latency_bd"]): r["n_lines"]
+        for r in rows
+    }
+    assert got == truth
+    assert any(bd < 0 for _, bd in got)  # the fixture's anomaly rows
+    assert any(bd > 0 for _, bd in got)
+
+
+def test_pca2_matches_numpy_replica(spark, sf_dir):
+    rows = sorted(
+        _spec("emb_pca2_deflation").fn(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    d = X.shape[1]
+    # gridded Gram exactly as the engines build it
+    G = np.zeros((d, d))
+    for x in X:
+        G += np.floor(1e9 * np.outer(x, x))
+    G /= 1e9
+
+    def iterate(M):
+        v = np.full(d, 0.125)
+        for _ in range(3):
+            u = M @ v
+            lam = math.sqrt((u * u).sum())
+            v = u / lam
+        return v, lam
+
+    v1, lam1 = iterate(G)
+    B = G - lam1 * np.outer(v1, v1)
+    v2, lam2 = iterate(B)
+    got_v1 = np.array([r["pc1_loading"] for r in rows])
+    got_v2 = np.array([r["pc2_loading"] for r in rows])
+    assert len(rows) == d
+    assert abs(rows[0]["eigenvalue1"] - lam1) < 1e-6 * lam1
+    assert abs(rows[0]["eigenvalue2"] - lam2) < 1e-6 * lam2
+    assert np.abs(got_v1 - v1).max() < 1e-6
+    assert np.abs(got_v2 - v2).max() < 1e-6
+    assert rows[0]["eigenvalue1"] >= rows[0]["eigenvalue2"] > 0
+    # fixed-step iterates are NOT yet orthogonal on the isotropic
+    # fixture — the diagnostic must reproduce the replica exactly
+    ortho = math.floor(1e6 * abs(float(v1 @ v2)))
+    assert all(abs(r["ortho_dot_micro"] - ortho) <= 1 for r in rows)
+    # the deflated iterate must be (near-)orthogonal to PC1 and the
+    # Rayleigh quotients must bracket the true top-2 spectrum
+    w = np.linalg.eigvalsh(G)
+    assert rows[0]["eigenvalue1"] <= w[-1] + 1e-9 * w[-1]
+    assert rows[0]["eigenvalue2"] <= w[-1] + 1e-9 * w[-1]
