@@ -264,8 +264,11 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM m
         )
         SELECT event_type, n_obs,
-               m3 / (m2 * sqrt(m2)) AS skewness,
-               (m4 / (m2 * m2)) - CAST(3 AS DOUBLE) AS excess_kurtosis,
+               CASE WHEN m2 > CAST(0 AS DOUBLE)
+                    THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+               CASE WHEN m2 > CAST(0 AS DOUBLE)
+                    THEN (m4 / (m2 * m2)) - CAST(3 AS DOUBLE)
+               END AS excess_kurtosis,
                CASE WHEN m2 > CAST(0 AS DOUBLE) THEN
                    (n / CAST(6 AS DOUBLE))
                    * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
@@ -324,12 +327,13 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew = m3 / (m2 * F.sqrt(m2))
     kurt = (m4 / (m2 * m2)) - F.lit(3.0)
     jb = (n / F.lit(6.0)) * (skew * skew + kurt * kurt / F.lit(4.0))
+    pos = m2 > F.lit(0.0)
     return m.select(
         "event_type",
         n.cast("long").alias("n_obs"),
-        skew.alias("skewness"),
-        kurt.alias("excess_kurtosis"),
-        F.when(m2 > F.lit(0.0), jb).alias("jb_stat"),
+        F.when(pos, skew).alias("skewness"),
+        F.when(pos, kurt).alias("excess_kurtosis"),
+        F.when(pos, jb).alias("jb_stat"),
     )
 
 
@@ -655,24 +659,30 @@ def token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    syy - sy * sy / n AS cyy,
                    sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
             FROM s
+        ), sol AS (
+            SELECT c.*, cx1x1 * cx2x2 - cx1x2 * cx1x2 AS det
+            FROM c
         )
         SELECT n_obs,
-               (cx1y * cx2x2 - cx2y * cx1x2)
-                   / (cx1x1 * cx2x2 - cx1x2 * cx1x2) AS beta_quantity,
-               (cx2y * cx1x1 - cx1y * cx1x2)
-                   / (cx1x1 * cx2x2 - cx1x2 * cx1x2) AS beta_discount,
-               my - ((cx1y * cx2x2 - cx2y * cx1x2)
-                     / (cx1x1 * cx2x2 - cx1x2 * cx1x2)) * mx1
-                  - ((cx2y * cx1x1 - cx1y * cx1x2)
-                     / (cx1x1 * cx2x2 - cx1x2 * cx1x2)) * mx2
-                   AS intercept,
-               CAST(CAST(
-                   (((cx1y * cx2x2 - cx2y * cx1x2)
-                     / (cx1x1 * cx2x2 - cx1x2 * cx1x2)) * cx1y
-                    + ((cx2y * cx1x1 - cx1y * cx1x2)
-                       / (cx1x1 * cx2x2 - cx1x2 * cx1x2)) * cx2y) / cyy
-                   AS DECIMAL(20,12)) AS DOUBLE) AS r_squared
-        FROM c
+               CASE WHEN det <> CAST(0 AS DOUBLE) THEN
+                   (cx1y * cx2x2 - cx2y * cx1x2) / det
+               END AS beta_quantity,
+               CASE WHEN det <> CAST(0 AS DOUBLE) THEN
+                   (cx2y * cx1x1 - cx1y * cx1x2) / det
+               END AS beta_discount,
+               CASE WHEN det <> CAST(0 AS DOUBLE) THEN
+                   my - ((cx1y * cx2x2 - cx2y * cx1x2) / det) * mx1
+                      - ((cx2y * cx1x1 - cx1y * cx1x2) / det) * mx2
+               END AS intercept,
+               CASE WHEN det <> CAST(0 AS DOUBLE)
+                    AND cyy > CAST(0 AS DOUBLE) THEN
+                   CAST(CAST(
+                       (((cx1y * cx2x2 - cx2y * cx1x2) / det) * cx1y
+                        + ((cx2y * cx1x1 - cx1y * cx1x2) / det) * cx2y)
+                       / cyy
+                       AS DECIMAL(20,12)) AS DOUBLE)
+               END AS r_squared
+        FROM sol
     """,
     doc="Two-feature OLS l_extendedprice ~ l_quantity + l_discount "
     "via the closed-form normal equations (centered 2x2 Cramer "
@@ -742,15 +752,18 @@ def stats_linregress_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = F.col("sy") / n - b1 * (F.col("sx1") / n) - b2 * (
         F.col("sx2") / n
     )
+    ok = det != F.lit(0.0)
     return s.select(
         n.cast("long").alias("n_obs"),
-        b1.alias("beta_quantity"),
-        b2.alias("beta_discount"),
-        b0.alias("intercept"),
-        ((b1 * cx1y + b2 * cx2y) / cyy)
-        .cast("decimal(20,12)")
-        .cast("double")
-        .alias("r_squared"),
+        F.when(ok, b1).alias("beta_quantity"),
+        F.when(ok, b2).alias("beta_discount"),
+        F.when(ok, b0).alias("intercept"),
+        F.when(
+            ok & (cyy > F.lit(0.0)),
+            ((b1 * cx1y + b2 * cx2y) / cyy)
+            .cast("decimal(20,12)")
+            .cast("double"),
+        ).alias("r_squared"),
     )
 
 
