@@ -110,80 +110,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 8 (union of CORRECTNESS_r01-r08): 372 keys carry green
-#: driver rows at their latest check (CORRECTNESS_r08 was 50/50 full
-#: pass). The round-9 window below is the 29-key queue pinned at
-#: positions 51+ last round: the 27 round-8 additions with no driver
-#: row yet, plus the 2 keys whose green rows (r5) went stale after the
-#: round-8 sf0.1 exact-sweep fixes (agg_hll_merge exact-anchored HLL
-#: flags; stats_spearman DECIMAL(20,12) bridge). 21 spare slots remain
-#: for round-9 additions — append them directly after the queue.
+#: after round 9 (union of CORRECTNESS_r01-r09): every registered key
+#: except the 32 continuation-session additions carries a green driver
+#: row at its latest check (CORRECTNESS_r09 was 50/50 full pass). The
+#: round-10 window below is that 32-key queue (pinned at positions
+#: 51+ last round, declared DEFERRED), followed by 18 regression
+#: RECHECK refills — the stalest green keys in the registry (latest
+#: green row = CORRECTNESS_r01), chosen across operator families so
+#: the window is always full and the oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-9 window: the 29-key queue from round 8, in order --
-    "stats_kendall_tau",
-    "ts_holt_linear",
-    "date_week_mode",
-    "sql_unpivot_syntax",
-    "sql_named_window",
-    "sql_values_inline",
-    "emb_hard_negatives",
-    "corpus_interleave_round_robin",
-    "merge_coalescing_final",
-    "array_search_funcs",
-    "ts_cumsum_reset",
-    "graph_triangle_count",
-    "scan_file_metadata",
-    "multimodal_patch_budget",
-    "date_timezone_convert",
-    "emb_centroid_distances",
-    "array_sort_funcs",
-    "sql_nulls_ordering",
-    "sql_distinct_on",
-    "mergetree_ttl_rollup",
-    "dq_histogram_drift",
-    "corpus_shard_manifest",
-    "ip_prefix_rollup",
-    "sample_bottom_k",
-    "agg_histogram_equi_depth",
-    "sql_lateral_alias",
-    "multimodal_interleaved_layout",
-    # re-enter after the round-8 sf0.1 exact sweep staled their rows
-    # (see tests/test_rotation.py RECHECK)
-    "agg_hll_merge",
-    "stats_spearman",
-    # -- round-9 additions fill the remaining window slots (30-50) --
-    # The six round-9 rows-only→oracled conversions: stale/no prior
-    # exact rows, need a current driver row under the new contracts
-    # (flag-anchored sketches; portable md5-grid pair sets).
-    "agg_approx_distinct",
-    "agg_percentile_approx",
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    # round-9 new keys (operators/analytics8.py)
-    "dq_referential_integrity",
-    "seq_longest_increase",
-    "graph_degree_histogram",
-    "orders_backlog_aging",
-    "stats_cramers_v_corrected",
-    "join_bitset_prefilter",
-    "contamination_bitset",
-    "agg_combinators_ornull",
-    "dq_uniqueness_audit",
-    "orders_fulfillment_latency",
-    # round-9 new keys (operators/analytics9.py) — the first five fill
-    # the window's last spare slots; the rest head the round-10 queue.
-    "stats_entropy",
-    "stats_theils_u",
-    "stats_contingency_coef",
-    "stats_student_ttest",
-    "stats_ab_min_sample",
+    # -- round-10 window: the 32-key continuation-session queue from
+    # round 9, in order (operators/analytics9-11.py, extensions/
+    # linalg.py) --
     "seq_gaps_islands",
     "sql_quantified_compare",
     "date_parse_best_effort",
@@ -204,8 +147,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_kalman_level",
     "events_burstiness_index",
     "ts_theil_sen_slope",
-    # round-9 batch-4 additions (operators/analytics10.py) — deep in
-    # the round-10 queue; exact-verified at three scales this session.
     "ts_stl_decompose",
     "stats_anova_oneway",
     "stats_jarque_bera",
@@ -213,13 +154,32 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "token_bigram_entropy",
     "stats_linregress_multi",
     "dq_schema_profile",
-    # round-9 batch-5 additions (operators/analytics11.py,
-    # extensions/linalg.py)
     "stats_levene_bf",
     "stats_runs_test",
     "text_mattr_diversity",
     "date_business_days",
     "emb_pca2_deflation",
+    # -- 18 regression RECHECK refills (window slots 33-50): stalest
+    # green keys (latest driver row = r1), one spread per family; see
+    # tests/test_rotation.py REFRESH --
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_having",
+    "filter_age",
+    "filter_compound",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "join_skew_salted",
+    "win_keep_newest",
+    "win_running_sum",
+    "sort_multi",
+    "topk_per_group",
+    "set_union_distinct",
+    "pivot_counts",
+    "scd2_merge",
+    "scan_partition_pruned",
 )
 
 

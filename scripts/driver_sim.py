@@ -10,7 +10,13 @@ Usage:
     python scripts/driver_sim.py key1 key2 ...      # subset
     python scripts/driver_sim.py --window           # first-50 window only
     python scripts/driver_sim.py --new              # keys with no driver row
+    python scripts/driver_sim.py --emit-json=SWEEP_r10.json  # artifact
     CBS_SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
+
+``--emit-json=PATH`` writes one JSON object per key — ``{key: {"sf":
+dir, "match": "pass"|"rows-only"|"FAIL ...", "rows": n|null, "wall":
+sec}}`` — so a full-registry sweep is a committed, diffable artifact
+(SWEEP_r{N}.json) instead of a prose claim in NOTES.md.
 
 Exit code = number of failing keys (capped at 120).
 """
@@ -79,17 +85,24 @@ def main(argv: list[str]) -> int:
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    emit_path = None
+    for a in argv:
+        if a.startswith("--emit-json"):
+            emit_path = a.split("=", 1)[1] if "=" in a else "SWEEP.json"
+    sweep: dict[str, dict] = {}
+
     failed: list[str] = []
     t_all = time.time()
     for i, key in enumerate(keys, 1):
         spec = specs[key]
         t0 = time.time()
+        rows = None
         try:
             df = spec.fn(spark, SF_DIR)
             if spec.oracle is None:
-                n = df.count()
-                status = f"rows-only ({n} rows)"
-                if n == 0:
+                rows = df.count()
+                status = f"rows-only ({rows} rows)"
+                if rows == 0:
                     status += " [WARN 0 rows]"
             else:
                 assert_same_result(df, con, spec.oracle, name=key)
@@ -102,13 +115,29 @@ def main(argv: list[str]) -> int:
             print("\n".join("    " + ln for ln in str(e).splitlines()[:8]))
             if "--trace" in argv:
                 print(tb)
+            sweep[key] = {
+                "sf": SF_DIR,
+                "match": status,
+                "rows": rows,
+                "wall": round(time.time() - t0, 2),
+            }
             continue
         print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
+        sweep[key] = {
+            "sf": SF_DIR,
+            "match": "rows-only" if spec.oracle is None else "pass",
+            "rows": rows,
+            "wall": round(time.time() - t0, 2),
+        }
     print(
         f"\n{len(keys) - len(failed)}/{len(keys)} pass in "
         f"{time.time()-t_all:.0f}s at {SF_DIR}"
         + (f"; FAILED: {sorted(failed)}" if failed else "")
     )
+    if emit_path:
+        with open(emit_path, "w") as fh:
+            json.dump(sweep, fh, indent=1, sort_keys=True)
+        print(f"wrote {emit_path} ({len(sweep)} keys)")
     spark.stop()
     return min(len(failed), 120)
 

@@ -33,65 +33,43 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 #: The four round-7 degeneracy-audit keys (str_multisearch,
 #: stats_proportions_ztest, bitmap_set_ops, dq_expectations) got
 #: post-fix green rows in CORRECTNESS_r08 and left this set.
-RECHECK: set[str] = {
-    # round-8 sf0.1 exact sweep: agg_hll_merge's merged==direct
-    # equality flag was not a real DataSketches contract (layout-
-    # sensitive dense-mode estimates) — flags re-anchored on exact;
-    # stats_spearman's rho crossed the DECIMAL(20,12) bridge (FMA
-    # ulp flip at sf0.1 magnitudes). Both r5 green rows predate this;
-    # both sit in the round-9 window and leave this set once
-    # CORRECTNESS_r09 lands green.
-    "agg_hll_merge",
-    "stats_spearman",
+RECHECK: set[str] = set()
+# (empty after round 9: agg_hll_merge and stats_spearman got green
+#  rows in CORRECTNESS_r09 under their re-anchored contracts.)
+
+#: Regression refills: green keys whose evidence is the STALEST in the
+#: registry (latest driver row = CORRECTNESS_r01), pulled back into the
+#: window whenever fewer required keys exist than window slots. Unlike
+#: RECHECK these are not suspected-stale semantics — they are routine
+#: re-verification so no key's driver evidence ages without bound.
+REFRESH: set[str] = {
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_having",
+    "filter_age",
+    "filter_compound",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "join_skew_salted",
+    "win_keep_newest",
+    "win_running_sum",
+    "sort_multi",
+    "topk_per_group",
+    "set_union_distinct",
+    "pivot_counts",
+    "scd2_merge",
+    "scan_partition_pruned",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 9 promoted the entire 29-key round-8 queue into the window
-#: (27 additions + the 2 RECHECK re-entries), leaving 21 spare slots
-#: for round-9 additions; nothing is deferred.
-#: Round-9 batch-2 additions that overflow the 50-slot window (the
-#: first five of the batch took the last spare slots); these four
-#: lead the round-10 queue and are judge-sim-verified meanwhile.
-DEFERRED: set[str] = {
-    "seq_gaps_islands",
-    "sql_quantified_compare",
-    "date_parse_best_effort",
-    "corpus_temperature_mix",
-    "emb_power_iteration_pc1",
-    "sample_hash_consistent",
-    "dq_benford_law",
-    "events_markov_stationary",
-    "emb_random_projection",
-    "stats_wilcoxon_signed",
-    "corpus_datasheet",
-    "text_zipf_fit",
-    "ts_period_detect",
-    "str_phonetic_soundex",
-    "text_readability_fk",
-    "seq_edit_distance",
-    "sketch_countmin_freq",
-    "ts_kalman_level",
-    "events_burstiness_index",
-    "ts_theil_sen_slope",
-    # continuation-session 2 (batches 4-5): registered after the
-    # window closed at exactly 50 required keys; all twelve are
-    # exact-verified in the vanilla driver sim and carry
-    # tests/test_determinism_r10.py rows.
-    "ts_stl_decompose",
-    "stats_anova_oneway",
-    "stats_jarque_bera",
-    "ts_cusum_alarm",
-    "token_bigram_entropy",
-    "stats_linregress_multi",
-    "dq_schema_profile",
-    "stats_levene_bf",
-    "stats_runs_test",
-    "text_mattr_diversity",
-    "date_business_days",
-    "emb_pca2_deflation",
-}
+#: Round 10 promoted the entire 32-key round-9 continuation queue into
+#: the window (positions 0-31) with the 18 REFRESH refills behind it
+#: (32-49); nothing is deferred.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
@@ -116,6 +94,7 @@ def _required_keys() -> set[str]:
         if row is None or row.get("hash_match") is not True:
             required.add(key)
     required |= RECHECK & set(specs)
+    required |= REFRESH & set(specs)
     return required
 
 
