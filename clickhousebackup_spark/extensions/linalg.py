@@ -64,8 +64,8 @@ def _oracle_iter(prev_v_cte: str, idx: int) -> str:
             FROM e, {prev_v_cte} v
         ), u{idx} AS (
             SELECT d,
-                   CAST(SUM(CAST(FLOOR({_GRID} * x[d] * s) AS BIGINT))
-                        AS DECIMAL(38,0)) AS ui
+                   SUM(CAST(FLOOR({_GRID} * x[d] * s)
+                        AS DECIMAL(38,0))) AS ui
             FROM s{idx}, unnest(generate_series(1, {_DIM})) AS t(d)
             GROUP BY d
         ), a{idx} AS (
@@ -318,9 +318,8 @@ def _pca2_steps(mat_col: str, carry: str, prefix: str) -> str:
             FROM embeddings
         ), cells AS (
             SELECT ti.i AS i, tj.j AS j,
-                   CAST(SUM(CAST(FLOOR(CAST(1000000000 AS DOUBLE)
-                        * x[ti.i] * x[tj.j]) AS BIGINT))
-                        AS DECIMAL(38,0)) AS gg
+                   SUM(CAST(FLOOR(CAST(1000000000 AS DOUBLE)
+                        * x[ti.i] * x[tj.j]) AS DECIMAL(38,0))) AS gg
             FROM e, unnest(generate_series(1, {_DIM})) AS ti(i),
                     unnest(generate_series(1, {_DIM})) AS tj(j)
             GROUP BY ti.i, tj.j

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import DEC, dsum
-from clickhousebackup_spark.operators.distrank import global_order_scan, ntile_from_pos
+from clickhousebackup_spark.operators.distrank import (
+    global_order_scan,
+    global_positions_multi,
+    ntile_from_pos,
+)
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
@@ -576,12 +580,15 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date), frequency (order count), monetary (decimal-exact spend), "
     "each cut into exact quartiles under a total order (custkey "
     "tiebreak — quartile labels are rank-dependent, so the tiebreak "
-    "is what makes them deterministic). One hash agg, then THREE "
-    "two-pass distributed ranks (distrank.global_order_scan, one per "
-    "metric — range shuffles of the customer-grain table, never a "
-    "single-partition window) and NTILE(4) in closed form from "
-    "global position + total count (distrank.ntile_from_pos). "
-    "Identical output to the global-ntile formulation at any scale.",
+    "is what makes them deterministic). One hash agg, then ONE "
+    "melted two-pass distributed rank for all three metrics "
+    "(distrank.global_positions_multi: the three (metric, value, "
+    "custkey) orders ride a single range shuffle of 3n narrow rows "
+    "and a single materialization — never a single-partition window, "
+    "never a per-metric full-frame checkpoint) and NTILE(4) in "
+    "closed form from global position + total count "
+    "(distrank.ntile_from_pos). Identical output to the global-ntile "
+    "formulation at any scale.",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -590,17 +597,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
     )
-    s = global_order_scan(
+    s = global_positions_multi(
         base,
-        (F.col("last_order"), F.col("o_custkey")),
-        pos="_rp",
-        totals={"_n": F.lit(1)},
-    )
-    s = global_order_scan(
-        s, (F.col("frequency"), F.col("o_custkey")), pos="_fp"
-    )
-    s = global_order_scan(
-        s, (F.col("monetary"), F.col("o_custkey")), pos="_mp"
+        {
+            "_rp": F.unix_micros(F.col("last_order")),
+            "_fp": F.col("frequency"),
+            "_mp": F.col("monetary"),
+        },
+        ["o_custkey"],
+        total="_n",
     )
     n = F.col("_n")
     return s.select(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.operators.distrank import (
     global_order_scan,
+    global_positions_multi,
     ntile_from_pos,
 )
 
@@ -104,3 +105,37 @@ def test_ntile_from_pos_matches_sql_ntile(spark, n, k):
 def test_requires_some_output():
     with pytest.raises(ValueError):
         global_order_scan(None, (F.col("x"),))
+
+
+def test_global_positions_multi_matches_per_order_windows(crafted):
+    got = global_positions_multi(
+        crafted,
+        {"p_v": F.col("v"), "p_rev": F.col("rev"), "p_id": -F.col("id")},
+        ["id"],
+        total="n",
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    for name, keys in [
+        ("p_v", (F.col("v"), F.col("id"))),
+        ("p_rev", (F.col("rev"), F.col("id"))),
+        ("p_id", (F.col("id").desc(),)),
+    ]:
+        want = {
+            r["id"]: r["p"]
+            for r in crafted.select(
+                "id", F.row_number().over(Window.orderBy(*keys)).alias("p")
+            ).collect()
+        }
+        assert {i: rows[i][name] for i in want} == want, name
+    assert {r["n"] for r in rows.values()} == {40}
+
+
+def test_global_positions_multi_preserves_columns(crafted):
+    out = global_positions_multi(crafted, {"p": F.col("v")}, ["id"])
+    assert set(out.columns) == {"id", "v", "rev", "p"}
+    assert out.count() == 40
+
+
+def test_global_positions_multi_requires_metrics(crafted):
+    with pytest.raises(ValueError):
+        global_positions_multi(crafted, {}, ["id"])

@@ -102,7 +102,7 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     "stats_mannwhitney_u": 1,       # offsets
     "stats_roc_auc": 1,             # offsets
     "stats_ks_test": 2,             # offsets + totals
-    "orders_rfm_segments": 1,       # offsets (earlier scans checkpointed)
+    "orders_rfm_segments": 2,       # offsets + totals (single melted scan)
     "orders_pareto_8020": 2,        # offsets + totals
     "join_null_safe": 1,            # vocabulary-sized dim code assign
     "dict_encode_lowcard": 1,       # vocabulary-sized dictionary codes

@@ -192,8 +192,10 @@ R3B_PLAN_BUDGET = {
     "user_active_streaks": (2, 0),      # (user,day) distinct + user window
     "skyline_orders": (2, 0),           # bucket sweep + candidate sweep
     "text_top_terms": (5, 0),           # fan-out + tf/df aggs + join + window
-    "orders_rfm_segments": (2, 1),      # post-checkpoint distrank scan:
-    # _pid window exchange + offsets agg; offsets broadcast back
+    "orders_rfm_segments": (4, 2),      # base agg (visible now that the
+    # melted scan checkpoints AFTER it) + _pid window exchange +
+    # offsets agg + posframe pivot agg; offsets broadcast back +
+    # posframe/base broadcast join
     "agg_skew_kurtosis": (1, 0),        # one two-phase moment agg
     "stats_welch_ttest": (2, 0),        # per-branch agg + 1x1 cross
     "stats_mannwhitney_u": (2, 1),      # distrank prefix scan over the
