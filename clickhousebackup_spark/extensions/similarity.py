@@ -475,57 +475,134 @@ KMEANS_K = 8
 KMEANS_ROUNDS = 3
 
 
+_KM_GRID = "1000000000.0"  # 1e-9 input grid: floor(1e9 * x) per dim
+_KM_DIM = 64
+
+
+def _km_oracle_round(prev_c: str, idx: int, last: bool) -> str:
+    """One unrolled Lloyd round in DuckDB SQL over the HUGEINT grid:
+    assign each vector to the argmin-L2 centroid (tie on the lower
+    cent_id), then rebuild every centroid as the per-dimension
+    trunc-div integer mean. The last round skips the (unused) update,
+    mirroring the engine loop."""
+    assign = f"""
+        a{idx} AS (
+            SELECT vec_id, xg, cent_id FROM (
+                SELECT e.vec_id, e.xg, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_reduce(list_transform(
+                                       list_zip(e.xg, c.cv),
+                                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                       (u, v) -> u + v),
+                                    c.cent_id
+                       ) AS rn
+                FROM e, {prev_c} c
+            ) WHERE rn = 1
+        )"""
+    if last:
+        return assign
+    return assign + f""", c{idx} AS (
+            SELECT cent_id, list(m ORDER BY dim) AS cv FROM (
+                SELECT cent_id, t.d AS dim,
+                       (SUM(xg[t.d]) - SUM(xg[t.d]) % COUNT(*))
+                           // COUNT(*) AS m
+                FROM a{idx}, unnest(generate_series(1, {_KM_DIM})) AS t(d)
+                GROUP BY cent_id, t.d
+            ) GROUP BY cent_id
+        )"""
+
+
 @register(
     "emb_kmeans",
-    oracle=None,  # iterative argmin over float distances → rows-only;
-    # determinism/inertia laws are unit-tested.
-    doc=f"Deterministic k-means (k={KMEANS_K}, exactly {KMEANS_ROUNDS} "
-    "Lloyd rounds, no RNG): init = first k vectors by vec_id, assign "
-    "= argmin L2 against the BROADCAST centroid table (tie on the "
-    "lower centroid id), update = per-dimension mean via posexplode + "
-    "two-phase agg. The production layout for IVF/clustering at "
-    "100 TB: centroids are kBs broadcast everywhere, each round is "
-    "one linear pass + one (cluster, dim) shuffle, assignments "
-    "localCheckpoint between rounds so lineage stays flat.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(FLOOR({_KM_GRID} * CAST(x AS DOUBLE))
+                            AS HUGEINT)) AS xg
+            FROM embeddings
+        ), c0 AS (
+            SELECT cent_id, xg AS cv FROM (
+                SELECT vec_id, xg,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id
+                FROM e
+            ) WHERE cent_id < {KMEANS_K}
+        ),{_km_oracle_round("c0", 1, False)},
+        {_km_oracle_round("c1", 2, False)},
+        {_km_oracle_round("c2", 3, True)}
+        SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id FROM a3
+    """,
+    doc=f"Deterministic integer-exact k-means (k={KMEANS_K}, exactly "
+    f"{KMEANS_ROUNDS} Lloyd rounds, no RNG): each input dim is gridded "
+    "once to floor(1e9*x) (one double multiply — bit-identical in "
+    "both engines), init = first k gridded vectors by vec_id "
+    "re-labelled 0..k-1, assign = argmin of the INTEGER squared L2 "
+    "(decimal(38,0) fold — no float accumulation anywhere) against "
+    "the BROADCAST centroid table with ties on the lower cent_id, "
+    "update = per-dimension trunc-div integer mean "
+    "((s - s % n) / n, identical trunc semantics in Spark % and "
+    "DuckDB %). Every round is therefore exact integer arithmetic, "
+    "which is what converts this from a rows-only probe to a full "
+    "driver-hash contract (VERDICT r9 item 3). The production layout "
+    "for IVF/clustering at 100 TB is unchanged: centroids are kBs "
+    "broadcast everywhere, each round is one linear pass + one "
+    "(cluster, dim) shuffle, assignments localCheckpoint between "
+    "rounds so lineage stays flat; the 1e-9 grid changes centroids "
+    "by <1e-9 per dim vs exact means, far below any real cluster "
+    "geometry.",
 )
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec0 = F.lit(0).cast("decimal(38,0)")
     e = parallelize(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(F.lit(float(_KM_GRID)) * x.cast("double"))
+            .cast("decimal(38,0)"),
+        ).alias("xg"),
     )
     from pyspark.sql import Window as _W
 
-    # init: first k vectors by vec_id, re-labelled 0..k-1 (the k-row
-    # window is trivially single-partition — it IS the broadcast table)
+    # init: first k gridded vectors by vec_id, re-labelled 0..k-1 (the
+    # k-row window is trivially single-partition — it IS the broadcast
+    # table)
     centroids = (
         e.orderBy("vec_id")
         .limit(KMEANS_K)
         .select(
             (F.row_number().over(_W.orderBy("vec_id")) - 1).alias("cent_id"),
-            F.col("v").alias("cv"),
+            F.col("xg").alias("cv"),
         )
     )
     dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        F.zip_with(F.col("xg"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        dec0,
         lambda acc, x: acc + x,
     )
     assigned = None
-    for _ in range(KMEANS_ROUNDS):
+    for rnd in range(KMEANS_ROUNDS):
         w = _W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cent_id"))
         assigned = (
             e.join(F.broadcast(centroids))
-            .select("vec_id", "v", "cent_id", dist.alias("d"))
+            .select("vec_id", "xg", "cent_id", dist.alias("d"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cent_id")
+            .select("vec_id", "xg", "cent_id")
             .localCheckpoint(eager=True)
         )
+        if rnd == KMEANS_ROUNDS - 1:
+            break  # final update is unused — don't materialize it
         dims = assigned.select(
-            "cent_id", F.posexplode("v").alias("dim", "val")
+            "cent_id", F.posexplode("xg").alias("dim", "val")
         )
+        trunc_mean = (
+            (F.sum("val") - F.sum("val") % F.count(F.lit(1)))
+            / F.count(F.lit(1))
+        ).cast("decimal(38,0)")
         new_cents = (
             dims.groupBy("cent_id", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(trunc_mean.alias("m"))
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -535,7 +612,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         centroids = new_cents.localCheckpoint(eager=True)
-    return assigned.select("vec_id", "cent_id")
+    return assigned.select("vec_id", F.col("cent_id").cast("long").alias("cent_id"))
 
 
 @register(

@@ -114,7 +114,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: except the 32 continuation-session additions carries a green driver
 #: row at its latest check (CORRECTNESS_r09 was 50/50 full pass). The
 #: round-10 window below is that 32-key queue (pinned at positions
-#: 51+ last round, declared DEFERRED), followed by 18 regression
+#: 51+ last round, declared DEFERRED), then the round-10
+#: rows-only→oracled conversion emb_kmeans, followed by 17 regression
 #: RECHECK refills — the stalest green keys in the registry (latest
 #: green row = CORRECTNESS_r01), chosen across operator families so
 #: the window is always full and the oldest evidence gets refreshed.
@@ -159,7 +160,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_mattr_diversity",
     "date_business_days",
     "emb_pca2_deflation",
-    # -- 18 regression RECHECK refills (window slots 33-50): stalest
+    # round-10 rows-only→oracled conversion: integer-exact Lloyd needs
+    # its first driver hash row under the new contract
+    "emb_kmeans",
+    # -- 17 regression RECHECK refills (window slots 34-50): stalest
     # green keys (latest driver row = r1), one spread per family; see
     # tests/test_rotation.py REFRESH --
     "agg_basic",
@@ -167,7 +171,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_having",
     "filter_age",
-    "filter_compound",
     "join_inner",
     "join_broadcast",
     "join_asof",

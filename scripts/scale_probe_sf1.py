@@ -308,6 +308,31 @@ def _shuffle_bytes_total(spark) -> int:
         return -1
 
 
+def _last_sql_plan(spark) -> str:
+    """Final physical plan description of the most recent SQL
+    execution, via the UI REST API — the only place the POST-execution
+    adaptive plan (with OptimizeSkewedJoin's skew=true marks) is
+    visible from PySpark."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return ""
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql?length=1000",
+            timeout=10,
+        ) as r:
+            execs = json.loads(r.read())
+        if not execs:
+            return ""
+        last = max(execs, key=lambda e: e.get("id", -1))
+        return last.get("planDescription", "")
+    except Exception:
+        return ""
+
+
 #: round-9 probe set: the six distrank conversions + every bench
 #: extra whose driving table the emulated sf1 scales (docs/embeddings
 #: from the original builders; lineitem/orders/events from
@@ -361,6 +386,26 @@ R9B_KEYS = (
     "sample_hash_consistent",
     "dq_benford_law",
     "events_markov_stationary",
+)
+
+#: round-10 probe (VERDICT r9 item 2): the 12 continuation-session
+#: batch-4/5 keys (analytics10/11.py, extensions/linalg.py) that had
+#: plan budgets + three-scale exactness but no sf1 row yet. All read
+#: tables the emulated sf1 scales (events/orders/lineitem/documents/
+#: embeddings).
+R10_KEYS = (
+    "ts_stl_decompose",
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "ts_cusum_alarm",
+    "token_bigram_entropy",
+    "stats_linregress_multi",
+    "dq_schema_profile",
+    "stats_levene_bf",
+    "stats_runs_test",
+    "text_mattr_diversity",
+    "date_business_days",
+    "emb_pca2_deflation",
 )
 
 
@@ -426,6 +471,181 @@ def main_r9(probe_keys: tuple = R9_KEYS) -> None:
     spark.stop()
 
 
+def build_zipf_facts(spark, base_sf: str) -> str:
+    """Zipf-skewed variant of the sf0.1 tables (VERDICT r9 item 2):
+    same row counts and bytes as base, but orders.o_custkey and
+    lineitem.l_orderkey are remapped through a hash-deterministic
+    heavy-tail draw over their own contiguous [0, N) domains —
+    rank = N^(u^2) with u = (xxhash64(row key) mod 1e6 + .5)/1e6, so
+    the hottest key takes ~sqrt(ln 2 / ln N) ~ 25-27%% of all rows
+    (vs 1/N uniform). The uniform perturbed-copy corpus never
+    stresses AQE skew handling; this dir does. All other tables are
+    byte-identical copies so every probe key still resolves its
+    inputs."""
+    root = os.path.join(tempfile.gettempdir(), "cbs_zipf_probe")
+    os.makedirs(root, exist_ok=True)
+
+    def zipf_key(seed_col, n_keys):
+        u = (F.pmod(F.xxhash64(seed_col), F.lit(1_000_000)).cast("double")
+             + F.lit(0.5)) / F.lit(1_000_000.0)
+        return F.least(
+            F.lit(n_keys - 1),
+            (F.floor(F.pow(F.lit(float(n_keys)), u * u)) - F.lit(1))
+            .cast("long"),
+        )
+
+    out = os.path.join(root, "orders.parquet")
+    if not os.path.exists(out):
+        o = spark.read.parquet(f"{base_sf}/orders.parquet")
+        n_cust = spark.read.parquet(f"{base_sf}/customer.parquet").count()
+        o.withColumn(
+            "o_custkey", zipf_key(F.col("o_orderkey"), n_cust)
+        ).repartition(32).write.mode("overwrite").parquet(out)
+    out = os.path.join(root, "lineitem.parquet")
+    if not os.path.exists(out):
+        li = spark.read.parquet(f"{base_sf}/lineitem.parquet")
+        n_ord = spark.read.parquet(f"{base_sf}/orders.parquet").count()
+        li.withColumn(
+            "l_orderkey",
+            zipf_key(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+                n_ord,
+            ),
+        ).repartition(32).write.mode("overwrite").parquet(out)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        dst = os.path.join(root, f"{t}.parquet")
+        src = os.path.join(base_sf, f"{t}.parquet")
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(src, dst)
+    return root
+
+
+ZIPF_KEYS = ("join_inner", "q5_local_supplier_volume", "join_skew_salted")
+
+
+def main_zipf() -> None:
+    """Skewed-join probe: run the top join keys against the zipf dir
+    and the uniform base, record wall/rows/shuffle bytes and whether
+    AQE marked the sort-merge join skew-split (isSkew=true in the
+    final adaptive plan). Criterion: zipf wall <= 3x uniform wall —
+    the hot key must spread across reducers, not stall one."""
+    base_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("cbs-zipf-probe")
+    if not spark.sparkContext.uiWebUrl:
+        spark.stop()
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("cbs-zipf-probe")
+            .config("spark.ui.enabled", "true")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    zipf_dir = build_zipf_facts(spark, base_sf)
+    hot = (
+        spark.read.parquet(f"{zipf_dir}/orders.parquet")
+        .groupBy("o_custkey").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]
+    )
+    n_orders = spark.read.parquet(f"{zipf_dir}/orders.parquet").count()
+    report: dict = {
+        "base_sf": base_sf,
+        "hot_custkey_share": round(hot["count"] / n_orders, 3),
+        "keys": {},
+    }
+    # At sf0.1 Catalyst broadcasts every dim side, which is itself the
+    # right answer to probe-key skew (broadcast hash joins are
+    # skew-immune). The *_smj arms force shuffle joins with
+    # probe-scaled AQE skew thresholds so the mechanism that matters
+    # at 100 TB — OptimizeSkewedJoin splitting the hot partition — is
+    # actually exercised, not just assumed.
+    smj_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+
+    def run_one(k, sf, forced_smj):
+        saved = {}
+        if forced_smj:
+            for c, v in smj_confs.items():
+                saved[c] = spark.conf.get(c, None)
+                spark.conf.set(c, v)
+        try:
+            t0 = time.perf_counter()
+            sh0 = _shuffle_bytes_total(spark)
+            df = specs[k].fn(spark, sf)
+            rows = df.count()
+            wall = round(time.perf_counter() - t0, 2)
+            sh = _shuffle_bytes_total(spark)
+            # the count() above ran its OWN QueryExecution; df's plan
+            # object never executed, so AQE's final skew marks are
+            # only visible in the UI's record of that execution
+            plan = _last_sql_plan(spark)
+            return {
+                "wall_s": wall,
+                "rows": rows,
+                "shuffle_mb": round((sh - sh0) / 1e6, 1)
+                if sh >= 0 and sh0 >= 0
+                else None,
+                "aqe_skew_split": "isSkew=true" in plan
+                or "skew=true" in plan,
+            }
+        finally:
+            for c, v in saved.items():
+                if v is None:
+                    spark.conf.unset(c)
+                else:
+                    spark.conf.set(c, v)
+
+    for k in ZIPF_KEYS:
+        row: dict = {}
+        for label, sf, forced in (
+            ("uniform", base_sf, False),
+            ("zipf", zipf_dir, False),
+            ("uniform_smj", base_sf, True),
+            ("zipf_smj", zipf_dir, True),
+        ):
+            row[label] = run_one(k, sf, forced)
+            print(
+                f"# {label} {k}: {row[label]['wall_s']}s "
+                f"rows={row[label]['rows']} "
+                f"skew_split={row[label]['aqe_skew_split']}",
+                file=sys.stderr,
+            )
+        for tag in ("", "_smj"):
+            u, z = row[f"uniform{tag}"], row[f"zipf{tag}"]
+            row[f"wall_ratio{tag}"] = (
+                round(z["wall_s"] / u["wall_s"], 2)
+                if u["wall_s"] > 0
+                else None
+            )
+        row["skew_ok"] = bool(
+            row["wall_ratio"] is not None
+            and row["wall_ratio"] <= 3.0
+            and row["wall_ratio_smj"] is not None
+            and row["wall_ratio_smj"] <= 3.0
+        )
+        report["keys"][k] = row
+    report["all_ok"] = all(v["skew_ok"] for v in report["keys"].values())
+    report["skew_split_demonstrated"] = any(
+        v["zipf_smj"]["aqe_skew_split"] for v in report["keys"].values()
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
 def main() -> None:
     base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from clickhousebackup_spark.registry import all_specs
@@ -470,5 +690,9 @@ if __name__ == "__main__":
         main_r9()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r9b":
         main_r9(R9B_KEYS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r10":
+        main_r9(R10_KEYS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--zipf":
+        main_zipf()
     else:
         main()

@@ -48,7 +48,6 @@ REFRESH: set[str] = {
     "agg_rollup",
     "agg_having",
     "filter_age",
-    "filter_compound",
     "join_inner",
     "join_broadcast",
     "join_asof",
@@ -67,8 +66,9 @@ REFRESH: set[str] = {
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
 #: Round 10 promoted the entire 32-key round-9 continuation queue into
-#: the window (positions 0-31) with the 18 REFRESH refills behind it
-#: (32-49); nothing is deferred.
+#: the window (positions 0-31), followed by the round-10
+#: rows-only→oracled conversion emb_kmeans (32) and the 17 REFRESH
+#: refills (33-49); nothing is deferred.
 DEFERRED: set[str] = set()
 
 
