@@ -71,34 +71,41 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — repeated runs never accumulate residue inside the repo's
     # working tree (the old behavior left spark-warehouse/ droppings).
     import hashlib
+    import re
     import shutil
     import tempfile
 
-    wh = os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbs_scratch LOCATION '{wh}'")
+    # per-application warehouse: a FIXED dir races concurrently-running
+    # test shards / driver sims (one process rmtree's the location a
+    # sibling is writing); applicationId is unique per session, and the
+    # rmtree below still clears orphans from this session's reruns.
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    db = f"cbs_scratch_{app}"
+    wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
     # processes (hash() is salted per interpreter → junk-table buildup)
     o_tbl, l_tbl = f"orders_b{suffix}", f"linecounts_b{suffix}"
     for t in (o_tbl, l_tbl):
         # DROP covers this session's catalog; the rmtree covers orphaned
-        # location dirs from previous sessions (the in-memory catalog
-        # forgets them but LOCATION_ALREADY_EXISTS still fires).
-        spark.sql(f"DROP TABLE IF EXISTS cbs_scratch.{t}")
+        # location dirs from this session's previous runs (the in-memory
+        # catalog forgets them but LOCATION_ALREADY_EXISTS still fires).
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-        f"cbs_scratch.{o_tbl}"
+        f"{db}.{o_tbl}"
     )
     load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines")
     ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
-        f"cbs_scratch.{l_tbl}"
+        f"{db}.{l_tbl}"
     )
 
-    o = spark.table(f"cbs_scratch.{o_tbl}")
-    line_counts = spark.table(f"cbs_scratch.{l_tbl}")
+    o = spark.table(f"{db}.{o_tbl}")
+    line_counts = spark.table(f"{db}.{l_tbl}")
     return o.join(line_counts, o.o_orderkey == line_counts.l_orderkey).select(
         "o_orderkey", "o_custkey", "n_lines"
     )

@@ -33,12 +33,18 @@ SCRATCH_CONF = "spark.cbs.scratch.dir"
 
 
 def scratch_base(spark: SparkSession) -> str:
-    """The scratch base dir: session conf, else <tmp>/cbs_scratch."""
+    """The scratch base dir: session conf, else the CBS_SCRATCH_DIR
+    env var (how concurrent test shards isolate their scratch — see
+    scripts/run_test_shards.py), else <tmp>/cbs_scratch."""
     try:
         base = spark.conf.get(SCRATCH_CONF, None)
     except Exception:
         base = None
-    return base or os.path.join(tempfile.gettempdir(), "cbs_scratch")
+    return (
+        base
+        or os.environ.get("CBS_SCRATCH_DIR")
+        or os.path.join(tempfile.gettempdir(), "cbs_scratch")
+    )
 
 
 def scratch_path(spark: SparkSession, key: str, sf_dir: str = "") -> str:

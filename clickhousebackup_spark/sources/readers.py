@@ -109,8 +109,16 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clickhousebackup_spark.tables import load_table
 
+    # Per-process scratch db: embedded Derby allows ONE booting JVM
+    # per database directory, so a concurrently-running suite and
+    # driver sim (or two pytest shards) sharing the sf_dir-keyed path
+    # race to an XSDB6 double-boot. The pid suffix isolates each
+    # process; within a process the path is stable so re-runs reuse
+    # the booted db.
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    db = os.path.join(tempfile.gettempdir(), f"cbs_derby_{suffix}")
+    db = os.path.join(
+        tempfile.gettempdir(), f"cbs_derby_{suffix}_{os.getpid()}"
+    )
     url = f"jdbc:derby:{db};create=true"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
