@@ -139,6 +139,63 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_dpp_join",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id,
+                   CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day
+            FROM events
+        ), dim AS (
+            SELECT DISTINCT day FROM f WHERE day % 10 = 5
+        )
+        SELECT f.day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+        FROM f JOIN dim ON f.day = dim.day
+        GROUP BY f.day
+    """,
+    doc="Dynamic partition pruning: events snapshotted "
+    "partitionBy(day), then joined to a FILTERED dim of days — "
+    "Catalyst injects the dim's values as a runtime PartitionFilter "
+    "(`dynamicpruning#...` on the fact scan, asserted in "
+    "tests/test_runtime_filters.py), so the fact side reads only the "
+    "matching day directories even though the day set is not known "
+    "until runtime. This is the mechanism that makes star-schema "
+    "fact scans at 100 TB read 3 partitions instead of 3000 when "
+    "the dim filter is selective; scan_partition_pruned shows the "
+    "STATIC-literal version of the same pruning. The dim is "
+    "broadcast, so the pruning subquery reuses the join's broadcast "
+    "exchange (free). Day is kept INTEGER so partition-column type "
+    "inference on re-read matches the join key type exactly.",
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import scratch_path
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    out = scratch_path(spark, "events_by_day_int", sf_dir)
+    ev.select("event_id", "user_id", "day").write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select("day").distinct().filter(F.pmod("day", F.lit(10)) == 5)
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"), "n_events", "n_users"
+        )
+    )
+
+
 # 16-bit × 16-bit Morton (Z-order) interleave as one integer
 # expression, generated once and shared verbatim by the Spark plan
 # and the DuckDB oracle — bit semantics are identical 64-bit shifts

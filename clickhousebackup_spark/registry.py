@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics9",
     "clickhousebackup_spark.operators.analytics10",
     "clickhousebackup_spark.operators.analytics11",
+    "clickhousebackup_spark.operators.analytics12",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -183,6 +184,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "pivot_counts",
     "scd2_merge",
     "scan_partition_pruned",
+    # -- round-10 additions (operators/analytics12.py + scan_dpp_join):
+    # past the 50-slot window, DEFERRED to lead the round-11 queue;
+    # exact-verified at three scales this session (NOTES round 10).
+    "agg_argmax_argmin",
+    "stats_covariance",
+    "win_session_window_builtin",
+    "text_quality_gopher",
+    "url_canonical_dedup",
+    "scan_dpp_join",
 )
 
 

@@ -408,6 +408,17 @@ R10_KEYS = (
     "emb_pca2_deflation",
 )
 
+#: round-10 additions (operators/analytics12.py + scan_dpp_join):
+#: probed the round they are registered, same criterion.
+R10B_KEYS = (
+    "agg_argmax_argmin",
+    "stats_covariance",
+    "win_session_window_builtin",
+    "text_quality_gopher",
+    "url_canonical_dedup",
+    "scan_dpp_join",
+)
+
 
 def main_r9(probe_keys: tuple = R9_KEYS) -> None:
     base_sf = (
@@ -692,6 +703,8 @@ if __name__ == "__main__":
         main_r9(R9B_KEYS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--r10":
         main_r9(R10_KEYS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r10b":
+        main_r9(R10B_KEYS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--zipf":
         main_zipf()
     else:

@@ -921,3 +921,32 @@ def test_r9e_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# Round-10 additions (operators/analytics12.py + scan_dpp_join),
+# measured at sf0.001: (max_shuffles, min_broadcasts, allow_nlj).
+R10_PLAN_BUDGET = {
+    "agg_argmax_argmin": (1, 0, False),     # one max_by/min_by hash
+    # agg, map-side combined
+    "stats_covariance": (1, 0, False),      # one decimal moment agg
+    "win_session_window_builtin": (1, 0, False),  # one user_id
+    # exchange; session assembly is UpdatingSessionsIterator
+    "text_quality_gopher": (0, 0, False),   # map-only rule columns
+    "url_canonical_dedup": (2, 0, False),   # canonical-group agg +
+    # COUNT(DISTINCT url) two-phase expand
+    "scan_dpp_join": (4, 1, True),          # dim distinct + pruned
+    # fact join (broadcast) + group agg + distinct-user expand; the
+    # DPP subquery's own broadcast may plan as a 3-row NLJ reuse
+}
+
+
+@pytest.mark.parametrize("key", sorted(R10_PLAN_BUDGET))
+def test_r10_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R10_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
