@@ -439,7 +439,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT label, CAST(dim AS BIGINT) AS dim,
-               CAST(SUM(CAST(floor(val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(floor(val * 1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
                    / (1099511627776.0 * COUNT(val)) AS centroid_val
         FROM dims GROUP BY label, dim
     """,
@@ -459,15 +459,18 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.col("val_f").cast("double").alias("val"),
     )
-    # Embeddings are arbitrary binary floats — a decimal cast would
-    # quantize the engines' differing decimal renderings differently at
-    # the last digit. Scaling by 2^40 is EXACT for doubles (power-of-
-    # two multiply), floor+long makes the sum integer-exact, and the
+    # Embeddings are arbitrary binary floats — a decimal cast of the
+    # VALUE would quantize the engines' differing decimal renderings
+    # differently at the last digit. Scaling by 2^40 is EXACT for
+    # doubles (power-of-two multiply), floor makes each term integer,
+    # and the terms accumulate in DECIMAL(38,0) — a long sum would
+    # ANSI-overflow at ~2^23 rows/group while the DuckDB side's
+    # HUGEINT kept going (the linalg overflow-parity lesson). The
     # final double division is bit-identical in both engines.
     scale = F.lit(2.0**40)
-    mean = F.sum(F.floor(F.col("val") * scale).cast("long")).cast("double") / (
-        scale * F.count("val")
-    )
+    mean = F.sum(
+        F.floor(F.col("val") * scale).cast("decimal(38,0)")
+    ).cast("double") / (scale * F.count("val"))
     return dims.groupBy("label", "dim").agg(mean.alias("centroid_val"))
 
 
@@ -1572,8 +1575,8 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ), cent AS (
             SELECT label, dim,
-                   CAST(SUM(CAST(floor(val * 1099511627776.0) AS BIGINT))
-                        AS DOUBLE) / (1099511627776.0 * COUNT(val)) AS m
+                   CAST(SUM(CAST(floor(val * 1099511627776.0)
+                             AS DECIMAL(38,0))) AS DOUBLE) / (1099511627776.0 * COUNT(val)) AS m
             FROM dims GROUP BY label, dim
         ), vecs AS (
             SELECT label,
@@ -1611,9 +1614,9 @@ def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val_f").cast("double").alias("val"),
     )
     scale = F.lit(2.0**40)
-    mean = F.sum(F.floor(F.col("val") * scale).cast("long")).cast(
-        "double"
-    ) / (scale * F.count("val"))
+    mean = F.sum(
+        F.floor(F.col("val") * scale).cast("decimal(38,0)")
+    ).cast("double") / (scale * F.count("val"))
     cent = dims.groupBy("label", "dim").agg(mean.alias("m"))
     # the centroid table self-joins; materialize the |labels| rows
     # once or Spark replays the whole posexplode+agg chain (a second

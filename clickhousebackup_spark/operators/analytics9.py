@@ -1355,8 +1355,8 @@ def _period_oracle_arm(label: str, p_us: int) -> str:
     "ts_period_detect",
     oracle=f"""
         WITH g AS (
-            SELECT CAST(SUM(CAST(FLOOR(1000000.0 * value) AS BIGINT))
-                        AS BIGINT) AS tot,
+            SELECT SUM(CAST(FLOOR(1000000.0 * value)
+                        AS HUGEINT)) AS tot,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events
         ), centered AS (
@@ -1399,9 +1399,11 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     g = e.agg(
-        F.sum(F.floor(F.lit(1000000.0) * F.col("value")).cast("long"))
-        .cast("long")
-        .alias("tot"),
+        # decimal accumulation: a long sum of 1e6-gridded values
+        # overflows near 1e11 rows (the linalg overflow-parity lesson)
+        F.sum(
+            F.floor(F.lit(1000000.0) * F.col("value")).cast("decimal(38,0)")
+        ).alias("tot"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     centered = e.crossJoin(F.broadcast(g)).select(
