@@ -365,11 +365,15 @@ def _pca2_steps(mat_col: str, carry: str, prefix: str) -> str:
     "summed exactly in DECIMAL(38,0), map-side combined — shuffle is "
     "dim^2 x n_partitions rows at ANY corpus size), then all "
     f"{_ITERS}+{_ITERS} fixed iteration steps and the rank-1 "
-    "deflation B = G - lam1 v1 v1' run on a single-row frame of "
-    "vocabulary-bounded arrays (nested zip/fold expressions — "
-    "in-row, zero data passes; pc1 by contrast rescans the corpus "
-    "every step, which is the right trade only when dim^2 outgrows "
-    "a row). The contract is the fixed-step iterate (near-isotropic "
+    "deflation B = G - lam1 v1 v1' run DRIVER-SIDE on the collected "
+    "64x64 constant (pure-Python left-to-right folds, bit-identical "
+    "to the engine/oracle expression shapes — the same move as "
+    "collecting a range partitioner's boundaries; zero extra data "
+    "passes, and none of the per-step one-row Spark jobs whose "
+    "Catalyst analysis used to dominate wall at every scale. pc1 by "
+    "contrast rescans the corpus every step, which is the right "
+    "trade only when dim^2 outgrows driver memory). The contract is "
+    "the fixed-step iterate (near-isotropic "
     "fixture spectrum — see pc1's note), pinned against numpy in "
     "tests/test_props_r10.py; loadings/eigenvalues are pure IEEE "
     "left-to-right folds of the identical gridded Gram and hash "
@@ -379,6 +383,8 @@ def _pca2_steps(mat_col: str, carry: str, prefix: str) -> str:
     "gap on a real corpus.",
 )
 def emb_pca2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = parallelize(load_table(spark, sf_dir, "embeddings")).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
@@ -395,83 +401,64 @@ def emb_pca2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
         ).alias("gg")
     )
-    flat = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("i"), F.col("j"), F.col("gg")))
-        ),
-        lambda st: st["gg"].cast("double") / F.lit(_GRID),
-    )
-    idx = F.sequence(F.lit(1), F.lit(_DIM))
-    gmat = g.agg(flat.alias("flat")).select(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                idx,
-                lambda j: F.element_at(
-                    F.col("flat"), ((i - 1) * _DIM + j).cast("int")
-                ),
-            ),
-        ).alias("G")
-    )
+    # The Gram is the ONLY data-scale object here; everything after is
+    # O(d^2) arithmetic on a 64x64 constant. Collecting it is the same
+    # move as collecting a range-partitioner's boundaries — and doing
+    # the fixed-step iterations in driver Python (replicating the
+    # engine fold shapes EXACTLY: left-to-right accumulation, same
+    # association order, math.sqrt = IEEE sqrt) replaces 2*ITERS
+    # checkpointed one-row Spark jobs and their 4096-node Catalyst
+    # expression trees, which dominated wall at every scale (~26 s of
+    # driver-side analysis for a 64-dim corpus, flat from sf0.1 to
+    # sf1). The DuckDB oracle's unrolled CTE iterations see identical
+    # doubles, so the contract is unchanged.
+    G = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in g.collect():
+        G[r["i"] - 1][r["j"] - 1] = float(int(r["gg"])) / _GRID
 
-    def matvec(mat, v):
-        return F.transform(mat, lambda row: _fold_dot(row, v))
+    def fold_dot(xs, v):
+        acc = 0.0
+        for k in range(_DIM):
+            acc = acc + xs[k] * v[k]
+        return acc
 
-    def iterate(frame, mat_name, carry):
-        fr = frame.select(
-            mat_name,
-            *carry,
-            F.transform(idx, lambda t: F.lit(0.125)).alias("v"),
-        ).localCheckpoint(eager=True)
+    def fold_sq(xs):
+        acc = 0.0
+        for t in xs:
+            acc = acc + t * t
+        return acc
+
+    def iterate(mat):
+        v = [0.125] * _DIM
+        lam = 0.0
         for _ in range(_ITERS):
-            fr = fr.select(
-                mat_name,
-                *carry,
-                matvec(F.col(mat_name), F.col("v")).alias("u"),
-            )
-            fr = fr.select(
-                mat_name,
-                *carry,
-                F.transform(
-                    "u", lambda t: t / F.sqrt(_fold_sq(F.col("u")))
-                ).alias("v"),
-                F.sqrt(_fold_sq(F.col("u"))).alias("lam"),
-            ).localCheckpoint(eager=True)
-        return fr
+            u = [fold_dot(row, v) for row in mat]
+            lam = math.sqrt(fold_sq(u))
+            v = [t / lam for t in u]
+        return v, lam
 
-    g3 = iterate(gmat, "G", [])
-    defl = g3.select(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                idx,
-                lambda j: F.element_at(F.col("G"), i.cast("int"))[
-                    (j - 1).cast("int")
-                ]
-                - F.col("lam")
-                * F.element_at(F.col("v"), i.cast("int"))
-                * F.element_at(F.col("v"), j.cast("int")),
-            ),
-        ).alias("B"),
-        F.col("v").alias("v1"),
-        F.col("lam").alias("lam1"),
-    ).localCheckpoint(eager=True)
-    d3 = iterate(defl, "B", [F.col("v1"), F.col("lam1")])
-    return d3.select(
-        F.posexplode("v").alias("d0", "pc2_loading"),
-        F.col("v1"),
-        F.col("lam1"),
-        F.col("lam"),
-        _fold_dot(F.col("v1"), F.col("v")).alias("dot12"),
-    ).select(
-        (F.col("d0") + 1).cast("long").alias("dim"),
-        F.element_at("v1", (F.col("d0") + 1).cast("int")).alias(
-            "pc1_loading"
-        ),
-        F.col("pc2_loading"),
-        F.col("lam1").alias("eigenvalue1"),
-        F.col("lam").alias("eigenvalue2"),
-        F.floor(F.lit(1000000.0) * F.abs(F.col("dot12")))
-        .cast("long")
-        .alias("ortho_dot_micro"),
+    v1, lam1 = iterate(G)
+    # Hotelling deflation: B = G - lam1 * v1 v1^T, left-assoc products
+    # to mirror the engine/oracle expression shape
+    B = [
+        [G[i][j] - lam1 * v1[i] * v1[j] for j in range(_DIM)]
+        for i in range(_DIM)
+    ]
+    v2, lam2 = iterate(B)
+    dot12 = fold_dot(v1, v2)
+    rows = [
+        (
+            d + 1,
+            v1[d],
+            v2[d],
+            lam1,
+            lam2,
+            int(math.floor(1000000.0 * abs(dot12))),
+        )
+        for d in range(_DIM)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim long, pc1_loading double, pc2_loading double, "
+        "eigenvalue1 double, eigenvalue2 double, ortho_dot_micro long",
     )

@@ -119,9 +119,13 @@ def main(argv: list[str]) -> int:
                 counts = f" ({t} tests, {f_} fail, {e} err, {s} skip)"
                 per_file: dict[str, float] = {}
                 for case in suite.iter("testcase"):
-                    base = os.path.basename(
-                        (case.get("classname") or "").split(".")[0] + ".py"
-                    )
+                    # classname is a dotted module path, possibly with
+                    # a trailing TestClass: pick the test_* module part
+                    parts = (case.get("classname") or "").split(".")
+                    mods = [p for p in parts if p.startswith("test_")]
+                    if not mods:
+                        continue
+                    base = mods[0] + ".py"
                     per_file[base] = per_file.get(base, 0.0) + float(
                         case.get("time", 0)
                     )
