@@ -77,6 +77,11 @@ EXTRA = (
     "emb_power_iteration_pc1",
     "emb_random_projection",
     "events_markov_stationary",
+    # round-10 flagships
+    "win_session_window_builtin",
+    "scan_dpp_join",
+    "url_canonical_dedup",
+    "emb_kmeans",
 )
 
 

@@ -41,6 +41,20 @@ def main() -> None:
     short = gates.filter(F.col("flag_short_doc") == 1).count()
     print(f"quality: {gates.count()} docs, {short} fail the short-doc gate")
 
+    # 1b. Round-10 gates: the Gopher rule battery (integer permille
+    # thresholds) and canonical-URL dedup — the FIRST dedup pass of a
+    # web crawl (tracking params / case / port / param-order variants
+    # of one URL collapse before any content hashing runs)
+    gopher = q["text_quality_gopher"](spark, SF)
+    n_pass = gopher.filter(F.col("gopher_pass") == 1).count()
+    print(f"gopher rules: {n_pass}/{gopher.count()} docs pass")
+    urls = q["url_canonical_dedup"](spark, SF)
+    dup_urls = urls.filter(F.col("n_docs") > 1).count()
+    print(
+        f"canonical URLs: {urls.count()} groups, {dup_urls} with "
+        "collapsed raw variants"
+    )
+
     # 2. Dedup: exact identity, then near-dup with calibrated sketches
     exact = q["dedup_exact"](spark, SF)
     print(f"dedup exact: {exact.count()} surviving docs")
