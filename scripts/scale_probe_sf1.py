@@ -411,6 +411,7 @@ R10_KEYS = (
 #: round-10 additions (operators/analytics12.py + scan_dpp_join):
 #: probed the round they are registered, same criterion.
 R10B_KEYS = (
+    "emb_kmeans",  # oracled round 10 — first probe row under the contract
     "agg_argmax_argmin",
     "stats_covariance",
     "win_session_window_builtin",
