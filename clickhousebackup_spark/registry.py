@@ -193,6 +193,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_quality_gopher",
     "url_canonical_dedup",
     "scan_dpp_join",
+    "math_round_families",
 )
 
 

@@ -418,6 +418,7 @@ R10B_KEYS = (
     "text_quality_gopher",
     "url_canonical_dedup",
     "scan_dpp_join",
+    "math_round_families",
 )
 
 

@@ -28,6 +28,7 @@ R11_QUEUE_KEYS = [
     "text_quality_gopher",
     "url_canonical_dedup",
     "scan_dpp_join",
+    "math_round_families",
 ]
 
 

@@ -934,6 +934,8 @@ R10_PLAN_BUDGET = {
     "text_quality_gopher": (0, 0, False),   # map-only rule columns
     "url_canonical_dedup": (2, 0, False),   # canonical-group agg +
     # COUNT(DISTINCT url) two-phase expand
+    "math_round_families": (0, 0, False),   # map-only CH rounding
+    # ladders
     "scan_dpp_join": (4, 1, True),          # dim distinct + pruned
     # fact join (broadcast) + group agg + distinct-user expand; the
     # DPP subquery's own broadcast may plan as a 3-row NLJ reuse

@@ -79,6 +79,7 @@ DEFERRED: set[str] = {
     "text_quality_gopher",
     "url_canonical_dedup",
     "scan_dpp_join",
+    "math_round_families",
 }
 
 
