@@ -134,7 +134,7 @@ def stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         ), f AS (
-            SELECT user_id, us,
+            SELECT user_id, event_id, us,
                    CASE WHEN LAG(us) OVER (PARTITION BY user_id
                                            ORDER BY us, event_id) IS NULL
                           OR us - LAG(us) OVER (PARTITION BY user_id
@@ -145,7 +145,7 @@ def stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), s AS (
             SELECT user_id, us,
                    CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY us
+                       ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS sid
             FROM f

@@ -1410,7 +1410,10 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         (
             F.floor(F.lit(1000000.0) * F.col("value")).cast("long")
-            - (F.col("tot") - F.pmod(F.col("tot"), F.col("n")))
+            # trunc-div (%, not pmod): DuckDB's integer // truncates
+            # toward zero, so a negative corpus total would diverge
+            # by one grid unit under floor-div pmod
+            - (F.col("tot") - F.col("tot") % F.col("n"))
             / F.col("n")
         )
         .cast("long")

@@ -79,9 +79,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test shards / driver sims (one process rmtree's the location a
     # sibling is writing); applicationId is unique per session, and the
     # rmtree below still clears orphans from this session's reruns.
+    from clickhousebackup_spark.scratch import reap_stale_siblings
+
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     db = f"cbs_scratch_{app}"
     wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
+    # per-app dirs accumulate across sessions; reclaim pre-boot ones
+    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse_"))
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
     # processes (hash() is salted per interpreter → junk-table buildup)
@@ -339,9 +343,12 @@ def sink_bucketed_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from clickhousebackup_spark.scratch import reap_stale_siblings
+
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     db = f"cbs_scratch_{app}"
     wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
+    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse_"))
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"orders_sorted_b{suffix}"

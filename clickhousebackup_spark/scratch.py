@@ -65,6 +65,42 @@ def roundtrip_parquet(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def reap_stale_siblings(prefix_path: str) -> list[str]:
+    """Best-effort removal of per-process/per-session scratch dirs
+    left by PREVIOUS boots: every dir in ``dirname(prefix_path)``
+    whose name starts with ``basename(prefix_path)`` and whose mtime
+    predates the current boot. pid-/applicationId-keyed scratch
+    (Derby dbs, bucketed warehouses) is unique per run by design —
+    uniqueness is what prevents cross-process races — so nothing
+    reclaims it EXCEPT this sweep; anything modified since boot may
+    belong to a live sibling process and is left alone."""
+    base = os.path.dirname(prefix_path)
+    stem = os.path.basename(prefix_path)
+    try:
+        with open("/proc/uptime") as fh:
+            import time as _time
+
+            boot = _time.time() - float(fh.read().split()[0])
+    except Exception:
+        return []  # no boot clock (non-Linux) — skip rather than guess
+    removed = []
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return []
+    for name in names:
+        if not name.startswith(stem):
+            continue
+        full = os.path.join(base, name)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < boot:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        except OSError:
+            continue
+    return removed
+
+
 def clean_scratch(spark: SparkSession) -> None:
     """Remove the scratch base entirely (local-filesystem bases only)."""
     base = scratch_base(spark)

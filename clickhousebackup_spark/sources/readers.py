@@ -115,7 +115,11 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # race to an XSDB6 double-boot. The pid suffix isolates each
     # process; within a process the path is stable so re-runs reuse
     # the booted db.
+    from clickhousebackup_spark.scratch import reap_stale_siblings
+
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid-suffixed dbs accumulate across runs; reclaim pre-boot ones
+    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_derby_"))
     db = os.path.join(
         tempfile.gettempdir(), f"cbs_derby_{suffix}_{os.getpid()}"
     )

@@ -147,6 +147,16 @@ class MockKafkaConsumer:
             log = self._topics.setdefault(t, _Log())
             self._pos[t] = log.base if auto_offset_reset == "earliest" else log.end
 
+    def assign(self, tps: list[TopicPartition]) -> None:
+        """Manual partition assignment (kafka-python: mutually
+        exclusive with constructor subscription) — the mode the
+        binding uses so seek() is legal before any poll()."""
+        for tp in tps:
+            log = self._topics.setdefault(tp.topic, _Log())
+            if tp.topic not in self._subs:
+                self._subs.append(tp.topic)
+            self._pos.setdefault(tp.topic, log.base)
+
     def seek(self, tp: TopicPartition, offset: int) -> None:
         self._pos[tp.topic] = max(offset, self._topics[tp.topic].base)
 
@@ -249,10 +259,11 @@ class KafkaPythonFeed:
         """Log-end offset of the broker partition (the offset the next
         publish takes) — Kafka's ``end_offsets``."""
         c = self.client.KafkaConsumer(
-            self.topic, bootstrap_servers=self.bootstrap_servers
+            bootstrap_servers=self.bootstrap_servers
         )
         tp = self.client.TopicPartition(self.topic, 0)
         try:
+            c.assign([tp])
             return c.end_offsets([tp])[tp]
         finally:
             c.close()
@@ -280,22 +291,38 @@ class KafkaPythonFeed:
         (None if the log had nothing new). A scheduler calls this per
         tick; the running ``consume`` stream picks segments up through
         the file-source offset log."""
+        # manual assignment, NOT constructor subscription: kafka-python
+        # only assigns subscribed partitions during poll(), so seek()
+        # before a first poll raises 'Unassigned partition'; assign()
+        # makes the seek legal on both the real client and the mock
         c = self.client.KafkaConsumer(
-            self.topic,
             bootstrap_servers=self.bootstrap_servers,
             auto_offset_reset="earliest",
         )
         tp = self.client.TopicPartition(self.topic, 0)
         try:
+            c.assign([tp])
+            end = c.end_offsets([tp])[tp]
             c.seek(tp, self._staged_end)
             values: list[str] = []
             start: int | None = None
-            polled = c.poll(max_records=max_poll_records)
-            for recs in polled.values():
-                for r in recs:
-                    if start is None:
-                        start = r.offset
-                    values.append(r.value.decode())
+            # a real broker's first zero-timeout poll returns {} while
+            # the fetcher warms up — poll with a timeout until the
+            # snapshotted end offset (or the record budget) is reached
+            pos = self._staged_end
+            while pos < end and len(values) < max_poll_records:
+                polled = c.poll(
+                    timeout_ms=1000,
+                    max_records=max_poll_records - len(values),
+                )
+                if not polled:
+                    break
+                for recs in polled.values():
+                    for r in recs:
+                        if start is None:
+                            start = r.offset
+                        values.append(r.value.decode())
+                        pos = r.offset + 1
         finally:
             c.close()
         if not values or start is None:
@@ -319,7 +346,11 @@ class KafkaPythonFeed:
         the query checkpoint, exactly-once per segment; backpressure
         via maxFilesPerTrigger) — identical downstream semantics to
         FileTopic.consume."""
-        assert schema == self.schema, "feed schema is fixed at construction"
+        if schema != self.schema:
+            raise ValueError(
+                "feed schema is fixed at construction: "
+                f"{self.schema!r} != {schema!r}"
+            )
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_segments_per_trigger)
