@@ -125,3 +125,43 @@ def test_real_client_import_is_gated(tmp_path):
             staging_dir=str(tmp_path / "s"),
             schema=SCHEMA,
         )
+
+
+def test_consume_resumes_from_checkpoint_after_restart(
+    spark, sf_dir, feed, tmp_path
+):
+    """Exactly-once across RESTARTS: a second streaming query on the
+    same checkpoint must process only segments staged since the first
+    query committed — the file-source offset log is the broker
+    consumer-group offset analog."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        seen = []
+        q = (
+            feed.consume(spark, SCHEMA, max_segments_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: seen.append(df.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return seen
+
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    feed.publish(first)
+    feed.pump(spark)
+    run1 = drain()
+    assert sum(run1) == first.count()
+
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    feed.publish(second)
+    feed.pump(spark)
+    run2 = drain()  # fresh query object, same checkpoint
+    # only the NEW segment is processed — no replay of run 1's rows
+    assert sum(run2) == second.count()
+    assert len(run2) == 1
