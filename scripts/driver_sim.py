@@ -11,6 +11,7 @@ Usage:
     python scripts/driver_sim.py --window           # first-50 window only
     python scripts/driver_sim.py --new              # keys with no driver row
     python scripts/driver_sim.py --emit-json=SWEEP_r10.json  # artifact
+    python scripts/driver_sim.py --shards=4 --emit-json=...   # parallel
     CBS_SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
 
 ``--emit-json=PATH`` writes one JSON object per key — ``{key: {"sf":
@@ -55,6 +56,70 @@ def _latest_driver_rows() -> dict[str, dict]:
     return rows
 
 
+def _main_sharded(argv: list[str], keys: list[str], n: int) -> int:
+    """Run the key list as ``n`` concurrent child driver_sim processes
+    (round-robin split — adjacent slow families spread out), each with
+    its own scratch dir and per-shard emit file, then merge. Same
+    vanilla-session semantics per child; ~n× faster full sweeps."""
+    import subprocess
+    import tempfile
+
+    emit_path = None
+    for a in argv:
+        if a.startswith("--emit-json"):
+            emit_path = a.split("=", 1)[1] if "=" in a else "SWEEP.json"
+    procs = []
+    t0 = time.time()
+    for i in range(n):
+        shard_keys = keys[i::n]
+        if not shard_keys:
+            continue
+        out = os.path.join(
+            tempfile.gettempdir(), f"cbs_sim_shard_{os.getpid()}_{i}.json"
+        )
+        env = dict(
+            os.environ,
+            CBS_SCRATCH_DIR=os.path.join(
+                tempfile.gettempdir(), f"cbs_sim_scratch_{os.getpid()}_{i}"
+            ),
+        )
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            f"--emit-json={out}", *shard_keys,
+        ]
+        log = open(out + ".log", "w")
+        procs.append(
+            (i, subprocess.Popen(
+                cmd, env=env, stdout=log, stderr=subprocess.STDOUT
+            ), out, log, len(shard_keys))
+        )
+        print(f"shard {i}: {len(shard_keys)} keys")
+    merged: dict[str, dict] = {}
+    failed = 0
+    for i, p, out, log, n_keys in procs:
+        rc = p.wait()
+        log.close()
+        failed += rc
+        if os.path.exists(out):
+            with open(out) as fh:
+                merged.update(json.load(fh))
+        print(f"shard {i}: exit {rc} — log {out}.log")
+    bad = sorted(
+        k for k, v in merged.items()
+        if v["match"] not in ("pass",) and not v["match"].startswith("rows-only")
+    )
+    print(
+        f"\n{len(merged) - len(bad)}/{len(keys)} pass in "
+        f"{time.time()-t0:.0f}s at {SF_DIR} across {len(procs)} shards"
+        + (f"; FAILED: {bad}" if bad else "")
+    )
+    if emit_path:
+        with open(emit_path, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+        print(f"wrote {emit_path} ({len(merged)} keys)")
+    return min(failed, 120)
+
+
 def main(argv: list[str]) -> int:
     specs = all_specs()
     keys = [a for a in argv if not a.startswith("--")]
@@ -69,6 +134,9 @@ def main(argv: list[str]) -> int:
     if unknown:
         print(f"unknown keys: {unknown}")
         return 2
+    for a in argv:
+        if a.startswith("--shards"):
+            return _main_sharded(argv, keys, int(a.split("=", 1)[1]))
 
     # Vanilla session — mirrors the driver/judge environment, NOT the
     # tuned session from clickhousebackup_spark.session.
