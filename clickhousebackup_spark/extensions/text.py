@@ -727,3 +727,73 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings")
         )
     )
+
+
+#: Blocklist stand-in (the C4/Dolma badwords-gate shape): a real
+#: deployment swaps in its policy list; these three terms exercise
+#: a rare hit ('dup': ~0.5% of docs), a common hit ('slow'), and a
+#: never-hit ('forbidden') against the fixture vocabulary so every
+#: branch is non-vacuous at sf0.01. ONE shared constant feeds both
+#: engines.
+BLOCKLIST = ("dup", "forbidden", "slow")
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(words,
+                    x -> list_contains({list(BLOCKLIST)}, x)))
+                    AS BIGINT) AS n_blocked_hits,
+               CAST(len(list_distinct(list_filter(words,
+                    x -> list_contains({list(BLOCKLIST)}, x))))
+                    AS BIGINT) AS n_blocked_terms,
+               COALESCE(list_min(list_filter(words,
+                    x -> list_contains({list(BLOCKLIST)}, x))), '')
+                    AS first_blocked,
+               CAST(CASE WHEN len(list_filter(words,
+                    x -> list_contains({list(BLOCKLIST)}, x))) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        FROM w
+    """,
+    doc="Blocklist/badwords document gate (the C4 §2.2 'dirty word' "
+    "filter every public pretraining corpus applies): per doc, the "
+    "total blocked-token occurrences, distinct blocked terms, the "
+    "alphabetically-first hit (deterministic representative for "
+    "audit samples), and the drop flag. Token-grain exact membership "
+    "against ONE shared blocklist constant — not substring matching, "
+    "which is the documented Scunthorpe failure mode of naive "
+    "implementations. Map-only (no shuffle, no UDF): at 100 TB this "
+    "runs at parquet-scan speed and composes with the Gopher gate in "
+    "the same pass. A real deployment swaps BLOCKLIST for its policy "
+    "list; the stand-in terms exercise rare/common/absent branches "
+    "on the fixture vocabulary.",
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    blocked_arr = F.filter(
+        words,
+        lambda x: F.array_contains(
+            F.array(*[F.lit(t) for t in BLOCKLIST]), x
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(blocked_arr).cast("long").alias("n_blocked_hits"),
+        F.size(F.array_distinct(blocked_arr)).cast("long").alias(
+            "n_blocked_terms"
+        ),
+        F.coalesce(F.array_min(blocked_arr), F.lit("")).alias(
+            "first_blocked"
+        ),
+        (F.size(blocked_arr) > 0).cast("long").alias("blocked"),
+    )

@@ -194,6 +194,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "url_canonical_dedup",
     "scan_dpp_join",
     "math_round_families",
+    "text_blocklist_filter",
 )
 
 

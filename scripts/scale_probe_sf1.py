@@ -419,6 +419,7 @@ R10B_KEYS = (
     "url_canonical_dedup",
     "scan_dpp_join",
     "math_round_families",
+    "text_blocklist_filter",
 )
 
 

@@ -29,6 +29,7 @@ R11_QUEUE_KEYS = [
     "url_canonical_dedup",
     "scan_dpp_join",
     "math_round_families",
+    "text_blocklist_filter",
 ]
 
 

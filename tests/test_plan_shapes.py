@@ -936,6 +936,7 @@ R10_PLAN_BUDGET = {
     # COUNT(DISTINCT url) two-phase expand
     "math_round_families": (0, 0, False),   # map-only CH rounding
     # ladders
+    "text_blocklist_filter": (0, 0, False),  # map-only token gate
     "scan_dpp_join": (4, 1, True),          # dim distinct + pruned
     # fact join (broadcast) + group agg + distinct-user expand; the
     # DPP subquery's own broadcast may plan as a 3-row NLJ reuse

@@ -68,7 +68,7 @@ REFRESH: set[str] = {
 #: Round 10 promoted the entire 32-key round-9 continuation queue into
 #: the window (positions 0-31), followed by the round-10
 #: rows-only→oracled conversion emb_kmeans (32) and the 17 REFRESH
-#: refills (33-49). The seven round-10 additions below overflow the
+#: refills (33-49). The eight round-10 additions below overflow the
 #: window; they sit right after it in _CHECK_PRIORITY, lead the
 #: round-11 queue, and are judge-sim exact-verified at three scales
 #: meanwhile (NOTES round 10).
@@ -80,6 +80,7 @@ DEFERRED: set[str] = {
     "url_canonical_dedup",
     "scan_dpp_join",
     "math_round_families",
+    "text_blocklist_filter",
 }
 
 
