@@ -166,3 +166,64 @@ def test_url_canonical_matches_pure_python(spark, sf_dir):
         k: (v["n"], len(v["raws"]), v["keep"]) for k, v in groups.items()
     }
     assert got == want
+
+
+def test_round_families_match_pure_python(spark, sf_dir):
+    from clickhousebackup_spark.functions.maths import (
+        ROUND_AGE_BOUNDS,
+        ROUND_DOWN_LADDER,
+        ROUND_DURATION_LADDER,
+    )
+
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture, so
+    # compare full-row multisets rather than keying a dict on it
+    got = sorted(
+        tuple(r) for r in SPECS["math_round_families"].fn(spark, sf_dir).collect()
+    )
+
+    def ladder(x, lad):
+        return max([v for v in lad if v <= x], default=min(lad))
+
+    def age(x):
+        for lo, val in ROUND_AGE_BOUNDS[:-1]:
+            if x >= lo:
+                return val
+        return 0
+
+    want = []
+    for _, row in _pd(sf_dir, "lineitem").iterrows():
+        xp = int(math.floor(row["l_extendedprice"]))
+        dur = (row["l_orderkey"] * 7 + row["l_linenumber"]) % 40000
+        q = int(row["l_quantity"])
+        want.append(
+            (
+                int(row["l_orderkey"]),
+                int(row["l_linenumber"]),
+                0 if xp < 1 else 1 << (xp.bit_length() - 1),
+                ladder(dur, ROUND_DURATION_LADDER),
+                age(row["l_partkey"] % 100),
+                ladder(row["l_suppkey"] % 1000, ROUND_DOWN_LADDER),
+                q // 2 if q % 2 == 0 else q // 2 + ((q // 2) % 2),
+            )
+        )
+    assert got == sorted(want)
+
+
+def test_blocklist_matches_pure_python(spark, sf_dir):
+    from clickhousebackup_spark.extensions.text import BLOCKLIST
+
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["text_blocklist_filter"].fn(spark, sf_dir).collect()
+    }
+    any_blocked = False
+    for _, row in _pd(sf_dir, "documents").iterrows():
+        words = [w for w in re.split(r"\s+", row["text"].lower()) if w != ""]
+        hits = [w for w in words if w in BLOCKLIST]
+        r = got[row["doc_id"]]
+        assert r["n_blocked_hits"] == len(hits)
+        assert r["n_blocked_terms"] == len(set(hits))
+        assert r["first_blocked"] == (min(hits) if hits else "")
+        assert r["blocked"] == int(bool(hits))
+        any_blocked |= bool(hits)
+    assert any_blocked  # the gate must be live on this fixture
