@@ -111,82 +111,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 9 (union of CORRECTNESS_r01-r09): every registered key
-#: except the 32 continuation-session additions carries a green driver
-#: row at its latest check (CORRECTNESS_r09 was 50/50 full pass). The
-#: round-10 window below is that 32-key queue (pinned at positions
-#: 51+ last round, declared DEFERRED), then the round-10
-#: rows-only→oracled conversion emb_kmeans, followed by 17 regression
-#: RECHECK refills — the stalest green keys in the registry (latest
-#: green row = CORRECTNESS_r01), chosen across operator families so
-#: the window is always full and the oldest evidence gets refreshed.
+#: after round 10 (union of CORRECTNESS_r01-r10, all ten rounds green):
+#: every registered key except the 8 round-10 additions carries a green
+#: driver row at its latest check. The round-11 window below is that
+#: 8-key DEFERRED queue (pinned at positions 51+ last round), followed
+#: by 42 regression REFRESH refills — the stalest green keys in the
+#: registry (latest driver row = CORRECTNESS_r01/r02), chosen so the
+#: oldest evidence gets refreshed; three of them
+#: (emb_label_centroids — and via the r02 batch dedup_exact /
+#: dedup_ngram_jaccard) double as post-fix RECHECKs for the round-10
+#: oracle-parity touches.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-10 window: the 32-key continuation-session queue from
-    # round 9, in order (operators/analytics9-11.py, extensions/
-    # linalg.py) --
-    "seq_gaps_islands",
-    "sql_quantified_compare",
-    "date_parse_best_effort",
-    "corpus_temperature_mix",
-    "emb_power_iteration_pc1",
-    "sample_hash_consistent",
-    "dq_benford_law",
-    "events_markov_stationary",
-    "emb_random_projection",
-    "stats_wilcoxon_signed",
-    "corpus_datasheet",
-    "text_zipf_fit",
-    "ts_period_detect",
-    "str_phonetic_soundex",
-    "text_readability_fk",
-    "seq_edit_distance",
-    "sketch_countmin_freq",
-    "ts_kalman_level",
-    "events_burstiness_index",
-    "ts_theil_sen_slope",
-    "ts_stl_decompose",
-    "stats_anova_oneway",
-    "stats_jarque_bera",
-    "ts_cusum_alarm",
-    "token_bigram_entropy",
-    "stats_linregress_multi",
-    "dq_schema_profile",
-    "stats_levene_bf",
-    "stats_runs_test",
-    "text_mattr_diversity",
-    "date_business_days",
-    "emb_pca2_deflation",
-    # round-10 rows-only→oracled conversion: integer-exact Lloyd needs
-    # its first driver hash row under the new contract
-    "emb_kmeans",
-    # -- 17 regression RECHECK refills (window slots 34-50): stalest
-    # green keys (latest driver row = r1), one spread per family; see
-    # tests/test_rotation.py REFRESH --
-    "agg_basic",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_having",
-    "filter_age",
-    "join_inner",
-    "join_broadcast",
-    "join_asof",
-    "join_skew_salted",
-    "win_keep_newest",
-    "win_running_sum",
-    "sort_multi",
-    "topk_per_group",
-    "set_union_distinct",
-    "pivot_counts",
-    "scd2_merge",
-    "scan_partition_pruned",
-    # -- round-10 additions (operators/analytics12.py + scan_dpp_join):
-    # past the 50-slot window, DEFERRED to lead the round-11 queue;
-    # exact-verified at three scales this session (NOTES round 10).
+    # -- round-11 window positions 0-7: the 8 round-10 additions that
+    # overflowed the round-10 window (declared DEFERRED there);
+    # judge-sim exact-verified meanwhile, now getting driver rows --
     "agg_argmax_argmin",
     "stats_covariance",
     "win_session_window_builtin",
@@ -195,6 +138,52 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "scan_dpp_join",
     "math_round_families",
     "text_blocklist_filter",
+    # -- 42 regression REFRESH refills (window slots 8-49): stalest
+    # green keys (latest driver row = r1/r2), precomputed in the
+    # round-10 handoff (NOTES "Round-11 rotation handoff"); see
+    # tests/test_rotation.py REFRESH --
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_latest_pointer",
+    "agg_percentile_exact",
+    "agg_stats",
+    "cond_null_funcs",
+    "distinct_rows",
+    "filter_compound",
+    "join_anti",
+    "join_bucketed",
+    "join_cross",
+    "join_full",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "project_compute",
+    "sample_systematic",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "topk_limit",
+    "unpivot_measures",
+    "win_lag_lead",
+    "win_ntile_firstlast",
+    "win_percent_rank",
+    "win_rank_dense",
+    "win_sliding_avg",
+    "agg_collect_sorted",
+    "agg_corr",
+    "array_construct_ops",
+    "array_funcs",
+    "array_higher_order",
+    "backup_catalog",
+    "backup_keep_newest",
+    "backup_latest_pointers",
+    "backup_retention_plan",
+    "date_arith",
+    "date_buckets",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "emb_label_centroids",
+    "hash_funcs",
 )
 
 

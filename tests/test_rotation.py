@@ -34,54 +34,70 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 #: stats_proportions_ztest, bitmap_set_ops, dq_expectations) got
 #: post-fix green rows in CORRECTNESS_r08 and left this set.
 RECHECK: set[str] = set()
-# (empty after round 9: agg_hll_merge and stats_spearman got green
-#  rows in CORRECTNESS_r09 under their re-anchored contracts.)
+# (empty after round 10: the round-10 oracle-parity touches
+#  (emb_label_centroids, dedup-family md5 conventions) re-enter via the
+#  REFRESH refill list below instead.)
 
 #: Regression refills: green keys whose evidence is the STALEST in the
-#: registry (latest driver row = CORRECTNESS_r01), pulled back into the
-#: window whenever fewer required keys exist than window slots. Unlike
-#: RECHECK these are not suspected-stale semantics — they are routine
-#: re-verification so no key's driver evidence ages without bound.
+#: registry (latest driver row = CORRECTNESS_r01/r02), pulled back into
+#: the window whenever fewer required keys exist than window slots.
+#: Unlike RECHECK these are not suspected-stale semantics — they are
+#: routine re-verification so no key's driver evidence ages without
+#: bound. This is the 42-key list precomputed in the round-10 handoff
+#: (NOTES "Round-11 rotation handoff").
 REFRESH: set[str] = {
-    "agg_basic",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_having",
-    "filter_age",
-    "join_inner",
-    "join_broadcast",
-    "join_asof",
-    "join_skew_salted",
-    "win_keep_newest",
-    "win_running_sum",
-    "sort_multi",
-    "topk_per_group",
-    "set_union_distinct",
-    "pivot_counts",
-    "scd2_merge",
-    "scan_partition_pruned",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_latest_pointer",
+    "agg_percentile_exact",
+    "agg_stats",
+    "cond_null_funcs",
+    "distinct_rows",
+    "filter_compound",
+    "join_anti",
+    "join_bucketed",
+    "join_cross",
+    "join_full",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "project_compute",
+    "sample_systematic",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "topk_limit",
+    "unpivot_measures",
+    "win_lag_lead",
+    "win_ntile_firstlast",
+    "win_percent_rank",
+    "win_rank_dense",
+    "win_sliding_avg",
+    "agg_collect_sorted",
+    "agg_corr",
+    "array_construct_ops",
+    "array_funcs",
+    "array_higher_order",
+    "backup_catalog",
+    "backup_keep_newest",
+    "backup_latest_pointers",
+    "backup_retention_plan",
+    "date_arith",
+    "date_buckets",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "emb_label_centroids",
+    "hash_funcs",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 10 promoted the entire 32-key round-9 continuation queue into
-#: the window (positions 0-31), followed by the round-10
-#: rows-only→oracled conversion emb_kmeans (32) and the 17 REFRESH
-#: refills (33-49). The eight round-10 additions below overflow the
-#: window; they sit right after it in _CHECK_PRIORITY, lead the
-#: round-11 queue, and are judge-sim exact-verified at three scales
-#: meanwhile (NOTES round 10).
-DEFERRED: set[str] = {
-    "agg_argmax_argmin",
-    "stats_covariance",
-    "win_session_window_builtin",
-    "text_quality_gopher",
-    "url_canonical_dedup",
-    "scan_dpp_join",
-    "math_round_families",
-    "text_blocklist_filter",
-}
+#: Round 11 promoted the eight round-10 DEFERRED keys into window
+#: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills, so
+#: nothing overflows: every registered key has either a green driver
+#: row (CORRECTNESS_r01-r10) or a window slot this round.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
