@@ -74,12 +74,14 @@ def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), m AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(qg) AS BIGINT) AS sx,
-                   CAST(SUM(pg) AS BIGINT) AS sy,
+                   SUM(qg) AS sx,
+                   SUM(pg) AS sy,
                    SUM(qg * pg) AS sxy
             FROM g GROUP BY l_returnflag
         )
-        SELECT l_returnflag, n, sx, sy,
+        SELECT l_returnflag, n,
+               CAST(sx AS VARCHAR) AS sx,
+               CAST(sy AS VARCHAR) AS sy,
                CAST(sxy AS VARCHAR) AS sxy,
                (CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
@@ -93,8 +95,11 @@ def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL(38,0)/HUGEINT (order-free), and the population "
     "covariance on the grid is one shared double expression tree "
     "over those exact integers (÷1e5 client-side recovers the "
-    "natural units). Σxy can exceed int64 at cluster scale, so it is "
-    "emitted as VARCHAR per the stats_mean_ci precedent. One "
+    "natural units). All three moments are emitted as VARCHAR per "
+    "the stats_mean_ci precedent: Σxy exceeds int64 at cluster "
+    "scale, and Σx/Σy would too near ~1.8e14 rows/group — a "
+    "decimal→long cast there would null (non-ANSI Spark) while the "
+    "oracle's BIGINT cast errors, a silent divergence. One "
     "two-phase hash agg; map-side combined; no window.",
 )
 def stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,18 +115,18 @@ def stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qg") * F.col("pg")).alias("sxy_d"),
     )
     n = F.col("n")
-    sx = F.col("sx_d").cast("long")
-    sy = F.col("sy_d").cast("long")
     return m.select(
         "l_returnflag",
         n.alias("n"),
-        sx.alias("sx"),
-        sy.alias("sy"),
+        F.col("sx_d").cast("decimal(38,0)").cast("string").alias("sx"),
+        F.col("sy_d").cast("decimal(38,0)").cast("string").alias("sy"),
         F.col("sxy_d").cast("decimal(38,0)").cast("string").alias("sxy"),
         (
             (
                 F.col("sxy_d").cast("double")
-                - sx.cast("double") * sy.cast("double") / n
+                - F.col("sx_d").cast("double")
+                * F.col("sy_d").cast("double")
+                / n
             )
             / n
         ).alias("cov_pop_grid"),

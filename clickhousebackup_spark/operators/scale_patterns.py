@@ -85,7 +85,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"cbs_scratch_{app}"
     wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
     # per-app dirs accumulate across sessions; reclaim pre-boot ones
-    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse_"))
+    # no trailing underscore: also reaps the legacy fixed-name
+    # "cbs_bucketed_warehouse" dir pre-change versions left behind
+    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse"))
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across
     # processes (hash() is salted per interpreter → junk-table buildup)
@@ -348,7 +350,9 @@ def sink_bucketed_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     db = f"cbs_scratch_{app}"
     wh = os.path.join(tempfile.gettempdir(), f"cbs_bucketed_warehouse_{app}")
-    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse_"))
+    # no trailing underscore: also reaps the legacy fixed-name
+    # "cbs_bucketed_warehouse" dir pre-change versions left behind
+    reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_bucketed_warehouse"))
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"orders_sorted_b{suffix}"

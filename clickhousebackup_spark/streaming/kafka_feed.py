@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from dataclasses import dataclass, field
 from typing import Iterator, NamedTuple
 
@@ -245,12 +246,29 @@ class KafkaPythonFeed:
         if self.client is None:
             self.client = _real_client()
         os.makedirs(self.staging_dir, exist_ok=True)
+        # A crash mid-write leaves a seg dir whose NAME matches but that
+        # never committed (no _SUCCESS marker). Counting it into
+        # _staged_end would permanently skip its [start,end) records —
+        # reap it so the next pump() re-fetches that range from the
+        # broker (offsets live there; nothing is lost).
+        for d in (
+            d for d in os.listdir(self.staging_dir) if _SEG_RE.match(d)
+        ):
+            if not os.path.exists(
+                os.path.join(self.staging_dir, d, "_SUCCESS")
+            ):
+                shutil.rmtree(os.path.join(self.staging_dir, d))
         for d in self._segments():
             self._staged_end = max(self._staged_end, int(_SEG_RE.match(d).group(2)))
 
     def _segments(self) -> list[str]:
+        """Committed segments only: the _SUCCESS marker is the commit
+        point of the staged-rename protocol."""
         return sorted(
-            d for d in os.listdir(self.staging_dir) if _SEG_RE.match(d)
+            d
+            for d in os.listdir(self.staging_dir)
+            if _SEG_RE.match(d)
+            and os.path.exists(os.path.join(self.staging_dir, d, "_SUCCESS"))
         )
 
     # -- RecordFeed surface --
@@ -370,8 +388,6 @@ class KafkaPythonFeed:
         segments whose records all precede it (a real deployment also
         lowers the broker's retention watermark; the mock broker's
         log-start advances the same way)."""
-        import shutil
-
         removed = []
         for d in self._segments():
             if int(_SEG_RE.match(d).group(2)) <= before_offset:

@@ -33,6 +33,9 @@ MOD_BUCKET_IDS = [
     ("orders", "o_orderkey"),
     ("orders", "o_custkey"),
     ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_linenumber"),
     ("customer", "c_custkey"),
 ]
 

@@ -165,3 +165,41 @@ def test_consume_resumes_from_checkpoint_after_restart(
     # only the NEW segment is processed — no replay of run 1's rows
     assert sum(run2) == second.count()
     assert len(run2) == 1
+
+
+def test_partial_segment_is_reaped_and_repumped(spark, sf_dir, feed, tmp_path):
+    """Crash-safety (ADVICE r10): a segment dir whose NAME matches but
+    that never committed (no _SUCCESS — e.g. a crash mid
+    df.write.parquet) must NOT advance _staged_end on restart;
+    otherwise its [start,end) records are permanently skipped. A
+    restarted feed reaps the junk dir and re-pumps the range from the
+    broker."""
+    import os
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .limit(20)
+    )
+    feed.publish(ev)
+    seg = feed.pump(spark)
+    assert seg is not None and feed._staged_end == 20
+
+    # simulate the crash: the segment dir exists, _SUCCESS does not
+    os.remove(os.path.join(seg, "_SUCCESS"))
+
+    restarted = KafkaPythonFeed(
+        bootstrap_servers=feed.bootstrap_servers,
+        topic=feed.topic,
+        staging_dir=feed.staging_dir,
+        schema=SCHEMA,
+        client=mock_client,
+    )
+    # the markerless dir was reaped, so the offset range is unstaged again
+    assert not os.path.exists(seg)
+    assert restarted._staged_end == 0
+    seg2 = restarted.pump(spark)
+    assert seg2 is not None and restarted._staged_end == 20
+    assert restarted.read_all(spark).count() == 20
+    shutil.rmtree(feed.staging_dir, ignore_errors=True)
