@@ -165,15 +165,28 @@ def main(argv: list[str]) -> int:
         spec = specs[key]
         t0 = time.time()
         rows = None
+        # engine_wall = plan build + Spark execution (collect/count);
+        # oracle_wall = DuckDB execution + the exact compare. Split so
+        # a quadratic ORACLE (dedup_ngram_jaccard's all-pairs truth at
+        # sf0.1) can't masquerade as an engine-side scale regression
+        # in the committed sweep artifacts (VERDICT r10 item 2).
+        engine_wall = oracle_wall = None
         try:
             df = spec.fn(spark, SF_DIR)
             if spec.oracle is None:
                 rows = df.count()
+                engine_wall = time.time() - t0
                 status = f"rows-only ({rows} rows)"
                 if rows == 0:
                     status += " [WARN 0 rows]"
             else:
-                assert_same_result(df, con, spec.oracle, name=key)
+                raw_rows = df.collect()
+                engine_wall = time.time() - t0
+                t1 = time.time()
+                assert_same_result(
+                    df, con, spec.oracle, name=key, raw_rows=raw_rows
+                )
+                oracle_wall = time.time() - t1
                 status = "pass"
         except Exception as e:  # noqa: BLE001
             status = f"FAIL {type(e).__name__}"
@@ -188,6 +201,8 @@ def main(argv: list[str]) -> int:
                 "match": status,
                 "rows": rows,
                 "wall": round(time.time() - t0, 2),
+                "engine_wall": round(engine_wall, 2) if engine_wall else None,
+                "oracle_wall": round(oracle_wall, 2) if oracle_wall else None,
             }
             continue
         print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
@@ -196,6 +211,10 @@ def main(argv: list[str]) -> int:
             "match": "rows-only" if spec.oracle is None else "pass",
             "rows": rows,
             "wall": round(time.time() - t0, 2),
+            "engine_wall": round(engine_wall, 2),
+            "oracle_wall": round(oracle_wall, 2)
+            if oracle_wall is not None
+            else None,
         }
     print(
         f"\n{len(keys) - len(failed)}/{len(keys)} pass in "

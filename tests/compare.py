@@ -128,10 +128,16 @@ def _assert_driver_canon(pdf, name: str, side: str) -> None:
         ) from e
 
 
-def assert_same_result(spark_df, duck_con, oracle_sql: str, name: str = "?"):
+def assert_same_result(
+    spark_df, duck_con, oracle_sql: str, name: str = "?", raw_rows=None
+):
+    """``raw_rows``: optionally pass a pre-collected ``spark_df.collect()``
+    so the caller can time the engine side separately from the oracle
+    side (scripts/driver_sim.py's engine_wall/oracle_wall split)."""
     import pandas as pd
 
-    raw_rows = spark_df.collect()
+    if raw_rows is None:
+        raw_rows = spark_df.collect()
     s_cols, s_rows = _spark_rows(spark_df, raw_rows)
     d_df = duck_con.execute(oracle_sql).fetch_df()
     d_cols, d_rows = _duck_rows(d_df)
