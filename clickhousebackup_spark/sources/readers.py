@@ -51,7 +51,26 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 class ConnectorUnavailable(RuntimeError):
-    """Raised when a connector's jars aren't on the classpath."""
+    """Raised when a connector's jars aren't on the classpath (or the
+    only available backend cannot serve the current deployment shape —
+    see ``single_jvm_master``)."""
+
+
+def single_jvm_master(spark: SparkSession) -> bool:
+    """True when driver and executors share ONE JVM (``local[...]``).
+
+    Embedded Derby — the only JDBC engine bundled with pyspark — allows
+    exactly one booting JVM per database directory. Under any
+    multi-executor master (local-cluster, spark://, yarn, k8s) the
+    JDBC write tasks, the driver-side schema probe, and the read tasks
+    each run in DIFFERENT JVMs, so a second boot of the same db is
+    structurally impossible (found by the round-11 local-cluster
+    sweep: executor 1's boot fails while executor 0 holds db.lck).
+    Derby's network server (derbynet.jar) is not in this image; a real
+    cluster points the same read_jdbc/write_jdbc code at a networked
+    RDBMS url instead."""
+    master = spark.conf.get("spark.master", "")
+    return master.startswith("local[") or master == "local"
 
 
 def read_jdbc(
@@ -117,6 +136,14 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the booted db.
     from clickhousebackup_spark.scratch import reap_stale_siblings
 
+    if not single_jvm_master(spark):
+        raise ConnectorUnavailable(
+            "embedded Derby is single-JVM by design (one booting JVM "
+            "per db; the driver's schema probe and every executor task "
+            "would each need to boot it) — on a multi-executor master "
+            "point write_jdbc/read_jdbc at a network-reachable RDBMS "
+            "url; no such database exists in this image"
+        )
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # pid-suffixed dbs accumulate across runs; reclaim pre-boot ones
     reap_stale_siblings(os.path.join(tempfile.gettempdir(), "cbs_derby_"))

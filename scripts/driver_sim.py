@@ -83,9 +83,13 @@ def _main_sharded(argv: list[str], keys: list[str], n: int) -> int:
                 tempfile.gettempdir(), f"cbs_sim_scratch_{os.getpid()}_{i}"
             ),
         )
+        passthrough = [
+            a for a in argv
+            if a.startswith("--master=") or a == "--trace"
+        ]
         cmd = [
             sys.executable, os.path.abspath(__file__),
-            f"--emit-json={out}", *shard_keys,
+            f"--emit-json={out}", *passthrough, *shard_keys,
         ]
         log = open(out + ".log", "w")
         procs.append(
@@ -106,7 +110,9 @@ def _main_sharded(argv: list[str], keys: list[str], n: int) -> int:
         print(f"shard {i}: exit {rc} — log {out}.log")
     bad = sorted(
         k for k, v in merged.items()
-        if v["match"] not in ("pass",) and not v["match"].startswith("rows-only")
+        if v["match"] not in ("pass",)
+        and not v["match"].startswith("rows-only")
+        and not v["match"].startswith("env-gated")
     )
     print(
         f"\n{len(merged) - len(bad)}/{len(keys)} pass in "
@@ -139,13 +145,27 @@ def main(argv: list[str]) -> int:
             return _main_sharded(argv, keys, int(a.split("=", 1)[1]))
 
     # Vanilla session — mirrors the driver/judge environment, NOT the
-    # tuned session from clickhousebackup_spark.session.
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # tuned session from clickhousebackup_spark.session. ``--master=``
+    # overrides for multi-executor evidence runs: e.g.
+    # ``--master=local-cluster[2,2,1024]`` spawns 2 real worker JVMs
+    # (separate heaps, real network shuffle, serialized broadcasts) —
+    # the closest no-infra stand-in for a distributed deployment
+    # (VERDICT r10 item 3).
+    master = "local[8]"
+    for a in argv:
+        if a.startswith("--master="):
+            master = a.split("=", 1)[1]
+    builder = (
+        SparkSession.builder.master(master)
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their Python workers outside the repo
+        # cwd; the package must be importable there for cloudpickled
+        # closures that reference it to deserialize
+        builder = builder.config("spark.executorEnv.PYTHONPATH", REPO)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -189,6 +209,26 @@ def main(argv: list[str]) -> int:
                 oracle_wall = time.time() - t1
                 status = "pass"
         except Exception as e:  # noqa: BLE001
+            from clickhousebackup_spark.sources.readers import (
+                ConnectorUnavailable,
+            )
+
+            if isinstance(e, ConnectorUnavailable):
+                # loud environment gate (same contract as the Delta/
+                # Iceberg two-armed gates): the key's backend cannot
+                # serve this deployment shape — recorded, not a FAIL
+                status = f"env-gated ({e})"
+                print(f"[{i}/{len(keys)}] {key}: env-gated "
+                      f"({time.time()-t0:.1f}s)")
+                sweep[key] = {
+                    "sf": SF_DIR,
+                    "match": status,
+                    "rows": rows,
+                    "wall": round(time.time() - t0, 2),
+                    "engine_wall": None,
+                    "oracle_wall": None,
+                }
+                continue
             status = f"FAIL {type(e).__name__}"
             failed.append(key)
             tb = traceback.format_exc(limit=20)

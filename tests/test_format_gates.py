@@ -50,3 +50,39 @@ def test_iceberg_gate(spark):
     # nonexistent table must fail with a catalog error, not silence
     with pytest.raises(Exception):
         df.count()
+
+
+def test_jdbc_single_jvm_gate(spark):
+    """sink_jdbc_roundtrip's deployment-shape gate (round-11
+    local-cluster sweep finding): embedded Derby — the only JDBC
+    engine in this image — boots in exactly one JVM, so the key runs
+    fully under local[...] masters and must raise a loud
+    ConnectorUnavailable (not a py4j double-boot stack) under any
+    multi-executor master."""
+    from clickhousebackup_spark.sources.readers import (
+        single_jvm_master,
+        sink_jdbc_roundtrip,
+    )
+
+    # this suite runs on local[...] — the predicate must say single-JVM
+    assert single_jvm_master(spark)
+
+    class _Conf:
+        def __init__(self, master):
+            self._m = master
+
+        def get(self, key, default=None):
+            return self._m if key == "spark.master" else default
+
+    class _FakeSession:
+        def __init__(self, master):
+            self.conf = _Conf(master)
+
+    for master in ("local-cluster[2,2,1024]", "spark://host:7077",
+                   "yarn", "k8s://https://host:6443"):
+        assert not single_jvm_master(_FakeSession(master))
+        with pytest.raises(ConnectorUnavailable) as e:
+            sink_jdbc_roundtrip(_FakeSession(master), "/root/testdata/sf0.001")
+        assert "network-reachable" in str(e.value)
+    for master in ("local[8]", "local[*]", "local"):
+        assert single_jvm_master(_FakeSession(master))
