@@ -699,6 +699,247 @@ def main() -> None:
     spark.stop()
 
 
+def build_zipf_events(spark, base_sf: str) -> str:
+    """Skewed-USER events for the round-11 window/agg probe (VERDICT
+    r10 item 5): user_id remapped through the same heavy-tail draw as
+    build_zipf_facts, so one user owns ~25% of all events. Joins can
+    broadcast their way out of reduce-side skew; windows and
+    sessionization CANNOT (the hot user's rows must land in one
+    partition of the window exchange), which is exactly the surface
+    this dir stresses. Replaces the uniform symlink inside the
+    cbs_zipf_probe dir with a real skewed file."""
+    root = build_zipf_facts(spark, base_sf)
+    out = os.path.join(root, "events.parquet")
+    if os.path.islink(out):
+        os.remove(out)
+    if not os.path.exists(out):
+        ev = spark.read.parquet(f"{base_sf}/events.parquet")
+        n_users = 1 + ev.agg(F.max("user_id")).collect()[0][0]
+
+        def zipf_key(seed_col, n_keys):
+            u = (
+                F.pmod(F.xxhash64(seed_col), F.lit(1_000_000)).cast("double")
+                + F.lit(0.5)
+            ) / F.lit(1_000_000.0)
+            return F.least(
+                F.lit(n_keys - 1),
+                (F.floor(F.pow(F.lit(float(n_keys)), u * u)) - F.lit(1)).cast(
+                    "long"
+                ),
+            )
+
+        ev.withColumn(
+            "user_id", zipf_key(F.xxhash64("event_id", "ts"), int(n_users))
+        ).repartition(32).write.mode("overwrite").parquet(out)
+    return root
+
+
+def _stage_task_stats(spark, seen: set) -> tuple:
+    """(max single-task executorRunTime sec across stages NOT in
+    ``seen``, updated seen-set) via the UI REST API taskSummary —
+    the per-task metric AQE cannot fix for windows, hence the probe's
+    headline number."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return -1.0, seen
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE",
+            timeout=10,
+        ) as r:
+            stages = json.loads(r.read())
+    except Exception:
+        return -1.0, seen
+    max_task = 0.0
+    new_seen = set(seen)
+    for s in stages:
+        sid = (s["stageId"], s["attemptId"])
+        if sid in seen:
+            continue
+        new_seen.add(sid)
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/"
+                f"{s['stageId']}/{s['attemptId']}/taskSummary?"
+                f"quantiles=1.0",
+                timeout=10,
+            ) as r:
+                summ = json.loads(r.read())
+            max_task = max(max_task, summ["executorRunTime"][-1] / 1000.0)
+        except Exception:
+            continue
+    return round(max_task, 2), new_seen
+
+
+#: Window/agg keys that partition on user_id (sessionize_gap,
+#: funnel_steps: bare user_id — the true hot-partition shape;
+#: win_keep_newest: (user_id, day) compound) or o_custkey
+#: (topk_per_group — rides the zipf orders remap).
+ZIPF_WINDOW_KEYS = (
+    "sessionize_gap",
+    "win_keep_newest",
+    "topk_per_group",
+    "funnel_steps",
+)
+
+
+def build_zipf10_facts(spark, base_sf: str) -> str:
+    """10x-row tables with zipf-skewed WINDOW keys: events.user_id and
+    orders.o_custkey remapped through the heavy-tail draw over their
+    10x domains. The plain-sf0.1 first cut of this probe produced
+    sub-second tasks where skew cannot manifest (every arm <=0.6 s max
+    task); at 1M events the hot user owns ~300k rows in ONE window
+    partition vs ~31k typical — the shape the probe exists to
+    measure. Uniform comparison arm: build_sf1_facts' dir (same 10x
+    rows, offset-disjoint uniform keys)."""
+    root = os.path.join(tempfile.gettempdir(), "cbs_zipf10_probe")
+    os.makedirs(root, exist_ok=True)
+
+    def zipf_key(seed_col, n_keys):
+        u = (
+            F.pmod(F.xxhash64(seed_col), F.lit(1_000_000)).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+        return F.least(
+            F.lit(n_keys - 1),
+            (F.floor(F.pow(F.lit(float(n_keys)), u * u)) - F.lit(1)).cast(
+                "long"
+            ),
+        )
+
+    def tenfold(df, mutate):
+        copies = [mutate(df, i) for i in range(10)]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        return big.repartition(32)
+
+    out = os.path.join(root, "events.parquet")
+    if not os.path.exists(out):
+        ev = spark.read.parquet(f"{base_sf}/events.parquet")
+        n_users = 10 * (1 + ev.agg(F.max("user_id")).collect()[0][0])
+        tenfold(
+            ev,
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            ).withColumn("value", F.col("value") + F.lit(i * 1e-6)),
+        ).withColumn(
+            "user_id", zipf_key(F.xxhash64("event_id", "ts"), int(n_users))
+        ).write.mode("overwrite").parquet(out)
+    out = os.path.join(root, "orders.parquet")
+    if not os.path.exists(out):
+        o = spark.read.parquet(f"{base_sf}/orders.parquet")
+        n_cust = 10 * spark.read.parquet(
+            f"{base_sf}/customer.parquet"
+        ).count()
+        tenfold(
+            o,
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+            ),
+        ).withColumn(
+            "o_custkey", zipf_key(F.col("o_orderkey"), int(n_cust))
+        ).write.mode("overwrite").parquet(out)
+    sf1_root = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "documents", "embeddings"):
+        dst = os.path.join(root, f"{t}.parquet")
+        src = os.path.join(sf1_root, f"{t}.parquet")
+        if not os.path.exists(src):
+            src = os.path.join(base_sf, f"{t}.parquet")
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(src, dst)
+    return root
+
+
+def main_zipf_window() -> None:
+    """Skewed-key WINDOW/AGG probe (VERDICT r10 item 5): joins
+    broadcast away skew; windows cannot. Measure uniform vs zipf wall
+    AND max-task-duration for the four window/sessionize keys whose
+    exchanges partition on the skewed key, at 10x rows (1M events /
+    1.5M orders) where task times are large enough for skew to show.
+    Criterion: zipf wall <= 3x uniform; the max-task ratio is
+    recorded un-gated — it is the honest cost of a ~25%-hot key under
+    a partitioned window, and the number a salting/two-stage rewrite
+    would have to beat."""
+    base_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    from clickhousebackup_spark.registry import all_specs
+    from clickhousebackup_spark.session import get_spark
+
+    spark = get_spark("cbs-zipf-window-probe")
+    if not spark.sparkContext.uiWebUrl:
+        spark.stop()
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("cbs-zipf-window-probe")
+            .config("spark.ui.enabled", "true")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    build_sf1_facts(spark, base_sf)  # the uniform 10x arm
+    uniform_dir = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
+    zipf_dir = build_zipf10_facts(spark, base_sf)
+    ev = spark.read.parquet(f"{zipf_dir}/events.parquet")
+    n_ev = ev.count()
+    hot = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]
+    )
+    report: dict = {
+        "base_sf": base_sf,
+        "hot_user_share": round(hot["count"] / n_ev, 3),
+        "hot_user_rows": hot["count"],
+        "keys": {},
+    }
+
+    seen: set = set()
+
+    def run_one(k, sf):
+        nonlocal seen
+        # settle: absorb stages from setup so they don't pollute
+        _, seen = _stage_task_stats(spark, seen)
+        t0 = time.perf_counter()
+        rows = specs[k].fn(spark, sf).count()
+        wall = round(time.perf_counter() - t0, 2)
+        max_task, seen = _stage_task_stats(spark, seen)
+        return {"wall_s": wall, "rows": rows, "max_task_s": max_task}
+
+    for k in ZIPF_WINDOW_KEYS:
+        row = {
+            "uniform": run_one(k, uniform_dir),
+            "zipf": run_one(k, zipf_dir),
+        }
+        u, z = row["uniform"], row["zipf"]
+        row["wall_ratio"] = (
+            round(z["wall_s"] / u["wall_s"], 2) if u["wall_s"] > 0 else None
+        )
+        row["max_task_ratio"] = (
+            round(z["max_task_s"] / u["max_task_s"], 2)
+            if u["max_task_s"] and u["max_task_s"] > 0
+            else None
+        )
+        row["skew_ok"] = bool(row["wall_ratio"] and row["wall_ratio"] <= 3.0)
+        print(
+            f"# {k}: uniform {u['wall_s']}s/{u['max_task_s']}s-task, "
+            f"zipf {z['wall_s']}s/{z['max_task_s']}s-task "
+            f"(wall x{row['wall_ratio']}, task x{row['max_task_ratio']})",
+            file=sys.stderr,
+        )
+        report["keys"][k] = row
+    report["all_ok"] = all(v["skew_ok"] for v in report["keys"].values())
+    print(json.dumps(report))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--r9":
         main_r9()
@@ -710,5 +951,7 @@ if __name__ == "__main__":
         main_r9(R10B_KEYS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--zipf":
         main_zipf()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--zipf-window":
+        main_zipf_window()
     else:
         main()
