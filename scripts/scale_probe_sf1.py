@@ -699,41 +699,6 @@ def main() -> None:
     spark.stop()
 
 
-def build_zipf_events(spark, base_sf: str) -> str:
-    """Skewed-USER events for the round-11 window/agg probe (VERDICT
-    r10 item 5): user_id remapped through the same heavy-tail draw as
-    build_zipf_facts, so one user owns ~25% of all events. Joins can
-    broadcast their way out of reduce-side skew; windows and
-    sessionization CANNOT (the hot user's rows must land in one
-    partition of the window exchange), which is exactly the surface
-    this dir stresses. Replaces the uniform symlink inside the
-    cbs_zipf_probe dir with a real skewed file."""
-    root = build_zipf_facts(spark, base_sf)
-    out = os.path.join(root, "events.parquet")
-    if os.path.islink(out):
-        os.remove(out)
-    if not os.path.exists(out):
-        ev = spark.read.parquet(f"{base_sf}/events.parquet")
-        n_users = 1 + ev.agg(F.max("user_id")).collect()[0][0]
-
-        def zipf_key(seed_col, n_keys):
-            u = (
-                F.pmod(F.xxhash64(seed_col), F.lit(1_000_000)).cast("double")
-                + F.lit(0.5)
-            ) / F.lit(1_000_000.0)
-            return F.least(
-                F.lit(n_keys - 1),
-                (F.floor(F.pow(F.lit(float(n_keys)), u * u)) - F.lit(1)).cast(
-                    "long"
-                ),
-            )
-
-        ev.withColumn(
-            "user_id", zipf_key(F.xxhash64("event_id", "ts"), int(n_users))
-        ).repartition(32).write.mode("overwrite").parquet(out)
-    return root
-
-
 def _stage_task_stats(spark, seen: set) -> tuple:
     """(max single-task executorRunTime sec across stages NOT in
     ``seen``, updated seen-set) via the UI REST API taskSummary —
@@ -786,17 +751,17 @@ ZIPF_WINDOW_KEYS = (
 )
 
 
-def build_zipf10_facts(spark, base_sf: str) -> str:
-    """10x-row tables with zipf-skewed WINDOW keys: events.user_id and
-    orders.o_custkey remapped through the heavy-tail draw over their
-    10x domains. The plain-sf0.1 first cut of this probe produced
-    sub-second tasks where skew cannot manifest (every arm <=0.6 s max
-    task); at 1M events the hot user owns ~300k rows in ONE window
-    partition vs ~31k typical — the shape the probe exists to
-    measure. Uniform comparison arm: build_sf1_facts' dir (same 10x
-    rows, offset-disjoint uniform keys)."""
-    root = os.path.join(tempfile.gettempdir(), "cbs_zipf10_probe")
-    os.makedirs(root, exist_ok=True)
+def build_zipf_window_arms(spark, base_sf: str, mult: int) -> tuple:
+    """Two work-identical arms for the window-skew probe, at
+    ``mult``x the base rows: events and orders with UNIFORM keys
+    (per-copy offsets — every group small) vs ZIPF keys (heavy-tail
+    remap over the same mult-scaled domain — the hottest user/custkey
+    owns ~25-30% of all rows). Input bytes, row counts, and the
+    non-key columns are identical across arms, so any wall/max-task
+    delta is the key distribution and nothing else. The first cut of
+    this probe ran at 1x/10x where tasks stayed sub-second and
+    scan time drowned the signal; mult=100 (10M events) makes the hot
+    user's single window partition a multi-second sort."""
 
     def zipf_key(seed_col, n_keys):
         u = (
@@ -810,62 +775,78 @@ def build_zipf10_facts(spark, base_sf: str) -> str:
             ),
         )
 
-    def tenfold(df, mutate):
-        copies = [mutate(df, i) for i in range(10)]
+    def fold(df, mutate):
+        copies = [mutate(df, i) for i in range(mult)]
         big = copies[0]
         for c in copies[1:]:
             big = big.unionByName(c)
         return big.repartition(32)
 
-    out = os.path.join(root, "events.parquet")
-    if not os.path.exists(out):
-        ev = spark.read.parquet(f"{base_sf}/events.parquet")
-        n_users = 10 * (1 + ev.agg(F.max("user_id")).collect()[0][0])
-        tenfold(
-            ev,
-            lambda df, i: df.withColumn(
-                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
-            ).withColumn("value", F.col("value") + F.lit(i * 1e-6)),
-        ).withColumn(
-            "user_id", zipf_key(F.xxhash64("event_id", "ts"), int(n_users))
-        ).write.mode("overwrite").parquet(out)
-    out = os.path.join(root, "orders.parquet")
-    if not os.path.exists(out):
-        o = spark.read.parquet(f"{base_sf}/orders.parquet")
-        n_cust = 10 * spark.read.parquet(
-            f"{base_sf}/customer.parquet"
-        ).count()
-        tenfold(
-            o,
-            lambda df, i: df.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
-            ),
-        ).withColumn(
-            "o_custkey", zipf_key(F.col("o_orderkey"), int(n_cust))
-        ).write.mode("overwrite").parquet(out)
-    sf1_root = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "lineitem", "documents", "embeddings"):
-        dst = os.path.join(root, f"{t}.parquet")
-        src = os.path.join(sf1_root, f"{t}.parquet")
-        if not os.path.exists(src):
+    root = os.path.join(tempfile.gettempdir(), f"cbs_zipfwin_{mult}")
+    arms = {}
+    ev = spark.read.parquet(f"{base_sf}/events.parquet")
+    n_users = mult * (1 + ev.agg(F.max("user_id")).collect()[0][0])
+    o = spark.read.parquet(f"{base_sf}/orders.parquet")
+    n_cust = mult * spark.read.parquet(f"{base_sf}/customer.parquet").count()
+    for arm in ("uniform", "zipf"):
+        adir = os.path.join(root, arm)
+        os.makedirs(adir, exist_ok=True)
+        out = os.path.join(adir, "events.parquet")
+        if not os.path.exists(out):
+            big = fold(
+                ev,
+                lambda df, i: df.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+                ).withColumn("value", F.col("value") + F.lit(i * 1e-6))
+                .withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+                ),
+            )
+            if arm == "zipf":
+                big = big.withColumn(
+                    "user_id",
+                    zipf_key(F.xxhash64("event_id", "ts"), int(n_users)),
+                )
+            big.write.mode("overwrite").parquet(out)
+        out = os.path.join(adir, "orders.parquet")
+        if not os.path.exists(out):
+            big = fold(
+                o,
+                lambda df, i: df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000)
+                ),
+            )
+            if arm == "zipf":
+                big = big.withColumn(
+                    "o_custkey", zipf_key(F.col("o_orderkey"), int(n_cust))
+                )
+            big.write.mode("overwrite").parquet(out)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "lineitem", "documents", "embeddings"):
+            dst = os.path.join(adir, f"{t}.parquet")
             src = os.path.join(base_sf, f"{t}.parquet")
-        if not os.path.exists(dst) and os.path.exists(src):
-            os.symlink(src, dst)
-    return root
+            if not os.path.exists(dst) and os.path.exists(src):
+                os.symlink(src, dst)
+        arms[arm] = adir
+    return arms["uniform"], arms["zipf"]
 
 
 def main_zipf_window() -> None:
     """Skewed-key WINDOW/AGG probe (VERDICT r10 item 5): joins
-    broadcast away skew; windows cannot. Measure uniform vs zipf wall
-    AND max-task-duration for the four window/sessionize keys whose
-    exchanges partition on the skewed key, at 10x rows (1M events /
-    1.5M orders) where task times are large enough for skew to show.
-    Criterion: zipf wall <= 3x uniform; the max-task ratio is
-    recorded un-gated — it is the honest cost of a ~25%-hot key under
-    a partitioned window, and the number a salting/two-stage rewrite
-    would have to beat."""
+    broadcast away skew and aggregations absorb it in map-side
+    partials, but a partitioned window/sessionization must ship every
+    row of the hot key to ONE task — AQE has no skew rewrite for
+    windows. Measure uniform vs zipf wall AND max-task-duration for
+    the four keys whose exchanges partition on the skewed key, over
+    work-identical 100x arms (10M events / 15M orders). Criterion:
+    zipf wall <= 3x uniform; the max-task ratio is recorded un-gated —
+    it is the honest cost of a ~25%-hot key under a partitioned
+    window, and the number a salting/two-stage rewrite would have to
+    beat."""
     base_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     from pyspark.sql import SparkSession
 
     from clickhousebackup_spark.registry import all_specs
@@ -880,14 +861,12 @@ def main_zipf_window() -> None:
             .config("spark.ui.enabled", "true")
             .config("spark.sql.shuffle.partitions", "32")
             .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.driver.memory", "8g")
+            .config("spark.driver.memory", "16g")
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
-    build_sf1_facts(spark, base_sf)  # the uniform 10x arm
-    uniform_dir = os.path.join(tempfile.gettempdir(), "cbs_sf1_probe")
-    zipf_dir = build_zipf10_facts(spark, base_sf)
+    uniform_dir, zipf_dir = build_zipf_window_arms(spark, base_sf, mult)
     ev = spark.read.parquet(f"{zipf_dir}/events.parquet")
     n_ev = ev.count()
     hot = (
@@ -896,6 +875,8 @@ def main_zipf_window() -> None:
     )
     report: dict = {
         "base_sf": base_sf,
+        "mult": mult,
+        "n_events": n_ev,
         "hot_user_share": round(hot["count"] / n_ev, 3),
         "hot_user_rows": hot["count"],
         "keys": {},
