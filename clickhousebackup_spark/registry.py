@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics10",
     "clickhousebackup_spark.operators.analytics11",
     "clickhousebackup_spark.operators.analytics12",
+    "clickhousebackup_spark.operators.analytics13",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -184,6 +185,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "emb_label_centroids",
     "hash_funcs",
+    # -- round-11 additions (operators/analytics13.py): past the
+    # 50-slot window, DEFERRED to lead the round-12 queue;
+    # exact-verified at three scales this session (PLANS_r11).
+    "stats_kruskal_wallis",
+    "orders_abc_analysis",
+    "text_tfidf_topk",
+    "ts_rolling_slope",
+    "win_groups_frame_emulated",
+    "events_peak_hour",
 )
 
 

@@ -81,6 +81,7 @@ NLJ_ALLOWED: dict[str, int] = {
     "text_zipf_fit": 1,           # 1-row top-20 fit frame
     "seq_edit_distance": 1,       # 1-row modal-reference frame
     "sketch_countmin_freq": 1,    # 1-row grand-total frame
+    "stats_kruskal_wallis": 1,    # 1-row tie-sum frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,
@@ -114,6 +115,9 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     "seq_gaps_islands": 2,          # two distrank offset tables
     "stats_wilcoxon_signed": 1,     # distrank offsets (|d| histogram)
     "ts_period_detect": 1,          # dominant rank over 3 arm rows
+    "orders_abc_analysis": 2,       # offsets + totals (distrank scan)
+    "stats_kruskal_wallis": 1,      # offsets (distrank cumsum over
+    #                                 the distinct-value table)
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

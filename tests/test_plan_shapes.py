@@ -953,3 +953,32 @@ def test_r10_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R11_PLAN_BUDGET = {
+    "stats_kruskal_wallis": (5, 2, True),   # value agg + range scan +
+    # (value,type) agg + vr join (bcast) + group agg; NLJ = 1-row tie
+    # frame
+    "orders_abc_analysis": (2, 1, False),   # customer agg + distrank
+    # range exchange; offsets join broadcasts
+    "text_tfidf_topk": (4, 1, False),       # tf agg + df agg (bcast
+    # joined back) + doc_id window
+    "ts_rolling_slope": (1, 0, False),      # ONE user_id exchange
+    # feeding row_number + all four frame sums
+    "win_groups_frame_emulated": (2, 1, False),  # day agg + day-grain
+    # window; broadcast join back to rows
+    "events_peak_hour": (2, 0, False),      # (type,hour) agg +
+    # type-level max_by agg
+}
+
+
+@pytest.mark.parametrize("key", sorted(R11_PLAN_BUDGET))
+def test_r11_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R11_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -94,10 +94,18 @@ REFRESH: set[str] = {
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
 #: Round 11 promoted the eight round-10 DEFERRED keys into window
-#: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills, so
-#: nothing overflows: every registered key has either a green driver
-#: row (CORRECTNESS_r01-r10) or a window slot this round.
-DEFERRED: set[str] = set()
+#: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills;
+#: the six round-11 additions (operators/analytics13.py) overflow the
+#: full window and lead the round-12 queue, exact-verified at three
+#: scales meanwhile (PLANS_r11).
+DEFERRED: set[str] = {
+    "stats_kruskal_wallis",
+    "orders_abc_analysis",
+    "text_tfidf_topk",
+    "ts_rolling_slope",
+    "win_groups_frame_emulated",
+    "events_peak_hour",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
