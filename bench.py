@@ -217,7 +217,14 @@ def main() -> None:
                 "methodology": "warm min-of-3 after JIT warmup; "
                 "first_run_* = per-query cold first run (r1-r5 "
                 "rounds were effectively cold — compare those "
-                "against first_run_total)",
+                "against first_run_total). Regression bench for the "
+                "~455 non-headline keys: scripts/driver_sim.py "
+                "--shards=N --emit-json=SWEEP.json records per-key "
+                "engine_wall (Spark plan+execution) split from "
+                "oracle_wall (DuckDB+compare) — diff engine_wall "
+                "against the committed SWEEP_r{N}[_sf01].json to "
+                "catch scale regressions bench.py's headline set "
+                "would miss",
                 "extra_queries": extra,
                 "overhead": {
                     "import_sec": round(import_sec, 3),
