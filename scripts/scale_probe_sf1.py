@@ -423,6 +423,19 @@ R10B_KEYS = (
 )
 
 
+R11_KEYS = (
+    # round-11 additions (operators/analytics13.py): events-scaled
+    # rank/window/agg keys, the orders-scaled ABC scan, and the
+    # documents-scaled TF-IDF extraction
+    "stats_kruskal_wallis",
+    "orders_abc_analysis",
+    "text_tfidf_topk",
+    "ts_rolling_slope",
+    "win_groups_frame_emulated",
+    "events_peak_hour",
+)
+
+
 def main_r9(probe_keys: tuple = R9_KEYS) -> None:
     base_sf = (
         sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -930,6 +943,8 @@ if __name__ == "__main__":
         main_r9(R10_KEYS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--r10b":
         main_r9(R10B_KEYS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r11":
+        main_r9(R11_KEYS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--zipf":
         main_zipf()
     elif len(sys.argv) > 1 and sys.argv[1] == "--zipf-window":
