@@ -38,7 +38,9 @@ def test_covariance_matches_numpy_on_the_grid(spark, sf_dir):
         sx, sy = int(sum(qg)), int(sum(pg))
         sxy = int(sum(a * b for a, b in zip(qg, pg)))
         r = got[flag]
-        assert (r["n"], r["sx"], r["sy"]) == (n, sx, sy)
+        # sx/sy/sxy are VARCHAR (DECIMAL(38,0) escape hatch — all
+        # three moments can pass int64 at cluster scale, ADVICE r10)
+        assert (r["n"], int(r["sx"]), int(r["sy"])) == (n, sx, sy)
         assert int(r["sxy"]) == sxy
         # same expression tree over the same exact integers
         want = (float(sxy) - float(sx) * float(sy) / n) / n
