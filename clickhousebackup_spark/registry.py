@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics11",
     "clickhousebackup_spark.operators.analytics12",
     "clickhousebackup_spark.operators.analytics13",
+    "clickhousebackup_spark.operators.analytics14",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -185,8 +186,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "emb_label_centroids",
     "hash_funcs",
-    # -- round-11 additions (operators/analytics13.py): past the
-    # 50-slot window, DEFERRED to lead the round-12 queue;
+    # -- round-11 additions (operators/analytics13.py + analytics14.py):
+    # past the 50-slot window, DEFERRED to lead the round-12 queue;
     # exact-verified at three scales this session (PLANS_r11).
     "stats_kruskal_wallis",
     "orders_abc_analysis",
@@ -194,6 +195,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "ts_rolling_slope",
     "win_groups_frame_emulated",
     "events_peak_hour",
+    "orders_seasonal_index",
+    "scan_minmax_pruned",
+    "dq_orders_lineitem_reconcile",
+    "lineitem_revenue_waterfall",
+    "stats_permutation_test_hash",
+    "path_transition_lift",
 )
 
 

@@ -433,6 +433,13 @@ R11_KEYS = (
     "ts_rolling_slope",
     "win_groups_frame_emulated",
     "events_peak_hour",
+    # batch 2 (operators/analytics14.py)
+    "orders_seasonal_index",
+    "scan_minmax_pruned",
+    "dq_orders_lineitem_reconcile",
+    "lineitem_revenue_waterfall",
+    "stats_permutation_test_hash",
+    "path_transition_lift",
 )
 
 

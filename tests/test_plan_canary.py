@@ -82,6 +82,9 @@ NLJ_ALLOWED: dict[str, int] = {
     "seq_edit_distance": 1,       # 1-row modal-reference frame
     "sketch_countmin_freq": 1,    # 1-row grand-total frame
     "stats_kruskal_wallis": 1,    # 1-row tie-sum frame
+    "orders_seasonal_index": 1,   # 1-row grand-total frame
+    "dq_orders_lineitem_reconcile": 1,  # 1-row orphan-count frame
+    "stats_permutation_test_hash": 1,   # 1-row observed-stat frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,
@@ -118,6 +121,8 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     "orders_abc_analysis": 2,       # offsets + totals (distrank scan)
     "stats_kruskal_wallis": 1,      # offsets (distrank cumsum over
     #                                 the distinct-value table)
+    "path_transition_lift": 1,      # grand-total window over the
+    #                                 |types|^2-bounded transition matrix
 }
 
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}

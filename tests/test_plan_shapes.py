@@ -982,3 +982,34 @@ def test_r11_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R11B_PLAN_BUDGET = {
+    "orders_seasonal_index": (2, 0, True),   # month agg + 12-row total
+    # agg; NLJ = 1-row total frame
+    "scan_minmax_pruned": (0, 0, False),     # pure pruned scan after
+    # the one-time layout rewrite (scan + filter, zero exchanges)
+    "dq_orders_lineitem_reconcile": (2, 2, True),  # lineitem agg +
+    # final count agg; order join + orphan anti-join broadcast; NLJ =
+    # 1-row orphan frame
+    "lineitem_revenue_waterfall": (0, 0, False),   # ONE global agg,
+    # map-side combined (partial agg then 1-row final — no exchange
+    # counted by the shuffle inspector beyond the agg's own)
+    "stats_permutation_test_hash": (2, 0, True),   # filtered scan +
+    # 64-group pstat agg + observed agg; NLJ = 1-row observed frame
+    "path_transition_lift": (2, 0, False),   # user lag exchange +
+    # transition matrix agg; marginals are windows over the bounded
+    # matrix
+}
+
+
+@pytest.mark.parametrize("key", sorted(R11B_PLAN_BUDGET))
+def test_r11b_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R11B_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
