@@ -82,6 +82,13 @@ EXTRA = (
     "scan_dpp_join",
     "url_canonical_dedup",
     "emb_kmeans",
+    # round-11 flagships
+    "stats_kruskal_wallis",
+    "text_tfidf_topk",
+    "ts_rolling_slope",
+    "scan_minmax_pruned",
+    "dq_orders_lineitem_reconcile",
+    "stats_permutation_test_hash",
 )
 
 
