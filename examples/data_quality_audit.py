@@ -83,6 +83,15 @@ def main() -> None:
     anom = vol.filter(F.col("anomaly") == 1).count()
     print(f"8. volume: {vol.count()} day-type cells, {anom} anomalous")
 
+    rec = q["dq_orders_lineitem_reconcile"](spark, SF).collect()[0]
+    print(
+        f"9. orders<->lineitem reconcile: {rec['n_exact']} exact, "
+        f"{rec['n_within_1pct']} within 1%, {rec['n_beyond_1pct']} "
+        f"beyond, {rec['n_orders_no_lines']} no-lines, "
+        f"{rec['n_orphan_lines']} orphan lines (synthetic fixture: "
+        f"totals are independent draws, so mismatches are expected)"
+    )
+
     verdict = "PUBLISH" if (bad == 0 and dup_keys == 0) else "HOLD"
     print(f"== audit verdict: {verdict} ==")
     spark.stop()
