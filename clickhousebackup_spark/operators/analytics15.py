@@ -1,0 +1,324 @@
+"""Round-11 additions, batch 3: Welch's heteroscedastic ANOVA,
+rolling 7-day active users, EXCLUDE window frames, and the
+ClickHouse -If combinator matrix.
+
+Reference anchor: the reference (backup.sh:38-45) delegates every
+query to ClickHouse; these map the next parity ring — the unequal-
+variance sibling of ``stats_anova_oneway`` (ClickHouse ships the
+equal-variance form; Welch is what practitioners actually need), the
+WAU/rolling-actives report every product dashboard runs, ANSI window
+EXCLUDE CURRENT ROW (Spark has no EXCLUDE — emulated, and the oracle
+cross-checks against DuckDB's NATIVE EXCLUDE), and the -If
+aggregate-combinator family (countIf/sumIf/avgIf/uniqIf/minIf-OrNull)
+beside agg_combinators / agg_combinators_ornull / agg_filter_where.
+
+House conventions throughout: decimal-exact moments, ordered folds
+for order-sensitive cross-group reductions, bounded explodes instead
+of range joins, integer cents grids, NULL guards mirrored in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "stats_welch_anova",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2
+            FROM events GROUP BY event_type
+        ), w AS (
+            SELECT event_type, n_g,
+                   s1 / n_g AS m,
+                   CAST(n_g AS DOUBLE)
+                       / ((s2 - (s1 / n_g) * s1) / (n_g - 1.0)) AS wj
+            FROM g WHERE n_g > 1
+        ), t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(wj ORDER BY event_type)), (a, b) -> a + b)
+                       AS w_sum,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(wj * m ORDER BY event_type)), (a, b) -> a + b)
+                       AS wm_sum
+            FROM w
+        ), e AS (
+            SELECT t.k, t.w_sum, t.wm_sum,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(wj * ((m - t.wm_sum / t.w_sum)
+                                  * (m - t.wm_sum / t.w_sum))
+                            ORDER BY event_type)), (a, b) -> a + b)
+                       AS between_w,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(((1.0 - wj / t.w_sum)
+                             * (1.0 - wj / t.w_sum))
+                            / (n_g - 1.0)
+                            ORDER BY event_type)), (a, b) -> a + b)
+                       AS lam_sum
+            FROM w CROSS JOIN t
+            GROUP BY t.k, t.w_sum, t.wm_sum
+        )
+        SELECT k, w_sum AS weight_sum,
+               (between_w / (CAST(k AS DOUBLE) - 1.0))
+                   / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                      * lam_sum) AS f_welch,
+               (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                   / (3.0 * lam_sum) AS df2_welch
+        FROM e
+    """,
+    doc="Welch's heteroscedastic one-way ANOVA of events.value "
+    "across event types — the unequal-variance sibling of "
+    "stats_anova_oneway (and the k-group generalization of "
+    "stats_welch_ttest): per-group weights w_j = n_j / s_j^2 from "
+    "decimal-exact moments, weighted grand mean, F* = "
+    "[Σw(m-m̄w)²/(k-1)] / [1 + 2(k-2)/(k²-1)·Λ] and the "
+    "Welch-Satterthwaite df2 = (k²-1)/(3Λ) with "
+    "Λ = Σ(1-w/W)²/(n-1). EVERY cross-group sum (W, Σwm, the "
+    "between term, Λ) is an explicit event_type-ordered fold "
+    "mirrored by DuckDB list_reduce — four order-sensitive double "
+    "reductions, zero engine-native double aggregation. Groups of "
+    "size 1 are excluded in both engines (their weight is "
+    "undefined). Plan: one map-side-combined moment agg to k rows, "
+    "then k-row folds; no second data pass.",
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(v.cast(DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+    )
+    m = F.col("s1") / F.col("n_g")
+    wj = F.col("n_g").cast("double") / (
+        (F.col("s2") - m * F.col("s1")) / (F.col("n_g") - F.lit(1.0))
+    )
+    w = g.filter(F.col("n_g") > 1).select(
+        "event_type", "n_g", m.alias("m"), wj.alias("wj")
+    )
+
+    def fold(term_col):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("event_type"), term_col.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        )
+
+    t = w.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        fold(F.col("wj")).alias("w_sum"),
+        fold(F.col("wj") * F.col("m")).alias("wm_sum"),
+    )
+    e2 = (
+        w.crossJoin(F.broadcast(t))
+        .groupBy("k", "w_sum", "wm_sum")
+        .agg(
+            fold(
+                F.col("wj")
+                * (
+                    (F.col("m") - F.col("wm_sum") / F.col("w_sum"))
+                    * (F.col("m") - F.col("wm_sum") / F.col("w_sum"))
+                )
+            ).alias("between_w"),
+            fold(
+                (
+                    (F.lit(1.0) - F.col("wj") / F.col("w_sum"))
+                    * (F.lit(1.0) - F.col("wj") / F.col("w_sum"))
+                )
+                / (F.col("n_g") - F.lit(1.0))
+            ).alias("lam_sum"),
+        )
+    )
+    k_d = F.col("k").cast("double")
+    return e2.select(
+        "k",
+        F.col("w_sum").alias("weight_sum"),
+        (
+            (F.col("between_w") / (k_d - F.lit(1.0)))
+            / (
+                F.lit(1.0)
+                + F.lit(2.0)
+                * (k_d - F.lit(2.0))
+                / (k_d * k_d - F.lit(1.0))
+                * F.col("lam_sum")
+            )
+        ).alias("f_welch"),
+        ((k_d * k_d - F.lit(1.0)) / (F.lit(3.0) * F.col("lam_sum"))).alias(
+            "df2_welch"
+        ),
+    )
+
+
+@register(
+    "events_wau_rolling",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), mx AS (
+            SELECT MAX(day) AS max_day FROM du
+        ), span AS (
+            SELECT du.user_id, du.day + CAST(i AS INTEGER) AS wday
+            FROM du, unnest(range(0, 7)) u(i)
+        )
+        SELECT strftime(wday, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM span CROSS JOIN mx
+        WHERE wday <= mx.max_day
+        GROUP BY wday
+    """,
+    doc="Rolling 7-day active users per calendar day (the WAU curve "
+    "every product dashboard plots; ClickHouse does it with "
+    "uniqExactMerge over daily states): a rolling DISTINCT cannot "
+    "ride a window frame, so each (user, active-day) pair is "
+    "exploded into the <=7 window days it contributes to — a "
+    "CONSTANT fan-out (map-side, linear in pairs), never a day-range "
+    "join or a per-day rescan — then one COUNT(DISTINCT user) per "
+    "window day, clipped at the corpus max day (1-row broadcast "
+    "frame). The day-user distinct is the only row-scaled stage; at "
+    "any scale this is explode(7) + two-phase distinct agg — the "
+    "mergeable-sketch shape (swap in HLL partials for approximate "
+    "mode at 100 TB, the agg_hll_merge pattern).",
+)
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    mx = du.agg(F.max("day").alias("max_day"))
+    span = du.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("wday"),
+    )
+    return (
+        span.crossJoin(F.broadcast(mx))
+        .filter(F.col("wday") <= F.col("max_day"))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+@register(
+    "win_frame_exclude_current",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(SUM(CAST(FLOOR(100.0 * value) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents
+        FROM events
+    """,
+    doc="ANSI window frame EXCLUDE CURRENT ROW (ClickHouse and "
+    "DuckDB implement it; Spark does not): each event's value-cents "
+    "sum over its 2-before/2-after neighbors, EXCLUDING itself — "
+    "the leave-one-out neighborhood behind peer-comparison and "
+    "local-anomaly scores. Spark emulation: full-frame sum minus "
+    "the current row's cents (exact integer identity — EXCLUDE "
+    "CURRENT ROW == frame − self for SUM). The ORACLE uses "
+    "DuckDB's NATIVE EXCLUDE clause, so the driver hash checks the "
+    "emulation against a real implementation, not a restatement "
+    "(win_groups_frame_emulated precedent; note SUM over an empty "
+    "exclusion frame is NULL in both engines only when the "
+    "partition has a single row — both sides then yield NULL "
+    "because the remaining frame is empty). One event_type "
+    "exchange; the frame sum is O(1) per row sliding.",
+)
+def win_frame_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.lit(100.0) * F.col("value")).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame_sum = F.sum(cents).over(w)
+    n_frame = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.when(n_frame > 1, (frame_sum - cents).cast("long")).alias(
+            "neighbor_cents"
+        ),
+    )
+
+
+@register(
+    "agg_combinators_if_matrix",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE value > 500.0) AS BIGINT)
+                   AS count_if_hi,
+               CAST(SUM(CAST(FLOOR(100.0 * value) AS BIGINT))
+                    FILTER (WHERE value > 500.0) AS BIGINT)
+                   AS sum_cents_if_hi,
+               CASE WHEN COUNT(*) FILTER (WHERE value > 500.0) > 0
+                    THEN CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                              FILTER (WHERE value > 500.0) AS DOUBLE)
+                         / CAST(COUNT(*) FILTER (WHERE value > 500.0)
+                                AS DOUBLE)
+               END AS avg_if_hi,
+               CAST(COUNT(DISTINCT user_id)
+                    FILTER (WHERE value > 500.0) AS BIGINT)
+                   AS uniq_if_hi,
+               CAST(MIN(CAST(FLOOR(100.0 * value) AS BIGINT))
+                    FILTER (WHERE value > 900.0) AS BIGINT)
+                   AS min_cents_if_very_hi_ornull,
+               CAST(MAX(CAST(FLOOR(100.0 * value) AS BIGINT))
+                    FILTER (WHERE value > 900.0) AS BIGINT)
+                   AS max_cents_if_very_hi_ornull
+        FROM events GROUP BY event_type
+    """,
+    doc="The ClickHouse -If aggregate-combinator matrix (countIf / "
+    "sumIf / avgIf / uniqExactIf / minIfOrNull / maxIfOrNull) in one "
+    "hash aggregate — the conditional-aggregation idiom beside "
+    "agg_combinators (-State/-Merge), agg_combinators_ornull and "
+    "agg_filter_where: every branch is a FILTER/conditional inside "
+    "ONE grouped pass, never a self-join per condition. Exactness: "
+    "counts and cents are integers, avgIf is a decimal-exact sum "
+    "over one identical count division (NULL-guarded empty group), "
+    "min/max on the stricter predicate yield NULL when no row "
+    "qualifies — the -OrNull behavior, exercised live because the "
+    "900 threshold empties for some types. Map-side combined; the "
+    "COUNT(DISTINCT) is the only two-phase expansion.",
+)
+def agg_combinators_if_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    hi = v > F.lit(500.0)
+    very_hi = v > F.lit(900.0)
+    cents = F.floor(F.lit(100.0) * v).cast("long")
+    cnt_hi = F.count(F.when(hi, 1))
+    return e.groupBy("event_type").agg(
+        cnt_hi.cast("long").alias("count_if_hi"),
+        F.sum(F.when(hi, cents)).cast("long").alias("sum_cents_if_hi"),
+        F.when(
+            cnt_hi > 0,
+            F.sum(F.when(hi, v.cast(DEC))).cast("double")
+            / cnt_hi.cast("double"),
+        ).alias("avg_if_hi"),
+        F.countDistinct(F.when(hi, F.col("user_id")))
+        .cast("long")
+        .alias("uniq_if_hi"),
+        F.min(F.when(very_hi, cents))
+        .cast("long")
+        .alias("min_cents_if_very_hi_ornull"),
+        F.max(F.when(very_hi, cents))
+        .cast("long")
+        .alias("max_cents_if_very_hi_ornull"),
+    )

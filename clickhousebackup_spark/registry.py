@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics12",
     "clickhousebackup_spark.operators.analytics13",
     "clickhousebackup_spark.operators.analytics14",
+    "clickhousebackup_spark.operators.analytics15",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -201,6 +202,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "lineitem_revenue_waterfall",
     "stats_permutation_test_hash",
     "path_transition_lift",
+    "stats_welch_anova",
+    "events_wau_rolling",
+    "win_frame_exclude_current",
+    "agg_combinators_if_matrix",
 )
 
 

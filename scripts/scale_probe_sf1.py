@@ -440,6 +440,11 @@ R11_KEYS = (
     "lineitem_revenue_waterfall",
     "stats_permutation_test_hash",
     "path_transition_lift",
+    # batch 3 (operators/analytics15.py)
+    "stats_welch_anova",
+    "events_wau_rolling",
+    "win_frame_exclude_current",
+    "agg_combinators_if_matrix",
 )
 
 

@@ -1,0 +1,143 @@
+"""Round-11 batch-3 additions (operators/analytics15.py):
+registered+oracled coverage, rerun stability, non-vacuous evidence,
+and crafted-fixture proofs — the k=2 Welch-ANOVA/Welch-t identity,
+WAU window membership and max-day clipping, the EXCLUDE frame's
+single-row-partition NULL, and the -If matrix's live OrNull branch.
+
+Same contract as test_determinism_r5-r13; the keys sit at the tail
+of ``registry._CHECK_PRIORITY`` (round-12 queue, DEFERRED).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from clickhousebackup_spark.registry import all_specs
+
+from .compare import _norm
+
+R14_QUEUE_KEYS = [
+    "stats_welch_anova",
+    "events_wau_rolling",
+    "win_frame_exclude_current",
+    "agg_combinators_if_matrix",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(_norm(r[c]) for c in cols) for r in df.collect()], key=repr
+    )
+
+
+def test_r14_queue_keys_cover_the_round():
+    specs = all_specs()
+    missing = [k for k in R14_QUEUE_KEYS if k not in specs]
+    assert not missing, missing
+    for k in R14_QUEUE_KEYS:
+        assert specs[k].oracle is not None, f"{k} must be oracled"
+
+
+def test_r14_queue_keys_nonvacuous(spark, sf_dir):
+    for k in R14_QUEUE_KEYS:
+        assert all_specs()[k].fn(spark, sf_dir).count() > 0, k
+
+
+@pytest.mark.parametrize("key", R14_QUEUE_KEYS)
+def test_rerun_stable(spark, sf_dir, key):
+    fn = all_specs()[key].fn
+    assert _rows(fn(spark, sf_dir)) == _rows(fn(spark, sf_dir))
+
+
+def _events_dir(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_welch_anova_k2_equals_welch_t_squared(spark, tmp_path):
+    """For exactly two groups, Welch's F must equal the square of
+    Welch's t statistic (textbook identity), and a singleton group
+    must be excluded from k."""
+    ts = datetime(2024, 1, 1)
+    rows = (
+        [(i, ts, 1, "a", float(v), "") for i, v in enumerate([1, 2, 3, 4, 10])]
+        + [(10 + i, ts, 1, "b", float(v), "") for i, v in enumerate([5, 6, 9])]
+        + [(99, ts, 1, "solo", 7.0, "")]  # n=1: weight undefined, dropped
+    )
+    d = _events_dir(spark, tmp_path, rows)
+    out = all_specs()["stats_welch_anova"].fn(spark, d).collect()[0]
+    assert out["k"] == 2
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [5.0, 6.0, 9.0]
+
+    def mv(x):
+        n = len(x)
+        m = sum(x) / n
+        s2 = sum((v - m) ** 2 for v in x) / (n - 1)
+        return n, m, s2
+
+    na, ma, sa = mv(a)
+    nb, mb, sb = mv(b)
+    t2 = (ma - mb) ** 2 / (sa / na + sb / nb)
+    assert out["f_welch"] == pytest.approx(t2, rel=1e-12)
+
+
+def test_wau_membership_and_clipping(spark, tmp_path):
+    """User active on day D contributes to windows D..D+6, clipped at
+    the corpus max day."""
+    rows = [
+        (1, datetime(2024, 1, 1), 10, "t", 1.0, ""),
+        (2, datetime(2024, 1, 5), 20, "t", 1.0, ""),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {
+        r["day"]: r["wau"]
+        for r in all_specs()["events_wau_rolling"].fn(spark, d).collect()
+    }
+    # max day is Jan 5: windows beyond it are clipped
+    assert set(out) == {f"2024-01-0{i}" for i in range(1, 6)}
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-04"] == 1
+    assert out["2024-01-05"] == 2  # user 10 (Jan 1 + <=6d) and user 20
+
+
+def test_exclude_frame_null_on_single_row_partition(spark, tmp_path):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "solo", 3.0, ""),
+        (2, datetime(2024, 1, 1, 0, 0), 1, "pair", 1.0, ""),
+        (3, datetime(2024, 1, 1, 0, 1), 1, "pair", 2.0, ""),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r["neighbor_cents"]
+        for r in all_specs()["win_frame_exclude_current"].fn(spark, d).collect()
+    }
+    assert out[1] is None  # empty exclusion frame
+    assert out[2] == 200 and out[3] == 100
+
+
+def test_if_matrix_ornull_branch_fires(spark, tmp_path):
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "hi", 950.0, ""),
+        (2, datetime(2024, 1, 1), 2, "hi", 600.0, ""),
+        (3, datetime(2024, 1, 1), 3, "lo", 100.0, ""),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in all_specs()["agg_combinators_if_matrix"].fn(spark, d).collect()
+    }
+    hi = out["hi"]
+    assert hi["count_if_hi"] == 2 and hi["uniq_if_hi"] == 2
+    assert hi["min_cents_if_very_hi_ornull"] == 95000
+    lo = out["lo"]
+    assert lo["count_if_hi"] == 0
+    assert lo["avg_if_hi"] is None
+    assert lo["min_cents_if_very_hi_ornull"] is None  # OrNull live

@@ -85,6 +85,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "orders_seasonal_index": 1,   # 1-row grand-total frame
     "dq_orders_lineitem_reconcile": 1,  # 1-row orphan-count frame
     "stats_permutation_test_hash": 1,   # 1-row observed-stat frame
+    "stats_welch_anova": 1,       # 1-row weight-totals frame
+    "events_wau_rolling": 1,      # 1-row max-day clip frame
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

@@ -1013,3 +1013,27 @@ def test_r11b_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R11C_PLAN_BUDGET = {
+    "stats_welch_anova": (3, 0, True),       # moment agg + two k-row
+    # fold aggs; NLJ = 1-row weight-totals frame
+    "events_wau_rolling": (3, 0, True),      # day-user distinct +
+    # distinct-user expand + day agg; NLJ = 1-row max-day clip
+    "win_frame_exclude_current": (1, 0, False),  # ONE event_type
+    # exchange; sliding frame sums
+    "agg_combinators_if_matrix": (2, 0, False),  # grouped agg + the
+    # COUNT(DISTINCT) two-phase expand
+}
+
+
+@pytest.mark.parametrize("key", sorted(R11C_PLAN_BUDGET))
+def test_r11c_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R11C_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1,0 +1,119 @@
+"""Third-engine pins for the round-11 batch-3 keys (numpy/pandas/
+pure-Python recomputation over the same parquet bytes at sf0.001)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from clickhousebackup_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _pd(sf_dir, table):
+    return pd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def test_welch_anova_matches_pure_python(spark, sf_dir):
+    out = SPECS["stats_welch_anova"].fn(spark, sf_dir).collect()[0]
+    ev = _pd(sf_dir, "events")
+    groups = {
+        t: g["value"].to_numpy(np.float64)
+        for t, g in ev.groupby("event_type")
+        if len(g) > 1
+    }
+    w, m, n = {}, {}, {}
+    for t, x in groups.items():
+        n[t] = len(x)
+        m[t] = float(x.sum()) / n[t]
+        s2 = float(((x - m[t]) ** 2).sum()) / (n[t] - 1)
+        w[t] = n[t] / s2
+    k = len(groups)
+    W = sum(w.values())
+    mw = sum(w[t] * m[t] for t in groups) / W
+    between = sum(w[t] * (m[t] - mw) ** 2 for t in groups)
+    lam = sum((1 - w[t] / W) ** 2 / (n[t] - 1) for t in groups)
+    f = (between / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    assert out["k"] == k
+    assert out["weight_sum"] == pytest.approx(W, rel=1e-9)
+    assert out["f_welch"] == pytest.approx(f, rel=1e-9)
+    assert out["df2_welch"] == pytest.approx(df2, rel=1e-9)
+
+
+import pytest  # noqa: E402  (used in approx above)
+
+
+def test_wau_matches_pandas(spark, sf_dir):
+    got = {
+        r["day"]: r["wau"]
+        for r in SPECS["events_wau_rolling"].fn(spark, sf_dir).collect()
+    }
+    ev = _pd(sf_dir, "events")
+    ev["day"] = ev["ts"].dt.normalize()
+    du = ev[["user_id", "day"]].drop_duplicates()
+    max_day = du["day"].max()
+    want = defaultdict(set)
+    for _, r in du.iterrows():
+        for i in range(7):
+            wd = r["day"] + pd.Timedelta(days=i)
+            if wd <= max_day:
+                want[wd.strftime("%Y-%m-%d")].add(r["user_id"])
+    assert got == {d: len(s) for d, s in want.items()}
+
+
+def test_exclude_frame_matches_pandas(spark, sf_dir):
+    got = {
+        r["event_id"]: r["neighbor_cents"]
+        for r in SPECS["win_frame_exclude_current"].fn(spark, sf_dir).collect()
+    }
+    ev = _pd(sf_dir, "events").sort_values(["event_type", "ts", "event_id"])
+    ev["cents"] = np.floor(100.0 * ev["value"].to_numpy(np.float64)).astype(
+        np.int64
+    )
+    for _, g in ev.groupby("event_type"):
+        cents = g["cents"].tolist()
+        ids = g["event_id"].tolist()
+        for i, eid in enumerate(ids):
+            lo, hi = max(0, i - 2), min(len(cents), i + 3)
+            neigh = sum(cents[lo:hi]) - cents[i]
+            if hi - lo <= 1:
+                assert got[eid] is None
+            else:
+                assert got[eid] == neigh
+
+
+def test_if_matrix_matches_pandas(spark, sf_dir):
+    got = {
+        r["event_type"]: r
+        for r in SPECS["agg_combinators_if_matrix"].fn(spark, sf_dir).collect()
+    }
+    ev = _pd(sf_dir, "events")
+    ev["cents"] = np.floor(100.0 * ev["value"].to_numpy(np.float64)).astype(
+        np.int64
+    )
+    for t, g in ev.groupby("event_type"):
+        hi = g[g["value"] > 500.0]
+        very = g[g["value"] > 900.0]
+        r = got[t]
+        assert r["count_if_hi"] == len(hi)
+        assert r["sum_cents_if_hi"] == (
+            int(hi["cents"].sum()) if len(hi) else None
+        )
+        assert r["uniq_if_hi"] == hi["user_id"].nunique()
+        if len(hi):
+            assert r["avg_if_hi"] == pytest.approx(
+                float(hi["value"].sum()) / len(hi), rel=1e-9
+            )
+        else:
+            assert r["avg_if_hi"] is None
+        assert r["min_cents_if_very_hi_ornull"] == (
+            int(very["cents"].min()) if len(very) else None
+        )
+        assert r["max_cents_if_very_hi_ornull"] == (
+            int(very["cents"].max()) if len(very) else None
+        )

@@ -95,9 +95,9 @@ REFRESH: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 11 promoted the eight round-10 DEFERRED keys into window
 #: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills;
-#: the twelve round-11 additions (operators/analytics13.py +
-#: analytics14.py) overflow the full window and lead the round-12
-#: queue, exact-verified at three scales meanwhile (PLANS_r11).
+#: the sixteen round-11 additions (operators/analytics13-15.py)
+#: overflow the full window and lead the round-12 queue,
+#: exact-verified at three scales meanwhile (PLANS_r11).
 DEFERRED: set[str] = {
     "stats_kruskal_wallis",
     "orders_abc_analysis",
@@ -111,6 +111,10 @@ DEFERRED: set[str] = {
     "lineitem_revenue_waterfall",
     "stats_permutation_test_hash",
     "path_transition_lift",
+    "stats_welch_anova",
+    "events_wau_rolling",
+    "win_frame_exclude_current",
+    "agg_combinators_if_matrix",
 }
 
 
