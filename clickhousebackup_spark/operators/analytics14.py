@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import DEC
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table, parallelize
+from clickhousebackup_spark.tables import load_table
 
 
 @register(

@@ -187,7 +187,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "emb_label_centroids",
     "hash_funcs",
-    # -- round-11 additions (operators/analytics13.py + analytics14.py):
+    # -- round-11 additions (operators/analytics13-15.py):
     # past the 50-slot window, DEFERRED to lead the round-12 queue;
     # exact-verified at three scales this session (PLANS_r11).
     "stats_kruskal_wallis",

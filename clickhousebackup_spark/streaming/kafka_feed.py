@@ -246,18 +246,20 @@ class KafkaPythonFeed:
         if self.client is None:
             self.client = _real_client()
         os.makedirs(self.staging_dir, exist_ok=True)
-        # A crash mid-write leaves a seg dir whose NAME matches but that
-        # never committed (no _SUCCESS marker). Counting it into
+        # Crash leftovers: a .tmp-seg-* dir is an interrupted write
+        # (pump() commits by renaming it to seg-*); a seg-* dir without
+        # _SUCCESS is a pre-rename-era partial. Counting either into
         # _staged_end would permanently skip its [start,end) records —
-        # reap it so the next pump() re-fetches that range from the
+        # reap them so the next pump() re-fetches that range from the
         # broker (offsets live there; nothing is lost).
-        for d in (
-            d for d in os.listdir(self.staging_dir) if _SEG_RE.match(d)
-        ):
-            if not os.path.exists(
-                os.path.join(self.staging_dir, d, "_SUCCESS")
+        for d in os.listdir(self.staging_dir):
+            full = os.path.join(self.staging_dir, d)
+            if d.startswith(".tmp-seg-"):
+                shutil.rmtree(full)
+            elif _SEG_RE.match(d) and not os.path.exists(
+                os.path.join(full, "_SUCCESS")
             ):
-                shutil.rmtree(os.path.join(self.staging_dir, d))
+                shutil.rmtree(full)
         for d in self._segments():
             self._staged_end = max(self._staged_end, int(_SEG_RE.match(d).group(2)))
 
@@ -346,11 +348,20 @@ class KafkaPythonFeed:
         if not values or start is None:
             return None
         end = start + len(values)
+        # Write-then-RENAME commit: the segment is assembled under a
+        # dot-prefixed temp name (invisible to Spark's file listers,
+        # which skip '.'/'_' paths — so the seg-* globs in consume()/
+        # read_all() can never observe a partial write) and becomes a
+        # seg-* dir only via the atomic rename. mode("overwrite") on
+        # the temp path makes a same-session retry after a failed
+        # write self-healing instead of wedging on path-exists.
         seg = os.path.join(self.staging_dir, f"seg-{start:012d}-{end:012d}")
+        tmp = os.path.join(self.staging_dir, f".tmp-seg-{start:012d}-{end:012d}")
         df = spark.read.schema(self.schema).json(
             spark.sparkContext.parallelize(values, 1)
         )
-        df.write.mode("error").parquet(seg)  # staged rename = atomic
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, seg)
         self._staged_end = end
         return seg
 

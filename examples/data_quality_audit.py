@@ -13,6 +13,7 @@ into the report that decides whether the snapshot is publishable:
   6. first-digit Benford screen on money columns (dq_benford_law)
   7. distribution drift between week halves      (dq_histogram_drift)
   8. volume anomaly flags                        (dq_volume_anomaly)
+  9. orders<->lineitem totals reconciliation     (dq_orders_lineitem_reconcile)
 
 Run: python examples/data_quality_audit.py  (sf0.001, a few seconds)
 """

@@ -817,7 +817,7 @@ def build_zipf_window_arms(spark, base_sf: str, mult: int) -> tuple:
         adir = os.path.join(root, arm)
         os.makedirs(adir, exist_ok=True)
         out = os.path.join(adir, "events.parquet")
-        if not os.path.exists(out):
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
             big = fold(
                 ev,
                 lambda df, i: df.withColumn(
@@ -834,7 +834,7 @@ def build_zipf_window_arms(spark, base_sf: str, mult: int) -> tuple:
                 )
             big.write.mode("overwrite").parquet(out)
         out = os.path.join(adir, "orders.parquet")
-        if not os.path.exists(out):
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
             big = fold(
                 o,
                 lambda df, i: df.withColumn(

@@ -156,10 +156,12 @@ def test_permutation_test_degenerate_zero_difference(spark, tmp_path):
     assert out["n_exceed"] == 64 and out["p_value"] == 1.0
 
 
-def test_transition_lift_independence_is_1000(spark, tmp_path):
-    """A single repeating a->b->a->b chain: every transition mass is
-    concentrated, and the uniform 2x2 alternation gives each observed
-    cell exactly its independence expectation (lift 1000)."""
+def test_transition_lift_closed_form_on_alternating_chain(spark, tmp_path):
+    """A strict a->b->a->b alternation concentrates ALL mass in the
+    two off-diagonal cells, so each observed cell carries ~2x its
+    independence expectation — the closed-form lifts below
+    (1000*cnt*T/(src*dst)) are exact integer-arithmetic pins, NOT the
+    independence identity (which would read 1000)."""
     rows = []
     for i in range(40):
         rows.append(

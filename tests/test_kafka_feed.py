@@ -203,3 +203,38 @@ def test_partial_segment_is_reaped_and_repumped(spark, sf_dir, feed, tmp_path):
     assert seg2 is not None and restarted._staged_end == 20
     assert restarted.read_all(spark).count() == 20
     shutil.rmtree(feed.staging_dir, ignore_errors=True)
+
+
+def test_interrupted_tmp_write_is_reaped_and_repumped(spark, sf_dir, feed):
+    """Round-11 review fix: pump() commits by atomic rename of a
+    dot-prefixed temp dir (invisible to Spark's file listers, so
+    consume()'s seg-* glob can never read a partial write). A
+    leftover .tmp-seg-* from an interrupted write must be reaped on
+    restart and its range re-pumped."""
+    import os
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .limit(10)
+    )
+    feed.publish(ev)
+    # simulate a crash BEFORE the rename: temp dir exists, no seg dir
+    tmp = os.path.join(feed.staging_dir, ".tmp-seg-000000000000-000000000010")
+    os.makedirs(tmp, exist_ok=True)
+    open(os.path.join(tmp, "part-00000.parquet"), "w").write("junk")
+
+    restarted = KafkaPythonFeed(
+        bootstrap_servers=feed.bootstrap_servers,
+        topic=feed.topic,
+        staging_dir=feed.staging_dir,
+        schema=SCHEMA,
+        client=mock_client,
+    )
+    assert not os.path.exists(tmp)
+    assert restarted._staged_end == 0
+    seg = restarted.pump(spark)
+    assert seg is not None and os.path.exists(os.path.join(seg, "_SUCCESS"))
+    assert restarted.read_all(spark).count() == 10
+    shutil.rmtree(feed.staging_dir, ignore_errors=True)

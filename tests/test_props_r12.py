@@ -1,7 +1,8 @@
 """Third-engine pins for the round-11 keys (house gate: every new
-stat/measure is checked against an implementation that shares NO code
-or SQL dialect with either engine — numpy/pandas/scipy-free pure
-Python over the same parquet bytes at sf0.001)."""
+stat/measure is checked against an implementation that shares no
+query-engine code or SQL dialect with either side —
+numpy/pandas/pure-Python recomputation over the same parquet bytes
+at sf0.001)."""
 
 from __future__ import annotations
 
