@@ -238,3 +238,26 @@ def test_interrupted_tmp_write_is_reaped_and_repumped(spark, sf_dir, feed):
     assert seg is not None and os.path.exists(os.path.join(seg, "_SUCCESS"))
     assert restarted.read_all(spark).count() == 10
     shutil.rmtree(feed.staging_dir, ignore_errors=True)
+
+
+def test_dot_tmp_dirs_are_invisible_to_readers(spark, sf_dir, feed):
+    """The rename-commit protocol rests on Spark's file listers
+    skipping '.'-prefixed paths — pin that: a VALID parquet segment
+    under a .tmp-seg-* name must not appear in read_all()."""
+    import os
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .limit(5)
+    )
+    feed.publish(ev)
+    feed.pump(spark)
+    assert feed.read_all(spark).count() == 5
+    # a complete, readable parquet dir — but uncommitted (dot name)
+    tmp = os.path.join(feed.staging_dir, ".tmp-seg-000000000005-000000000009")
+    ev.limit(4).write.mode("overwrite").parquet(tmp)
+    assert spark.read.parquet(tmp).count() == 4  # readable directly...
+    assert feed.read_all(spark).count() == 5  # ...but invisible to the glob
+    shutil.rmtree(feed.staging_dir, ignore_errors=True)
