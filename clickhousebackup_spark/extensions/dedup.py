@@ -1785,3 +1785,60 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(n_covered, 0) * 1000 div n_tokens AS LONG)"
         ).alias("removed_permille"),
     )
+
+
+@register(
+    "dedup_hierarchical_two_level",
+    oracle="""
+        SELECT doc_id, content_md5, n_copies FROM (
+            SELECT doc_id, md5(text) AS content_md5,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                       AS n_copies
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Two-level hierarchical exact dedup — the 100 TB dedup "
+    "TOPOLOGY made explicit: level 1 dedups WITHIN each ingest shard "
+    "(pmod(doc_id, 8) stands in for the per-day/per-source shard "
+    "boundary) and MATERIALIZES the per-shard survivor manifests "
+    "(shard-partitioned parquet through the shared scratch — in "
+    "production each shard writes its manifest the day it is "
+    "ingested); level 2 merges only the manifests, exchanging "
+    "~|unique| rows instead of the corpus. Keep-lowest-doc_id and "
+    "copy counts are associative (min of per-shard mins, sum of "
+    "per-shard counts), so the hierarchy is LOSSLESS — the oracle is "
+    "the FLAT single-pass dedup, and the driver hash proves "
+    "hierarchical == flat, the property that lets a real pipeline "
+    "dedup incrementally per shard and merge later "
+    "(dedup_incremental's batch sibling). Plan: one (shard, md5) "
+    "agg, one manifest write+read, one md5 agg — no row-scaled "
+    "window, no global shuffle of the corpus.",
+)
+def dedup_hierarchical_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from clickhousebackup_spark.scratch import scratch_path
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = (
+        d.select(
+            F.pmod("doc_id", F.lit(8)).alias("shard"),
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+        )
+        .groupBy("shard", "content_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    path = scratch_path(spark, "dedup_shard_manifests", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        s1.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifests = spark.read.parquet(path)
+    return manifests.groupBy("content_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.sum("c").cast("long").alias("n_copies"),
+    ).select("doc_id", "content_md5", "n_copies")

@@ -206,6 +206,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "events_wau_rolling",
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
+    "dedup_hierarchical_two_level",
 )
 
 

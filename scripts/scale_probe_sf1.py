@@ -445,6 +445,7 @@ R11_KEYS = (
     "events_wau_rolling",
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
+    "dedup_hierarchical_two_level",
 )
 
 

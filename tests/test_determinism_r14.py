@@ -141,3 +141,37 @@ def test_if_matrix_ornull_branch_fires(spark, tmp_path):
     assert lo["count_if_hi"] == 0
     assert lo["avg_if_hi"] is None
     assert lo["min_cents_if_very_hi_ornull"] is None  # OrNull live
+
+
+def test_hierarchical_dedup_equals_flat(spark, sf_dir, tmp_path):
+    """The lossless-hierarchy property on a CRAFTED corpus with
+    cross-shard duplicates: docs 3, 11, 19 (shards 3, 3, 3) and
+    docs 5, 14 (shards 5, 6) share texts — per-shard dedup then merge
+    must equal flat global dedup with summed copy counts."""
+    import os
+
+    d = str(tmp_path)
+    rows = [
+        (3, "same one", "en", "s", 8),
+        (11, "same one", "en", "s", 8),   # same shard as 3
+        (19, "same one", "en", "s", 8),   # same shard as 3
+        (5, "same two", "en", "s", 8),
+        (14, "same two", "en", "s", 8),   # DIFFERENT shard than 5
+        (7, "unique", "en", "s", 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    os.environ["CBS_SCRATCH_DIR"] = str(tmp_path / "scratch")
+    try:
+        out = {
+            r["content_md5"]: r
+            for r in all_specs()["dedup_hierarchical_two_level"]
+            .fn(spark, d)
+            .collect()
+        }
+    finally:
+        del os.environ["CBS_SCRATCH_DIR"]
+    got = {(r["doc_id"], r["n_copies"]) for r in out.values()}
+    assert got == {(3, 3), (5, 2), (7, 1)}

@@ -1024,6 +1024,8 @@ R11C_PLAN_BUDGET = {
     # exchange; sliding frame sums
     "agg_combinators_if_matrix": (2, 0, False),  # grouped agg + the
     # COUNT(DISTINCT) two-phase expand
+    "dedup_hierarchical_two_level": (1, 0, False),  # manifest read +
+    # one md5 merge agg (level-1 agg runs at manifest-write time)
 }
 
 

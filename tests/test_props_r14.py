@@ -117,3 +117,19 @@ def test_if_matrix_matches_pandas(spark, sf_dir):
         assert r["max_cents_if_very_hi_ornull"] == (
             int(very["cents"].max()) if len(very) else None
         )
+
+
+def test_hierarchical_dedup_matches_pandas(spark, sf_dir):
+    import hashlib
+
+    got = {
+        r["content_md5"]: (r["doc_id"], r["n_copies"])
+        for r in SPECS["dedup_hierarchical_two_level"].fn(spark, sf_dir).collect()
+    }
+    docs = _pd(sf_dir, "documents")
+    want = defaultdict(lambda: [1 << 62, 0])
+    for _, r in docs.iterrows():
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        want[h][0] = min(want[h][0], r["doc_id"])
+        want[h][1] += 1
+    assert got == {h: (v[0], v[1]) for h, v in want.items()}
