@@ -878,18 +878,30 @@ def main_zipf_window() -> None:
     from clickhousebackup_spark.registry import all_specs
     from clickhousebackup_spark.session import get_spark
 
-    spark = get_spark("cbs-zipf-window-probe")
-    if not spark.sparkContext.uiWebUrl:
+    # CBS_PROBE_MASTER overrides the probe master — the multi-JVM arm
+    # (e.g. local-cluster[4,8,4096]) measures the SAME skew shapes
+    # under serialized network shuffle and per-executor heaps instead
+    # of one shared-memory JVM.
+    master = os.environ.get("CBS_PROBE_MASTER")
+    spark = None if master else get_spark("cbs-zipf-window-probe")
+    if spark is not None and not spark.sparkContext.uiWebUrl:
         spark.stop()
-        spark = (
-            SparkSession.builder.master("local[32]")
+        spark = None
+    if spark is None:
+        builder = (
+            SparkSession.builder.master(master or "local[32]")
             .appName("cbs-zipf-window-probe")
             .config("spark.ui.enabled", "true")
             .config("spark.sql.shuffle.partitions", "32")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.driver.memory", "16g")
-            .getOrCreate()
         )
+        if (master or "").startswith("local-cluster"):
+            builder = builder.config(
+                "spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     uniform_dir, zipf_dir = build_zipf_window_arms(spark, base_sf, mult)
