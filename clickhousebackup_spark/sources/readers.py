@@ -179,6 +179,31 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
         ) from e
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — the spark-avro DATASOURCE module is external
+    since Spark 2.4 and not in this image (only the core avro-*.jar
+    libraries ship with pyspark); on a real cluster add
+    --packages org.apache.spark:spark-avro_2.13:<spark version>."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        raise ConnectorUnavailable(
+            "spark-avro datasource not on classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        ) from e
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — gated like read_avro."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        raise ConnectorUnavailable(
+            "spark-avro datasource not on classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        ) from e
+
+
 @register(
     "scan_csv_malformed",
     oracle="""

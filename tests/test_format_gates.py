@@ -86,3 +86,23 @@ def test_jdbc_single_jvm_gate(spark):
         assert "network-reachable" in str(e.value)
     for master in ("local[8]", "local[*]", "local"):
         assert single_jvm_master(_FakeSession(master))
+
+
+def test_avro_gate(spark, tmp_path):
+    """Two-armed like the Delta/Iceberg gates: without the external
+    spark-avro module the readers raise an actionable
+    ConnectorUnavailable (never a raw 'Failed to find data source'
+    analysis error); with it on the classpath the roundtrip runs."""
+    from clickhousebackup_spark.sources.readers import read_avro, write_avro
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    path = str(tmp_path / "tbl_avro")
+    try:
+        write_avro(df, path)
+    except ConnectorUnavailable as e:
+        assert "spark-avro" in str(e) and "--packages" in str(e)
+        with pytest.raises(ConnectorUnavailable):
+            read_avro(spark, path)
+        return
+    # activation arm: module present — prove the roundtrip end to end
+    assert read_avro(spark, path).count() == 5
