@@ -233,3 +233,133 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("o_orderpriority")), ","
         ).alias("priorities")
     )
+
+
+@register(
+    "intervals_peak_position",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderpriority AS pri,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        ), pts AS (
+            SELECT pri, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT pri, e AS t, -1 AS delta FROM iv
+        ), net AS (
+            SELECT pri, t, CAST(SUM(delta) AS BIGINT) AS net
+            FROM pts GROUP BY pri, t
+        ), run AS (
+            SELECT pri, t,
+                   CAST(SUM(net) OVER (PARTITION BY pri ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS conc
+            FROM net
+        ), ranked AS (
+            SELECT pri, t, conc,
+                   ROW_NUMBER() OVER (PARTITION BY pri
+                       ORDER BY conc DESC, t) AS rn
+            FROM run
+        )
+        SELECT pri, conc AS max_concurrent,
+               strftime(t, '%Y-%m-%d') AS first_peak_day
+        FROM ranked WHERE rn = 1
+    """,
+    doc="ClickHouse maxIntersectionsPosition — the WHERE of "
+    "intervals_max_concurrent's WHAT: the earliest timestamp at "
+    "which peak concurrency is reached, per priority class. Unlike "
+    "the raw sweep trace (whose per-row prefix values under "
+    "same-instant ties are order-dependent, as the sibling key's doc "
+    "notes), the deltas are pre-aggregated to NET change per "
+    "DISTINCT timestamp first, so conc(t) is a function of t alone "
+    "and argmax under the (conc DESC, t) total order is fully "
+    "deterministic. Plan: interval explode (2 rows each) -> "
+    "(pri, t) hash agg -> one window over the distinct-timestamp "
+    "table (bounded by the date domain, not the row count).",
+)
+def intervals_peak_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 + 1 as int), 0, 0, 0)"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "pri", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("pri", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("pri", "t").agg(F.sum("delta").cast("long").alias("net"))
+    w_run = (
+        Window.partitionBy("pri")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.withColumn("conc", F.sum("net").over(w_run).cast("long"))
+    w_rank = Window.partitionBy("pri").orderBy(F.col("conc").desc(), "t")
+    return (
+        run.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pri",
+            F.col("conc").alias("max_concurrent"),
+            F.date_format("t", "yyyy-MM-dd").alias("first_peak_day"),
+        )
+    )
+
+
+@register(
+    "str_has_subsequence",
+    oracle="""
+        WITH probe AS (
+            SELECT p_partkey, p_name,
+                   strpos(p_name, 'e') AS p1
+            FROM part
+        ), step2 AS (
+            SELECT p_partkey, p_name, p1,
+                   CASE WHEN p1 > 0
+                        THEN strpos(substr(p_name, p1 + 1), 't') ELSE 0
+                   END AS p2
+            FROM probe
+        )
+        SELECT p_partkey,
+               CASE WHEN p1 > 0 AND p2 > 0 AND
+                    strpos(substr(p_name, p1 + p2 + 1), 'l') > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS has_etl
+        FROM step2
+    """,
+    doc="ClickHouse hasSubsequence: do the characters 'e','t','l' "
+    "appear in p_name IN ORDER (not necessarily adjacent)? The "
+    "greedy leftmost-match chain is optimal for subsequence "
+    "existence, so a fixed 3-char needle unrolls to three "
+    "position-anchored instr/strpos probes — pure shared string "
+    "algebra, identical 1-based semantics in both engines, map-only "
+    "plan (0 shuffles). Fixture reality check: 'little egret' style "
+    "two-word names give all four outcomes (match, fail at each "
+    "stage) across the part vocabulary.",
+)
+def str_has_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    p1 = F.instr("p_name", "e")
+    probe = p.select("p_partkey", "p_name", p1.alias("p1"))
+    p2 = F.when(
+        F.col("p1") > 0,
+        F.instr(F.expr("substr(p_name, p1 + 1)"), "t"),
+    ).otherwise(F.lit(0))
+    step2 = probe.withColumn("p2", p2)
+    p3_hit = (
+        (F.col("p1") > 0)
+        & (F.col("p2") > 0)
+        & (F.instr(F.expr("substr(p_name, p1 + p2 + 1)"), "l") > 0)
+    )
+    return step2.select(
+        "p_partkey",
+        F.when(p3_hit, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "has_etl"
+        ),
+    )

@@ -207,6 +207,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
     "dedup_hierarchical_two_level",
+    "intervals_peak_position",
+    "str_has_subsequence",
 )
 
 

@@ -446,6 +446,8 @@ R11_KEYS = (
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
     "dedup_hierarchical_two_level",
+    "intervals_peak_position",
+    "str_has_subsequence",
 )
 
 

@@ -23,6 +23,9 @@ R14_QUEUE_KEYS = [
     "events_wau_rolling",
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
+    "dedup_hierarchical_two_level",
+    "intervals_peak_position",
+    "str_has_subsequence",
 ]
 
 
@@ -175,3 +178,49 @@ def test_hierarchical_dedup_equals_flat(spark, sf_dir, tmp_path):
         del os.environ["CBS_SCRATCH_DIR"]
     got = {(r["doc_id"], r["n_copies"]) for r in out.values()}
     assert got == {(3, 3), (5, 2), (7, 1)}
+
+
+def test_peak_position_earliest_day_wins_ties(spark, tmp_path):
+    """Two disjoint concurrency plateaus at the same peak height: the
+    FIRST day must be reported (the (conc DESC, t) total order)."""
+    d = str(tmp_path)
+    # okey%30+1 = duration. Two overlapping pairs, both peak at 2:
+    # pair A days 0-2 (okeys 1,31 -> dur 2), pair B days 10-12.
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+            (31, 1, "O", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+            (61, 1, "O", 1.0, datetime(2024, 1, 11), "1-URGENT"),
+            (91, 1, "O", 1.0, datetime(2024, 1, 11), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = all_specs()["intervals_peak_position"].fn(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["max_concurrent"] == 2
+    assert out[0]["first_peak_day"] == "2024-01-01"
+
+
+def test_has_subsequence_all_branches(spark, tmp_path):
+    """Crafted names firing every stage of the greedy chain: full
+    match, missing 'e', 't' never after the first 'e', 'l' never
+    after the matched 't' — plus the greedy-is-optimal case where a
+    LATER 'e' would also work but the leftmost anchor still
+    succeeds."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "elephant tail"),   # e..t..l? e(1) t(8) -> 'ail' has l -> 1
+            (2, "mosquito"),        # no e -> 0
+            (3, "beet"),            # e then t, no l after -> 0
+            (4, "ten"),             # e but no t AFTER e -> 0
+            (5, "ee tl"),           # greedy: first e, t at 4, l at 5 -> 1
+        ],
+        "p_partkey long, p_name string",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    out = {
+        r["p_partkey"]: r["has_etl"]
+        for r in all_specs()["str_has_subsequence"].fn(spark, d).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0, 5: 1}

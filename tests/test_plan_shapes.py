@@ -1026,6 +1026,9 @@ R11C_PLAN_BUDGET = {
     # COUNT(DISTINCT) two-phase expand
     "dedup_hierarchical_two_level": (1, 0, False),  # manifest read +
     # one md5 merge agg (level-1 agg runs at manifest-write time)
+    "intervals_peak_position": (2, 0, False),  # (pri,t) net agg +
+    # pri-partitioned windows over the distinct-timestamp table
+    "str_has_subsequence": (0, 0, False),      # map-only instr chain
 }
 
 

@@ -133,3 +133,43 @@ def test_hierarchical_dedup_matches_pandas(spark, sf_dir):
         want[h][0] = min(want[h][0], r["doc_id"])
         want[h][1] += 1
     assert got == {h: (v[0], v[1]) for h, v in want.items()}
+
+
+def test_peak_position_matches_python_sweep(spark, sf_dir):
+    got = {
+        r["pri"]: (r["max_concurrent"], r["first_peak_day"])
+        for r in SPECS["intervals_peak_position"].fn(spark, sf_dir).collect()
+    }
+    o = _pd(sf_dir, "orders")
+    from collections import Counter
+
+    by_pri = defaultdict(Counter)
+    for _, r in o.iterrows():
+        s = r["o_orderdate"]
+        e = s + pd.Timedelta(days=int(r["o_orderkey"] % 30 + 1))
+        by_pri[r["o_orderpriority"]][s] += 1
+        by_pri[r["o_orderpriority"]][e] -= 1
+    for pri, deltas in by_pri.items():
+        conc, best, best_t = 0, -1, None
+        for t in sorted(deltas):
+            conc += deltas[t]
+            if conc > best:
+                best, best_t = conc, t
+        assert got[pri] == (best, best_t.strftime("%Y-%m-%d")), pri
+
+
+def test_has_subsequence_matches_two_pointer(spark, sf_dir):
+    """The greedy instr chain must agree with the canonical
+    two-pointer subsequence check on every fixture name."""
+    got = {
+        r["p_partkey"]: r["has_etl"]
+        for r in SPECS["str_has_subsequence"].fn(spark, sf_dir).collect()
+    }
+    parts = _pd(sf_dir, "part")
+
+    def is_subseq(needle, hay):
+        it = iter(hay)
+        return all(ch in it for ch in needle)
+
+    for _, r in parts.iterrows():
+        assert got[r["p_partkey"]] == int(is_subseq("etl", r["p_name"]))

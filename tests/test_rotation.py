@@ -95,8 +95,9 @@ REFRESH: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 11 promoted the eight round-10 DEFERRED keys into window
 #: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills;
-#: the seventeen round-11 additions (operators/analytics13-15.py
-#: + extensions/dedup.py's hierarchical key)
+#: the nineteen round-11 additions (operators/analytics13-15.py,
+#: extensions/dedup.py's hierarchical key, ch_query.py's CH-parity
+#: pair)
 #: overflow the full window and lead the round-12 queue,
 #: exact-verified at three scales meanwhile (PLANS_r11).
 DEFERRED: set[str] = {
@@ -117,6 +118,8 @@ DEFERRED: set[str] = {
     "win_frame_exclude_current",
     "agg_combinators_if_matrix",
     "dedup_hierarchical_two_level",
+    "intervals_peak_position",
+    "str_has_subsequence",
 }
 
 
