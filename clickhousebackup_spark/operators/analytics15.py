@@ -322,3 +322,68 @@ def agg_combinators_if_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_cents_if_very_hi_ornull"),
     )
+
+
+@register(
+    "ts_backtest_seasonal_naive",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(100.0 * value) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), j AS (
+            SELECT a.event_type,
+                   abs(a.cents - b.cents) AS abs_err
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type
+             AND b.day = a.day - CAST(7 AS INTEGER)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(abs_err) AS BIGINT) AS total_abs_err_cents,
+               CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mae_cents_floor
+        FROM j GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest (the EVALUATION layer the "
+    "fitting keys ts_holt_linear / ts_kalman_level lack): predict "
+    "each day's value-cents total with the value seven days earlier "
+    "and report per-type pair count, total absolute error, and "
+    "floor-MAE — the baseline every real forecasting pipeline must "
+    "beat before a model earns its compute. Exact integer cents end "
+    "to end (abs/sum/floor-divide — Spark div and DuckDB // agree on "
+    "the non-negative domain); the self-join runs at DAY grain, "
+    "bounded by the calendar, never the event stream; the one "
+    "row-scaled stage is the (type, day) hash agg with map-side "
+    "combine.",
+)
+def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.lit(100.0) * F.col("value")).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = d.alias("a")
+    b = d.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("cents").alias("b_cents"),
+    )
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b_type"))
+        & (F.col("b_day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.cents") - F.col("b_cents")).alias("abs_err"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("abs_err").cast("long").alias("total_abs_err_cents"),
+        F.expr("CAST(sum(abs_err) div count(1) AS LONG)").alias(
+            "mae_cents_floor"
+        ),
+    )

@@ -209,6 +209,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_hierarchical_two_level",
     "intervals_peak_position",
     "str_has_subsequence",
+    "ts_backtest_seasonal_naive",
 )
 
 

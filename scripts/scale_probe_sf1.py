@@ -448,6 +448,7 @@ R11_KEYS = (
     "dedup_hierarchical_two_level",
     "intervals_peak_position",
     "str_has_subsequence",
+    "ts_backtest_seasonal_naive",
 )
 
 

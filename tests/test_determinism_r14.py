@@ -26,6 +26,7 @@ R14_QUEUE_KEYS = [
     "dedup_hierarchical_two_level",
     "intervals_peak_position",
     "str_has_subsequence",
+    "ts_backtest_seasonal_naive",
 ]
 
 
@@ -224,3 +225,17 @@ def test_has_subsequence_all_branches(spark, tmp_path):
         for r in all_specs()["str_has_subsequence"].fn(spark, d).collect()
     }
     assert out == {1: 1, 2: 0, 3: 0, 4: 0, 5: 1}
+
+
+def test_seasonal_naive_backtest_closed_form(spark, tmp_path):
+    """Crafted 15-day daily series with known lag-7 errors; days 1-7
+    have no 7-day-earlier pair and must not appear."""
+    rows = []
+    for i in range(15):
+        # day i value: 10 + i  -> lag-7 abs err = |(10+i) - (10+i-7)| = 7
+        rows.append((i, datetime(2024, 1, 1 + i), 1, "t", 10.0 + i, ""))
+    d = _events_dir(spark, tmp_path, rows)
+    out = all_specs()["ts_backtest_seasonal_naive"].fn(spark, d).collect()[0]
+    assert out["n_pairs"] == 8  # days 8..15
+    assert out["total_abs_err_cents"] == 8 * 700
+    assert out["mae_cents_floor"] == 700

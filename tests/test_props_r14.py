@@ -173,3 +173,27 @@ def test_has_subsequence_matches_two_pointer(spark, sf_dir):
 
     for _, r in parts.iterrows():
         assert got[r["p_partkey"]] == int(is_subseq("etl", r["p_name"]))
+
+
+def test_seasonal_naive_backtest_matches_pandas(spark, sf_dir):
+    got = {
+        r["event_type"]: r
+        for r in SPECS["ts_backtest_seasonal_naive"].fn(spark, sf_dir).collect()
+    }
+    ev = _pd(sf_dir, "events")
+    ev["day"] = ev["ts"].dt.normalize()
+    ev["cents"] = np.floor(100.0 * ev["value"].to_numpy(np.float64)).astype(
+        np.int64
+    )
+    day = ev.groupby(["event_type", "day"])["cents"].sum()
+    for et in ev["event_type"].unique():
+        series = day[et]
+        errs = []
+        for d, c in series.items():
+            prev = d - pd.Timedelta(days=7)
+            if prev in series.index:
+                errs.append(abs(int(c) - int(series[prev])))
+        r = got[et]
+        assert r["n_pairs"] == len(errs)
+        assert r["total_abs_err_cents"] == sum(errs)
+        assert r["mae_cents_floor"] == sum(errs) // len(errs)
