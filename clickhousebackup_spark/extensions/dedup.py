@@ -1819,7 +1819,7 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_hierarchical_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.scratch import input_fingerprint, scratch_path
 
     d = load_table(spark, sf_dir, "documents")
     s1 = (
@@ -1834,7 +1834,11 @@ def dedup_hierarchical_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("c"),
         )
     )
-    path = scratch_path(spark, "dedup_shard_manifests", sf_dir)
+    # fingerprint-keyed: regenerating documents.parquet in place
+    # invalidates the cached manifests instead of silently serving
+    # level-1 results for the old bytes
+    fp = input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = scratch_path(spark, f"dedup_shard_manifests_{fp}", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         s1.write.mode("overwrite").partitionBy("shard").parquet(path)
     manifests = spark.read.parquet(path)

@@ -104,9 +104,10 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (cluster-safe); deterministic layout -> safe reuse.",
 )
 def scan_minmax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhousebackup_spark.scratch import scratch_path
+    from clickhousebackup_spark.scratch import input_fingerprint, scratch_path
 
-    path = scratch_path(spark, "minmax_layout", sf_dir)
+    fp = input_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    path = scratch_path(spark, f"minmax_layout_{fp}", sf_dir)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (

@@ -359,13 +359,16 @@ def agg_combinators_if_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # the (type, day) agg feeds BOTH join sides — materialize it once
+    # (dedup_ngram_jaccard's multi-consumer precedent) so the
+    # row-scaled events scan+agg runs a single time
     d = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.sum(F.floor(F.lit(100.0) * F.col("value")).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).localCheckpoint(eager=True)
     a = d.alias("a")
     b = d.select(
         F.col("event_type").alias("b_type"),

@@ -57,6 +57,29 @@ def scratch_path(spark: SparkSession, key: str, sf_dir: str = "") -> str:
     return os.path.join(scratch_base(spark), f"{key}_{tag}")
 
 
+def input_fingerprint(path: str) -> str:
+    """Content fingerprint of a LOCAL input dir/file: md5 over the
+    sorted (name, size, mtime_ns) listing. Keys that CACHE a derived
+    artifact keyed on the input path (shard manifests, layout
+    rewrites) fold this into their scratch key so regenerating the
+    input in place invalidates the cache instead of silently serving
+    results for the OLD bytes (round-11 review finding). Non-local
+    URIs fall back to hashing the path string — same behavior as
+    before, documented as path-keyed."""
+    h = hashlib.md5()
+    try:
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            st = os.stat(path)
+            h.update(f"{path}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        h.update(path.encode())
+    return h.hexdigest()[:10]
+
+
 def roundtrip_parquet(df: DataFrame, path: str) -> DataFrame:
     """Materialize ``df`` at ``path`` (replacing any prior run) and
     reread it — the explicit stage boundary used where a plan would

@@ -18,9 +18,10 @@ registry, exactly what the next rotation must be:
 
 Usage:
     python scripts/make_rotation.py            # print the plan
-    python scripts/make_rotation.py --check    # exit 1 if the live
+    python scripts/make_rotation.py --check    # exit 0 if the live
                                                # window already matches
-                                               # (i.e. rotation done)
+                                               # the plan, 1 if a
+                                               # rotation is still due
 """
 
 from __future__ import annotations

@@ -167,6 +167,7 @@ def test_hierarchical_dedup_equals_flat(spark, sf_dir, tmp_path):
         rows, "doc_id long, text string, lang string, source string, "
         "n_chars long"
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    prev = os.environ.get("CBS_SCRATCH_DIR")
     os.environ["CBS_SCRATCH_DIR"] = str(tmp_path / "scratch")
     try:
         out = {
@@ -176,7 +177,12 @@ def test_hierarchical_dedup_equals_flat(spark, sf_dir, tmp_path):
             .collect()
         }
     finally:
-        del os.environ["CBS_SCRATCH_DIR"]
+        # RESTORE, never delete: the sharded suite isolates scratch
+        # per process through this variable (review finding)
+        if prev is None:
+            del os.environ["CBS_SCRATCH_DIR"]
+        else:
+            os.environ["CBS_SCRATCH_DIR"] = prev
     got = {(r["doc_id"], r["n_copies"]) for r in out.values()}
     assert got == {(3, 3), (5, 2), (7, 1)}
 

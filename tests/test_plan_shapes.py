@@ -1029,8 +1029,9 @@ R11C_PLAN_BUDGET = {
     "intervals_peak_position": (2, 0, False),  # (pri,t) net agg +
     # pri-partitioned windows over the distinct-timestamp table
     "str_has_subsequence": (0, 0, False),      # map-only instr chain
-    "ts_backtest_seasonal_naive": (3, 1, False),  # (type,day) agg +
-    # day-grain lag-7 self-join (broadcast-eligible) + final agg
+    "ts_backtest_seasonal_naive": (1, 1, False),  # day-grain table
+    # materialized ONCE (localCheckpoint) -> lag-7 broadcast join +
+    # final agg; the row-scaled events agg runs a single time
 }
 
 

@@ -173,26 +173,34 @@ def _latest_round() -> int:
 def test_window_wastes_no_slots():
     # Every window slot should go to a key that needs proving; a green
     # key occupying a slot while `required` overflows is a wasted run.
-    # EXCEPT keys whose green row arrived in the LATEST driver file:
-    # those were proven BY the current window doing its job, and the
-    # window legitimately holds them until the next round's first
-    # commit rotates (the judge runs this suite on the tree that
-    # already contains the round's own CORRECTNESS file — the window
-    # must not be declared stale by its own success).
+    # EXCEPT keys FIRST proven green by the LATEST driver file: those
+    # were proven BY the current window doing its job, and the window
+    # legitimately holds them until the next round's first commit
+    # rotates (the judge runs this suite on the tree that already
+    # contains the round's own CORRECTNESS file — the window must not
+    # be declared stale by its own success). The exemption is
+    # deliberately narrow — first-green in the latest file only, not
+    # any-green — so a FORGOTTEN rotation trips here at most one
+    # round later: once the stale window re-runs and its keys' green
+    # rows stop being first-greens, the slots read stale again (and
+    # scripts/make_rotation.py --check flags the mismatch
+    # immediately, without waiting).
     required = _required_keys()
     ordered = list(all_specs())
     if len(required) >= WINDOW:
         r_now = _latest_round()
-        just_proven = set()
-        # the max-round file's rows ARE each key's latest row
-        for path in set(
-            glob.glob(os.path.join(REPO, f"CORRECTNESS_r{r_now:02d}.json"))
-            + glob.glob(os.path.join(REPO, f"CORRECTNESS_r{r_now}.json"))
+        earlier_green = set()
+        latest_green = set()
+        for path in sorted(
+            glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         ):
+            rnd = int(re.search(r"_r(\d+)", path).group(1))
             with open(path) as fh:
                 for k, v in json.load(fh).items():
                     if v.get("hash_match") is True:
-                        just_proven.add(k)
+                        (latest_green if rnd == r_now else earlier_green).add(k)
+        just_proven = latest_green - earlier_green
         stale = set(ordered[:WINDOW]) - required - just_proven
         assert not stale, (
             f"window slots spent on already-green keys while "
