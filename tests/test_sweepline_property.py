@@ -1,14 +1,16 @@
 """Property-based exactness proofs for the sweep-line / frame-array
-families (sibling of test_ppjoin_property.py).
+/ merge-state families (sibling of test_ppjoin_property.py).
 
 ``intervals_union_length`` claims the two-window gaps-and-islands
 pass computes the EXACT union length of arbitrary overlapping
 interval sets; ``win_moving_median`` claims the sorted-frame-array
 readout equals the true centered median with mean-of-middles edge
-interpolation. Both are algorithmic identities, so hypothesis
-generates adversarial inputs (nested/identical/abutting intervals;
-tied values and tied timestamps) and compares against brute-force
-Python.
+interpolation; ``merge_versioned_collapsing`` claims its net-then-
+newest two-stage plan equals VersionedCollapsingMergeTree FINAL
+replay. All are algorithmic identities, so hypothesis generates
+adversarial inputs (nested/identical/abutting intervals; tied values
+and tied timestamps; net-zero and delete-only versions) and compares
+against brute-force Python.
 """
 
 from __future__ import annotations
@@ -136,3 +138,67 @@ def test_moving_median_matches_brute_force(spark, tmp_path_factory, rows):
         for r in all_specs()["win_moving_median"].fn(spark, d).collect()
     }
     assert got == _brute_med5(rows)
+
+
+#: versioned-collapsing generator: few keys, few versions, signs
+#: chosen by the operator's own event_id%4 rule — so net-zero
+#: versions, multiply-inserted versions, delete-only versions, and
+#: keys with no survivors all occur.
+vc_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # event_id (id%4==0 -> -1)
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=2),   # version slot (minute)
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _brute_versioned_collapse(rows):
+    from collections import defaultdict
+
+    net = defaultdict(int)
+    keep = {}
+    for eid, u, ver in rows:
+        sign = -1 if eid % 4 == 0 else 1
+        k = (u, ver)
+        net[k] += sign
+        if sign == 1 and (k not in keep or eid > keep[k]):
+            keep[k] = eid
+    out = {}
+    for (u, ver), n in net.items():
+        if n > 0:
+            cur = out.get(u)
+            if cur is None or ver > cur[0]:
+                out[u] = (ver, keep[(u, ver)])
+    return {u: eid for u, (ver, eid) in out.items()}
+
+
+@given(vc_events)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_versioned_collapsing_matches_replay(spark, tmp_path_factory, rows):
+    """merge_versioned_collapsing's two-stage plan (net signs per
+    version, newest surviving version wins) must equal a direct
+    python replay of VersionedCollapsingMergeTree FINAL semantics,
+    including net-zero cancellation and delete-only versions."""
+    d = str(tmp_path_factory.mktemp("vc"))
+    base = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (eid, base + timedelta(minutes=ver), u, "t", float(eid), "")
+            for eid, u, ver in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in all_specs()["merge_versioned_collapsing"].fn(spark, d).collect()
+    }
+    assert got == _brute_versioned_collapse(rows)
