@@ -487,3 +487,60 @@ def path_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_permille"),
     )
+
+
+@register(
+    "scan_bloom_filter_lookup",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(100.0 * o_totalprice) AS BIGINT) AS price_cents
+        FROM orders WHERE o_custkey IN (7, 11, 13)
+    """,
+    doc="Parquet BLOOM-FILTER point lookup — the third pruning "
+    "mechanism beside directory partitions (scan_partition_pruned) "
+    "and min/max footer stats (scan_minmax_pruned), and the only one "
+    "that works on a HIGH-CARDINALITY column the file is NOT sorted "
+    "or partitioned by: orders is rewritten with "
+    "parquet.bloom.filter.enabled#o_custkey (sized by expected NDV), "
+    "and a customer point-IN lookup reads back through the bloom-"
+    "aware reader — parquet-mr consults the per-row-group bloom "
+    "before decoding pages, so at 100 TB a needle query skips the "
+    "row groups min/max can never exclude (custkey is uniform across "
+    "every file). The bloom's existence is footer-ASSERTED in "
+    "tests/test_determinism_r14.py (bloom offset present for "
+    "o_custkey, absent for unindexed columns) — the option cannot "
+    "silently rot. Rewrite goes through fingerprint-keyed shared "
+    "scratch like scan_minmax_pruned.",
+)
+def scan_bloom_filter_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.scratch import input_fingerprint, scratch_path
+
+    fp = input_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    path = scratch_path(spark, f"bloom_layout_{fp}", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+            # parquet-mr DROPS the bloom for fully dictionary-encoded
+            # chunks (the dictionary already is an exact filter); the
+            # small fixture custkey domain dictionary-encodes, so
+            # disable dictionary to reproduce the high-NDV regime —
+            # which is precisely the regime where blooms matter at
+            # 100 TB (the domain no longer fits a dictionary page)
+            .option("parquet.enable.dictionary", "false")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey").isin(7, 11, 13))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.lit(100.0) * F.col("o_totalprice"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

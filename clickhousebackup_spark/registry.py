@@ -210,6 +210,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "intervals_peak_position",
     "str_has_subsequence",
     "ts_backtest_seasonal_naive",
+    "scan_bloom_filter_lookup",
 )
 
 

@@ -449,6 +449,7 @@ R11_KEYS = (
     "intervals_peak_position",
     "str_has_subsequence",
     "ts_backtest_seasonal_naive",
+    "scan_bloom_filter_lookup",
 )
 
 

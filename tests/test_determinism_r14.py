@@ -27,6 +27,7 @@ R14_QUEUE_KEYS = [
     "intervals_peak_position",
     "str_has_subsequence",
     "ts_backtest_seasonal_naive",
+    "scan_bloom_filter_lookup",
 ]
 
 
@@ -245,3 +246,36 @@ def test_seasonal_naive_backtest_closed_form(spark, tmp_path):
     assert out["n_pairs"] == 8  # days 8..15
     assert out["total_abs_err_cents"] == 8 * 700
     assert out["mae_cents_floor"] == 700
+
+
+def test_bloom_filter_is_actually_written(spark, sf_dir):
+    """Footer-level proof the bloom option took effect: the rewritten
+    file carries a bloom filter for o_custkey (offset >= 0) and none
+    for the unindexed o_orderkey — so the pruning claim can't rot
+    into a silently ignored writer option."""
+    import glob as _glob
+
+    from clickhousebackup_spark.scratch import input_fingerprint, scratch_path
+
+    # run the key once so the layout exists
+    import os as _os
+
+    assert all_specs()["scan_bloom_filter_lookup"].fn(spark, sf_dir).count() > 0
+    fp = input_fingerprint(_os.path.join(sf_dir, "orders.parquet"))
+    path = scratch_path(spark, f"bloom_layout_{fp}", sf_dir)
+    part = sorted(_glob.glob(_os.path.join(path, "*.parquet")))[0]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(part)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        offsets = {
+            cols.get(i).getPath().toDotString(): cols.get(i).getBloomFilterOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
+    assert offsets["o_custkey"] >= 0, offsets
+    assert offsets["o_orderkey"] == -1, offsets

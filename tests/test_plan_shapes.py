@@ -1032,6 +1032,8 @@ R11C_PLAN_BUDGET = {
     "ts_backtest_seasonal_naive": (1, 1, False),  # day-grain table
     # materialized ONCE (localCheckpoint) -> lag-7 broadcast join +
     # final agg; the row-scaled events agg runs a single time
+    "scan_bloom_filter_lookup": (0, 0, False),  # pure filtered scan
+    # after the one-time bloom-indexed rewrite
 }
 
 

@@ -95,7 +95,7 @@ REFRESH: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 11 promoted the eight round-10 DEFERRED keys into window
 #: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills;
-#: the twenty round-11 additions (operators/analytics13-15.py,
+#: the twenty-one round-11 additions (operators/analytics13-15.py,
 #: extensions/dedup.py's hierarchical key, ch_query.py's CH-parity
 #: pair)
 #: overflow the full window and lead the round-12 queue,
@@ -121,6 +121,7 @@ DEFERRED: set[str] = {
     "intervals_peak_position",
     "str_has_subsequence",
     "ts_backtest_seasonal_naive",
+    "scan_bloom_filter_lookup",
 }
 
 
