@@ -114,82 +114,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 10 (union of CORRECTNESS_r01-r10, all ten rounds green):
-#: every registered key except the 8 round-10 additions carries a green
-#: driver row at its latest check. The round-11 window below is that
-#: 8-key DEFERRED queue (pinned at positions 51+ last round), followed
-#: by 42 regression REFRESH refills — the stalest green keys in the
-#: registry (latest driver row = CORRECTNESS_r01/r02), chosen so the
-#: oldest evidence gets refreshed; three of them
-#: (emb_label_centroids — and via the r02 batch dedup_exact /
-#: dedup_ngram_jaccard) double as post-fix RECHECKs for the round-10
-#: oracle-parity touches.
+#: after round 11 (union of CORRECTNESS_r01-r11, all eleven rounds
+#: green): every registered oracled key carries a green driver row
+#: except the 21 round-11 additions that overflowed the round-11
+#: window (declared DEFERRED there; judge-sim exact-verified at three
+#: scales meanwhile, PLANS_r11). The round-12 window below is that
+#: 21-key DEFERRED queue, followed by 29 regression REFRESH refills —
+#: the stalest green keys in the registry (latest driver row =
+#: CORRECTNESS_r02/r03), chosen so the oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
-#: tuple ever goes stale.
+#: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-11 window positions 0-7: the 8 round-10 additions that
-    # overflowed the round-10 window (declared DEFERRED there);
-    # judge-sim exact-verified meanwhile, now getting driver rows --
-    "agg_argmax_argmin",
-    "stats_covariance",
-    "win_session_window_builtin",
-    "text_quality_gopher",
-    "url_canonical_dedup",
-    "scan_dpp_join",
-    "math_round_families",
-    "text_blocklist_filter",
-    # -- 42 regression REFRESH refills (window slots 8-49): stalest
-    # green keys (latest driver row = r1/r2), precomputed in the
-    # round-10 handoff (NOTES "Round-11 rotation handoff"); see
-    # tests/test_rotation.py REFRESH --
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_latest_pointer",
-    "agg_percentile_exact",
-    "agg_stats",
-    "cond_null_funcs",
-    "distinct_rows",
-    "filter_compound",
-    "join_anti",
-    "join_bucketed",
-    "join_cross",
-    "join_full",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "project_compute",
-    "sample_systematic",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "topk_limit",
-    "unpivot_measures",
-    "win_lag_lead",
-    "win_ntile_firstlast",
-    "win_percent_rank",
-    "win_rank_dense",
-    "win_sliding_avg",
-    "agg_collect_sorted",
-    "agg_corr",
-    "array_construct_ops",
-    "array_funcs",
-    "array_higher_order",
-    "backup_catalog",
-    "backup_keep_newest",
-    "backup_latest_pointers",
-    "backup_retention_plan",
-    "date_arith",
-    "date_buckets",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "emb_label_centroids",
-    "hash_funcs",
-    # -- round-11 additions (operators/analytics13-15.py):
-    # past the 50-slot window, DEFERRED to lead the round-12 queue;
-    # exact-verified at three scales this session (PLANS_r11).
+    # -- round-12 window positions 0-20: the 21 round-11 additions
+    # (operators/analytics13-15.py, ch_query.py, the hierarchical
+    # dedup key) declared DEFERRED last round; now getting rows --
     "stats_kruskal_wallis",
     "orders_abc_analysis",
     "text_tfidf_topk",
@@ -211,6 +152,38 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "str_has_subsequence",
     "ts_backtest_seasonal_naive",
     "scan_bloom_filter_lookup",
+    # -- 29 regression REFRESH refills (window slots 21-49): stalest
+    # green keys (latest driver row = r2/r3), emitted by
+    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
+    "join_exists_correlated",
+    "map_json_funcs",
+    "math_funcs",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "safe_casts",
+    "sim_topk_cosine",
+    "snapshot_partitioned",
+    "snapshot_write",
+    "str_funcs",
+    "str_regexp",
+    "str_split_explode",
+    "stream_dedup_watermark",
+    "stream_foreach_sink",
+    "stream_late_data",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_lang_id",
+    "text_lang_stats",
+    "text_quality_score",
+    "text_token_count",
+    "text_tokenize_count",
+    "udaf_pandas_grouped",
+    "udf_pandas_scalar",
+    "udf_python",
 )
 
 

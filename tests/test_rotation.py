@@ -43,86 +43,47 @@ RECHECK: set[str] = set()
 #: the window whenever fewer required keys exist than window slots.
 #: Unlike RECHECK these are not suspected-stale semantics — they are
 #: routine re-verification so no key's driver evidence ages without
-#: bound. This is the 42-key list precomputed in the round-10 handoff
-#: (NOTES "Round-11 rotation handoff").
+#: bound. This is the 29-key list emitted by scripts/make_rotation.py
+#: for round 12 (stalest greens: latest driver row = r2/r3).
 REFRESH: set[str] = {
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_latest_pointer",
-    "agg_percentile_exact",
-    "agg_stats",
-    "cond_null_funcs",
-    "distinct_rows",
-    "filter_compound",
-    "join_anti",
-    "join_bucketed",
-    "join_cross",
-    "join_full",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "project_compute",
-    "sample_systematic",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "topk_limit",
-    "unpivot_measures",
-    "win_lag_lead",
-    "win_ntile_firstlast",
-    "win_percent_rank",
-    "win_rank_dense",
-    "win_sliding_avg",
-    "agg_collect_sorted",
-    "agg_corr",
-    "array_construct_ops",
-    "array_funcs",
-    "array_higher_order",
-    "backup_catalog",
-    "backup_keep_newest",
-    "backup_latest_pointers",
-    "backup_retention_plan",
-    "date_arith",
-    "date_buckets",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "emb_label_centroids",
-    "hash_funcs",
+    "join_exists_correlated",
+    "map_json_funcs",
+    "math_funcs",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "safe_casts",
+    "sim_topk_cosine",
+    "snapshot_partitioned",
+    "snapshot_write",
+    "str_funcs",
+    "str_regexp",
+    "str_split_explode",
+    "stream_dedup_watermark",
+    "stream_foreach_sink",
+    "stream_late_data",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_lang_id",
+    "text_lang_stats",
+    "text_quality_score",
+    "text_token_count",
+    "text_tokenize_count",
+    "udaf_pandas_grouped",
+    "udf_pandas_scalar",
+    "udf_python",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 11 promoted the eight round-10 DEFERRED keys into window
-#: positions 0-7 and filled slots 8-49 with the 42 REFRESH refills;
-#: the twenty-one round-11 additions (operators/analytics13-15.py,
-#: extensions/dedup.py's hierarchical key, ch_query.py's CH-parity
-#: pair)
-#: overflow the full window and lead the round-12 queue,
-#: exact-verified at three scales meanwhile (PLANS_r11).
-DEFERRED: set[str] = {
-    "stats_kruskal_wallis",
-    "orders_abc_analysis",
-    "text_tfidf_topk",
-    "ts_rolling_slope",
-    "win_groups_frame_emulated",
-    "events_peak_hour",
-    "orders_seasonal_index",
-    "scan_minmax_pruned",
-    "dq_orders_lineitem_reconcile",
-    "lineitem_revenue_waterfall",
-    "stats_permutation_test_hash",
-    "path_transition_lift",
-    "stats_welch_anova",
-    "events_wau_rolling",
-    "win_frame_exclude_current",
-    "agg_combinators_if_matrix",
-    "dedup_hierarchical_two_level",
-    "intervals_peak_position",
-    "str_has_subsequence",
-    "ts_backtest_seasonal_naive",
-    "scan_bloom_filter_lookup",
-}
+#: Round 12 promoted the twenty-one round-11 DEFERRED keys into window
+#: positions 0-20 and filled slots 21-49 with the 29 REFRESH refills;
+#: nothing overflows this round.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
