@@ -1,0 +1,179 @@
+"""Round-12 operator additions: skew-immune two-stage gap
+sessionization (the salting rewrite PLANS_r11 §5 put a number on).
+
+``sessionize_gap`` (analytics5.py) partitions its window by the bare
+``user_id``; the round-11 zipf probe measured the un-fixable cost of
+that shape under a 24 %-hot user at ~3x max single-task time (2.99x
+single-JVM, 2.25x across 4 executor JVMs) — a partitioned window
+must ship the whole hot key to ONE task and AQE has no skew rewrite
+for windows. ``sessionize_gap_twostage`` is the classic two-stage
+answer, oracle-identical to the flat key:
+
+1. **Local pass** — window partitioned by ``(user_id, day-bucket)``:
+   the hot user's events split across ~#days tasks, so no task ever
+   holds more than one user-day. Local session boundaries fall out of
+   the same lag-gap rule; local ids are a per-bucket cumsum.
+2. **Seam merge** — per ``(user_id, bucket)`` summary rows (first/last
+   event time, local session count): tiny relative to events (one row
+   per user-day — the hot user contributes #days rows, not 24 % of
+   all rows). A per-user window over THESE rows decides whether each
+   bucket's first local session continues the previous non-empty
+   bucket's last session (gap rule on the seam times — correct for
+   non-adjacent buckets because the time check subsumes adjacency,
+   and for sessions chaining across many buckets because a fully
+   merged bucket introduces zero new sessions), and converts local
+   ids to global ids with a running offset:
+   ``global_id = introduced_before_bucket + local_id - merge_prev``.
+3. **Fold** — join the per-bucket (offset, merge) row back to events
+   on ``(user_id, bucket)`` (the partitioning stage 1 already
+   established) and run the same per-session aggregate as the flat
+   key, now keyed by the GLOBAL session id.
+
+Trade: the flat plan does one exchange and reuses it everywhere; this
+plan pays extra exchanges (seam window + fold join + final agg) to
+cap max-task at one user-day. That is the right trade exactly when a
+key is hot — at 100 TB a 24 %-hot user under the flat plan is a
+single task holding 24 TB of a shuffle, i.e. a dead executor, while
+the two-stage plan's largest task holds one user-day. The zipf probe
+(scripts/scale_probe_sf1.py --zipf-window) runs both keys on the
+same 100x heavy-tail arm and records the max-task ratios side by
+side (scripts/zipf_window_results.json).
+
+Reference mapping: the reference (backup.sh:38-45) delegates query
+execution to the ClickHouse server; sessionization is the implicit
+first stage of every CH funnel/retention deployment (windowFunnel /
+neighbor()), and the bucket-then-merge rewrite is how those
+deployments shard a hot cohort across MergeTree parts.
+
+Family rules carried from analytics5: integer outputs only (epoch-µs
+bounds, counts); window cumsums CAST BIGINT in the DuckDB oracle
+(HUGEINT trap); every order carries the (ts, event_id) total-order
+tiebreak; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.operators.analytics5 import SESSION_GAP_US
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+#: Local-pass bucket width: one day of epoch-µs. Must only be large
+#: relative to typical per-user-day row counts (task sizing), NOT
+#: relative to the gap — the seam merge is exact for any bucket width
+#: because it compares actual first/last event times.
+BUCKET_US = 24 * 60 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_gap_twostage",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), f AS (
+            SELECT user_id, event_id, event_type, us,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id)
+                             > {SESSION_GAP_US}
+                          OR LAG(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ), s AS (
+            SELECT user_id, event_type, us,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) AS BIGINT) AS end_us,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM s GROUP BY user_id, session_id
+    """,
+    doc="Skew-immune rewrite of sessionize_gap: local 30m-gap "
+    "sessionization inside (user_id, day-bucket) window partitions, "
+    "then an exact seam merge over one summary row per user-day "
+    "(merge iff first event of the bucket is within the gap of the "
+    "previous non-empty bucket's last event; global ids via a "
+    "running introduced-sessions offset), then the per-session "
+    "aggregate on the global id. Oracle is the FLAT per-user "
+    "sessionization — the whole point is hash-identical output with "
+    "max-task capped at one user-day instead of one user (the "
+    "round-11 zipf probe's 3x straggler). Extra exchanges vs the "
+    "flat plan are the deliberate price; the seam window runs on "
+    "user-day summary rows, ~3 orders of magnitude smaller than "
+    "events.",
+)
+def sessionize_gap_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("bucket", (F.col("us") / F.lit(BUCKET_US)).cast("long"))
+
+    # Stage 1: local sessionization within (user, day-bucket). The
+    # first event of every bucket is provisionally a new session
+    # (lag NULL); the seam merge decides whether it really is.
+    wloc = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    new_loc = (
+        F.when(
+            (F.col("us") - F.lag("us").over(wloc) > SESSION_GAP_US)
+            | F.lag("us").over(wloc).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    cum = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ev.withColumn("new_loc", new_loc).withColumn(
+        "local_sid", F.sum("new_loc").over(cum).cast("long")
+    )
+
+    # Stage 2: one summary row per (user, bucket) — same grouping keys
+    # as the stage-1 partitioning, so this agg reuses the exchange.
+    summary = local.groupBy("user_id", "bucket").agg(
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.max("local_sid").alias("n_local"),
+    )
+    wseam = Window.partitionBy("user_id").orderBy("bucket")
+    seam = summary.withColumn(
+        "merge_prev",
+        F.when(
+            F.col("first_us") - F.lag("last_us").over(wseam)
+            <= F.lit(SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        # sessions INTRODUCED by buckets strictly before this one; a
+        # bucket whose only session merges backward introduces zero,
+        # which is exactly what folds multi-bucket session chains.
+        "base",
+        F.coalesce(
+            F.sum(F.col("n_local") - F.col("merge_prev")).over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("user_id", "bucket", "merge_prev", "base")
+
+    # Stage 3: fold the per-bucket offset back onto events (join on
+    # the stage-1 keys) and aggregate per GLOBAL session id.
+    folded = local.join(seam, ["user_id", "bucket"]).withColumn(
+        "session_id",
+        (F.col("base") + F.col("local_sid") - F.col("merge_prev")).cast(
+            "long"
+        ),
+    )
+    return folded.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("us").cast("long").alias("start_us"),
+        F.max("us").cast("long").alias("end_us"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )

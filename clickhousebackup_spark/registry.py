@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics13",
     "clickhousebackup_spark.operators.analytics14",
     "clickhousebackup_spark.operators.analytics15",
+    "clickhousebackup_spark.operators.analytics16",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -184,6 +185,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "udaf_pandas_grouped",
     "udf_pandas_scalar",
     "udf_python",
+    # -- round-12 additions: past the 50-slot window, DEFERRED to
+    # lead the round-13 queue (tests/test_rotation.py DEFERRED) --
+    "sessionize_gap_twostage",
 )
 
 

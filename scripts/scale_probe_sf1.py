@@ -773,8 +773,13 @@ def _stage_task_stats(spark, seen: set) -> tuple:
 #: funnel_steps: bare user_id — the true hot-partition shape;
 #: win_keep_newest: (user_id, day) compound) or o_custkey
 #: (topk_per_group — rides the zipf orders remap).
+#: sessionize_gap_twostage is the round-12 salting rewrite: same
+#: output as sessionize_gap, window partitioned by (user_id,
+#: day-bucket) + seam merge — listed right after the flat key so the
+#: max-task ratios sit side by side in the artifact.
 ZIPF_WINDOW_KEYS = (
     "sessionize_gap",
+    "sessionize_gap_twostage",
     "win_keep_newest",
     "topk_per_group",
     "funnel_steps",

@@ -1047,3 +1047,26 @@ def test_r11c_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R12_PLAN_BUDGET = {
+    "sessionize_gap_twostage": (5, 1, False),  # (user,bucket) window
+    # exchange + seam-summary agg + user-ordered seam window + the
+    # count-distinct two-phase expand on (user, session); the seam
+    # offsets join back broadcast at fixture scale. The extra
+    # exchanges vs flat sessionize_gap's single user_id exchange are
+    # the DELIBERATE price for capping max-task at one user-day
+    # (zipf probe: max-task x0.76 vs the flat key's x3.23 straggler).
+}
+
+
+@pytest.mark.parametrize("key", sorted(R12_PLAN_BUDGET))
+def test_r12_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R12_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -82,8 +82,11 @@ REFRESH: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 12 promoted the twenty-one round-11 DEFERRED keys into window
 #: positions 0-20 and filled slots 21-49 with the 29 REFRESH refills;
-#: nothing overflows this round.
-DEFERRED: set[str] = set()
+#: keys registered DURING round 12 overflow the full window and lead
+#: the round-13 queue, judge-sim exact-verified meanwhile.
+DEFERRED: set[str] = {
+    "sessionize_gap_twostage",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
