@@ -422,6 +422,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # r12 oracle rewrite: the original all-pairs nested join with
+    # per-pair list_intersect/list_concat/list_distinct was 740 s of
+    # pure oracle wall at sf0.1 (97-99% of the key's sweep cost,
+    # PLANS_r11 §2); this statement returns the identical rows in
+    # ~14 s. Exactness argument: grams are DISTINCT per doc, so the
+    # equi-join on g counts |A∩B| exactly, pairs sharing zero grams
+    # cannot reach Jaccard 0.8 (and are absent from the join), the
+    # length filter 5·min >= 4·max is implied by J >= 0.8, the union
+    # is na + nb - i by inclusion-exclusion over distinct sets, and
+    # the integer predicate 9·i >= 4·(na+nb) is algebraically
+    # i/(na+nb-i) >= 4/5 with no float boundary hazard (the emitted
+    # double i/u equals the old expression's value bit-for-bit — the
+    # same two integers divide). A prefix-filtered variant was tried
+    # first and measured only 1.6x (the fixture's 31-word vocabulary
+    # makes every gram frequent, so candidates barely prune); the
+    # join-count shape wins because it never materializes pair lists.
     oracle="""
         WITH grams AS (
             SELECT doc_id,
@@ -430,15 +446,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> concat_ws(' ',
                             string_split_regex(lower(text), '\\s+')[i:i+1]))) AS gs
             FROM documents
+        ), ex AS (
+            SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), shared AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.n AS na, b.n AS nb, COUNT(*) AS i
+            FROM ex a JOIN ex b USING (g)
+            WHERE a.doc_id < b.doc_id
+              AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)
+            GROUP BY 1, 2, 3, 4
         )
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
-                   AS jaccard
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
-              >= 0.8
+        SELECT a_id, b_id,
+               CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+        FROM shared
+        WHERE 9 * i >= 4 * (na + nb)
     """,
     doc="EXACT n-gram (word bigram) Jaccard near-dup pairs ≥ 0.8 via "
     "prefix filtering (PPJoin family): each doc indexes only its "
@@ -943,6 +964,14 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_containment",
+    # r12 oracle rewrite (same program as dedup_ngram_jaccard's):
+    # the all-pairs join with per-pair list_intersect cost 234 s of
+    # pure oracle wall at sf0.1. Grams are distinct per doc, so the
+    # equi-join on g counts |A∩B| exactly and zero-overlap pairs
+    # (absent from the join) cannot reach containment 0.9. NOTE: no
+    # length filter here — containment has none (a 3-gram doc inside
+    # a 300-gram doc qualifies). All outputs stay pure integers;
+    # identical rows to the all-pairs statement.
     oracle="""
         WITH grams AS (
             SELECT doc_id,
@@ -951,16 +980,21 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> concat_ws(' ',
                             string_split_regex(lower(text), '\\s+')[i:i+1]))) AS gs
             FROM documents
+        ), ex AS (
+            SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), shared AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.n AS na, b.n AS nb, COUNT(*) AS i
+            FROM ex a JOIN ex b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
         )
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
-               CAST(least(len(a.gs), len(b.gs)) AS BIGINT) AS min_sz,
-               CAST((len(list_intersect(a.gs, b.gs)) * 100)
-                    // least(len(a.gs), len(b.gs)) AS BIGINT)
-                   AS contain_pct
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE 10 * len(list_intersect(a.gs, b.gs))
-              >= 9 * least(len(a.gs), len(b.gs))
+        SELECT a_id, b_id,
+               CAST(i AS BIGINT) AS n_shared,
+               CAST(least(na, nb) AS BIGINT) AS min_sz,
+               CAST((i * 100) // least(na, nb) AS BIGINT) AS contain_pct
+        FROM shared
+        WHERE 10 * i >= 9 * least(na, nb)
     """,
     doc="EXACT n-gram containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.9) "
     "— the asymmetric cousin of dedup_ngram_jaccard that catches "

@@ -860,16 +860,29 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skyline_orders",
+    # r12 oracle rewrite: the original NOT EXISTS self-join is
+    # O(n^2) and dominated the sf0.1 sweep (378 s of pure oracle
+    # wall). This is the same strict-dominance predicate decomposed
+    # exactly — dominated(a) iff (b.price > a.price AND b.date >=
+    # a.date) OR (b.price = a.price AND b.date > a.date) — as one
+    # per-price max plus a running max over strictly-greater DISTINCT
+    # prices (ROWS .. 1 PRECEDING over distinct prices IS the
+    # strictly-greater set). O(n log n); result rows identical.
     oracle="""
-        SELECT o_orderkey, o_totalprice, o_orderdate
-        FROM orders a
-        WHERE NOT EXISTS (
-            SELECT 1 FROM orders b
-            WHERE b.o_totalprice >= a.o_totalprice
-              AND b.o_orderdate >= a.o_orderdate
-              AND (b.o_totalprice > a.o_totalprice
-                   OR b.o_orderdate > a.o_orderdate)
+        WITH pm AS (
+            SELECT o_totalprice AS p, MAX(o_orderdate) AS dmax
+            FROM orders GROUP BY o_totalprice
+        ), run AS (
+            SELECT p, dmax,
+                   MAX(dmax) OVER (ORDER BY p DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS dgt
+            FROM pm
         )
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM orders o JOIN run r ON o.o_totalprice = r.p
+        WHERE o.o_orderdate = r.dmax
+          AND (r.dgt IS NULL OR o.o_orderdate > r.dgt)
     """,
     doc="2-D skyline (Pareto front) of orders maximizing (totalprice, "
     "orderdate) — the skyline-in-Spark-SQL pattern from the PAPERS "
