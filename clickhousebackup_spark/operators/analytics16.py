@@ -177,3 +177,126 @@ def sessionize_gap_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").cast("long").alias("end_us"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@register(
+    "funnel_steps_twostage",
+    oracle="""
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), w2 AS (
+            SELECT user_id, ts, event_type, t1,
+                   min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM w1
+        ), w3 AS (
+            SELECT user_id, t1, t2,
+                   min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM w2
+        )
+        SELECT DISTINCT user_id,
+               CAST(CASE WHEN t1 IS NULL THEN 0
+                         WHEN t2 IS NULL THEN 1
+                         WHEN t3 IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS funnel_depth
+        FROM w3
+    """,
+    doc="Skew-immune rewrite of funnel_steps (windowFunnel analog), "
+    "oracle-identical to the flat key. The flat plan ships every "
+    "event of a user to ONE window task (the round-11 zipf probe's "
+    "x2.6-2.8 max-task straggler); this plan exploits that each "
+    "chained conditional min's cut point (t1, then t2) falls in "
+    "exactly ONE day-bucket per user: (1) t1 = plain min agg over "
+    "views — map-side partials absorb any skew; (2) per-(user, "
+    "day-bucket) min aggs over clicks/purchases — the bucket "
+    "summaries (one row per user-day) are the only user-grain rows "
+    "that meet t1; (3) the COARSE candidate is the min bucket-"
+    "summary past the cut bucket, the FINE candidate re-scans "
+    "events of the single cut bucket only, via an equi-join on "
+    "(user_id, bucket) — so every event-scale task is bounded by "
+    "one user-day, exactly the sessionize_gap_twostage seam "
+    "philosophy. min(coarse, fine) is exact because buckets are "
+    "time-ordered: any qualifying ts in a later bucket exceeds "
+    "bucket start > cut, and ties cannot cross buckets. Extra "
+    "exchanges (all (user,bucket)-keyed or partial-agg-combined) "
+    "are the deliberate price for removing the hot-key window sort.",
+)
+def funnel_steps_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(BUCKET_US)).cast("long").alias("bucket"),
+    )
+
+    def step_min(etype: str, cuts: DataFrame, cut_col: str, out: str):
+        """min ts of `etype` events strictly after cuts.cut_col —
+        coarse over whole buckets past the cut bucket, fine inside
+        the cut bucket itself; both inputs keyed (user, bucket)."""
+        evs = ev.filter(F.col("event_type") == etype)
+        summ = evs.groupBy("user_id", "bucket").agg(
+            F.min("ts").alias("bmin")
+        )
+        cuts_b = cuts.withColumn(
+            "cut_bucket",
+            (F.unix_micros(cut_col) / F.lit(BUCKET_US)).cast("long"),
+        )
+        coarse = (
+            summ.join(cuts_b, "user_id")
+            .filter(F.col("bucket") > F.col("cut_bucket"))
+            .groupBy("user_id")
+            .agg(F.min("bmin").alias("coarse"))
+        )
+        fine = (
+            evs.join(
+                cuts_b.select(
+                    "user_id",
+                    F.col("cut_bucket").alias("bucket"),
+                    F.col(cut_col).alias("_cut"),
+                ),
+                ["user_id", "bucket"],
+            )
+            .filter(F.col("ts") > F.col("_cut"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("fine"))
+        )
+        return (
+            cuts.select("user_id")
+            .join(coarse, "user_id", "left")
+            .join(fine, "user_id", "left")
+            .select("user_id", F.least("coarse", "fine").alias(out))
+            .filter(F.col(out).isNotNull())
+        )
+
+    # The cut tables are user-grain (orders of magnitude below the
+    # event table) and each feeds THREE consumers (coarse, fine, the
+    # final assembly); materialize them once so the event-scale agg
+    # subtrees don't replicate per consumer — same localCheckpoint
+    # convention as the dedup family's gram table.
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
+    )
+    t2 = step_min("click", t1, "t1", "t2").localCheckpoint(eager=True)
+    t3 = step_min("purchase", t2, "t2", "t3")
+    users = ev.select("user_id").distinct()
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("funnel_depth")
+    )
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", depth)
+    )

@@ -188,6 +188,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # -- round-12 additions: past the 50-slot window, DEFERRED to
     # lead the round-13 queue (tests/test_rotation.py DEFERRED) --
     "sessionize_gap_twostage",
+    "funnel_steps_twostage",
 )
 
 

@@ -783,6 +783,7 @@ ZIPF_WINDOW_KEYS = (
     "win_keep_newest",
     "topk_per_group",
     "funnel_steps",
+    "funnel_steps_twostage",
 )
 
 

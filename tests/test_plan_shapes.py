@@ -1057,6 +1057,12 @@ R12_PLAN_BUDGET = {
     # exchanges vs flat sessionize_gap's single user_id exchange are
     # the DELIBERATE price for capping max-task at one user-day
     # (zipf probe: max-task x0.76 vs the flat key's x3.23 straggler).
+    "funnel_steps_twostage": (6, 3, False),  # per-step (user,bucket)
+    # summary aggs + fine-scan equi-joins on (user,bucket) + the
+    # final user-grain assembly; cut tables localCheckpoint once so
+    # event-scale subtrees never replicate per consumer (27 -> 6
+    # visible exchanges). Every event-scale exchange is keyed
+    # (user, bucket) — the skew-immunity invariant.
 }
 
 

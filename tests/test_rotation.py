@@ -86,6 +86,7 @@ REFRESH: set[str] = {
 #: the round-13 queue, judge-sim exact-verified meanwhile.
 DEFERRED: set[str] = {
     "sessionize_gap_twostage",
+    "funnel_steps_twostage",
 }
 
 
