@@ -334,10 +334,18 @@ def run_foreach_webhook(
     stream_df: DataFrame,
     post: Callable[[dict], None],
     checkpoint_dir: str,
+    trigger: dict | None = None,
+    block: bool = True,
 ):
     """A20 as a streaming sink: each epoch POSTs a summary dict through
     ``post`` (injected for tests; production passes hooks.webhook_hook's
-    transport). foreachBatch gives exactly-once per epoch-id."""
+    transport). foreachBatch gives exactly-once per epoch-id.
+
+    Default is the one-shot form (availableNow + block) the batch
+    engine's post-backup hook uses; pass ``trigger=cron_to_trigger(...)``
+    and ``block=False`` for a LIVE listener riding an unbounded source
+    (the rate-source conformance arm drives that path across a
+    simulated restart)."""
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         n = batch_df.count()
@@ -346,10 +354,11 @@ def run_foreach_webhook(
     q = track_query(
         stream_df.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
-    q.awaitTermination()
+    if block:
+        q.awaitTermination()
     return q
 
 

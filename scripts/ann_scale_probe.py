@@ -210,7 +210,7 @@ def _collect_topk(df) -> dict:
 
 
 def probe_lsh(spark, path: str, n: int, queries: dict, truth: dict) -> dict:
-    """Plane count grows with log2(N) (7 planes at 50k, 10 at 500k —
+    """Plane count grows with log2(N) (6 planes at 50k, 10 at 500k —
     the bucket-occupancy rule every sign-LSH deployment applies), so
     candidates/query stay ~flat while the candidate FRACTION falls
     linearly in N. Probe set = query bucket union Hamming-1."""

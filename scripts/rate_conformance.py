@@ -21,8 +21,10 @@ Conformance asserted and recorded (scripts/rate_conformance.json):
   duplicates ACROSS the restart boundary (rows == distinct == max+1);
 - both runs produced epochs (the restart resumed, not restarted);
 - checkpoint offset files advanced monotonically across runs;
-- the webhook listener received one summary per non-empty epoch, with
-  row counts summing to what its own checkpoint lineage covered.
+- the webhook listener (its own lineage, LIVE processingTime trigger,
+  killed and resumed with everything else) posted in both runs with
+  UNIQUE, strictly increasing epoch ids — a replayed epoch would
+  repeat an id, a reset lineage would restart at 0.
 
 Usage: python scripts/rate_conformance.py [seconds_per_run]
 """
@@ -95,6 +97,8 @@ def main() -> None:
             hook_src.withColumn("b", F.lit(1)),
             posts.append,
             ckpt_hook,
+            trigger=trigger,  # LIVE listener, same cadence as the sink
+            block=False,      # must survive (and be killed by) the crash
         )
         return q_sink, q_hook
 
@@ -135,8 +139,10 @@ def main() -> None:
             and r2["vmin"] == 0
         ),
         "run2_resumed_not_restarted": bool(
-            r2["last_offset_file"] > r1["last_offset_file"]
-            and r2["vmax"] > r1["vmax"]
+            r1["last_offset_file"] is not None
+            and r2["last_offset_file"] is not None
+            and r2["last_offset_file"] > r1["last_offset_file"]
+            and (r2["vmax"] or -1) > (r1["vmax"] or -1)
         ),
         "both_runs_produced_epochs": bool(
             r1["sink_epochs_so_far"] >= 2
@@ -145,7 +151,19 @@ def main() -> None:
         "webhook_posted_both_runs": bool(
             0 < r1["webhook_posts_so_far"] < r2["webhook_posts_so_far"]
         ),
-        "webhook_sample": posts[:2] + posts[-1:],
+        # exactly-once per epoch-id within the hook lineage: epoch ids
+        # strictly increase across the restart (a replayed epoch would
+        # repeat an id; a reset lineage would restart at 0 with rows)
+        "webhook_epochs_unique": bool(
+            len({p["epoch"] for p in posts}) == len(posts)
+        ),
+        "webhook_epochs_monotonic": bool(
+            all(
+                a["epoch"] < b["epoch"]
+                for a, b in zip(posts, posts[1:])
+            )
+        ),
+        "webhook_sample": posts[: min(2, len(posts) - 1)] + posts[-1:],
     }
     report["ok"] = all(
         v for k, v in report["conformance"].items()

@@ -36,3 +36,21 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+EVENTS_FIXTURE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def write_events_fixture(spark, tmp_path, rows) -> str:
+    """Write a crafted events table (schema-compatible subset) under
+    ``tmp_path`` and return the sf_dir it lives in — the shared helper
+    the crafted-fixture/property test files use so the 6-column schema
+    lives in exactly one place."""
+    d = str(tmp_path)
+    spark.createDataFrame(rows, EVENTS_FIXTURE_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    return d

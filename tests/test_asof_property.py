@@ -24,6 +24,8 @@ from hypothesis import strategies as st
 
 from clickhousebackup_spark.registry import all_specs
 
+from .conftest import write_events_fixture
+
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 EPOCH_US = int(EPOCH.timestamp()) * 1_000_000
 TOL_US = 3_600_000_000  # the keys' 1-hour attribution window
@@ -32,13 +34,7 @@ pytestmark = pytest.mark.slow
 
 
 def _events_dir(spark, tmp_path, rows):
-    d = str(tmp_path)
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
-    return d
+    return write_events_fixture(spark, tmp_path, rows)
 
 
 def _mk(evs, tmp_path, spark):

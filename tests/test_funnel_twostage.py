@@ -22,10 +22,10 @@ from hypothesis import strategies as st
 from clickhousebackup_spark.operators.analytics16 import BUCKET_US
 from clickhousebackup_spark.registry import all_specs
 
+from .conftest import write_events_fixture
+
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 DAY = BUCKET_US
-
-pytestmark_slow = pytest.mark.slow
 
 
 def _mk(evs, tmp_path, spark):
@@ -34,13 +34,7 @@ def _mk(evs, tmp_path, spark):
         (eid, EPOCH + timedelta(microseconds=us), uid, etype, 0.0, "")
         for eid, us, uid, etype in evs
     ]
-    d = str(tmp_path)
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
-    return d
+    return write_events_fixture(spark, tmp_path, rows)
 
 
 def _brute(evs):

@@ -30,6 +30,8 @@ from clickhousebackup_spark.operators.analytics5 import SESSION_GAP_US
 from clickhousebackup_spark.operators.analytics16 import BUCKET_US
 from clickhousebackup_spark.registry import all_specs
 
+from .conftest import write_events_fixture
+
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 #: Absolute epoch-µs of EPOCH — 2024-01-01 is midnight UTC, so the
 #: relative seam offsets used below stay day-bucket-aligned after the
@@ -39,13 +41,7 @@ assert EPOCH_US % (24 * 60 * 60 * 1_000_000) == 0
 
 
 def _events_dir(spark, tmp_path, rows):
-    d = str(tmp_path)
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
-    return d
+    return write_events_fixture(spark, tmp_path, rows)
 
 
 def _rows_of(spark, sf_dir, key):
@@ -169,8 +165,6 @@ def test_matches_flat_key_on_fixture(spark, sf_dir):
         spark, sf_dir, "sessionize_gap"
     )
 
-
-pytestmark_slow = pytest.mark.slow
 
 #: Adversarial event sets: µs offsets clustered around day seams and
 #: gap multiples so merges, splits, chains, and exact boundaries all
