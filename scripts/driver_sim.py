@@ -168,9 +168,13 @@ def main(argv: list[str]) -> int:
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
+        # fixture tables are single files; probe-built scale dirs
+        # (e.g. the sf1 arms under /tmp) are Spark-written DIRECTORIES
+        # of part files — glob those so the same sim runs at any scale
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     emit_path = None
