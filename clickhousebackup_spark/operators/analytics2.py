@@ -867,7 +867,15 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a.date) OR (b.price = a.price AND b.date > a.date) — as one
     # per-price max plus a running max over strictly-greater DISTINCT
     # prices (ROWS .. 1 PRECEDING over distinct prices IS the
-    # strictly-greater set). O(n log n); result rows identical.
+    # strictly-greater set). O(n log n). The final dup_rn = 1 layer
+    # encodes the key's DECLARED duplicate rule (exact duplicates of
+    # a skyline point collapse to the lowest orderkey) which the old
+    # NOT EXISTS statement silently did not: duplicates don't
+    # strictly dominate each other, so it kept all of them. No
+    # duplicate (price, date) skyline points exist at the three
+    # fixture scales (hashes unchanged); the r12 sf1 slice arm —
+    # which clones each order 10x — exposed the 13-vs-130 divergence
+    # and this layer closes it on the contract side.
     oracle="""
         WITH pm AS (
             SELECT o_totalprice AS p, MAX(o_orderdate) AS dmax
@@ -878,11 +886,17 @@ def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        AS dgt
             FROM pm
+        ), sky AS (
+            SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o.o_totalprice, o.o_orderdate
+                       ORDER BY o.o_orderkey) AS dup_rn
+            FROM orders o JOIN run r ON o.o_totalprice = r.p
+            WHERE o.o_orderdate = r.dmax
+              AND (r.dgt IS NULL OR o.o_orderdate > r.dgt)
         )
-        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
-        FROM orders o JOIN run r ON o.o_totalprice = r.p
-        WHERE o.o_orderdate = r.dmax
-          AND (r.dgt IS NULL OR o.o_orderdate > r.dgt)
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM sky WHERE dup_rn = 1
     """,
     doc="2-D skyline (Pareto front) of orders maximizing (totalprice, "
     "orderdate) — the skyline-in-Spark-SQL pattern from the PAPERS "

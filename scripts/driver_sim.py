@@ -157,6 +157,13 @@ def main(argv: list[str]) -> int:
             master = a.split("=", 1)[1]
     builder = (
         SparkSession.builder.master(master)
+        # sf1-scale arms collect multi-million-row results on both
+        # sides of the compare; the 1g default driver heap loses task
+        # results (TaskResultLost). Vanilla-session semantics are
+        # unchanged — this is sim-harness capacity, not engine tuning.
+        .config("spark.driver.memory",
+                os.environ.get("CBS_SIM_DRIVER_MEM", "4g"))
+        .config("spark.driver.maxResultSize", "4g")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "8")
     )
