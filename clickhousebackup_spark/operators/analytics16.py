@@ -300,3 +300,77 @@ def funnel_steps_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t3, "user_id", "left")
         .select("user_id", depth)
     )
+
+
+#: Hot-share dispatch threshold for the adaptive sessionizer: if the
+#: hottest user owns more than this fraction of all events, the flat
+#: plan's single window task becomes the job's critical path (the
+#: zipf probe measured ~3x max-task at 24%) and the two-stage plan
+#: wins on BOTH wall and max-task; below it the flat plan's single
+#: exchange is cheaper (the probe's uniform arms: flat 3.96 s vs
+#: two-stage 6.98 s). 5% sits well inside both measured regimes.
+ADAPTIVE_HOT_SHARE = 0.05
+
+
+@register(
+    "sessionize_gap_adaptive",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), f AS (
+            SELECT user_id, event_id, event_type, us,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id)
+                             > {SESSION_GAP_US}
+                          OR LAG(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ), s AS (
+            SELECT user_id, event_type, us,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) AS BIGINT) AS end_us,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM s GROUP BY user_id, session_id
+    """,
+    doc="Data-dependent plan dispatch for gap sessionization — the "
+    "production form of the round-12 skew playbook (CLUSTER.md §9): "
+    "ONE cheap aggregate measures the hottest user's share of all "
+    "events (a two-phase max-of-counts — map-side partials absorb "
+    "the very skew being measured), then dispatches to the flat "
+    "single-exchange plan (hot share <= 5%: its one user_id window "
+    "is cheapest) or the two-stage bucket+seam plan (hot share > 5%: "
+    "the flat plan's straggler is the measured ~3x max-task of the "
+    "zipf probe). BOTH branches are oracle-identical, so the choice "
+    "is invisible to correctness — exactly how an engine should "
+    "treat physical-plan selection. The stats scan is O(1) state "
+    "per user and its driver-side result is two integers; at 100 TB "
+    "a deployment would read the same two numbers from table "
+    "statistics instead of a scan.",
+)
+def sessionize_gap_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.operators.analytics5 import sessionize_gap
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("hot"), F.sum("c").alias("total"))
+        .collect()[0]
+    )
+    skewed = (
+        stats["total"] is not None
+        and stats["total"] > 0
+        and stats["hot"] / stats["total"] > ADAPTIVE_HOT_SHARE
+    )
+    branch = sessionize_gap_twostage if skewed else sessionize_gap
+    return branch(spark, sf_dir)

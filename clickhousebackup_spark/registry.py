@@ -189,6 +189,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # lead the round-13 queue (tests/test_rotation.py DEFERRED) --
     "sessionize_gap_twostage",
     "funnel_steps_twostage",
+    "sessionize_gap_adaptive",
 )
 
 

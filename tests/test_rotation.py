@@ -87,6 +87,7 @@ REFRESH: set[str] = {
 DEFERRED: set[str] = {
     "sessionize_gap_twostage",
     "funnel_steps_twostage",
+    "sessionize_gap_adaptive",
 }
 
 

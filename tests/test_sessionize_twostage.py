@@ -198,3 +198,43 @@ def test_property_matches_brute_force(spark, tmp_path_factory, evs):
     ]
     d = _mk(rows, tmp_path_factory.mktemp("sess"), spark)
     assert _rows_of(spark, d, "sessionize_gap_twostage") == _brute(rows)
+
+
+def test_adaptive_dispatch_boundary(spark, tmp_path, monkeypatch):
+    """The adaptive key picks the two-stage plan iff the hottest
+    user's share exceeds ADAPTIVE_HOT_SHARE — proven by spying on
+    both branch functions with crafted skewed vs uniform corpora;
+    output equals the brute-force sessionizer either way."""
+    from clickhousebackup_spark.operators import analytics5, analytics16
+
+    calls = []
+
+    real_flat = analytics5.sessionize_gap
+    real_two = analytics16.sessionize_gap_twostage
+
+    def spy_flat(spark_, d):
+        calls.append("flat")
+        return real_flat(spark_, d)
+
+    def spy_two(spark_, d):
+        calls.append("twostage")
+        return real_two(spark_, d)
+
+    monkeypatch.setattr(analytics5, "sessionize_gap", spy_flat)
+    monkeypatch.setattr(analytics16, "sessionize_gap_twostage", spy_two)
+
+    # skewed: user 7 owns 30 of 40 events (75% >> 5%)
+    skewed = [(i, i * GAP * 2, 7, "a") for i in range(30)] + [
+        (100 + i, i * GAP * 2, 100 + i, "b") for i in range(10)
+    ]
+    d = _mk(skewed, tmp_path / "skew", spark)
+    got = _rows_of(spark, d, "sessionize_gap_adaptive")
+    assert got == _brute(skewed)
+    assert calls[-1] == "twostage"
+
+    # uniform: 40 users, one event each (2.5% < 5%)
+    uniform = [(i, i * GAP, i, "a") for i in range(40)]
+    d = _mk(uniform, tmp_path / "uni", spark)
+    got = _rows_of(spark, d, "sessionize_gap_adaptive")
+    assert got == _brute(uniform)
+    assert calls[-1] == "flat"
