@@ -56,7 +56,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.operators.analytics5 import SESSION_GAP_US
+from clickhousebackup_spark.operators.analytics5 import (
+    SESSION_GAP_US,
+    SESSIONIZE_ORACLE,
+)
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -69,34 +72,7 @@ BUCKET_US = 24 * 60 * 60 * 1_000_000
 
 @register(
     "sessionize_gap_twostage",
-    oracle=f"""
-        WITH e AS (
-            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-            FROM events
-        ), f AS (
-            SELECT user_id, event_id, event_type, us,
-                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
-                                                ORDER BY us, event_id)
-                             > {SESSION_GAP_US}
-                          OR LAG(us) OVER (PARTITION BY user_id
-                                           ORDER BY us, event_id) IS NULL
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM e
-        ), s AS (
-            SELECT user_id, event_type, us,
-                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS session_id
-            FROM f
-        )
-        SELECT user_id, session_id,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(MIN(us) AS BIGINT) AS start_us,
-               CAST(MAX(us) AS BIGINT) AS end_us,
-               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
-        FROM s GROUP BY user_id, session_id
-    """,
+    oracle=SESSIONIZE_ORACLE,
     doc="Skew-immune rewrite of sessionize_gap: local 30m-gap "
     "sessionization inside (user_id, day-bucket) window partitions, "
     "then an exact seam merge over one summary row per user-day "
@@ -314,34 +290,7 @@ ADAPTIVE_HOT_SHARE = 0.05
 
 @register(
     "sessionize_gap_adaptive",
-    oracle=f"""
-        WITH e AS (
-            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-            FROM events
-        ), f AS (
-            SELECT user_id, event_id, event_type, us,
-                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
-                                                ORDER BY us, event_id)
-                             > {SESSION_GAP_US}
-                          OR LAG(us) OVER (PARTITION BY user_id
-                                           ORDER BY us, event_id) IS NULL
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM e
-        ), s AS (
-            SELECT user_id, event_type, us,
-                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS session_id
-            FROM f
-        )
-        SELECT user_id, session_id,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(MIN(us) AS BIGINT) AS start_us,
-               CAST(MAX(us) AS BIGINT) AS end_us,
-               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
-        FROM s GROUP BY user_id, session_id
-    """,
+    oracle=SESSIONIZE_ORACLE,
     doc="Data-dependent plan dispatch for gap sessionization — the "
     "production form of the round-12 skew playbook (CLUSTER.md §9): "
     "ONE cheap aggregate measures the hottest user's share of all "
@@ -352,17 +301,21 @@ ADAPTIVE_HOT_SHARE = 0.05
     "the flat plan's straggler is the measured ~3x max-task of the "
     "zipf probe). BOTH branches are oracle-identical, so the choice "
     "is invisible to correctness — exactly how an engine should "
-    "treat physical-plan selection. The stats scan is O(1) state "
-    "per user and its driver-side result is two integers; at 100 TB "
-    "a deployment would read the same two numbers from table "
-    "statistics instead of a scan.",
+    "treat physical-plan selection. NOTE: the probe makes this one "
+    "of the repo's deliberately EAGER keys — fn() runs a bounded job "
+    "before returning the plan, same precedent as the dedup/funnel "
+    "keys' eager localCheckpoints — and it reads ONLY the user_id "
+    "column (explicit select -> parquet column pruning), its result "
+    "being two integers. At 100 TB a deployment reads the same two "
+    "numbers from table statistics instead of a scan.",
 )
 def sessionize_gap_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.operators.analytics5 import sessionize_gap
 
     ev = load_table(spark, sf_dir, "events")
     stats = (
-        ev.groupBy("user_id")
+        ev.select("user_id")  # probe reads ONE pruned column
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.max("c").alias("hot"), F.sum("c").alias("total"))
         .collect()[0]

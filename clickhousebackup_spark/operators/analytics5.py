@@ -41,10 +41,12 @@ from clickhousebackup_spark.tables import load_table
 #: default (GA, Amplitude, CH windowFunnel deployments all ship 30m).
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-
-@register(
-    "sessionize_gap",
-    oracle=f"""
+#: THE flat per-user sessionization truth — shared verbatim by the
+#: flat key and both round-12 physical rewrites (twostage,
+#: adaptive, operators/analytics16.py): their whole contract is
+#: hash-identical output, so the oracle string must be ONE object,
+#: never a copy that can drift.
+SESSIONIZE_ORACLE = f"""
         WITH e AS (
             SELECT user_id, event_id, event_type, epoch_us(ts) AS us
             FROM events
@@ -71,7 +73,12 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
                CAST(MAX(us) AS BIGINT) AS end_us,
                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
         FROM s GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "sessionize_gap",
+    oracle=SESSIONIZE_ORACLE,
     doc="30-minute-gap sessionization: the per-user session "
     "assignment every funnel/retention pipeline starts from (CH "
     "deployments build it with neighbor()/windowFunnel; GA and "

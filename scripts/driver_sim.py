@@ -161,9 +161,13 @@ def main(argv: list[str]) -> int:
         # sides of the compare; the 1g default driver heap loses task
         # results (TaskResultLost). Vanilla-session semantics are
         # unchanged — this is sim-harness capacity, not engine tuning.
+        # maxResultSize tracks the SAME knob so a smaller configured
+        # heap keeps Spark's graceful result-size guard meaningful
+        # instead of OOM-killing the driver mid-sweep.
         .config("spark.driver.memory",
                 os.environ.get("CBS_SIM_DRIVER_MEM", "4g"))
-        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.driver.maxResultSize",
+                os.environ.get("CBS_SIM_DRIVER_MEM", "4g"))
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "8")
     )

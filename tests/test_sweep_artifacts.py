@@ -61,8 +61,17 @@ def test_sweep_artifacts_are_honest():
         for k, v in data.items():
             status = v["match"]
             if status.startswith("FAIL"):
-                # documented-known-limit rows must explain themselves
-                # in-artifact; 120 chars keeps "note": "flaky" out
+                # The allowance is deliberately NARROW: only
+                # beyond-gate slice/probe artifacts may carry a
+                # documented known-limit row, and it must explain
+                # itself in-artifact (>=120 chars keeps "flaky" out).
+                # The primary driver-gate sweeps (full registry at
+                # sf0.01/sf0.1, local or cluster) remain hard-fail:
+                # a FAIL there is a real regression, never a limit.
+                assert "slice" in name or "probe" in name, (
+                    f"{name}: {k} = {status} — FAIL rows are never "
+                    f"acceptable in a driver-gate sweep artifact"
+                )
                 note = v.get("note", "")
                 assert len(note) >= 120, (
                     f"{name}: {k} = {status} with no substantial "
