@@ -777,9 +777,13 @@ def _stage_task_stats(spark, seen: set) -> tuple:
 #: output as sessionize_gap, window partitioned by (user_id,
 #: day-bucket) + seam merge — listed right after the flat key so the
 #: max-task ratios sit side by side in the artifact.
+#: sessionize_gap_adaptive dispatches per key-distribution — on the
+#: probe's uniform arm it must ride the flat plan's cost, on the zipf
+#: arm the two-stage plan's: the best column of each row above.
 ZIPF_WINDOW_KEYS = (
     "sessionize_gap",
     "sessionize_gap_twostage",
+    "sessionize_gap_adaptive",
     "win_keep_newest",
     "topk_per_group",
     "funnel_steps",

@@ -192,3 +192,43 @@ def test_peak_hour_tie_takes_smallest_hour(spark, tmp_path):
     out = all_specs()["events_peak_hour"].fn(spark, d).collect()[0]
     assert out["peak_hour"] == 3 and out["peak_count"] == 2
     assert out["total"] == 4 and out["share_permille"] == 500
+
+
+def test_skyline_duplicate_points_collapse(spark, tmp_path):
+    """r12 contract layer: exact duplicates of a skyline point
+    collapse to the lowest orderkey in BOTH engines (the old
+    NOT EXISTS oracle silently kept all of them — exposed by the
+    sf1 arm's 10x clones, 13 vs 130 rows). Crafted: two identical
+    Pareto-optimal orders + one dominated order."""
+    import duckdb
+    from datetime import date
+
+    rows = [
+        (5, 1, "O", 900.0, date(2024, 3, 9), "1-URGENT", "c", 0, ""),
+        (3, 1, "O", 900.0, date(2024, 3, 9), "1-URGENT", "c", 0, ""),
+        (9, 1, "O", 100.0, date(2024, 3, 1), "1-URGENT", "c", 0, ""),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    spec = all_specs()["skyline_orders"]
+    got = sorted(
+        (r["o_orderkey"], r["o_totalprice"]) for r in spec.fn(spark, d).collect()
+    )
+    assert got == [(3, 900.0)]  # lowest orderkey survives, dup + dominated gone
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (r[0], r[1])
+        for r in con.execute(spec.oracle).fetchall()
+    )
+    assert oracle == [(3, 900.0)]
