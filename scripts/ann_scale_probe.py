@@ -25,13 +25,15 @@ points) and measures, for 20 spread queries per scale:
 Reported per method and scale: mean candidates/query, candidate
 FRACTION of the corpus, and mean recall@10 against the exact cosine
 top-10. Measured conclusions (scripts/ann_scale_results.json,
-50k -> 500k): IVF with cells ∝ N keeps candidates FLAT (4745 ->
-4061) while recall RISES (0.96 -> 0.985) — the headline sublinearity
-row; constant-stage-1 BQ/PQ lose recall at 10x points (density), and
+50k -> 500k -> 1.5M, a 30x span): IVF with cells ∝ N keeps
+candidates FLAT (4745 -> 4061 -> 6309, a 1.3x drift over 30x
+points) while recall HOLDS AND RISES (0.96 -> 0.985 -> 0.99) — the
+headline sublinearity row; constant-stage-1 BQ/PQ lose recall at 10x points (density), and
 the measured law is that stage-1 ∝ sqrt(N) restores it (bq 0.455 ->
 0.525 at 316 candidates; trained pq 0.62 -> 0.64 at 158) — still
-sublinear; log2-plane LSH holds candidates flat but decays in recall
-(0.39 -> 0.205), consistent with its role as the textbook baseline
+sublinear (bq sqrt(N) holds 0.54 at 1.5M; trained pq 0.545);
+log2-plane LSH holds candidates flat but decays in recall
+(0.39 -> 0.205 -> 0.11), consistent with its role as the textbook baseline
 under the package's recall floors (extensions/recall.py). Everything
 is Spark-side except the 20-query codebook/LUT constants (driver
 numpy, broadcast as literals — exactly what a production serving
