@@ -1063,6 +1063,12 @@ R12_PLAN_BUDGET = {
     # event-scale subtrees never replicate per consumer (27 -> 6
     # visible exchanges). Every event-scale exchange is keyed
     # (user, bucket) — the skew-immunity invariant.
+    "sessionize_gap_adaptive": (5, 0, False),  # branch-agnostic upper
+    # bound: the dispatch returns either the flat plan (1 exchange)
+    # or the two-stage plan (5) depending on the fixture's measured
+    # hot-share; both branches' own budgets are pinned above/in
+    # analytics5 coverage, so this entry only guards against the
+    # dispatch ever producing something that is NEITHER.
 }
 
 
