@@ -115,81 +115,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 11 (union of CORRECTNESS_r01-r11, all eleven rounds
+#: after round 12 (union of CORRECTNESS_r01-r12, all twelve rounds
 #: green): every registered oracled key carries a green driver row
-#: except the 21 round-11 additions that overflowed the round-11
+#: except the 3 round-12 additions that overflowed the round-12
 #: window (declared DEFERRED there; judge-sim exact-verified at three
-#: scales meanwhile, PLANS_r11). The round-12 window below is that
-#: 21-key DEFERRED queue, followed by 29 regression REFRESH refills —
+#: scales meanwhile, PLANS_r12). The round-13 window below is that
+#: 3-key DEFERRED queue, followed by 47 regression REFRESH refills —
 #: the stalest green keys in the registry (latest driver row =
-#: CORRECTNESS_r02/r03), chosen so the oldest evidence gets refreshed.
+#: CORRECTNESS_r03/r04), chosen so the oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-12 window positions 0-20: the 21 round-11 additions
-    # (operators/analytics13-15.py, ch_query.py, the hierarchical
-    # dedup key) declared DEFERRED last round; now getting rows --
-    "stats_kruskal_wallis",
-    "orders_abc_analysis",
-    "text_tfidf_topk",
-    "ts_rolling_slope",
-    "win_groups_frame_emulated",
-    "events_peak_hour",
-    "orders_seasonal_index",
-    "scan_minmax_pruned",
-    "dq_orders_lineitem_reconcile",
-    "lineitem_revenue_waterfall",
-    "stats_permutation_test_hash",
-    "path_transition_lift",
-    "stats_welch_anova",
-    "events_wau_rolling",
-    "win_frame_exclude_current",
-    "agg_combinators_if_matrix",
-    "dedup_hierarchical_two_level",
-    "intervals_peak_position",
-    "str_has_subsequence",
-    "ts_backtest_seasonal_naive",
-    "scan_bloom_filter_lookup",
-    # -- 29 regression REFRESH refills (window slots 21-49): stalest
-    # green keys (latest driver row = r2/r3), emitted by
-    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
-    "join_exists_correlated",
-    "map_json_funcs",
-    "math_funcs",
-    "multimodal_frame_sample",
-    "multimodal_join",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "safe_casts",
-    "sim_topk_cosine",
-    "snapshot_partitioned",
-    "snapshot_write",
-    "str_funcs",
-    "str_regexp",
-    "str_split_explode",
-    "stream_dedup_watermark",
-    "stream_foreach_sink",
-    "stream_late_data",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_lang_id",
-    "text_lang_stats",
-    "text_quality_score",
-    "text_token_count",
-    "text_tokenize_count",
-    "udaf_pandas_grouped",
-    "udf_pandas_scalar",
-    "udf_python",
-    # -- round-12 additions: past the 50-slot window, DEFERRED to
-    # lead the round-13 queue (tests/test_rotation.py DEFERRED) --
+    # -- round-13 window positions 0-2: the three round-12 additions
+    # (two-stage sessionize/funnel rewrites + the adaptive sessionizer)
+    # declared DEFERRED last round; now getting driver rows --
     "sessionize_gap_twostage",
     "funnel_steps_twostage",
     "sessionize_gap_adaptive",
+    # -- 47 regression REFRESH refills (window slots 3-49): stalest
+    # green keys (latest driver row = r3/r4), emitted by
+    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
+    "udtf_explode_props",
+    "udtf_python_native",
+    "union_by_name_evolved",
+    "agg_ema",
+    "agg_histogram",
+    "agg_mode",
+    "agg_topk_freq",
+    "agg_weighted_avg",
+    "bit_funcs",
+    "contamination_overlap",
+    "corpus_token_budget",
+    "curation_keep_set",
+    "emb_normalize_quantize",
+    "funnel_steps",
+    "join_asof_forward",
+    "multimodal_dedup",
+    "path_transitions",
+    "posexplode_words",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_cohort",
+    "sample_stratified",
+    "sink_json_roundtrip",
+    "stream_stream_join",
+    "text_pii_mask",
+    "text_repetition_score",
+    "win_range_frame",
+    "agg_combinators",
+    "agg_skew_kurtosis",
+    "agg_topk_weighted",
 )
 
 

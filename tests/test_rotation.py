@@ -43,52 +43,66 @@ RECHECK: set[str] = set()
 #: the window whenever fewer required keys exist than window slots.
 #: Unlike RECHECK these are not suspected-stale semantics — they are
 #: routine re-verification so no key's driver evidence ages without
-#: bound. This is the 29-key list emitted by scripts/make_rotation.py
-#: for round 12 (stalest greens: latest driver row = r2/r3).
+#: bound. This is the 47-key list emitted by scripts/make_rotation.py
+#: for round 13 (stalest greens: latest driver row = r3/r4).
 REFRESH: set[str] = {
-    "join_exists_correlated",
-    "map_json_funcs",
-    "math_funcs",
-    "multimodal_frame_sample",
-    "multimodal_join",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "safe_casts",
-    "sim_topk_cosine",
-    "snapshot_partitioned",
-    "snapshot_write",
-    "str_funcs",
-    "str_regexp",
-    "str_split_explode",
-    "stream_dedup_watermark",
-    "stream_foreach_sink",
-    "stream_late_data",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_lang_id",
-    "text_lang_stats",
-    "text_quality_score",
-    "text_token_count",
-    "text_tokenize_count",
-    "udaf_pandas_grouped",
-    "udf_pandas_scalar",
-    "udf_python",
+    "agg_combinators",
+    "agg_ema",
+    "agg_histogram",
+    "agg_mode",
+    "agg_skew_kurtosis",
+    "agg_topk_freq",
+    "agg_topk_weighted",
+    "agg_weighted_avg",
+    "bit_funcs",
+    "contamination_overlap",
+    "corpus_token_budget",
+    "curation_keep_set",
+    "emb_normalize_quantize",
+    "funnel_steps",
+    "join_asof_forward",
+    "multimodal_dedup",
+    "path_transitions",
+    "posexplode_words",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_cohort",
+    "sample_stratified",
+    "sink_json_roundtrip",
+    "stream_stream_join",
+    "text_pii_mask",
+    "text_repetition_score",
+    "udtf_explode_props",
+    "udtf_python_native",
+    "union_by_name_evolved",
+    "win_range_frame",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 12 promoted the twenty-one round-11 DEFERRED keys into window
-#: positions 0-20 and filled slots 21-49 with the 29 REFRESH refills;
-#: keys registered DURING round 12 overflow the full window and lead
-#: the round-13 queue, judge-sim exact-verified meanwhile.
-DEFERRED: set[str] = {
-    "sessionize_gap_twostage",
-    "funnel_steps_twostage",
-    "sessionize_gap_adaptive",
-}
+#: Round 13 promoted the three round-12 DEFERRED keys into window
+#: positions 0-2 and filled slots 3-49 with the 47 REFRESH refills;
+#: no key overflows the window this round (empty until new keys are
+#: registered mid-round, when they are added here and past slot 49).
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
