@@ -53,9 +53,12 @@ tiebreak; no per-row Python.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhousebackup_spark.operators.behavior import FUNNEL_ORACLE
 from clickhousebackup_spark.operators.analytics5 import (
     SESSION_GAP_US,
     SESSIONIZE_ORACLE,
@@ -157,30 +160,7 @@ def sessionize_gap_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_steps_twostage",
-    oracle="""
-        WITH w1 AS (
-            SELECT user_id, ts, event_type,
-                   min(CASE WHEN event_type = 'view' THEN ts END)
-                       OVER (PARTITION BY user_id) AS t1
-            FROM events
-        ), w2 AS (
-            SELECT user_id, ts, event_type, t1,
-                   min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
-                       OVER (PARTITION BY user_id) AS t2
-            FROM w1
-        ), w3 AS (
-            SELECT user_id, t1, t2,
-                   min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
-                       OVER (PARTITION BY user_id) AS t3
-            FROM w2
-        )
-        SELECT DISTINCT user_id,
-               CAST(CASE WHEN t1 IS NULL THEN 0
-                         WHEN t2 IS NULL THEN 1
-                         WHEN t3 IS NULL THEN 2
-                         ELSE 3 END AS BIGINT) AS funnel_depth
-        FROM w3
-    """,
+    oracle=FUNNEL_ORACLE,
     doc="Skew-immune rewrite of funnel_steps (windowFunnel analog), "
     "oracle-identical to the flat key. The flat plan ships every "
     "event of a user to ONE window task (the round-11 zipf probe's "
@@ -287,6 +267,42 @@ def funnel_steps_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: two-stage 6.98 s). 5% sits well inside both measured regimes.
 ADAPTIVE_HOT_SHARE = 0.05
 
+#: Memoized hot-share probe results, keyed by the events table's file
+#: identity (absolute path, byte size, mtime). The adaptive key's plan
+#: choice needs two integers that only a scan (or table statistics)
+#: can provide; caching them per dataset makes plan construction
+#: side-effect free after the first action — explain loops, plan-shape
+#: tests and repeated driver calls hit the cache instead of re-running
+#: the probe job.
+_HOT_SHARE_CACHE: dict = {}
+
+
+def _events_hot_share(spark: SparkSession, sf_dir: str):
+    """Return (hot, total) user_id counts for sf_dir's events table.
+
+    Bounded two-phase aggregate over ONE pruned column; memoized on
+    the parquet file's (path, size, mtime) so each dataset pays the
+    probe exactly once per process. A 100 TB deployment would read
+    the same two numbers from table statistics instead.
+    """
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:  # exotic layouts: fall back to path-only identity
+        key = (path, -1, -1)
+    if key not in _HOT_SHARE_CACHE:
+        row = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")  # probe reads ONE pruned column
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("hot"), F.sum("c").alias("total"))
+            .collect()[0]
+        )
+        _HOT_SHARE_CACHE[key] = (row["hot"] or 0, row["total"] or 0)
+    return _HOT_SHARE_CACHE[key]
+
 
 @register(
     "sessionize_gap_adaptive",
@@ -301,29 +317,20 @@ ADAPTIVE_HOT_SHARE = 0.05
     "the flat plan's straggler is the measured ~3x max-task of the "
     "zipf probe). BOTH branches are oracle-identical, so the choice "
     "is invisible to correctness — exactly how an engine should "
-    "treat physical-plan selection. NOTE: the probe makes this one "
-    "of the repo's deliberately EAGER keys — fn() runs a bounded job "
-    "before returning the plan, same precedent as the dedup/funnel "
-    "keys' eager localCheckpoints — and it reads ONLY the user_id "
-    "column (explicit select -> parquet column pruning), its result "
-    "being two integers. At 100 TB a deployment reads the same two "
-    "numbers from table statistics instead of a scan.",
+    "treat physical-plan selection. NOTE: the probe runs a bounded "
+    "job the FIRST time a dataset is seen (same precedent as the "
+    "dedup/funnel keys' eager localCheckpoints), reading ONLY the "
+    "user_id column (explicit select -> parquet column pruning); its "
+    "two-integer result is memoized on the table's file identity, so "
+    "repeated plan construction — explain loops, plan-shape tests, "
+    "dry runs — is side-effect free after the first action. At "
+    "100 TB a deployment reads the same two numbers from table "
+    "statistics instead of a scan.",
 )
 def sessionize_gap_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.operators.analytics5 import sessionize_gap
 
-    ev = load_table(spark, sf_dir, "events")
-    stats = (
-        ev.select("user_id")  # probe reads ONE pruned column
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").alias("hot"), F.sum("c").alias("total"))
-        .collect()[0]
-    )
-    skewed = (
-        stats["total"] is not None
-        and stats["total"] > 0
-        and stats["hot"] / stats["total"] > ADAPTIVE_HOT_SHARE
-    )
+    hot, total = _events_hot_share(spark, sf_dir)
+    skewed = total > 0 and hot / total > ADAPTIVE_HOT_SHARE
     branch = sessionize_gap_twostage if skewed else sessionize_gap
     return branch(spark, sf_dir)

@@ -28,9 +28,12 @@ from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
 
-@register(
-    "funnel_steps",
-    oracle="""
+#: The funnel contract is ONE object: funnel_steps (the flat window
+#: plan) and funnel_steps_twostage (the skew-immune rewrite in
+#: analytics16) must stay hash-identical, so both registrations
+#: reference this single oracle — a copy could silently drift (same
+#: convention as analytics5.SESSIONIZE_ORACLE).
+FUNNEL_ORACLE = """
         WITH w1 AS (
             SELECT user_id, ts, event_type,
                    min(CASE WHEN event_type = 'view' THEN ts END)
@@ -53,7 +56,12 @@ from clickhousebackup_spark.tables import load_table, parallelize
                          WHEN t3 IS NULL THEN 2
                          ELSE 3 END AS BIGINT) AS funnel_depth
         FROM w3
-    """,
+"""
+
+
+@register(
+    "funnel_steps",
+    oracle=FUNNEL_ORACLE,
     doc="windowFunnel analog: per-user max depth through the ordered "
     "chain view -> click -> purchase (each step strictly after the "
     "previous step's FIRST occurrence). Three conditional-min window "

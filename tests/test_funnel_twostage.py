@@ -141,3 +141,19 @@ def test_property_matches_brute(spark, tmp_path_factory, raw):
     evs = [(i, us, uid, t) for i, (us, t, uid) in enumerate(raw)]
     d = _mk(evs, tmp_path_factory.mktemp("funl"), spark)
     assert _run(spark, d) == _brute(evs)
+
+
+def test_oracle_is_shared_object():
+    """The flat and two-stage funnel keys promise hash-identical
+    results, so their oracle must be ONE object (behavior.FUNNEL_ORACLE)
+    — a copy could silently drift. Same contract as the sessionize trio
+    sharing analytics5.SESSIONIZE_ORACLE."""
+    from clickhousebackup_spark.registry import all_specs
+
+    specs = all_specs()
+    assert specs["funnel_steps"].oracle is specs["funnel_steps_twostage"].oracle
+    assert (
+        specs["sessionize_gap"].oracle
+        is specs["sessionize_gap_twostage"].oracle
+        is specs["sessionize_gap_adaptive"].oracle
+    )

@@ -238,3 +238,33 @@ def test_adaptive_dispatch_boundary(spark, tmp_path, monkeypatch):
     got = _rows_of(spark, d, "sessionize_gap_adaptive")
     assert got == _brute(uniform)
     assert calls[-1] == "flat"
+
+
+def test_adaptive_probe_is_memoized(spark, tmp_path, monkeypatch):
+    """The adaptive key's hot-share probe job runs ONCE per dataset:
+    the two-integer result is memoized on the events file's identity,
+    so repeated plan construction (explain loops, plan-shape tests)
+    is side-effect free after the first action. Proven by poisoning
+    the probe's loader after the first call — a second probe job
+    would raise."""
+    from clickhousebackup_spark.operators import analytics16
+
+    uniform = [(i, i * GAP, i, "a") for i in range(40)]
+    d = _mk(uniform, tmp_path / "memo", spark)
+    analytics16._HOT_SHARE_CACHE.clear()
+    first = analytics16._events_hot_share(spark, d)
+    assert first == (1, 40)
+
+    def _boom(*a, **k):
+        raise AssertionError("probe job re-ran for a cached dataset")
+
+    monkeypatch.setattr(analytics16, "load_table", _boom)
+    assert analytics16._events_hot_share(spark, d) == first
+    # Full plan construction re-probes through the cache; the uniform
+    # corpus dispatches to the flat branch (analytics5's loader), so
+    # the poisoned analytics16 loader proves no second probe ran.
+    got = sorted(
+        tuple(r)
+        for r in analytics16.sessionize_gap_adaptive(spark, d).collect()
+    )
+    assert got == _brute(uniform)

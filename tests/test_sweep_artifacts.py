@@ -7,10 +7,11 @@ evidence; this test keeps them honest against the live registry:
   a renamed/deleted operator must not leave a stale green row
   pretending coverage);
 - no SILENT failure statuses (an artifact containing an unexplained
-  FAIL row must never be committed as evidence; a FAIL row carrying a
-  substantial in-artifact ``note`` — the documented-known-limit form,
-  e.g. the sf1 slice's q1 double-summation tail — is allowed exactly
-  because it is the opposite of silent);
+  FAIL row must never be committed as evidence; the ONLY FAIL rows
+  allowed are the ones enumerated in ``KNOWN_LIMIT_FAILS`` below —
+  each a deliberate, code-reviewed (artifact, key) entry whose note
+  must contain the entry's distinctive phrase, so a new divergence
+  can never wave itself through with generic prose);
 - rows-only statuses only for keys that genuinely have no oracle;
 - env-gated statuses only in multi-executor artifacts (the only
   deployment-shape gate is the embedded-Derby JDBC key).
@@ -47,6 +48,23 @@ def _latest_sweeps() -> list[str]:
     ]
 
 
+#: The EXHAUSTIVE allowlist of committed FAIL rows. Keyed by
+#: (artifact-name substring, query key); the value is a distinctive
+#: phrase the row's in-artifact note MUST contain, so the allowance is
+#: tied to one specific, understood divergence — not to note length or
+#: any other proxy a new regression could satisfy by accident. Adding
+#: an entry here is a code-reviewed act: the bar is "we can name the
+#: exact numeric bound and why it is not an engine defect".
+#:
+#: q1 @ sf1 slice: at 971,600 rows per group the DOUBLE sum_charge
+#: differs between Spark and DuckDB in the 15th significant digit —
+#: IEEE-754 summation-order freedom, exact at every driver-gate scale
+#: (sf0.001/0.01/0.1); PLANS_r12 §8 carries the full analysis.
+KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
+    ("sf1_slice", "q1_pricing_summary"): "known float-summation bound",
+}
+
+
 def test_sweep_artifacts_are_honest():
     specs = all_specs()
     rows_only_keys = {k for k, s in specs.items() if s.oracle is None}
@@ -63,21 +81,36 @@ def test_sweep_artifacts_are_honest():
             if status.startswith("FAIL"):
                 # The allowance is deliberately NARROW: only
                 # beyond-gate slice/probe artifacts may carry a
-                # documented known-limit row, and it must explain
-                # itself in-artifact (>=120 chars keeps "flaky" out).
-                # The primary driver-gate sweeps (full registry at
-                # sf0.01/sf0.1, local or cluster) remain hard-fail:
-                # a FAIL there is a real regression, never a limit.
+                # known-limit row, and only if that exact
+                # (artifact, key) pair is enumerated in
+                # KNOWN_LIMIT_FAILS with its distinctive phrase
+                # present in the in-artifact note. The primary
+                # driver-gate sweeps (full registry at sf0.01/sf0.1,
+                # local or cluster) remain hard-fail: a FAIL there
+                # is a real regression, never a limit.
                 assert "slice" in name or "probe" in name, (
                     f"{name}: {k} = {status} — FAIL rows are never "
                     f"acceptable in a driver-gate sweep artifact"
                 )
-                note = v.get("note", "")
-                assert len(note) >= 120, (
-                    f"{name}: {k} = {status} with no substantial "
-                    f"in-artifact note — silent failures must not "
-                    f"be committed as evidence"
+                phrases = [
+                    phrase
+                    for (frag, key), phrase in KNOWN_LIMIT_FAILS.items()
+                    if frag in name and key == k
+                ]
+                assert phrases, (
+                    f"{name}: {k} = {status} is not an allowlisted "
+                    f"known-limit row — either fix the divergence or "
+                    f"add a reviewed KNOWN_LIMIT_FAILS entry naming "
+                    f"its exact bound"
                 )
+                note = v.get("note", "")
+                for phrase in phrases:
+                    assert phrase in note, (
+                        f"{name}: {k} note does not carry the "
+                        f"allowlisted bound phrase {phrase!r} — the "
+                        f"committed row must document the SAME "
+                        f"divergence the allowlist entry reviewed"
+                    )
             if status.startswith("rows-only"):
                 assert k in rows_only_keys, (
                     f"{name}: {k} recorded rows-only but has an oracle"
