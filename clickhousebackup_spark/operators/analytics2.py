@@ -76,6 +76,78 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Micro-grid floor expression shared by the Spark and oracle sides of
+#: q1_pricing_summary_grid. floor(x * 1e6) is deterministic across
+#: engines because the multiply is ONE IEEE-754 operation on identical
+#: parquet doubles and floor is exact — unlike a double→DECIMAL(38,6)
+#: cast of a COMPUTED value, whose half-up rounding step is where q1's
+#: sum_charge picked up its 1-ulp sf1 divergence (SWEEP_r12_sf1_slice
+#: note). Grid sums accumulate in DECIMAL(38,0) (order-free, 38 digits
+#: ≈ 1e32 raw units of headroom) and are emitted as VARCHAR per the
+#: round-6 >int64 convention.
+Q1_GRID = 1_000_000
+
+
+def _grid_sum(c):
+    return F.sum(F.floor(c * F.lit(float(Q1_GRID))).cast("decimal(38,0)"))
+
+
+def _ogrid_sum(sql_expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({sql_expr}) * {Q1_GRID}.0) "
+        f"AS DECIMAL(38,0))) AS VARCHAR)"
+    )
+
+
+@register(
+    "q1_pricing_summary_grid",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_ogrid_sum('l_quantity')} AS sum_qty_grid,
+               {_ogrid_sum('l_extendedprice')} AS sum_base_price_grid,
+               {_ogrid_sum(_REV)} AS sum_disc_price_grid,
+               {_ogrid_sum('(' + _REV + ') * (1 + l_tax)')} AS sum_charge_grid,
+               {_ogrid_sum('l_discount')} AS sum_disc_grid,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 on the exactness-at-ANY-scale contract: the same "
+    "single-pass two-phase hash agg as q1_pricing_summary, but every "
+    "checked aggregate is a micro-grid integer — floor(x*1e6) per "
+    "row (one IEEE multiply of identical parquet doubles + exact "
+    "floor, deterministic in both engines), summed order-free in "
+    "DECIMAL(38,0) and emitted as VARCHAR. q1's doubles are exact at "
+    "every driver-gate scale but its sum_charge diverged in the 15th "
+    "significant digit at the sf1 slice's 971k-row groups (the "
+    "double→DECIMAL(38,6) rounding of a computed product — the "
+    "allowlisted KNOWN_LIMIT_FAILS row); this sibling stays "
+    "hash-exact to ~1e32 raw units, so the sf1 (and any future sf) "
+    "arm pins REAL values, not a documented bound. Sums + count are "
+    "the complete sufficient statistics — q1's avg columns are "
+    "derivable. Plan shape is unchanged: one pushed scan filter, one "
+    "partial+final hash agg over 6 groups, no extra shuffle.",
+)
+def q1_pricing_summary_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    rev = _rev_col()
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _grid_sum(F.col("l_quantity")).cast("string").alias("sum_qty_grid"),
+        _grid_sum(F.col("l_extendedprice"))
+        .cast("string")
+        .alias("sum_base_price_grid"),
+        _grid_sum(rev).cast("string").alias("sum_disc_price_grid"),
+        _grid_sum(rev * (1 + F.col("l_tax")))
+        .cast("string")
+        .alias("sum_charge_grid"),
+        _grid_sum(F.col("l_discount")).cast("string").alias("sum_disc_grid"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 @register(
     "q2_min_cost_supplier",
     oracle="""

@@ -185,6 +185,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_combinators",
     "agg_skew_kurtosis",
     "agg_topk_weighted",
+    # -- round-13 additions: past the 50-slot window, DEFERRED to
+    # lead the round-14 queue (tests/test_rotation.py DEFERRED) --
+    "q1_pricing_summary_grid",
 )
 
 

@@ -1082,3 +1082,31 @@ def test_r12_plan_budgets(spark, sf_dir, key):
     assert "CartesianProduct" not in plan
     if not allow_nlj:
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+R13_PLAN_BUDGET = {
+    "q1_pricing_summary_grid": (1, 0, False),  # identical shape to
+    # q1_pricing_summary: one pushed scan filter feeding one
+    # partial+final hash agg (single exchange on the 6-value group
+    # key). The micro-grid floor + DECIMAL(38,0) accumulation happens
+    # inside the same two-phase agg — exactness costs zero plan.
+}
+
+
+@pytest.mark.parametrize("key", sorted(R13_PLAN_BUDGET))
+def test_r13_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R13_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q1_grid_filter_pushdown(spark, sf_dir):
+    """The grid sibling keeps q1's scan-level shipdate pushdown —
+    exactness must not cost the scan anything."""
+    df = SPECS["q1_pricing_summary_grid"].fn(spark, sf_dir)
+    assert "l_shipdate" in inspect.pushed_filters(df)

@@ -102,7 +102,9 @@ REFRESH: set[str] = {
 #: positions 0-2 and filled slots 3-49 with the 47 REFRESH refills;
 #: no key overflows the window this round (empty until new keys are
 #: registered mid-round, when they are added here and past slot 49).
-DEFERRED: set[str] = set()
+DEFERRED: set[str] = {
+    "q1_pricing_summary_grid",
+}
 
 
 def _latest_driver_rows() -> dict[str, dict]:
