@@ -58,7 +58,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.operators.behavior import FUNNEL_ORACLE
+from clickhousebackup_spark.operators.behavior import (
+    FUNNEL_ORACLE,
+    PATH_TRANSITIONS_ORACLE,
+)
 from clickhousebackup_spark.operators.analytics5 import (
     SESSION_GAP_US,
     SESSIONIZE_ORACLE,
@@ -334,3 +337,70 @@ def sessionize_gap_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed = total > 0 and hot / total > ADAPTIVE_HOT_SHARE
     branch = sessionize_gap_twostage if skewed else sessionize_gap
     return branch(spark, sf_dir)
+
+
+@register(
+    "path_transitions_twostage",
+    oracle=PATH_TRANSITIONS_ORACLE,
+    doc="Skew-immune rewrite of path_transitions (the per-user lag / "
+    "first-order transition matrix), oracle-identical to the flat "
+    "key — the third operator family on the bucket+seam playbook "
+    "(sessionize and funnel landed in round 12). Every consecutive "
+    "pair of a user's (ts, event_id)-ordered journey is either "
+    "WITHIN one day-bucket — counted by a lag window partitioned on "
+    "(user_id, bucket), so no task ever holds more than one user-day "
+    "— or CROSSES buckets, in which case the earlier event is "
+    "necessarily the last of its bucket and the later one the first "
+    "of the next non-empty bucket: one summary row per (user, "
+    "bucket) with argmin/argmax event types (total-ordered struct "
+    "min/max on (us, event_id)), then a lag over bucket summaries "
+    "(~3 orders of magnitude smaller than events) pairs each bucket "
+    "with its previous non-empty bucket. Local and seam pair counts "
+    "union into the same 25-row matrix; map-side combine absorbs "
+    "the per-(prev,next) aggregation exactly as in the flat plan.",
+)
+def path_transitions_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("bucket", (F.col("us") / F.lit(BUCKET_US)).cast("long"))
+
+    # Stage 1: within-bucket transitions — the event-scale exchange is
+    # keyed (user_id, bucket), the skew-immunity invariant.
+    wloc = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    local = ev.withColumn("prev_type", F.lag("event_type").over(wloc))
+    local_counts = (
+        local.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # Stage 2: cross-bucket (seam) transitions from one summary row
+    # per (user, bucket) — same grouping keys as the stage-1
+    # partitioning. Struct min/max carries the boundary event's type
+    # under the exact (us, event_id) total order.
+    summary = ev.groupBy("user_id", "bucket").agg(
+        F.min(F.struct("us", "event_id", "event_type")).alias("first_ev"),
+        F.max(F.struct("us", "event_id", "event_type")).alias("last_ev"),
+    )
+    wseam = Window.partitionBy("user_id").orderBy("bucket")
+    seams = summary.withColumn(
+        "prev_last_type",
+        F.lag(F.col("last_ev.event_type")).over(wseam),
+    )
+    seam_counts = (
+        seams.filter(F.col("prev_last_type").isNotNull())
+        .groupBy(
+            F.col("prev_last_type").alias("prev_type"),
+            F.col("first_ev.event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    return (
+        local_counts.unionByName(seam_counts)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

@@ -199,9 +199,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "path_transitions",
-    oracle="""
+#: Shared between path_transitions (flat per-user lag) and
+#: path_transitions_twostage (skew-immune rewrite, analytics16): the
+#: two keys promise hash-identical output, so the oracle is ONE object
+#: — same convention as FUNNEL_ORACLE / analytics5.SESSIONIZE_ORACLE.
+PATH_TRANSITIONS_ORACLE = """
         WITH seq AS (
             SELECT user_id, event_type,
                    LAG(event_type) OVER (
@@ -212,7 +214,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT prev_type, event_type AS next_type, COUNT(*) AS n
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY prev_type, next_type
-    """,
+"""
+
+
+@register(
+    "path_transitions",
+    oracle=PATH_TRANSITIONS_ORACLE,
     doc="sequenceCount/path-analysis analog: first-order transition "
     "matrix of per-user event journeys. One lag window over the "
     "user_id partition (total-ordered by ts, event_id tiebreak), then "

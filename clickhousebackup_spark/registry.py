@@ -188,6 +188,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # -- round-13 additions: past the 50-slot window, DEFERRED to
     # lead the round-14 queue (tests/test_rotation.py DEFERRED) --
     "q1_pricing_summary_grid",
+    "path_transitions_twostage",
 )
 
 

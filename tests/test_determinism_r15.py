@@ -22,6 +22,7 @@ from .compare import _norm
 
 R15_QUEUE_KEYS = [
     "q1_pricing_summary_grid",
+    "path_transitions_twostage",
 ]
 
 LINEITEM_SCHEMA = (

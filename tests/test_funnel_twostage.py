@@ -157,3 +157,7 @@ def test_oracle_is_shared_object():
         is specs["sessionize_gap_twostage"].oracle
         is specs["sessionize_gap_adaptive"].oracle
     )
+    assert (
+        specs["path_transitions"].oracle
+        is specs["path_transitions_twostage"].oracle
+    )

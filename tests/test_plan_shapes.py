@@ -1090,6 +1090,12 @@ R13_PLAN_BUDGET = {
     # partial+final hash agg (single exchange on the 6-value group
     # key). The micro-grid floor + DECIMAL(38,0) accumulation happens
     # inside the same two-phase agg — exactness costs zero plan.
+    "path_transitions_twostage": (5, 0, False),  # (user,bucket) local
+    # lag exchange + its pair-count agg, the (user,bucket) summary
+    # agg + user-ordered seam window, and the final 25-row union agg.
+    # Four more exchanges than the flat key's single user_id window —
+    # the deliberate price for capping max-task at one user-day;
+    # every event-scale exchange is keyed (user, bucket).
 }
 
 

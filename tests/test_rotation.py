@@ -104,6 +104,7 @@ REFRESH: set[str] = {
 #: registered mid-round, when they are added here and past slot 49).
 DEFERRED: set[str] = {
     "q1_pricing_summary_grid",
+    "path_transitions_twostage",
 }
 
 
