@@ -583,17 +583,28 @@ def mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p_partkey, p_partkey AS cur, 0 AS depth
             FROM part
             UNION ALL
-            SELECT p_partkey, cur // 10, depth + 1
-            FROM chain WHERE cur >= 10
+            SELECT c.p_partkey, c.cur // 10, c.depth + 1
+            FROM chain c JOIN part p ON p.p_partkey = c.cur
+            WHERE c.cur >= 10
         )
         SELECT p_partkey, CAST(cur AS BIGINT) AS root,
                CAST(depth AS BIGINT) AS depth
-        FROM chain WHERE cur < 10
+        FROM chain
+        WHERE cur < 10
+           OR NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = chain.cur)
     """,
     doc="dictGetHierarchy / hierarchical dictionary flatten: every "
     "part resolves its ROOT ancestor and DEPTH in a synthetic "
     "category tree (parent(k) = k div 10; keys < 10 are roots). The "
-    "oracle walks the chain with a recursive CTE — O(depth) "
+    "walk stays INSIDE the dictionary: a parent id absent from the "
+    "key set is terminal — the child reports that dangling id as its "
+    "root (dictGetHierarchy semantics; children of dangling parents "
+    "are never lost — ADVICE r4). The round-13 sf1 arm's offset key "
+    "blocks create exactly such dangling interiors and pinned the "
+    "rule into the oracle (hashes unchanged at contiguous-key "
+    "driver-gate scales). The oracle walks the chain with a "
+    "recursive CTE joined to the key set — O(depth) "
     "sequential rounds. Spark has no recursive CTE, and the naive "
     "translation (one self-join per level) is O(depth) SHUFFLES; "
     "this implementation uses POINTER DOUBLING instead: the pointer "

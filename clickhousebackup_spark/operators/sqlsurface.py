@@ -630,6 +630,16 @@ def orderby_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one map-side projection, the final agg one exchange.",
 )
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's cteRecursionRowLimit (default 1e6 rows) is a runaway-
+    # fixpoint rail, not a semantics knob: this closure is provably
+    # bounded at n_docs * ceil(log2 max_id) rows (~13.5M at the sf1
+    # arm, where the default rail fired), so the engine raises the
+    # rail to the conf's int ceiling (~2.1e9 — covers ~sf100's 1.5G
+    # closure rows; beyond that the doc's hand-rolled iterative path
+    # is the answer anyway). Level limit stays at its default 100 —
+    # depth is log2(id) <= 63 by construction, so the REAL runaway
+    # guard remains armed.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents_rec_v"
     )

@@ -788,6 +788,8 @@ ZIPF_WINDOW_KEYS = (
     "topk_per_group",
     "funnel_steps",
     "funnel_steps_twostage",
+    "path_transitions",
+    "path_transitions_twostage",
 )
 
 

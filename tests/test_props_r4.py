@@ -92,3 +92,31 @@ def test_upsert_update_and_insert_arms(spark, sf_dir):
     assert out.count() == n_base + n_changed  # inserts add rows
     assert out.filter("o_orderstatus = 'U'").count() == n_changed
     assert out.filter("o_orderstatus = 'N'").count() == n_changed
+
+
+def test_hierarchy_flatten_dangling_parent_is_terminal(spark, tmp_path):
+    """A parent id ABSENT from the dictionary terminates the walk:
+    the child reports the dangling id as its root, having traversed
+    that one edge — children of dangling parents are never lost and
+    never walked through invented nodes (the round-13 sf1 arm's
+    offset key blocks pinned this rule into the oracle)."""
+    # keys: 5 (root), 42 -> 4 (present root chain), 7301 -> 730
+    # (730 ABSENT -> terminal), 730 missing, 73 present: 73 -> 7
+    keys = [5, 4, 42, 73, 7301]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(k, f"part {k}", 1, "t", "b", 1.0) for k in keys],
+        "p_partkey long, p_name string, p_size int, p_type string, "
+        "p_brand string, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {
+        r["p_partkey"]: (r["root"], r["depth"])
+        for r in SPECS["dict_hierarchy_flatten"].fn(spark, d).collect()
+    }
+    assert got == {
+        5: (5, 0),       # root by rule
+        4: (4, 0),
+        42: (4, 1),      # parent present and a root
+        73: (7, 1),      # parent 7 ABSENT but < 10 -> root id anyway
+        7301: (730, 1),  # parent 730 ABSENT -> terminal dangling id
+    }

@@ -578,3 +578,33 @@ def test_theil_sen_matches_numpy(spark, sf_dir):
         assert np.isclose(row["max_slope"], slopes[-1], rtol=1e-9)
         # robustness sanity: the median slope sits inside the extremes
         assert row["min_slope"] <= row["theil_sen_slope"] <= row["max_slope"]
+
+
+def test_soundex_domain_is_alphabetic_only(spark, tmp_path):
+    """Out-of-domain tokens (digits anywhere in the word) are excluded
+    from the vocabulary on BOTH sides: Spark/Commons skips interior
+    digits and returns a non-letter-led string unchanged, while a
+    translate-based fold would append digit chars — legitimately
+    different out-of-domain behaviors, so the key's contract restricts
+    to ^[a-z]+$ (the round-13 sf1 arm's hex filler tokens measured the
+    divergence at 551 vs 536 code groups before the restriction)."""
+    rows = [
+        (1, "misty rose 3f2ab9 a3f2b9 abc123"),
+        (2, "f00dbeef rose 9x8y linen"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, n, 1, "t", "b", 1.0) for i, n in rows],
+        "p_partkey long, p_name string, p_size int, p_type string, "
+        "p_brand string, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    out = _spec("str_phonetic_soundex").fn(spark, d).collect()
+    coded = {r["soundex_code"]: r for r in out}
+    expect = {"misty", "rose", "linen"}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for w in sorted(expect):
+        groups[_py_soundex(w)].append(w)
+    assert set(coded) == set(groups)
+    assert sum(r["n_words"] for r in out) == len(expect)
