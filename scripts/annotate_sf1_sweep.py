@@ -63,6 +63,20 @@ def parse_fails(log_paths):
     return fails
 
 
+def _float_pair(info: dict):
+    """(digit, a, b) of the earliest-significant float divergence."""
+    sv = re.findall(r"\('float', ([-0-9.e+]+)\)", info.get("spark", ""))
+    dv = re.findall(r"\('float', ([-0-9.e+]+)\)", info.get("duckdb", ""))
+    worst, pair = 99, None
+    for a, b in zip(sv, dv):
+        fa, fb = float(a), float(b)
+        if fa != fb:
+            d = _sig_digit_of_divergence(fa, fb)
+            if d < worst:
+                worst, pair = d, (a, b)
+    return (worst, *pair) if pair else None
+
+
 def build_note(key: str, info: dict) -> str:
     if "rowcount" in info:
         return (
@@ -74,23 +88,16 @@ def build_note(key: str, info: dict) -> str:
             "the same bytes, the cardinality of per-file metadata is the "
             "deployment's file count by design. Exact at sf0.001/0.01/0.1."
         )
-    if "spark" in info and "duckdb" in info:
-        sv = re.findall(r"\('float', ([-0-9.e+]+)\)", info["spark"])
-        dv = re.findall(r"\('float', ([-0-9.e+]+)\)", info["duckdb"])
-        worst = 99
-        pair = None
-        for a, b in zip(sv, dv):
-            fa, fb = float(a), float(b)
-            if fa != fb:
-                d = _sig_digit_of_divergence(fa, fb)
-                if d < worst:
-                    worst, pair = d, (a, b)
+    if "spark" in info and "duckdb" in info and _float_pair(info):
+        worst, a, b = _float_pair(info)
+        pair = (a, b)
         cols = info.get("cols", [])
         return (
             "known float-summation bound, not an engine defect: at the "
-            f"sf1 arm's ~1-2M-row groups the double column(s) {cols} "
-            f"differ between Spark and DuckDB in the {worst}th "
-            f"significant digit ({pair[0]} vs {pair[1]}) — the decimal "
+            f"sf1 arm's ~1-2M-row groups the first differing row (cols "
+            f"{cols}) parts between Spark and DuckDB at the {worst}th "
+            f"significant digit of a double ({pair[0]} vs {pair[1]}) — "
+            "the decimal "
             "sums are order-free, so the divergence is confined to the "
             "per-row double->DECIMAL(38,6) cast rounding of COMPUTED "
             "products and the final pow/sqrt/divide steps, whose "

@@ -60,8 +60,39 @@ def _latest_sweeps() -> list[str]:
 #: differs between Spark and DuckDB in the 15th significant digit —
 #: IEEE-754 summation-order freedom, exact at every driver-gate scale
 #: (sf0.001/0.01/0.1); PLANS_r12 §8 carries the full analysis.
+#: Round-13 widened the sf1 arm from a 33-key slice to the FULL
+#: registry; the FAIL rows below are the measured "double frontier" —
+#: every key whose checked output includes an engine-native double
+#: moment (variance/skew/t-stat families) or a computed-product
+#: decimal cast, which at the arm's ~1-2M-row groups diverges between
+#: Spark and DuckDB in the 13th-17th significant digit. Each row's
+#: in-artifact note carries the exact columns, both engines' values
+#: and the digit position (scripts/annotate_sf1_sweep.py); all are
+#: exact at every driver-gate scale, and the exact-at-any-scale
+#: convention for new keys is the integer floor-grid family
+#: (q1_pricing_summary_grid). scan_file_metadata is the one
+#: non-float entry: its contract is one row per physical file, and
+#: the sf1 arm's tables are multi-part Spark directories.
 KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
     ("sf1_slice", "q1_pricing_summary"): "known float-summation bound",
+    ("sf1_slice", "agg_skew_kurtosis"): "known float-summation bound",
+    ("sf1_slice", "agg_stats"): "known float-summation bound",
+    ("sf1_slice", "agg_weighted_avg"): "known float-summation bound",
+    ("sf1_slice", "events_anomaly_zscore"): "known float-summation bound",
+    ("sf1_slice", "stats_anova_oneway"): "known float-summation bound",
+    ("sf1_slice", "stats_jarque_bera"): "known float-summation bound",
+    ("sf1_slice", "stats_levene_bf"): "known float-summation bound",
+    ("sf1_slice", "stats_student_ttest"): "known float-summation bound",
+    ("sf1_slice", "stats_welch_anova"): "known float-summation bound",
+    ("sf1_slice", "stats_welch_ttest"): "known float-summation bound",
+    ("sf1_slice", "scan_file_metadata"): "known physical-layout bound",
+    # excluded rows (compare infeasible on this box, measured and
+    # documented in-artifact; the engine keys stay exact at every
+    # driver-gate scale):
+    ("sf1_slice", "sim_knn_join"): "known oracle-capacity bound",
+    ("sf1_slice", "join_interval_overlap"):
+        "known quadratic-output compare bound",
+    ("sf1_slice", "dedup_fuzzy_blocked"): "known clone-arm block-pair bound",
 }
 
 
@@ -78,6 +109,40 @@ def test_sweep_artifacts_are_honest():
         assert not ghosts, f"{name}: unregistered keys {sorted(ghosts)}"
         for k, v in data.items():
             status = v["match"]
+            known = (
+                status == "pass"
+                or status.startswith("rows-only")
+                or status.startswith("env-gated")
+                or status.startswith("FAIL")
+                or status.startswith("excluded")
+            )
+            assert known, (
+                f"{name}: {k} carries unknown status {status!r} — the "
+                f"tripwire only certifies artifacts whose every row is "
+                f"one of the reviewed status classes"
+            )
+            if status.startswith("excluded"):
+                # A compare that is INFEASIBLE on this box (oracle
+                # temp-spill past free disk, quadratic-output compare
+                # OOM) is recorded as an explicit excluded row rather
+                # than silently dropped; same allowlist discipline as
+                # FAIL, and never in a driver-gate sweep.
+                assert "slice" in name or "probe" in name, (
+                    f"{name}: {k} = {status} — excluded rows are never "
+                    f"acceptable in a driver-gate sweep artifact"
+                )
+                phrases = [
+                    phrase
+                    for (frag, key), phrase in KNOWN_LIMIT_FAILS.items()
+                    if frag in name and key == k
+                ]
+                assert phrases and all(
+                    ph in v.get("note", "") for ph in phrases
+                ), (
+                    f"{name}: {k} = {status} needs a reviewed "
+                    f"KNOWN_LIMIT_FAILS entry whose phrase appears in "
+                    f"the in-artifact note"
+                )
             if status.startswith("FAIL"):
                 # The allowance is deliberately NARROW: only
                 # beyond-gate slice/probe artifacts may carry a
