@@ -290,8 +290,22 @@ def _events_hot_share(spark: SparkSession, sf_dir: str):
     """
     path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     try:
-        st = os.stat(path)
-        key = (path, st.st_size, st.st_mtime_ns)
+        if os.path.isdir(path):
+            # Spark-written directory: the dir's own stat is blind to
+            # in-place part-file replacement (same names, same dir
+            # mtime on some filesystems) — key on the part files'
+            # (name, size, mtime) set instead.
+            parts = tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            )
+            key = (path, hash(parts), len(parts))
+        else:
+            st = os.stat(path)
+            key = (path, st.st_size, st.st_mtime_ns)
     except OSError:  # exotic layouts: fall back to path-only identity
         key = (path, -1, -1)
     if key not in _HOT_SHARE_CACHE:

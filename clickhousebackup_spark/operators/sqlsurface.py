@@ -632,17 +632,22 @@ def orderby_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's cteRecursionRowLimit (default 1e6 rows) is a runaway-
     # fixpoint rail, not a semantics knob: this closure is provably
-    # bounded at n_docs * ceil(log2 max_id) rows (~13.5M at the sf1
-    # arm, where the default rail fired), so the engine raises the
-    # rail to the conf's int ceiling (~2.1e9 — covers ~sf100's 1.5G
-    # closure rows; beyond that the doc's hand-rolled iterative path
-    # is the answer anyway). Level limit stays at its default 100 —
-    # depth is log2(id) <= 63 by construction, so the REAL runaway
-    # guard remains armed.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents_rec_v"
-    )
+    # bounded at n_docs * ceil(log2 max_id) <= n_docs * 64 rows
+    # (~13.5M at the sf1 arm, where the default rail fired). The
+    # engine raises the rail to exactly that provable bound — a
+    # dataset-proportional guard, never a blanket 2e9 that would
+    # disarm the rail for other recursive queries in the session
+    # (session-global conf; it only ever RAISES to the largest bound
+    # proven so far, and the per-level rail — the real runaway guard,
+    # depth <= 64 by construction — stays at its default). The
+    # parquet-footer count() is metadata-cheap; the eager-probe
+    # precedent is the memoized adaptive hot-share key.
+    docs = load_table(spark, sf_dir, "documents")
+    bound = max(1_000_000, min(2_147_483_647, docs.count() * 64))
+    prior = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    if bound > prior:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
+    docs.createOrReplaceTempView("documents_rec_v")
     return spark.sql(
         """
         WITH RECURSIVE r(doc_id, node, depth) AS (

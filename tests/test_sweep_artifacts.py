@@ -185,3 +185,31 @@ def test_sweep_artifacts_are_honest():
                     f"{name}: env-gated outside a multi-executor artifact"
                 )
                 assert k == "sink_jdbc_roundtrip", f"{name}: {k}"
+
+
+def test_known_limit_allowlist_is_not_stale():
+    """Every KNOWN_LIMIT_FAILS entry must still be justified by at
+    least one committed FAIL/excluded row in an artifact whose name
+    carries the entry's fragment — a key that has since gone exact
+    (or an entry that never matched anything) must be removed rather
+    than pre-authorize some future unrelated divergence."""
+    all_rows: list[tuple[str, str, str]] = []
+    for path in glob.glob(os.path.join(REPO, "SWEEP_r*.json")):
+        with open(path) as fh:
+            data = json.load(fh)
+        name = os.path.basename(path)
+        for k, v in data.items():
+            all_rows.append((name, k, v["match"]))
+    for (frag, key), phrase in KNOWN_LIMIT_FAILS.items():
+        hits = [
+            (n, k)
+            for n, k, status in all_rows
+            if frag in n
+            and k == key
+            and (status.startswith("FAIL") or status.startswith("excluded"))
+        ]
+        assert hits, (
+            f"KNOWN_LIMIT_FAILS entry ({frag!r}, {key!r}) matches no "
+            f"committed FAIL/excluded row — stale entries must be "
+            f"removed, not kept as pre-authorization"
+        )
