@@ -66,6 +66,7 @@ from clickhousebackup_spark.operators.analytics5 import (
     SESSION_GAP_US,
     SESSIONIZE_ORACLE,
 )
+from clickhousebackup_spark.operators.windows import RUNNING_SUM_ORACLE
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -417,4 +418,76 @@ def path_transitions_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_counts.unionByName(seam_counts)
         .groupBy("prev_type", "next_type")
         .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+@register(
+    "win_running_sum_twostage",
+    oracle=RUNNING_SUM_ORACLE,
+    doc="Skew-immune rewrite of win_running_sum (per-customer prefix "
+    "sum over orders), oracle-identical to the flat key — the FOURTH "
+    "operator family on the bucket+seam playbook, and the one with "
+    "event-grain output (one row per order, not an aggregate). "
+    "Decimal addition is exact and associative, so the prefix "
+    "decomposes exactly: (1) local prefix sums inside (o_custkey, "
+    "day-bucket) window partitions — day truncation is monotone in "
+    "the (o_orderdate, o_orderkey) order, so within-bucket order is "
+    "the global order restricted to the bucket; (2) one total per "
+    "(cust, bucket) — the same grouping keys as the stage-1 "
+    "exchange — then a per-customer window over BUCKET SUMMARIES "
+    "(orders of magnitude smaller) accumulates each bucket's "
+    "preceding-buckets offset; (3) offsets join back on (cust, "
+    "bucket) and running_total = offset + local prefix, cast double "
+    "only at the end. A prefix sum has no map-side combine in the "
+    "flat plan — the hot customer's whole history is ONE task's "
+    "sort+scan (the same shape that made flat path_transitions the "
+    "probe's worst straggler); here no task holds more than one "
+    "customer-day.",
+)
+def win_running_sum_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.exprs import DEC
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast(DEC).alias("price_dec"),
+        F.expr("datediff(o_orderdate, DATE'1970-01-01')")
+        .cast("long")
+        .alias("bucket"),
+    )
+
+    # Stage 1: exact local decimal prefix inside (cust, day-bucket).
+    wloc = (
+        Window.partitionBy("o_custkey", "bucket")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = o.withColumn("local_prefix", F.sum("price_dec").over(wloc))
+
+    # Stage 2: one total per (cust, bucket) — reuses the stage-1
+    # exchange — then the preceding-buckets offset per customer over
+    # summary rows only.
+    totals = local.groupBy("o_custkey", "bucket").agg(
+        F.sum("price_dec").alias("bucket_total")
+    )
+    wseam = Window.partitionBy("o_custkey").orderBy("bucket")
+    offsets = totals.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_total").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(DEC),
+        ),
+    ).select("o_custkey", "bucket", "offset")
+
+    # Stage 3: fold the offset back onto order-grain rows.
+    return local.join(offsets, ["o_custkey", "bucket"]).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("offset") + F.col("local_prefix"))
+        .cast("double")
+        .alias("running_total"),
     )

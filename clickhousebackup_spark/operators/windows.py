@@ -104,9 +104,11 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_running_sum",
-    oracle="""
+#: Shared between win_running_sum (flat per-customer prefix sum) and
+#: win_running_sum_twostage (skew-immune rewrite, analytics16): the
+#: two keys promise hash-identical output, so the oracle is ONE object
+#: — same convention as FUNNEL_ORACLE / PATH_TRANSITIONS_ORACLE.
+RUNNING_SUM_ORACLE = """
         SELECT o_custkey, o_orderkey, o_orderdate,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                    PARTITION BY o_custkey
@@ -114,7 +116,12 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_total
         FROM orders
-    """,
+"""
+
+
+@register(
+    "win_running_sum",
+    oracle=RUNNING_SUM_ORACLE,
     doc="Running revenue per customer (rowsBetween frame); decimal "
     "running sum so every prefix is exact in both engines.",
 )

@@ -189,6 +189,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # lead the round-14 queue (tests/test_rotation.py DEFERRED) --
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
+    "win_running_sum_twostage",
 )
 
 

@@ -795,6 +795,7 @@ ZIPF_UNGATED_BASELINE = {
     "sessionize_gap",
     "funnel_steps",
     "path_transitions",
+    "win_running_sum",
 }
 
 ZIPF_WINDOW_KEYS = (
@@ -807,6 +808,8 @@ ZIPF_WINDOW_KEYS = (
     "funnel_steps_twostage",
     "path_transitions",
     "path_transitions_twostage",
+    "win_running_sum",
+    "win_running_sum_twostage",
 )
 
 
@@ -960,10 +963,20 @@ def main_zipf_window() -> None:
         # settle: absorb stages from setup so they don't pollute
         _, seen = _stage_task_stats(spark, seen)
         t0 = time.perf_counter()
-        rows = specs[k].fn(spark, sf).count()
+        df = specs[k].fn(spark, sf)
+        # NOT a bare count(): Catalyst prunes cardinality-preserving
+        # operators under count — a per-row window like
+        # win_running_sum would vanish from the measured plan (caught
+        # round 13: the flat prefix sum "beat" its own straggler).
+        # Hashing every output row forces the full plan; the hash
+        # cost is identical across the work-identical arms.
+        h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        row = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax")
+        ).collect()[0]
         wall = round(time.perf_counter() - t0, 2)
         max_task, seen = _stage_task_stats(spark, seen)
-        return {"wall_s": wall, "rows": rows, "max_task_s": max_task}
+        return {"wall_s": wall, "rows": row["n"], "max_task_s": max_task}
 
     for k in ZIPF_WINDOW_KEYS:
         row = {

@@ -23,6 +23,7 @@ from .compare import _norm
 R15_QUEUE_KEYS = [
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
+    "win_running_sum_twostage",
 ]
 
 LINEITEM_SCHEMA = (

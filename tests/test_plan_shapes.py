@@ -1096,6 +1096,13 @@ R13_PLAN_BUDGET = {
     # Four more exchanges than the flat key's single user_id window —
     # the deliberate price for capping max-task at one user-day;
     # every event-scale exchange is keyed (user, bucket).
+    "win_running_sum_twostage": (3, 0, False),  # (cust,bucket) local
+    # prefix exchange (reused by the bucket-total agg) + the
+    # cust-ordered offset window over summaries + the fold join
+    # (broadcast at fixture scale, hash at scale — still keyed
+    # (cust, bucket)). Two more exchanges than the flat key's single
+    # o_custkey window; no order-scale task holds more than one
+    # customer-day.
 }
 
 

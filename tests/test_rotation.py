@@ -105,6 +105,7 @@ REFRESH: set[str] = {
 DEFERRED: set[str] = {
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
+    "win_running_sum_twostage",
 }
 
 
