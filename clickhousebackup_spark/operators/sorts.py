@@ -88,9 +88,11 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "topk_per_group",
-    oracle="""
+#: Shared between topk_per_group (flat partitioned row_number) and
+#: topk_per_group_twostage (skew-immune salted rewrite, analytics17):
+#: the two keys promise hash-identical output, so the oracle is ONE
+#: object — same convention as RUNNING_SUM_ORACLE / FUNNEL_ORACLE.
+TOPK_PER_GROUP_ORACLE = """
         SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank_in_cust
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
@@ -99,7 +101,12 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
             FROM orders
         ) WHERE rn <= 3
-    """,
+"""
+
+
+@register(
+    "topk_per_group",
+    oracle=TOPK_PER_GROUP_ORACLE,
     doc="Top-3 orders per customer via partitioned row_number.",
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

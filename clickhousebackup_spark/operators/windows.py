@@ -51,16 +51,26 @@ def win_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_rank_dense",
-    oracle="""
+#: Shared between win_rank_dense (flat per-customer rank window) and
+#: win_rank_dense_twostage (skew-immune value-bucket rewrite,
+#: analytics17): hash-identical output contract, ONE oracle object —
+#: same convention as RUNNING_SUM_ORACLE / FUNNEL_ORACLE. Note the
+#: ORDER BY carries the unique o_orderkey tiebreak, so every ordering
+#: tuple is distinct and RANK = DENSE_RANK = ROW_NUMBER by definition;
+#: both engines and both plan shapes agree on that total order.
+RANK_DENSE_ORACLE = """
         SELECT o_custkey, o_orderkey, o_totalprice,
                RANK() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
                DENSE_RANK() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS drnk
         FROM orders
-    """,
+"""
+
+
+@register(
+    "win_rank_dense",
+    oracle=RANK_DENSE_ORACLE,
     doc="rank + dense_rank of order totals per customer.",
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics14",
     "clickhousebackup_spark.operators.analytics15",
     "clickhousebackup_spark.operators.analytics16",
+    "clickhousebackup_spark.operators.analytics17",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -190,6 +191,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
     "win_running_sum_twostage",
+    "topk_per_group_twostage",
+    "win_rank_dense_twostage",
 )
 
 

@@ -796,6 +796,7 @@ ZIPF_UNGATED_BASELINE = {
     "funnel_steps",
     "path_transitions",
     "win_running_sum",
+    "win_rank_dense",
 }
 
 ZIPF_WINDOW_KEYS = (
@@ -804,12 +805,15 @@ ZIPF_WINDOW_KEYS = (
     "sessionize_gap_adaptive",
     "win_keep_newest",
     "topk_per_group",
+    "topk_per_group_twostage",
     "funnel_steps",
     "funnel_steps_twostage",
     "path_transitions",
     "path_transitions_twostage",
     "win_running_sum",
     "win_running_sum_twostage",
+    "win_rank_dense",
+    "win_rank_dense_twostage",
 )
 
 

@@ -1103,6 +1103,15 @@ R13_PLAN_BUDGET = {
     # (cust, bucket)). Two more exchanges than the flat key's single
     # o_custkey window; no order-scale task holds more than one
     # customer-day.
+    "topk_per_group_twostage": (2, 0, False),  # (cust, salt) local
+    # top-3 exchange + the cust re-rank exchange over ≤ 3·32
+    # survivors per customer. One more exchange than the flat key;
+    # the order-scale one is uniformly salted by pmod(o_orderkey).
+    "win_rank_dense_twostage": (3, 0, False),  # (cust, vbucket) local
+    # rank exchange (reused by the per-bucket count agg) + the
+    # cust-ordered offset window over ≤ ~560 summaries + the fold
+    # join keyed (cust, vbucket). Mirrors the running-sum budget with
+    # COUNT for SUM.
 }
 
 

@@ -106,6 +106,8 @@ DEFERRED: set[str] = {
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
     "win_running_sum_twostage",
+    "topk_per_group_twostage",
+    "win_rank_dense_twostage",
 }
 
 
