@@ -1,0 +1,211 @@
+"""Round-13 late additions: skew playbook family SIX — exact
+order-statistics (quantiles) under a LOW-CARDINALITY group key.
+
+Families one through five (analytics16/17.py) beat a *zipf-hot* key:
+one group owning ~25 % of the rows. ``agg_percentile_exact`` has a
+harsher, STRUCTURAL version of the same straggler: it partitions its
+row_number window by ``event_type`` — a 5-value column at every
+scale — so each task sorts n/5 of the table no matter how uniform the
+data is. At 10M events that is five ~2M-row single-task sorts; at
+100 TB it is five ~20 TB sorts, i.e. the plan simply does not execute.
+No salting trick fixes a rank: positions are global per group, and
+(unlike top-k) every row's neighborhood matters.
+
+The classic exact remedy is the two-pass histogram selection this
+module implements:
+
+- **Pass 1 (histogram).** Count rows per (event_type,
+  ``floor(value)``). floor is monotone in value, so bucket order IS
+  value order and equal values can never straddle a bucket. The agg
+  is hash-based and map-side combinable: the only event-scale
+  exchange in the whole plan carries ≤ #cells rows per mapper
+  (~2.5k), not events. Cumulative counts over the ≤ ~500 summary rows
+  per type locate, for each of the 6 needed global ranks (lo/hi of
+  q25/q50/q75), the single bucket that contains it.
+- **Pass 2 (selection).** Re-scan events, keep ONLY rows in a needed
+  (type, bucket) — a broadcast join against ≤ 18 bucket keys — and
+  row_number inside (type, bucket): global rank = bucket's cumulative
+  start + local rank. Max task = one bucket of one type (n/~2500),
+  for ANY group cardinality.
+- **Interpolation** replays the flat key's expression tree verbatim
+  (g = pos − floor(pos); lo + g·(hi − lo), pos = (n−1)·q in doubles),
+  so the output is bit-identical, not merely close — the key shares
+  ONE oracle object with the flat sibling
+  (quantiles.PERCENTILE_EXACT_ORACLE).
+
+Cost contract, stated honestly: TWO scans of events instead of one.
+The flat key scans once but then sorts *everything* through 5 tasks;
+the two-stage scans twice and sorts ~nothing (pass 2 sorts only the
+≤ 6 straddling buckets per type). At 100 TB a parquet scan is
+embarrassingly parallel; a 20 TB single-task sort is a failed stage.
+The bucket width (floor of the raw value) is a task-sizing knob only —
+exactness holds for ANY width because bucketing is monotone; a
+degenerate corpus with one repeated value collapses to one bucket per
+type, which pass 2 then sorts whole (mass-at-a-single-value is
+irreducible for exact ranks — no method avoids it without changing
+the question).
+
+Reference mapping: the reference (backup.sh:38-45) delegates queries
+to ClickHouse, whose exact `quantileExact` family likewise spills
+per-part value histograms and merges them — MergeTree parts play the
+role the value buckets play here.
+
+Family rules carried from analytics16/17: every order carries the
+unique-key (event_id) tiebreak; integer outputs CAST BIGINT; no
+per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.operators.quantiles import (
+    PERCENTILE_EXACT_ORACLE,
+    QS,
+)
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "agg_percentile_exact_twostage",
+    oracle=PERCENTILE_EXACT_ORACLE,
+    doc="Skew-immune rewrite of agg_percentile_exact (exact "
+    "interpolated quartiles of value per event_type), "
+    "oracle-identical to the flat key — the SIXTH operator family on "
+    "the skew playbook and the first whose straggler is STRUCTURAL "
+    "(a 5-value group key puts n/5 rows in one sort task at any "
+    "scale, zipf or not). Two-pass histogram selection: pass 1 "
+    "counts rows per (type, floor(value)) — map-side combinable, so "
+    "the only event-scale exchange carries ~2.5k summary rows per "
+    "mapper — and cumulative counts locate the one bucket holding "
+    "each of the 6 needed global ranks; pass 2 re-scans, keeps only "
+    "rows in a needed (type, bucket) via a broadcast join against "
+    "<= 18 bucket keys, and ranks INSIDE (type, bucket) — max task = "
+    "one value-bucket of one type. The interpolation replays the "
+    "flat expression tree verbatim (g = pos - floor(pos); "
+    "lo + g*(hi - lo)), so outputs are bit-identical. Deliberate "
+    "price: a second scan of events — embarrassingly parallel, vs "
+    "the flat key's five single-task n/5-row sorts.",
+)
+def agg_percentile_exact_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.floor(F.col("value")).cast("long").alias("vbucket"),
+    )
+
+    # Pass 1: the histogram. Hash agg on (type, bucket) — partials
+    # combine map-side, so event-scale rows never cross an exchange.
+    # The ~2.5k-row result feeds THREE consumers (bucket bounds,
+    # per-type totals, rank location); materialize it once so the
+    # event-scale agg subtree doesn't replicate per consumer — the
+    # same eager-localCheckpoint convention as the dedup gram table
+    # and the funnel cut tables (analytics16.py).
+    counts = (
+        ev.groupBy("event_type", "vbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Bucket cumulative starts + per-type totals, over summary rows
+    # only (<= ~500 buckets per type).
+    wseam = Window.partitionBy("event_type").orderBy("vbucket")
+    bounds = counts.select(
+        "event_type",
+        "vbucket",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_start"),
+    )
+
+    # The 6 needed global ranks per type: lo/hi of each quartile,
+    # with the flat key's exact rank arithmetic (floor((n-1)q)+1,
+    # capped hi).
+    ntab = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    need_structs = []
+    for q in QS:
+        qname = f"q{int(q * 100)}"
+        lo_rn = F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1
+        hi_rn = F.least(lo_rn + F.lit(1).cast("long"), F.col("n"))
+        need_structs.append(
+            F.struct(
+                F.lit(qname).alias("qname"),
+                F.lit("lo").alias("role"),
+                lo_rn.alias("rank"),
+            )
+        )
+        need_structs.append(
+            F.struct(
+                F.lit(qname).alias("qname"),
+                F.lit("hi").alias("role"),
+                hi_rn.alias("rank"),
+            )
+        )
+    needs = ntab.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*need_structs)).alias("nd"),
+    ).select("event_type", "n", "nd.qname", "nd.role", "nd.rank")
+
+    # Locate each needed rank's bucket (summary-scale join: <= 30
+    # needs x <= ~2.5k bounds rows, broadcast the needs side).
+    located = (
+        bounds.join(F.broadcast(needs), "event_type")
+        .filter(
+            (F.col("rank") > F.col("cum_start"))
+            & (F.col("rank") <= F.col("cum_start") + F.col("cnt"))
+        )
+        .select(
+            "event_type", "vbucket", "qname", "role", "rank",
+            "cum_start", "n",
+        )
+        # <= 30 rows, two consumers (the bucket filter and the rank
+        # pick) — materialize so the summary window isn't replayed.
+        .localCheckpoint(eager=True)
+    )
+
+    # Pass 2: selection. Only rows in a straddling bucket survive the
+    # broadcast filter join; ranking partitions on (type, bucket), so
+    # no task ever holds more than one value-bucket of one type.
+    hit_buckets = located.select("event_type", "vbucket").distinct()
+    sub = ev.join(F.broadcast(hit_buckets), ["event_type", "vbucket"])
+    wloc = Window.partitionBy("event_type", "vbucket").orderBy(
+        "value", "event_id"
+    )
+    ranked = sub.withColumn("rn_loc", F.row_number().over(wloc))
+    picked = (
+        ranked.join(F.broadcast(located), ["event_type", "vbucket"])
+        .filter(F.col("cum_start") + F.col("rn_loc") == F.col("rank"))
+        .select("event_type", "qname", "role", "value", "n")
+    )
+
+    # Interpolation — the flat key's expression tree verbatim, over
+    # <= 6 picked rows per type.
+    out_aggs = []
+    for q in QS:
+        qname = f"q{int(q * 100)}"
+        pos = (F.max("n") - 1) * F.lit(q)
+        g = pos - F.floor(pos)
+        lo = F.max(
+            F.when(
+                (F.col("qname") == qname) & (F.col("role") == "lo"),
+                F.col("value"),
+            )
+        )
+        hi = F.max(
+            F.when(
+                (F.col("qname") == qname) & (F.col("role") == "hi"),
+                F.col("value"),
+            )
+        )
+        out_aggs.append((lo + g * (hi - lo)).alias(qname))
+    return picked.groupBy("event_type").agg(*out_aggs)

@@ -42,19 +42,26 @@ def _quantile_cols_sql() -> str:
     return ",".join(parts)
 
 
+#: ONE oracle object shared by the flat key and its two-stage sibling
+#: (operators/analytics18.py) — the skew-playbook convention: the
+#: rewrite must be oracle-identical, and a shared constant cannot
+#: drift the way a copied string can (round-12 advice).
+PERCENTILE_EXACT_ORACLE = f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, {_quantile_cols_sql()}
+    FROM ranked GROUP BY event_type
+"""
+
+
 @register(
     "agg_percentile_exact",
-    oracle=f"""
-        WITH ranked AS (
-            SELECT event_type, value,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY value, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events
-        )
-        SELECT event_type, {_quantile_cols_sql()}
-        FROM ranked GROUP BY event_type
-    """,
+    oracle=PERCENTILE_EXACT_ORACLE,
     doc="Exact interpolated quartiles of value per event_type via "
     "shared row_number arithmetic (bit-identical across engines).",
 )

@@ -64,6 +64,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics15",
     "clickhousebackup_spark.operators.analytics16",
     "clickhousebackup_spark.operators.analytics17",
+    "clickhousebackup_spark.operators.analytics18",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -193,6 +194,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_running_sum_twostage",
     "topk_per_group_twostage",
     "win_rank_dense_twostage",
+    "agg_percentile_exact_twostage",
 )
 
 

@@ -797,6 +797,12 @@ ZIPF_UNGATED_BASELINE = {
     "path_transitions",
     "win_running_sum",
     "win_rank_dense",
+    # family six's flat form: its straggler is STRUCTURAL (the
+    # event_type group key has 5 values on BOTH arms, so each task
+    # sorts n/5 rows regardless of the user-key distribution). The
+    # zipf/uniform RATIO is therefore ~1 for it — the evidence
+    # columns are the ABSOLUTE max_task_s of flat vs two-stage.
+    "agg_percentile_exact",
 }
 
 ZIPF_WINDOW_KEYS = (
@@ -814,6 +820,8 @@ ZIPF_WINDOW_KEYS = (
     "win_running_sum_twostage",
     "win_rank_dense",
     "win_rank_dense_twostage",
+    "agg_percentile_exact",
+    "agg_percentile_exact_twostage",
 )
 
 

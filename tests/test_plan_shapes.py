@@ -1112,6 +1112,15 @@ R13_PLAN_BUDGET = {
     # cust-ordered offset window over ≤ ~560 summaries + the fold
     # join keyed (cust, vbucket). Mirrors the running-sum budget with
     # COUNT for SUM.
+    "agg_percentile_exact_twostage": (3, 2, False),  # family six:
+    # pass-2 (type, vbucket) ranking exchange over ONLY straddling
+    # buckets + the <=30-row final pivot agg on event_type (the
+    # pass-1 histogram exchange is materialized inside the eager
+    # localCheckpoint, carrying ~2.5k combined rows per mapper). Both
+    # event-scale joins MUST be broadcast (bucket filter + rank
+    # pick); exactly 2 parquet scans — the declared two-pass
+    # contract. The flat key's event_type window (5 groups = 5
+    # whole-group sort tasks at any scale) never appears.
 }
 
 

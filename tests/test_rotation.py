@@ -108,6 +108,7 @@ DEFERRED: set[str] = {
     "win_running_sum_twostage",
     "topk_per_group_twostage",
     "win_rank_dense_twostage",
+    "agg_percentile_exact_twostage",
 }
 
 
