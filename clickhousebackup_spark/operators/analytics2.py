@@ -1084,16 +1084,36 @@ def _fuzzy_blocked_pairs(blocked: DataFrame) -> DataFrame:
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.probe_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # cheap pre-filter, provably output-invariant: unit-cost
+            # edit distance >= |length difference|, so any pair with
+            # length gap > 3 can never verify. Within the width-4
+            # overlapping buckets a candidate pair's lengths can
+            # differ by up to 7; this integer compare rejects those
+            # before the O(len·k) DP runs — on a 10x clone arm it
+            # also kills most cross-copy pairs (copy suffixes grow
+            # 1 char per copy), taming the x100 pair blowup that
+            # pushed the sf1 row past its verify budget.
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name"))
+                    - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("a_key"),
             F.col("b.p_partkey").alias("b_key"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            # threshold-banded Wagner-Fischer (Spark >= 3.5): O(len·3)
+            # band with early exit instead of the full O(len²) table;
+            # returns -1 above the bound, and the EXACT distance at or
+            # below it, so the <= 3 cut emits identical pairs/values.
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
             .cast("long")
             .alias("dist"),
         )
-        .filter(F.col("dist") <= 3)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 3))
     )
 
 
@@ -1117,6 +1137,10 @@ def _fuzzy_blocked_pairs(blocked: DataFrame) -> DataFrame:
           ON a.p_brand = b.p_brand
          AND a.probe_bucket = b.len_bucket
          AND a.p_partkey < b.p_partkey
+         -- same provably-invariant length pre-filter as the engine:
+         -- edit distance >= |length difference|, so the DP below
+         -- never needs to see a pair with a gap > 3
+         AND abs(length(a.p_name) - length(b.p_name)) <= 3
         WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
     doc="Entity-resolution fuzzy dedup with OVERLAPPING blocking (the "

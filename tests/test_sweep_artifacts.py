@@ -92,7 +92,10 @@ KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
     ("sf1_slice", "sim_knn_join"): "known oracle-capacity bound",
     ("sf1_slice", "join_interval_overlap"):
         "known quadratic-output compare bound",
-    ("sf1_slice", "dedup_fuzzy_blocked"): "known clone-arm block-pair bound",
+    # dedup_fuzzy_blocked left this list in round 13: the
+    # threshold-banded levenshtein + the provably-invariant
+    # |length-gap| <= 3 pre-filter brought the clone arm's x100
+    # verify-pair cost from past-420s to a 187s exact pass.
 }
 
 
