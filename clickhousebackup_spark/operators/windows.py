@@ -152,16 +152,23 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_sliding_avg",
-    oracle="""
+#: Shared between win_sliding_avg (flat per-user 1-hour range frame)
+#: and win_sliding_avg_twostage (skew-immune rewrite, analytics19):
+#: the two keys promise hash-identical output, so the oracle is ONE
+#: object — same convention as RUNNING_SUM_ORACLE above.
+SLIDING_AVG_ORACLE = """
         SELECT event_id, user_id, ts,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
                    / COUNT(value) OVER w AS moving_avg
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """,
+"""
+
+
+@register(
+    "win_sliding_avg",
+    oracle=SLIDING_AVG_ORACLE,
     doc="Moving average per user over a 1-hour range frame keyed on "
     "epoch-µs; avg = exact decimal sum / count.",
 )

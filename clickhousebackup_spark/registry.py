@@ -65,6 +65,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics16",
     "clickhousebackup_spark.operators.analytics17",
     "clickhousebackup_spark.operators.analytics18",
+    "clickhousebackup_spark.operators.analytics19",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -195,6 +196,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "topk_per_group_twostage",
     "win_rank_dense_twostage",
     "agg_percentile_exact_twostage",
+    "win_sliding_avg_twostage",
 )
 
 

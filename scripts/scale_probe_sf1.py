@@ -797,6 +797,7 @@ ZIPF_UNGATED_BASELINE = {
     "path_transitions",
     "win_running_sum",
     "win_rank_dense",
+    "win_sliding_avg",
     # family six's flat form: its straggler is STRUCTURAL (the
     # event_type group key has 5 values on BOTH arms, so each task
     # sorts n/5 rows regardless of the user-key distribution). The
@@ -822,6 +823,8 @@ ZIPF_WINDOW_KEYS = (
     "win_rank_dense_twostage",
     "agg_percentile_exact",
     "agg_percentile_exact_twostage",
+    "win_sliding_avg",
+    "win_sliding_avg_twostage",
 )
 
 

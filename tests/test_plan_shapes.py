@@ -1121,6 +1121,14 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "win_sliding_avg_twostage": (4, 1, False),  # family seven:
+    # (user, day-bucket) local range window + the unique-event_id
+    # fold join (both sides exchange on event_id — balanced under
+    # ANY user distribution); the seam join of the two 1/24 hour
+    # slices must stay a hash join on (user, bucket) (broadcast at
+    # fixture scale), never a nested loop. Three column-pruned scans
+    # — the declared price for removing the flat key's whole-hot-user
+    # range window.
 }
 
 

@@ -109,6 +109,7 @@ DEFERRED: set[str] = {
     "topk_per_group_twostage",
     "win_rank_dense_twostage",
     "agg_percentile_exact_twostage",
+    "win_sliding_avg_twostage",
 }
 
 
