@@ -400,6 +400,69 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _moment_grid_sum(k: int):
+    """SUM(floor(value^k * 1e6)) in DECIMAL(38,0) — the exact,
+    order-free, mergeable raw-moment accumulator. value^k is ONE
+    chain of IEEE multiplies on identical parquet doubles (both
+    engines produce the same double), the 1e6 scale is one more, and
+    floor is exact — the q1_pricing_summary_grid determinism argument
+    applied to each power."""
+    v = F.col("value")
+    p = v
+    for _ in range(k - 1):
+        p = p * v
+    return F.sum(F.floor(p * F.lit(1000000.0)).cast("decimal(38,0)"))
+
+
+def _moment_ogrid_sum(k: int) -> str:
+    expr = " * ".join(["value"] * k)
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 1000000.0) AS DECIMAL(38,0))) "
+        f"AS VARCHAR)"
+    )
+
+
+@register(
+    "stats_moments_grid",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS n,
+               {_moment_ogrid_sum(1)} AS s1_grid,
+               {_moment_ogrid_sum(2)} AS s2_grid,
+               {_moment_ogrid_sum(3)} AS s3_grid,
+               {_moment_ogrid_sum(4)} AS s4_grid
+        FROM events GROUP BY event_type
+    """,
+    doc="The moment family's exactness-at-ANY-scale anchor (the "
+    "q1_pricing_summary_grid convention applied to raw moments): "
+    "count plus the four micro-grid power sums floor(value^k * 1e6) "
+    "per event_type, accumulated order-free in DECIMAL(38,0) and "
+    "emitted as VARCHAR — never cast to DOUBLE, which is exactly "
+    "where the flat moment/t-stat family's sf1-arm frontier lives "
+    "(a DECIMAL(38,0) sum past 2^53 renders through double "
+    "differently per engine in the 13th-17th significant digit; the "
+    "11 allowlisted KNOWN_LIMIT_FAILS rows). These five columns are "
+    "the complete mergeable sufficient statistics for mean, "
+    "variance, skewness, and kurtosis of the gridded values — "
+    "agg_stats / agg_skew_kurtosis / the t-stat battery are all "
+    "derivable downstream — and they stay hash-exact to ~1e21 rows "
+    "at the fixture's value domain (value^4 * 1e6 < 6e16 raw units "
+    "per row against 38 digits of headroom). Plan: one partial+final "
+    "hash agg over 5 groups, single exchange, map-side combined — an "
+    "agg, not a window, so the low-cardinality group key is NOT a "
+    "straggler here (contrast agg_percentile_exact_twostage's "
+    "docstring).",
+)
+def stats_moments_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _moment_grid_sum(1).cast("string").alias("s1_grid"),
+        _moment_grid_sum(2).cast("string").alias("s2_grid"),
+        _moment_grid_sum(3).cast("string").alias("s3_grid"),
+        _moment_grid_sum(4).cast("string").alias("s4_grid"),
+    )
+
+
 @register(
     "stats_welch_ttest",
     oracle="""

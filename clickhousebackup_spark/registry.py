@@ -197,6 +197,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_rank_dense_twostage",
     "agg_percentile_exact_twostage",
     "win_sliding_avg_twostage",
+    "stats_moments_grid",
 )
 
 

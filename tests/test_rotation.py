@@ -110,6 +110,7 @@ DEFERRED: set[str] = {
     "win_rank_dense_twostage",
     "agg_percentile_exact_twostage",
     "win_sliding_avg_twostage",
+    "stats_moments_grid",
 }
 
 

@@ -70,7 +70,9 @@ def _latest_sweeps() -> list[str]:
 #: and the digit position (scripts/annotate_sf1_sweep.py); all are
 #: exact at every driver-gate scale, and the exact-at-any-scale
 #: convention for new keys is the integer floor-grid family
-#: (q1_pricing_summary_grid). scan_file_metadata is the one
+#: (q1_pricing_summary_grid; stats_moments_grid is the moment
+#: family's anchor — its VARCHAR power sums stay hash-exact on the
+#: same sf1 arm where every allowlisted row below diverges). scan_file_metadata is the one
 #: non-float entry: its contract is one row per physical file, and
 #: the sf1 arm's tables are multi-part Spark directories.
 KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
