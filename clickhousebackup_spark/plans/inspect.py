@@ -95,6 +95,47 @@ def count_unpartitioned_windows(df: DataFrame) -> int:
     return n
 
 
+def window_partition_columns(df: DataFrame) -> list[set]:
+    """Per-WindowExec sets of partition column BASE names (``#id``
+    refs stripped), parsed from the executed plan with the same
+    bracket-group walk as :func:`count_unpartitioned_windows`.
+    Unpartitioned windows contribute an empty set. Feeds the
+    low-cardinality window audit (tests/test_plan_canary.py): a
+    window partitioned ONLY by bounded-domain columns is the
+    structural-straggler shape agg_percentile_exact_twostage exists
+    to beat — each such site must be justified."""
+    import re
+
+    out: list[set] = []
+    for line in physical_plan(df).splitlines():
+        node = re.sub(r"^[\s:+\-*()\d]*", "", line)
+        if not node.startswith("Window ["):
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in node:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            if depth > 0 and groups:
+                groups[-1] += ch
+            if ch == "]":
+                depth -= 1
+        part = ""
+        if len(groups) >= 3:
+            part = groups[1]
+        elif len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC) NULLS (FIRST|LAST)", groups[1]
+        ):
+            part = groups[1]
+        cols = set(
+            re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part)
+        )
+        out.append(cols)
+    return out
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency; every one is a full network rewrite of its input."""

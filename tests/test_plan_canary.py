@@ -127,6 +127,76 @@ UNPART_WINDOW_ALLOWED: dict[str, int] = {
     #                                 |types|^2-bounded transition matrix
 }
 
+#: Fixture columns whose domain is BOUNDED (independent of row
+#: count). A window partitioned ONLY by these is the structural-
+#: straggler shape: every row of a group lands in one task at any
+#: scale, zipf or uniform (agg_percentile_exact measured ~10 s
+#: absolute max-task on BOTH probe arms — the shape family six
+#: exists to beat). Derived salt/bucket columns are deliberately NOT
+#: here: bucketing is the fix, so a (type, vbucket) window passes.
+LOW_CARD_COLUMNS = {
+    "event_type", "o_orderstatus", "o_orderpriority", "l_returnflag",
+    "l_linestatus", "l_shipmode", "lang", "source", "label",
+    "r_name", "n_name", "p_brand", "p_type", "measure",
+}
+
+#: key -> max count of windows whose partition spec is a subset of
+#: LOW_CARD_COLUMNS. A key NOT listed must have ZERO — a new
+#: operator repeating the agg_percentile_exact shape fails the day
+#: it is registered. Audited this round; justification classes:
+#:   summary  — the window input is PRE-AGGREGATED (groupBy before
+#:              the window), so partition size is bounded by a grid
+#:              (days, buckets, cells, sources), not by row count.
+#:   rank     — row/user-grain ranking per bounded group; the
+#:              documented scale paths are the family-5 value-bucket
+#:              / salted-top-k and family-6 histogram-selection
+#:              decompositions (agg_percentile_exact carries the
+#:              oracle-identical sibling as the worked example).
+#:   series   — per-type ordered lag/frame semantics; the family-3
+#:              (1-row bucket seam) and family-7 (bounded-frame
+#:              bucket+seam) decompositions are the scale paths.
+LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
+    "agg_mode": 1,                    # summary: |status|x|prio| counts
+    "agg_topk_freq": 1,               # rank: per-(type,user) counts
+    "agg_topk_weighted": 1,           # rank: per-(type,user) sums
+    "win_ntile_firstlast": 1,         # rank (the ntile contract key)
+    "win_cume_dist_nth": 2,           # rank
+    "win_ratio_to_report": 1,         # summary-ish: type-total share;
+    #                                   groupBy-sum + broadcast is the
+    #                                   trivial scale rewrite
+    "win_percent_rank": 1,            # rank
+    "agg_percentile_exact": 2,        # rank — HAS the two-stage
+    #                                   sibling (family six)
+    "agg_percentile_approx": 2,       # rank: count-only window; the
+    #                                   sketch itself is the scale path
+    "quantile_timing_grid": 2,        # summary: per-ms grid counts
+    "quantile_exact_weighted_grid": 2,  # rank (grid-exact outputs)
+    "stats_spearman": 4,              # rank: two value/ts rankings
+    "ts_autocorr_lag1": 1,            # series: per-type lag
+    "agg_weighted_median": 2,         # rank
+    "agg_delta_sum": 1,               # series: per-type lag
+    "ts_lttb_downsample": 1,          # summary: per-bucket triangle
+    "ts_nonneg_derivative": 1,        # series: per-type lag
+    "topk_with_ties": 1,              # rank
+    "win_cumulative_uniques": 1,      # summary: per-day firsts
+    "ts_change_point_flags": 1,       # series
+    "stats_chi2_cells": 1,            # summary: |type|x|dow| cells
+    "dq_volume_anomaly": 1,           # summary: per-day counts
+    "ts_outliers_tukey": 2,           # rank: per-type quartiles
+    "sql_named_window": 2,            # rank (WINDOW-clause contract)
+    "corpus_datasheet": 1,            # summary: per-source stats
+    "events_burstiness_index": 1,     # series: per-type gap lag
+    "ts_stl_decompose": 2,            # summary: daily series
+    "stats_levene_bf": 2,             # rank: per-type median
+    "win_groups_frame_emulated": 1,   # series (GROUPS-frame contract)
+    "win_frame_exclude_current": 1,   # series (frame contract)
+    "sql_qualify_topk": 1,            # rank (QUALIFY contract)
+    "win_range_interval_frame": 1,    # series (range-frame contract)
+    "text_langid_confusion": 1,       # summary: |lang|^2 confusion
+    "curation_percentile_gate": 2,    # rank: per-lang percentile gate
+    "corpus_interleave_round_robin": 1,  # summary: per-source sizes
+}
+
 SKIP = set(_DECLARED_SCHEMA) | {"stream_stateful_totals"}
 
 
@@ -152,6 +222,19 @@ def test_no_cartesian_only_pinned_nljs_and_unpart_windows(spark, sf_dir):
             offenders[key] = (
                 f"{upw} unpartitioned WindowExec "
                 f"(allowed {UNPART_WINDOW_ALLOWED.get(key, 0)})"
+            )
+            continue
+        lcw = sum(
+            1
+            for p in inspect.window_partition_columns(df)
+            if p and p <= LOW_CARD_COLUMNS
+        )
+        if lcw > LOWCARD_WINDOW_ALLOWED.get(key, 0):
+            offenders[key] = (
+                f"{lcw} low-cardinality-partitioned WindowExec "
+                f"(allowed {LOWCARD_WINDOW_ALLOWED.get(key, 0)}) — the "
+                f"structural-straggler shape; bucket the partition "
+                f"(families 5-7) or justify in LOWCARD_WINDOW_ALLOWED"
             )
     assert not offenders, (
         "unpinned scale-killer plan shapes — fix the plan (distrank."
