@@ -191,3 +191,37 @@ def win_sliding_avg_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("loc_cnt") + F.coalesce(F.col("seam_cnt"), F.lit(0)))
         ).alias("moving_avg"),
     )
+
+
+@register(
+    "win_sliding_avg_adaptive",
+    oracle=SLIDING_AVG_ORACLE,
+    doc="Key-distribution dispatch for the bounded-frame family, "
+    "completing the adaptive story the sessionizer started "
+    "(sessionize_gap_adaptive): the flat win_sliding_avg wins on "
+    "uniform keys (one exchange, no seam machinery — probe walls "
+    "4.6s vs 5.5s uniform) and loses catastrophically on hot keys "
+    "(x34 max-task — Spark re-aggregates a bounded frame per row, so "
+    "the hot user's task costs O(rows x frame_rows)); the two-stage "
+    "sibling inverts both. This key reads the SAME memoized "
+    "hot-share probe (analytics16._events_hot_share: one bounded "
+    "two-phase aggregate over the pruned user_id column, cached on "
+    "the events table's file identity, side-effect free after the "
+    "first action) and returns whichever branch fits — both branches "
+    "are oracle-identical (ONE shared SLIDING_AVG_ORACLE across all "
+    "three keys), so the physical choice is invisible to "
+    "correctness, exactly how an engine should treat plan selection. "
+    "At 100 TB the dispatch statistic comes from table statistics "
+    "instead of a scan.",
+)
+def win_sliding_avg_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.operators.analytics16 import (
+        ADAPTIVE_HOT_SHARE,
+        _events_hot_share,
+    )
+    from clickhousebackup_spark.operators.windows import win_sliding_avg
+
+    hot, total = _events_hot_share(spark, sf_dir)
+    skewed = total > 0 and hot / total > ADAPTIVE_HOT_SHARE
+    branch = win_sliding_avg_twostage if skewed else win_sliding_avg
+    return branch(spark, sf_dir)

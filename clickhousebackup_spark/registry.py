@@ -198,6 +198,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_percentile_exact_twostage",
     "win_sliding_avg_twostage",
     "stats_moments_grid",
+    "win_sliding_avg_adaptive",
 )
 
 

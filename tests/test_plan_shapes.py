@@ -1121,6 +1121,12 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "win_sliding_avg_adaptive": (4, 0, False),  # branch-agnostic
+    # upper bound, mirroring sessionize_gap_adaptive: the dispatch
+    # returns either the flat plan (1 exchange) or the two-stage
+    # plan (4) depending on the measured hot share; both branches'
+    # own budgets are pinned separately, so this entry only guards
+    # against the dispatch producing something that is NEITHER.
     "win_sliding_avg_twostage": (4, 1, False),  # family seven:
     # (user, day-bucket) local range window + the unique-event_id
     # fold join (both sides exchange on event_id — balanced under

@@ -111,6 +111,7 @@ DEFERRED: set[str] = {
     "agg_percentile_exact_twostage",
     "win_sliding_avg_twostage",
     "stats_moments_grid",
+    "win_sliding_avg_adaptive",
 }
 
 

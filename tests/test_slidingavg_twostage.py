@@ -120,6 +120,55 @@ def test_oracle_is_shared_object():
         specs["win_sliding_avg"].oracle
         is specs["win_sliding_avg_twostage"].oracle
     )
+    assert (
+        specs["win_sliding_avg"].oracle
+        is specs["win_sliding_avg_adaptive"].oracle
+    )
+
+
+def test_adaptive_dispatch_boundary(spark, tmp_path, monkeypatch):
+    """win_sliding_avg_adaptive picks the two-stage plan iff the
+    hottest user's share exceeds ADAPTIVE_HOT_SHARE — proven by
+    spying on both branch functions; output equals the brute force
+    either way (same contract as the adaptive sessionizer's test)."""
+    from clickhousebackup_spark.operators import analytics16, analytics19, windows
+
+    calls = []
+    real_flat = windows.win_sliding_avg
+    real_two = analytics19.win_sliding_avg_twostage
+
+    def spy_flat(spark_, d):
+        calls.append("flat")
+        return real_flat(spark_, d)
+
+    def spy_two(spark_, d):
+        calls.append("twostage")
+        return real_two(spark_, d)
+
+    monkeypatch.setattr(windows, "win_sliding_avg", spy_flat)
+    monkeypatch.setattr(analytics19, "win_sliding_avg_twostage", spy_two)
+    analytics16._HOT_SHARE_CACHE.clear()
+
+    # skewed: user 7 owns 30 of 40 events (75% >> 5%)
+    skewed = [
+        (i, 7, MIDNIGHT + timedelta(minutes=i), 1.25) for i in range(30)
+    ] + [
+        (100 + i, 100 + i, MIDNIGHT + timedelta(minutes=i), 2.5)
+        for i in range(10)
+    ]
+    d = _mk(skewed, tmp_path / "skew", spark)
+    got = _engine(spark, d, "win_sliding_avg_adaptive")
+    assert got == _brute(skewed)
+    assert calls[-1] == "twostage"
+
+    # uniform: 40 users, one event each (2.5% < 5%)
+    uniform = [
+        (i, i, MIDNIGHT + timedelta(minutes=i), 0.75) for i in range(40)
+    ]
+    d = _mk(uniform, tmp_path / "uni", spark)
+    got = _engine(spark, d, "win_sliding_avg_adaptive")
+    assert got == _brute(uniform)
+    assert calls[-1] == "flat"
 
 
 @settings(
