@@ -6,57 +6,70 @@ scans (sessionize), min-chains (funnel), 1-row seams (lag), prefix
 offsets (running sum), count offsets (rank), and histogram selection
 (quantiles). The remaining flat window shape still partitioned on a
 bare hot key is the BOUNDED range frame: ``win_sliding_avg`` computes
-a 1-hour trailing mean per user, and a partitioned range window ships
-every row of the hot user to ONE task exactly like the prefix-sum
-straggler (×5.5 wall / ×8.5 max-task on the zipf arm for the
-unbounded cousin).
+a 1-hour trailing mean per user, and it is the worst flat straggler
+the zipf probe family has measured — ×34-37.5 max-task (≈80 s single
+task at 10M rows) — for a compounded reason: Spark evaluates a
+bounded frame by re-aggregating it per row (no inverse-combine), so a
+partitioned range window costs O(partition_rows × frame_rows), and a
+hot key raises BOTH factors (its rows are denser per hour, so every
+one of its rows also has a bigger frame).
 
-A bounded frame decomposes on a simpler invariant than any family
-before it: **if the salt bucket is wider than the frame, a row's
-frame spans at most two buckets** (its own and the previous one).
-With day buckets against the 1-hour frame:
+That second factor means bucket-and-seam alone cannot fix this
+family: the zipf probe rejected THREE designs on measurement before
+the committed one —
 
-- **Local pass.** The same range window, partitioned by (user_id,
-  day-bucket) — covers every frame contribution from the row's own
-  bucket. Max task = one user-day.
-- **Seam pass.** Only rows in the first HOUR of a bucket can reach
-  back into the previous bucket, and only rows in the last HOUR of a
-  bucket can be reached. Union those two thin slices (sources tagged
-  into the NEXT bucket so they co-partition with their targets) and
-  run ONE more range window with a conditional aggregate — sum/count
-  over SOURCE rows only, evaluated at target rows. A window, not a
-  join: the first cut of this key joined the slices and the zipf
-  probe measured the join quadratic in rows-per-hour (3.3k first-hour
-  targets × 3.3k last-hour sources per hot user-day = 11M pairs/day,
-  ×13.8 max-task); the range window over the same 6.6k-row slice is
-  incremental and linear.
-- **Recombination is exact** because the frame aggregate is a
-  DECIMAL(38,6) SUM and a COUNT — both associative — and the final
-  ``CAST(sum AS DOUBLE) / count`` replays the flat key's expression
-  on bit-identical inputs: local + seam decimal parts add exactly,
-  disjointly (same-timestamp peers share a bucket, so the seam never
-  double-counts a peer).
+1. local range window in (user, day-bucket) + a seam JOIN of
+   first-hour targets against previous-bucket last-hour sources:
+   the join is quadratic in rows-per-hour (3.3k × 3.3k pairs per hot
+   user-day), ×13.8 max-task;
+2. same, with the seam as a conditional range window over the
+   unioned slices: linear seam, but the hot user-day still pays
+   O(n·f) inside the LOCAL window, ×10.3;
+3. frame-sized (2 h) buckets shrinking each local partition: caps
+   the max task (×4.8) but the zipf arm still does Ω(Σ frame sizes)
+   additions — the hot arm's wall stays ~3× uniform because the
+   WORK is genuinely larger under per-row re-aggregation.
 
-The RANGE frame has no ordering subtleties for the seam: membership
-is the pure time predicate ts ∈ [t−1h, t] on the same user (peers at
-equal ts are included by definition, and equal ts ⇒ equal bucket ⇒
-handled by the local pass).
+The committed form removes the per-row frame re-scan altogether.
+SUM and COUNT are invertible, so a trailing frame is a DIFFERENCE OF
+PREFIX SUMS — and exact, skew-immune prefix sums are family four's
+solved problem:
 
-Scale contract: both event-scale exchanges are balanced — the local
-window keys on (user, bucket) (max task one user-day; the family's
-standing caveat about a corpus compressed into one day applies), and
-the recombination join keys on the UNIQUE event_id (uniform by
-construction). The seam join touches only the two 1/24 slices. The
-deliberate price is re-scanning events for the seam slices (scans
-are embarrassingly parallel; the flat key's hot-user sort is not).
+- **Peer collapse.** One point per (user, ts): the frame of a row
+  depends only on (user, t), so peers share one computed result
+  (``pts``: per-(user, ts) DECIMAL(38,6) sum + count).
+- **Sweep stream.** Each point enters twice: a REAL carrier at its
+  own time (kind 1, carrying the point's sum/count) and a MARKER at
+  t − 1h (kind 0, carrying nothing). Ordered by (sweep time, kind),
+  a marker's running prefix is exactly the prefix STRICTLY BEFORE
+  t − 1h (points at exactly t − 1h are in the frame and sort after
+  the marker), and a real carrier's prefix is the prefix through t.
+- **Bucketed exact prefix** (family four verbatim): local decimal
+  prefix inside (user, day-bucket) + per-bucket totals cumulated per
+  user over summary rows; prefix = offset + local — exact because
+  DECIMAL(38,6) addition is associative. No task holds more than one
+  user-day of O(1)-cost rows, for ANY bucket width (the sweep has no
+  bucket ≥ frame constraint — the frame never materializes).
+- **Difference.** frame_sum(t) = prefix(real at t) − prefix(marker
+  at t − 1h); same for counts; DECIMAL subtraction is exact, so the
+  result equals the frame's decimal sum bit-for-bit and the final
+  ``CAST(sum AS DOUBLE)/count`` replays the flat key's expression.
+- **Fold back** to event grain on (user, ts) — peers inherit the
+  shared result; every event-scale exchange is keyed (user, ts) or
+  (user, bucket), balanced under any distribution.
+
+Total cost: O(n) additions regardless of frame density — the probe
+arms become work-identical, which is what the ratios then show.
 
 Reference mapping: the reference (backup.sh:38-45) delegates queries
 to ClickHouse, where trailing-window aggregates over MergeTree parts
-merge per-part partials exactly this way (parts play the buckets).
+merge per-part partials the way the bucket offsets merge here; the
+marker sweep is the classic event-time difference trick (Summingbird
+/ stream-processing prefix windows).
 
-Family rules carried forward: every order carries the unique-key
-tiebreak where ordering matters; integer outputs CAST BIGINT; no
-per-row Python anywhere.
+Family rules carried forward: every order carries a unique tiebreak
+((sweep_us, kind) is unique per user after peer collapse); integer
+outputs CAST BIGINT; no per-row Python anywhere.
 """
 
 from __future__ import annotations
@@ -71,17 +84,12 @@ from clickhousebackup_spark.tables import load_table
 
 #: Frame width (µs) — fixed by the flat key's contract (1 hour).
 FRAME_US = 3_600_000_000
-#: Salt-bucket width (µs) — TWICE the frame. Exactness only needs
-#: BUCKET_US >= FRAME_US (frame spans ≤ 2 buckets); the width is the
-#: task-sizing knob, and it matters more here than in the other
-#: temporal families because Spark evaluates a bounded frame by
-#: re-aggregating it per row — a window task costs
-#: O(rows_in_partition × rows_in_frame). Day buckets left the hot
-#: user's 80k-row day at ~13s (measured); frame-sized buckets cap a
-#: task at one user-2h slice. Exactly 2× also makes the seam slices
-#: DISJOINT halves (first hour = targets, second hour = sources of
-#: the next bucket), so the seam union carries each event once.
-BUCKET_US = 2 * FRAME_US
+#: Prefix-salt bucket width (µs). Pure task sizing — the sweep
+#: decomposition is exact for ANY width (unlike the rejected
+#: local+seam designs, which needed bucket >= frame); one day keeps
+#: the per-user summary table small while a hot user-day is ~2×80k
+#: O(1)-cost stream rows per task.
+BUCKET_US = 86_400_000_000
 
 
 @register(
@@ -89,107 +97,152 @@ BUCKET_US = 2 * FRAME_US
     oracle=SLIDING_AVG_ORACLE,
     doc="Skew-immune rewrite of win_sliding_avg (1-hour trailing mean "
     "of value per user, RANGE frame on epoch-µs), oracle-identical to "
-    "the flat key — the SEVENTH operator family on the skew playbook. "
-    "Bounded-frame invariant: a day bucket is wider than the 1-hour "
-    "frame, so a row's frame spans at most its own and the previous "
-    "bucket. Local pass = the same range window partitioned (user, "
-    "day-bucket); seam pass = ONE more range window over the union "
-    "of each bucket's first-hour rows and the previous bucket's "
-    "last-hour rows (sources tagged into the next bucket; a "
-    "conditional sum/count over source rows evaluated at target "
-    "rows — incremental and linear where a slice JOIN measured "
-    "quadratic in rows-per-hour); recombination adds the DECIMAL(38,6) "
-    "sums and BIGINT counts exactly and replays the flat CAST(sum AS "
-    "DOUBLE)/count — bit-identical output. Event-scale exchanges: "
-    "the (user, bucket) window and the unique-event_id fold join, "
-    "both balanced under ANY user distribution. The flat key ships "
-    "the hot user's every row to one task (the unbounded cousin "
-    "measured ×8.5 max-task); here no task holds more than one "
-    "user-day.",
+    "the flat key — the SEVENTH operator family on the skew playbook, "
+    "and the only one whose straggler bucket-and-seam alone cannot "
+    "fix: Spark re-aggregates bounded frames per row (O(rows × "
+    "frame_rows)), and a hot key inflates BOTH factors, so the zipf "
+    "probe rejected three bucketed designs (seam join ×13.8; "
+    "conditional seam window ×10.3; frame-sized buckets ×4.8 with "
+    "the hot arm's work still Ω(Σ frame sizes)). SUM/COUNT are "
+    "invertible, so the committed form is the O(n) sweep: collapse "
+    "peers to one point per (user, ts); emit each point as a REAL "
+    "carrier at t and a MARKER at t-1h; compute EXACT bucketed "
+    "decimal prefixes over the (sweep, kind)-ordered stream (family "
+    "four's local-prefix + per-bucket-offset decomposition — no "
+    "task holds more than one user-day of O(1)-cost rows); "
+    "frame = prefix(real) - prefix(marker), exact by decimal "
+    "associativity, folded back to event grain on (user, ts). The "
+    "final CAST(sum AS DOUBLE)/count replays the flat expression on "
+    "the bit-identical decimal sum. Work is O(n) regardless of "
+    "frame density — the probe arms are work-identical by "
+    "construction.",
 )
 def win_sliding_avg_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .withColumn("ts_us", F.unix_micros("ts"))
-        .withColumn(
-            "bucket", F.floor(F.col("ts_us") / F.lit(BUCKET_US)).cast("long")
-        )
-        .withColumn("off_us", F.col("ts_us") - F.col("bucket") * F.lit(BUCKET_US))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
     )
 
-    # Local pass: frame contributions from the row's own bucket.
+    # Peer collapse: the frame depends only on (user, t). The point
+    # table feeds THREE consumers (both arms of the sweep union and
+    # the bucket totals); materialize it once — the same eager-
+    # localCheckpoint convention as the dedup gram table, at the
+    # same scale class (≤ one row per input row).
+    pts = (
+        ev.groupBy("user_id", "ts_us")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("p_sum"),
+            F.count("value").alias("p_cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Sweep stream: REAL carrier at t (kind 1, carries the point),
+    # MARKER at t-1h (kind 0, carries nothing). At equal sweep time
+    # the marker sorts FIRST, so its prefix excludes points at
+    # exactly t-1h — which belong to the frame.
+    real = pts.select(
+        "user_id",
+        F.col("ts_us").alias("sweep_us"),
+        F.lit(1).alias("kind"),
+        F.col("ts_us").alias("anchor_us"),
+        "p_sum",
+        "p_cnt",
+    )
+    mark = pts.select(
+        "user_id",
+        (F.col("ts_us") - F.lit(FRAME_US)).alias("sweep_us"),
+        F.lit(0).alias("kind"),
+        F.col("ts_us").alias("anchor_us"),
+        F.lit(None).cast(DEC).alias("p_sum"),
+        F.lit(0).cast("long").alias("p_cnt"),
+    )
+    stream = real.unionByName(mark).withColumn(
+        "bucket", F.floor(F.col("sweep_us") / F.lit(BUCKET_US)).cast("long")
+    )
+
+    # Family-four exact prefix: local decimal prefix inside
+    # (user, bucket) + per-bucket totals cumulated per user over
+    # summary rows only. (sweep_us, kind) is unique per user, so the
+    # row frame is deterministic.
     wloc = (
         Window.partitionBy("user_id", "bucket")
-        .orderBy("ts_us")
-        .rangeBetween(-FRAME_US, 0)
+        .orderBy("sweep_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "bucket",
-        "ts_us",
-        "off_us",
-        F.sum(F.col("value").cast(DEC)).over(wloc).alias("loc_sum"),
-        F.count("value").over(wloc).alias("loc_cnt"),
-    )
-
-    # Seam pass: only first-hour rows can reach back, only last-hour
-    # rows can be reached. A target at offset o has frame floor
-    # t−1h = bucket_start − (1h − o): for o >= 1h that is inside the
-    # bucket (no seam); a source at offset o_r contributes only when
-    # o_r >= BUCKET − 1h + o >= 23h. Sources are tagged into the NEXT
-    # bucket so each (user, bucket) window partition holds one day's
-    # targets plus the previous day's sources; every source ts is
-    # strictly below every target ts (different days), so the range
-    # frame [t−1h, t] evaluated at a target row captures exactly the
-    # in-range sources, and the conditional aggregate ignores the
-    # co-partitioned targets. One incremental window over two ~1/24
-    # slices — NOT a join, which would be quadratic in rows-per-hour
-    # (measured: ×13.8 max-task on the zipf arm before this rewrite).
-    targets = ev.filter(F.col("off_us") < F.lit(FRAME_US)).select(
-        "event_id",
+    loc = stream.select(
         "user_id",
         "bucket",
-        "ts_us",
-        F.lit(None).cast("double").alias("src_value"),
+        "kind",
+        "anchor_us",
+        F.sum("p_sum").over(wloc).alias("loc_s"),
+        F.sum("p_cnt").over(wloc).alias("loc_c"),
     )
-    sources = ev.filter(
-        F.col("off_us") >= F.lit(BUCKET_US - FRAME_US)
-    ).select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        (F.col("bucket") + 1).alias("bucket"),
-        "ts_us",
-        F.col("value").alias("src_value"),
+    # Bucket totals over the STREAM, not the points: a marker-only
+    # bucket (a t−1h landing where no real point exists) must still
+    # get an offsets row, or the inner join below would drop its
+    # markers. Markers carry zero mass, so the totals are unchanged;
+    # the union replay is cheap against the materialized points, and
+    # the map-side combine shrinks the exchange to summary rows.
+    btot = stream.groupBy("user_id", "bucket").agg(
+        F.sum("p_sum").alias("b_s"), F.sum("p_cnt").alias("b_c")
     )
-    wseam = (
-        Window.partitionBy("user_id", "bucket")
-        .orderBy("ts_us")
-        .rangeBetween(-FRAME_US, 0)
+    woff = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    seam = (
-        targets.unionByName(sources)
-        .select(
-            "event_id",
-            F.sum(F.col("src_value").cast(DEC)).over(wseam).alias("seam_sum"),
-            F.count("src_value").over(wseam).alias("seam_cnt"),
-        )
-        .filter(F.col("event_id").isNotNull())
-    )
-
-    # Recombination on the unique event_id; decimal addition is exact
-    # and the final expression replays the flat key's verbatim.
     zero_dec = F.lit(0).cast(DEC)
-    return local.join(seam, "event_id", "left").select(
+    offs = btot.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.sum("b_s").over(woff), zero_dec).alias("off_s"),
+        F.coalesce(F.sum("b_c").over(woff), F.lit(0)).alias("off_c"),
+    )
+    pref = loc.join(offs, ["user_id", "bucket"]).select(
+        "user_id",
+        "kind",
+        "anchor_us",
+        (F.coalesce(F.col("loc_s"), zero_dec) + F.col("off_s")).alias(
+            "pre_s"
+        ),
+        (F.col("loc_c") + F.col("off_c")).alias("pre_c"),
+    )
+
+    # frame = prefix(real) - prefix(marker), exact decimal. Each
+    # anchor has EXACTLY one real and one marker row, so the pairing
+    # is a conditional pivot on (user, anchor) — one pass over pref,
+    # no self-join (which would replay the whole prefix subtree per
+    # branch).
+    k_real = F.col("kind") == 1
+    fr = (
+        pref.groupBy("user_id", "anchor_us")
+        .agg(
+            F.max(F.when(k_real, F.col("pre_s"))).alias("r_s"),
+            F.max(F.when(k_real, F.col("pre_c"))).alias("r_c"),
+            F.max(F.when(~k_real, F.col("pre_s"))).alias("m_s"),
+            F.max(F.when(~k_real, F.col("pre_c"))).alias("m_c"),
+        )
+        .select(
+            F.col("user_id").alias("fr_uid"),
+            "anchor_us",
+            (F.col("r_s") - F.col("m_s")).alias("f_sum"),
+            (F.col("r_c") - F.col("m_c")).alias("f_cnt"),
+        )
+    )
+
+    # Fold back to event grain; peers at one (user, ts) share the
+    # result. The final expression replays the flat key's verbatim.
+    # (fr's key columns are renamed — it derives from ev, and a
+    # same-name join condition would be ambiguous lineage.)
+    return ev.join(
+        fr,
+        (F.col("user_id") == F.col("fr_uid"))
+        & (F.col("ts_us") == F.col("anchor_us")),
+    ).select(
         "event_id",
         "user_id",
         "ts",
-        (
-            (F.col("loc_sum") + F.coalesce(F.col("seam_sum"), zero_dec))
-            .cast("double")
-            / (F.col("loc_cnt") + F.coalesce(F.col("seam_cnt"), F.lit(0)))
-        ).alias("moving_avg"),
+        (F.col("f_sum").cast("double") / F.col("f_cnt")).alias("moving_avg"),
     )
 
 
@@ -199,16 +252,16 @@ def win_sliding_avg_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Key-distribution dispatch for the bounded-frame family, "
     "completing the adaptive story the sessionizer started "
     "(sessionize_gap_adaptive): the flat win_sliding_avg wins on "
-    "uniform keys (one exchange, no seam machinery — probe walls "
-    "4.6s vs 5.5s uniform) and loses catastrophically on hot keys "
-    "(x34 max-task — Spark re-aggregates a bounded frame per row, so "
-    "the hot user's task costs O(rows x frame_rows)); the two-stage "
-    "sibling inverts both. This key reads the SAME memoized "
-    "hot-share probe (analytics16._events_hot_share: one bounded "
-    "two-phase aggregate over the pruned user_id column, cached on "
-    "the events table's file identity, side-effect free after the "
-    "first action) and returns whichever branch fits — both branches "
-    "are oracle-identical (ONE shared SLIDING_AVG_ORACLE across all "
+    "uniform keys (one exchange, no sweep machinery) and loses "
+    "catastrophically on hot keys (x34 max-task — Spark re-aggregates "
+    "a bounded frame per row, so the hot user's task costs "
+    "O(rows x frame_rows)); the two-stage sibling inverts both. This "
+    "key reads the SAME memoized hot-share probe "
+    "(analytics16._events_hot_share: one bounded two-phase aggregate "
+    "over the pruned user_id column, cached on the events table's "
+    "file identity, side-effect free after the first action) and "
+    "returns whichever branch fits — both branches are "
+    "oracle-identical (ONE shared SLIDING_AVG_ORACLE across all "
     "three keys), so the physical choice is invisible to "
     "correctness, exactly how an engine should treat plan selection. "
     "At 100 TB the dispatch statistic comes from table statistics "

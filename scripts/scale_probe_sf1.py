@@ -806,6 +806,16 @@ ZIPF_UNGATED_BASELINE = {
     "agg_percentile_exact",
 }
 
+#: Dispatch keys SWITCH plans between the arms (flat on uniform,
+#: two-stage on zipf), so their cross-arm WALL ratio conflates the
+#: plan change with the skew effect (the flat uniform branch is the
+#: cheapest plan in the table). Their promise is "never the
+#: straggler plan" — gate them on max-task ratio instead.
+ZIPF_ADAPTIVE_KEYS = {
+    "sessionize_gap_adaptive",
+    "win_sliding_avg_adaptive",
+}
+
 ZIPF_WINDOW_KEYS = (
     "sessionize_gap",
     "sessionize_gap_twostage",
@@ -825,6 +835,7 @@ ZIPF_WINDOW_KEYS = (
     "agg_percentile_exact_twostage",
     "win_sliding_avg",
     "win_sliding_avg_twostage",
+    "win_sliding_avg_adaptive",
 )
 
 
@@ -1007,7 +1018,16 @@ def main_zipf_window() -> None:
             if u["max_task_s"] and u["max_task_s"] > 0
             else None
         )
-        row["skew_ok"] = bool(row["wall_ratio"] and row["wall_ratio"] <= 3.0)
+        if k in ZIPF_ADAPTIVE_KEYS:
+            row["skew_ok"] = bool(
+                row["max_task_ratio"] and row["max_task_ratio"] <= 3.0
+            )
+            row["gate"] = "max_task_ratio<=3 (plan-switching dispatch)"
+        else:
+            row["skew_ok"] = bool(
+                row["wall_ratio"] and row["wall_ratio"] <= 3.0
+            )
+            row["gate"] = "wall_ratio<=3"
         row["gated"] = k not in ZIPF_UNGATED_BASELINE
         print(
             f"# {k}: uniform {u['wall_s']}s/{u['max_task_s']}s-task, "

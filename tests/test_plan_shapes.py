@@ -1127,14 +1127,15 @@ R13_PLAN_BUDGET = {
     # plan (4) depending on the measured hot share; both branches'
     # own budgets are pinned separately, so this entry only guards
     # against the dispatch producing something that is NEITHER.
-    "win_sliding_avg_twostage": (4, 1, False),  # family seven:
-    # (user, day-bucket) local range window + the unique-event_id
-    # fold join (both sides exchange on event_id — balanced under
-    # ANY user distribution); the seam join of the two 1/24 hour
-    # slices must stay a hash join on (user, bucket) (broadcast at
-    # fixture scale), never a nested loop. Three column-pruned scans
-    # — the declared price for removing the flat key's whole-hot-user
-    # range window.
+    "win_sliding_avg_twostage": (4, 1, False),  # family seven, the
+    # O(n) sweep form: the peer-collapse agg runs inside the eager
+    # pts checkpoint; the visible exchanges are the (user, bucket)
+    # sweep-prefix window, the stream bucket-totals agg, the
+    # (user, anchor) conditional pivot, and the (user, ts) fold back
+    # to event grain — every one keyed by a data-scale column, never
+    # the bare user. The offsets join must stay a hash join
+    # (broadcast at fixture scale), never a nested loop; the frame
+    # itself never materializes (no O(n*f) per-row re-aggregation).
 }
 
 
