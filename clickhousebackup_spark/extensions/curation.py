@@ -692,9 +692,10 @@ def corpus_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_percentile_gate",
-    oracle="""
+#: ONE oracle object shared by the flat gate and its two-stage
+#: sibling below — the skew-playbook convention (a shared constant
+#: cannot drift the way a copied string can).
+PERCENTILE_GATE_ORACLE = """
         WITH ranked AS (
             SELECT doc_id, lang, n_chars,
                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
@@ -706,7 +707,12 @@ def corpus_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE WHEN (rn - 1) * 100 <= (n - 1) * 60
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM ranked
-    """,
+"""
+
+
+@register(
+    "curation_percentile_gate",
+    oracle=PERCENTILE_GATE_ORACLE,
     doc="Percentile-based quality gate: keep the top 60% of each "
     "language by a quality proxy (n_chars here; production swaps in "
     "quality_linear_score — identical plan) — the per-stratum "
@@ -738,6 +744,91 @@ def curation_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         "n",
         F.when((F.col("rn") - 1) * 100 <= (F.col("n") - 1) * 60, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+#: Quality-proxy bucket width for the two-stage gate. n_chars spans
+#: ~[44, 577] in every fixture arm, so 10 yields ~55 buckets per
+#: language; exactness holds for ANY width (floor division is
+#: monotone in the ranked value, so ties never straddle a bucket).
+GATE_BUCKET_WIDTH = 10
+
+
+@register(
+    "curation_percentile_gate_twostage",
+    oracle=PERCENTILE_GATE_ORACLE,
+    doc="Skew-immune rewrite of curation_percentile_gate, "
+    "oracle-identical to the flat key — the rank-window playbook "
+    "(family five, win_rank_dense_twostage) transplanted off the "
+    "TPC-H fixture onto the curation surface, where the straggler "
+    "is STRUCTURAL: the flat gate ranks every document of a "
+    "language in one task (5-value lang column — the audited "
+    "low-cardinality window shape), which at 100 TB is a failed "
+    "stage for the dominant language. Bucket by the ranked value "
+    "itself (n_chars div 10 — monotone, ties never straddle): local "
+    "rank inside (lang, bucket), per-bucket COUNT offsets cumulated "
+    "over ≤ ~55 summary rows per language (bucket DESC = better "
+    "first), rn = offset + local rank; n = per-lang total over the "
+    "same summary; the keep flag replays the flat key's pure-integer "
+    "arithmetic. No document-scale task holds more than one "
+    "(lang, char-decade); every event-scale exchange is keyed "
+    "(lang, bucket).",
+)
+def curation_percentile_gate_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(F.col("n_chars") / F.lit(GATE_BUCKET_WIDTH))
+        .cast("long")
+        .alias("vbucket"),
+    )
+
+    # Stage 1: local rank inside (lang, value-bucket) under the same
+    # (n_chars DESC, doc_id) total order.
+    wloc = Window.partitionBy("lang", "vbucket").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    local = d.withColumn("rn_loc", F.row_number().over(wloc))
+
+    # Stage 2: per-bucket counts (map-side combinable) -> cumulative
+    # strictly-better-bucket offsets + per-lang totals over summary
+    # rows only.
+    counts = local.groupBy("lang", "vbucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wseam = Window.partitionBy("lang").orderBy(F.col("vbucket").desc())
+    wlang = Window.partitionBy("lang")
+    offsets = counts.select(
+        "lang",
+        "vbucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(wlang).alias("n_lang"),
+    )
+
+    # Stage 3: fold offsets back on the stage-1 keys; the gate
+    # arithmetic replays the flat key's integer expression.
+    folded = local.join(offsets, ["lang", "vbucket"])
+    rn = (F.col("offset") + F.col("rn_loc")).cast("long")
+    n = F.col("n_lang").cast("long")
+    return folded.select(
+        "doc_id",
+        "lang",
+        rn.alias("rn"),
+        n.alias("n"),
+        F.when((rn - 1) * 100 <= (n - 1) * 60, 1)
         .otherwise(0)
         .cast("long")
         .alias("keep"),

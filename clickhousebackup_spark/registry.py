@@ -199,6 +199,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_sliding_avg_twostage",
     "stats_moments_grid",
     "win_sliding_avg_adaptive",
+    "curation_percentile_gate_twostage",
 )
 
 

@@ -194,6 +194,12 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     "win_range_interval_frame": 1,    # series (range-frame contract)
     "text_langid_confusion": 1,       # summary: |lang|^2 confusion
     "curation_percentile_gate": 2,    # rank: per-lang percentile gate
+    #                                   — HAS the two-stage sibling
+    "curation_percentile_gate_twostage": 2,  # summary: the per-lang
+    #                                   offset/total windows run over
+    #                                   <= ~55 bucket-summary rows;
+    #                                   the document-scale windows key
+    #                                   (lang, vbucket)
     "corpus_interleave_round_robin": 1,  # summary: per-source sizes
 }
 

@@ -1121,6 +1121,12 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "curation_percentile_gate_twostage": (3, 1, False),  # family
+    # five transplanted to the curation surface: (lang, char-decade)
+    # local rank exchange + the per-lang offset/total windows over
+    # <= ~55 summary rows + the fold join on the stage-1 keys
+    # (broadcast at fixture scale). The flat gate's whole-language
+    # sort task never appears.
     "win_sliding_avg_adaptive": (4, 0, False),  # branch-agnostic
     # upper bound, mirroring sessionize_gap_adaptive: the dispatch
     # returns either the flat plan (1 exchange) or the two-stage

@@ -112,6 +112,7 @@ DEFERRED: set[str] = {
     "win_sliding_avg_twostage",
     "stats_moments_grid",
     "win_sliding_avg_adaptive",
+    "curation_percentile_gate_twostage",
 }
 
 

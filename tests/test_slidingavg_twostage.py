@@ -187,9 +187,21 @@ def test_adaptive_dispatch_boundary(spark, tmp_path, monkeypatch):
         ),
         min_size=1,
         max_size=30,
-    )
+    ),
+    # the sweep decomposition claims exactness for ANY prefix-bucket
+    # width — exercise widths from frame-sized (1 h) down to 10 min
+    # (markers and carriers routinely in different buckets) and up
+    # past the corpus span
+    bucket_us=st.sampled_from(
+        [600_000_000, 3_600_000_000, 7_200_000_000, 86_400_000_000]
+    ),
 )
-def test_property_matches_flat_and_brute(spark, tmp_path_factory, raw):
+def test_property_matches_flat_and_brute(
+    spark, tmp_path_factory, monkeypatch, raw, bucket_us
+):
+    from clickhousebackup_spark.operators import analytics19
+
+    monkeypatch.setattr(analytics19, "BUCKET_US", bucket_us)
     rows = [
         (i, uid, MIDNIGHT + timedelta(minutes=mins), q / 4.0)
         for i, (uid, mins, q) in enumerate(raw)
