@@ -64,7 +64,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.operators.sorts import TOPK_PER_GROUP_ORACLE
-from clickhousebackup_spark.operators.windows import RANK_DENSE_ORACLE
+from clickhousebackup_spark.operators.windows import (
+    NTILE_FIRSTLAST_ORACLE,
+    RANK_DENSE_ORACLE,
+)
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -202,4 +205,102 @@ def win_rank_dense_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         grank.alias("rnk"),
         grank.alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_firstlast_twostage",
+    oracle=NTILE_FIRSTLAST_ORACLE,
+    doc="Skew-immune rewrite of win_ntile_firstlast (quartile + "
+    "first/last orderkey per o_orderstatus), oracle-identical to the "
+    "flat key — the rank decomposition above generalized to DERIVED "
+    "positional outputs, on a STRUCTURAL straggler (o_orderstatus "
+    "has 3 values, so the flat window sorts n/3 rows per task at any "
+    "scale — the audited low-cardinality shape). The global rank "
+    "comes from the (status, price-kilobucket) decomposition exactly "
+    "as win_rank_dense_twostage (monotone buckets, COUNT offsets "
+    "over ≤ ~560 summary rows); then every output is closed-form "
+    "integer arithmetic on (rn, n): NTILE(4)'s "
+    "larger-groups-first split is rn ≤ (s+1)·e ? ceil(rn/(s+1)) : "
+    "e + ceil((rn − (s+1)·e)/s) with s = n div 4, e = n mod 4; "
+    "first/last value are the rank-1 and rank-n rows, recovered from "
+    "a 2-row-per-status extremes table broadcast back. No "
+    "order-scale task holds more than one status-kilobucket.",
+)
+def win_ntile_firstlast_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / F.lit(RANK_BUCKET_WIDTH))
+        .cast("long")
+        .alias("vbucket"),
+    )
+
+    wloc = Window.partitionBy("o_orderstatus", "vbucket").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    local = o.withColumn("rn_loc", F.row_number().over(wloc))
+
+    counts = local.groupBy("o_orderstatus", "vbucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wseam = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("vbucket").desc()
+    )
+    wstat = Window.partitionBy("o_orderstatus")
+    offsets = counts.select(
+        "o_orderstatus",
+        "vbucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(wstat).alias("n_stat"),
+    )
+
+    folded = local.join(offsets, ["o_orderstatus", "vbucket"]).select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("offset") + F.col("rn_loc")).cast("long").alias("rn"),
+        F.col("n_stat").cast("long").alias("n"),
+    )
+
+    # Extremes: first/last under (price DESC, orderkey) are pure
+    # argmax/argmin — a map-side-combinable aggregate straight off
+    # the base table, no window and no rank-subtree replay. The
+    # negated orderkey inverts the tiebreak inside the struct order:
+    # first row = max price then MIN key; last = min price then MAX.
+    extremes = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("top_orderkey"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("bottom_orderkey"),
+    )
+
+    # NTILE(4), larger groups first: s = n div 4 rows in the small
+    # tiles, the first e = n mod 4 tiles get s + 1. Pure INTEGER
+    # arithmetic (div, never /): ceil(a/b) = (a + b - 1) div b on
+    # positives; the s = 0 case (n < 4) is entirely inside the first
+    # branch since rn <= n = e there.
+    quartile = F.expr(
+        "CAST(CASE WHEN rn <= (n div 4 + 1) * (n % 4) "
+        "THEN (rn + n div 4) div (n div 4 + 1) "
+        "ELSE n % 4 + (rn - (n div 4 + 1) * (n % 4) + n div 4 - 1) "
+        "     div (n div 4) END AS BIGINT)"
+    )
+    return folded.join(F.broadcast(extremes), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        quartile.alias("quartile"),
+        "top_orderkey",
+        "bottom_orderkey",
     )

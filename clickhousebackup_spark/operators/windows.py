@@ -192,9 +192,9 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_ntile_firstlast",
-    oracle="""
+#: ONE oracle object shared by the flat key and its two-stage sibling
+#: (operators/analytics17.py) — the skew-playbook convention.
+NTILE_FIRSTLAST_ORACLE = """
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                NTILE(4) OVER w AS quartile,
                FIRST_VALUE(o_orderkey) OVER w AS top_orderkey,
@@ -206,7 +206,12 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice DESC, o_orderkey)
-    """,
+"""
+
+
+@register(
+    "win_ntile_firstlast",
+    oracle=NTILE_FIRSTLAST_ORACLE,
     doc="ntile(4) + first/last value with an explicit full frame "
     "(default frame would make last_value = current row).",
 )

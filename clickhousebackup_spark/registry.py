@@ -200,6 +200,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "stats_moments_grid",
     "win_sliding_avg_adaptive",
     "curation_percentile_gate_twostage",
+    "win_ntile_firstlast_twostage",
 )
 
 

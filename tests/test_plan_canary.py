@@ -160,6 +160,12 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     "agg_topk_freq": 1,               # rank: per-(type,user) counts
     "agg_topk_weighted": 1,           # rank: per-(type,user) sums
     "win_ntile_firstlast": 1,         # rank (the ntile contract key)
+    #                                   — HAS the two-stage sibling
+    "win_ntile_firstlast_twostage": 2,  # summary: per-status
+    #                                   offset/total windows over
+    #                                   <= ~1.7k bucket-summary rows;
+    #                                   order-scale windows key
+    #                                   (status, vbucket)
     "win_cume_dist_nth": 2,           # rank
     "win_ratio_to_report": 1,         # summary-ish: type-total share;
     #                                   groupBy-sum + broadcast is the

@@ -1121,6 +1121,13 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "win_ntile_firstlast_twostage": (4, 2, False),  # the rank
+    # decomposition with DERIVED outputs: (status, kilobucket) local
+    # rank exchange + summary offset windows + the closed-form
+    # integer NTILE on (rn, n) + a 3-row extremes broadcast computed
+    # as map-side max_by/min_by aggregates (no window, no
+    # rank-subtree replay). The flat key's whole-status sort (3
+    # statuses = n/3 rows per task at any scale) never appears.
     "curation_percentile_gate_twostage": (3, 1, False),  # family
     # five transplanted to the curation surface: (lang, char-decade)
     # local rank exchange + the per-lang offset/total windows over

@@ -170,3 +170,115 @@ def test_property_matches_brute(spark, tmp_path_factory, raw):
     )
     want = {ok: (r, r) for ok, r in _brute_rank(rows).items()}
     assert _engine_rank(spark, d, "win_rank_dense_twostage") == want
+
+
+def _brute_ntile_firstlast(rows, k=4):
+    """{orderkey: (quartile, top, bottom)} per cust-less status
+    fixture: rows are (orderkey, status, price); NTILE with larger
+    groups first under (price DESC, orderkey)."""
+    by_st: dict = {}
+    for ok, stt, price in rows:
+        by_st.setdefault(stt, []).append((-price, ok))
+    out = {}
+    for orders in by_st.values():
+        orders.sort()
+        n = len(orders)
+        small, extra = divmod(n, k)
+        top, bottom = orders[0][1], orders[-1][1]
+        pos = 0
+        for tile in range(1, k + 1):
+            size = small + 1 if tile <= extra else small
+            for _ in range(size):
+                if pos < n:
+                    out[orders[pos][1]] = (tile, top, bottom)
+                    pos += 1
+    return out
+
+
+def _engine_ntile(spark, d, key):
+    return {
+        r["o_orderkey"]: (
+            r["quartile"], r["top_orderkey"], r["bottom_orderkey"]
+        )
+        for r in all_specs()[key].fn(spark, d).collect()
+    }
+
+
+def test_ntile_crafted_and_shared_oracle(spark, tmp_path):
+    rows = [
+        # status O: n=7 -> tiles of 2,2,2,1 (extra=3); ties at the
+        # top resolved by orderkey; a kilobucket boundary pair.
+        (0, 1, 5000.0), (1, 1, 5000.0), (2, 1, 4000.0), (3, 1, 1000.0),
+        (4, 1, 999.99), (5, 1, 850.0), (6, 1, 860.0),
+        # status F: n=3 < 4 -> tile == rank, top == rank1, bottom ==
+        # rank3 (the s=0 branch of the closed form).
+        (10, 2, 300.0), (11, 2, 200.0), (12, 2, 100.0),
+        # status P: single order — every output is itself.
+        (20, 3, 42.0),
+    ]
+    # reuse the orders writer with status mapped from the int key
+    st_name = {1: "O", 2: "F", 3: "P"}
+    data = [(ok, ck, st_name[ck], price) for ok, ck, price in rows]
+    from datetime import datetime
+    full = [
+        (ok, ck, stt, price, datetime(2024, 1, 1), "1-URGENT")
+        for ok, ck, stt, price in data
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    want = _brute_ntile_firstlast(
+        [(ok, stt, price) for ok, _, stt, price in data]
+    )
+    assert _engine_ntile(spark, d, "win_ntile_firstlast_twostage") == want
+    assert _engine_ntile(spark, d, "win_ntile_firstlast") == want
+
+    specs = all_specs()
+    assert (
+        specs["win_ntile_firstlast"].oracle
+        is specs["win_ntile_firstlast_twostage"].oracle
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),        # status id
+            st.integers(min_value=0, max_value=2500_00),  # cents
+        ),
+        min_size=1,
+        max_size=23,  # prime-ish: every n mod 4 residue is common
+        unique_by=lambda t: t,
+    )
+)
+def test_ntile_property_matches_brute(spark, tmp_path_factory, raw):
+    from datetime import datetime
+
+    st_name = {1: "O", 2: "F"}
+    rows = [
+        (i, st_name[s_], cents / 100.0) for i, (s_, cents) in enumerate(raw)
+    ]
+    full = [
+        (ok, 1, stt, price, datetime(2024, 1, 1), "1-URGENT")
+        for ok, stt, price in rows
+    ]
+    d = str(tmp_path_factory.mktemp("ntiletwo"))
+    spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = _engine_ntile(spark, d, "win_ntile_firstlast_twostage")
+    assert got == _brute_ntile_firstlast(rows)
+    assert got == _engine_ntile(spark, d, "win_ntile_firstlast")

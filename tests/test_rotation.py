@@ -113,6 +113,7 @@ DEFERRED: set[str] = {
     "stats_moments_grid",
     "win_sliding_avg_adaptive",
     "curation_percentile_gate_twostage",
+    "win_ntile_firstlast_twostage",
 }
 
 
