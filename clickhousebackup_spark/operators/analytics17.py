@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.operators.sorts import TOPK_PER_GROUP_ORACLE
 from clickhousebackup_spark.operators.windows import (
+    CUME_DIST_NTH_ORACLE,
     NTILE_FIRSTLAST_ORACLE,
     RANK_DENSE_ORACLE,
 )
@@ -303,4 +304,94 @@ def win_ntile_firstlast_twostage(
         quartile.alias("quartile"),
         "top_orderkey",
         "bottom_orderkey",
+    )
+
+
+@register(
+    "win_cume_dist_nth_twostage",
+    oracle=CUME_DIST_NTH_ORACLE,
+    doc="Skew-immune rewrite of win_cume_dist_nth (tie-aware "
+    "cume_dist over value + nth_value(event_id, 2) per event_type), "
+    "oracle-identical to the flat key — the rank decomposition "
+    "extended to TIE-AWARE positional semantics on another "
+    "structural straggler (5-value event_type; the flat window sorts "
+    "n/5 rows per task at any scale). The unique-tiebreak rank rn "
+    "comes from (type, floor(value)) local ranks + COUNT offsets "
+    "over summary rows (value ASC here — offsets cumulate ascending); "
+    "cume_dist's numerator is the PEER-GROUP MAX rank — peers share "
+    "a value, hence a bucket, so it is a max window over "
+    "(type, bucket, value) — and cd = peer_max/n replays the same "
+    "two-long double division cume_dist itself performs. "
+    "nth_value(2) is the rank-2 row's event_id, recovered by a "
+    "1-row-per-type broadcast (left join: a single-row type keeps "
+    "the NULL the flat frame produces). No event-scale task holds "
+    "more than one (type, value-unit) bucket.",
+)
+def win_cume_dist_nth_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value")).cast("long").alias("vbucket"),
+    )
+
+    # Stage 1: local rank inside (type, value-bucket) under the
+    # (value ASC, event_id) total order, plus the per-peer-group max
+    # local rank (peers = equal value, always same bucket).
+    wloc = Window.partitionBy("event_type", "vbucket").orderBy(
+        "value", "event_id"
+    )
+    wpeer = Window.partitionBy("event_type", "vbucket", "value")
+    local = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "vbucket",
+        F.row_number().over(wloc).alias("rn_loc"),
+    ).withColumn("peer_max_loc", F.max("rn_loc").over(wpeer))
+
+    # Stage 2: ascending COUNT offsets + per-type totals over the
+    # bucket-summary rows.
+    counts = local.groupBy("event_type", "vbucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wseam = Window.partitionBy("event_type").orderBy("vbucket")
+    wtype = Window.partitionBy("event_type")
+    offsets = counts.select(
+        "event_type",
+        "vbucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(wtype).alias("n_type"),
+    )
+
+    folded = local.join(offsets, ["event_type", "vbucket"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("offset") + F.col("rn_loc")).cast("long").alias("rn"),
+        (F.col("offset") + F.col("peer_max_loc"))
+        .cast("long")
+        .alias("peer_max"),
+        F.col("n_type").cast("long").alias("n"),
+    )
+
+    # nth_value(2): the rank-2 row per type, broadcast back; a LEFT
+    # join keeps the NULL a single-row partition produces.
+    seconds = folded.filter(F.col("rn") == 2).select(
+        "event_type", F.col("event_id").alias("second_event_id")
+    )
+    return folded.join(F.broadcast(seconds), "event_type", "left").select(
+        "event_id",
+        "event_type",
+        "value",
+        # the same two-BIGINT double division cume_dist performs
+        (F.col("peer_max") / F.col("n")).alias("cd"),
+        "second_event_id",
     )

@@ -470,9 +470,9 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", med.alias("med5"))
 
 
-@register(
-    "win_cume_dist_nth",
-    oracle="""
+#: ONE oracle object shared by the flat key and its two-stage sibling
+#: (operators/analytics17.py) — the skew-playbook convention.
+CUME_DIST_NTH_ORACLE = """
         SELECT event_id, event_type, value,
                cume_dist() OVER (
                    PARTITION BY event_type ORDER BY value) AS cd,
@@ -482,7 +482,12 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING
                         AND UNBOUNDED FOLLOWING) AS second_event_id
         FROM events
-    """,
+"""
+
+
+@register(
+    "win_cume_dist_nth",
+    oracle=CUME_DIST_NTH_ORACLE,
     doc="cume_dist + nth_value complete the rank-function family "
     "(next to rank/dense_rank/ntile/percent_rank already covered): "
     "cume_dist is tie-aware (depends only on the value column, so "

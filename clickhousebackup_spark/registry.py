@@ -201,6 +201,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_sliding_avg_adaptive",
     "curation_percentile_gate_twostage",
     "win_ntile_firstlast_twostage",
+    "win_cume_dist_nth_twostage",
 )
 
 

@@ -147,3 +147,95 @@ def test_property_matches_flat_and_brute(spark, tmp_path_factory, raw):
     got = _engine(spark, d, "agg_percentile_exact_twostage")
     assert got == _brute(rows)
     assert got == _engine(spark, d, "agg_percentile_exact")
+
+
+def _brute_cume(rows):
+    """{event_id: (cd, second)} — tie-aware cume_dist over value ASC
+    and nth_value(event_id, 2) under (value, event_id), per type."""
+    by_type: dict = {}
+    for eid, et, v in rows:
+        by_type.setdefault(et, []).append((float(v), eid))
+    out = {}
+    for vals in by_type.values():
+        vals.sort()
+        n = len(vals)
+        second = vals[1][1] if n >= 2 else None
+        for v, eid in vals:
+            peers_le = sum(1 for v2, _ in vals if v2 <= v)
+            out[eid] = (peers_le / n, second)
+    return out
+
+
+def test_cume_dist_twostage_crafted(spark, tmp_path):
+    rows = [
+        # type A: heavy ties at 2.0 (cd must count ALL peers), a
+        # bucket-boundary pair, and the rank-2 row inside the lowest
+        # bucket.
+        (0, "A", 2.0),
+        (1, "A", 2.0),
+        (2, "A", 2.0),
+        (3, "A", 0.5),
+        (4, "A", 0.75),
+        (5, "A", 3.0),
+        # type B: single row — cd = 1.0, second is NULL.
+        (10, "B", 9.25),
+        # type C: the two lowest rows split across buckets (rank 2
+        # lives in the SECOND non-empty bucket).
+        (20, "C", 0.25),
+        (21, "C", 5.5),
+        (22, "C", 7.0),
+    ]
+    d = _mk(rows, tmp_path, spark)
+    want = _brute_cume(rows)
+    got = {
+        r["event_id"]: (r["cd"], r["second_event_id"])
+        for r in all_specs()["win_cume_dist_nth_twostage"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert got == want
+    flat = {
+        r["event_id"]: (r["cd"], r["second_event_id"])
+        for r in all_specs()["win_cume_dist_nth"].fn(spark, d).collect()
+    }
+    assert flat == want
+    specs = all_specs()
+    assert (
+        specs["win_cume_dist_nth"].oracle
+        is specs["win_cume_dist_nth_twostage"].oracle
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            # quarter-grid values: ties and unit-boundary hits common
+            st.integers(min_value=-8, max_value=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cume_dist_property_matches_flat_and_brute(
+    spark, tmp_path_factory, raw
+):
+    rows = [(i, et, q / 4.0) for i, (et, q) in enumerate(raw)]
+    d = _mk(rows, tmp_path_factory.mktemp("cdtwo"), spark)
+    got = {
+        r["event_id"]: (r["cd"], r["second_event_id"])
+        for r in all_specs()["win_cume_dist_nth_twostage"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert got == _brute_cume(rows)
+    flat = {
+        r["event_id"]: (r["cd"], r["second_event_id"])
+        for r in all_specs()["win_cume_dist_nth"].fn(spark, d).collect()
+    }
+    assert got == flat

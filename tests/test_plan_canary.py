@@ -166,7 +166,13 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     #                                   <= ~1.7k bucket-summary rows;
     #                                   order-scale windows key
     #                                   (status, vbucket)
-    "win_cume_dist_nth": 2,           # rank
+    "win_cume_dist_nth": 2,           # rank — HAS the two-stage
+    #                                   sibling
+    "win_cume_dist_nth_twostage": 3,  # summary: per-type offset/
+    #                                   total windows over bucket-
+    #                                   summary rows (replayed per
+    #                                   consumer); event-scale
+    #                                   windows key (type, vbucket)
     "win_ratio_to_report": 1,         # summary-ish: type-total share;
     #                                   groupBy-sum + broadcast is the
     #                                   trivial scale rewrite

@@ -1121,6 +1121,14 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "win_cume_dist_nth_twostage": (6, 2, False),  # tie-aware rank
+    # decomposition: (type, unit-bucket) local rank + peer-max
+    # windows, ascending COUNT offsets over summary rows, and the
+    # rank-2 broadcast for nth_value(2). The folded frame feeds both
+    # the rank-2 pick and the output, so the balanced local subtree
+    # replays once — the same deliberate trade as the percentile
+    # family's second scan; no exchange keys the bare event_type at
+    # event scale.
     "win_ntile_firstlast_twostage": (4, 2, False),  # the rank
     # decomposition with DERIVED outputs: (status, kilobucket) local
     # rank exchange + summary offset windows + the closed-form
