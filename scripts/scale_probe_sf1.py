@@ -798,12 +798,15 @@ ZIPF_UNGATED_BASELINE = {
     "win_running_sum",
     "win_rank_dense",
     "win_sliding_avg",
-    # family six's flat form: its straggler is STRUCTURAL (the
-    # event_type group key has 5 values on BOTH arms, so each task
-    # sorts n/5 rows regardless of the user-key distribution). The
-    # zipf/uniform RATIO is therefore ~1 for it — the evidence
-    # columns are the ABSOLUTE max_task_s of flat vs two-stage.
+    # STRUCTURAL-straggler flat forms: their group keys are
+    # bounded-domain columns (5 event types / 3 statuses) on BOTH
+    # arms, so each task holds n/|domain| rows regardless of the
+    # user-key distribution. The zipf/uniform RATIO is therefore ~1
+    # for them — the evidence columns are the ABSOLUTE max_task_s of
+    # flat vs two-stage.
     "agg_percentile_exact",
+    "win_ntile_firstlast",
+    "win_cume_dist_nth",
 }
 
 #: Dispatch keys SWITCH plans between the arms (flat on uniform,
@@ -836,6 +839,10 @@ ZIPF_WINDOW_KEYS = (
     "win_sliding_avg",
     "win_sliding_avg_twostage",
     "win_sliding_avg_adaptive",
+    "win_ntile_firstlast",
+    "win_ntile_firstlast_twostage",
+    "win_cume_dist_nth",
+    "win_cume_dist_nth_twostage",
 )
 
 
