@@ -23,7 +23,7 @@ module implements:
   per type locate, for each of the 6 needed global ranks (lo/hi of
   q25/q50/q75), the single bucket that contains it.
 - **Pass 2 (selection).** Re-scan events, keep ONLY rows in a needed
-  (type, bucket) — a broadcast join against ≤ 18 bucket keys — and
+  (type, bucket) — a broadcast join against ≤ 6·|types| bucket keys —
   row_number inside (type, bucket): global rank = bucket's cumulative
   start + local rank. Max task = one bucket of one type (n/~2500),
   for ANY group cardinality.
@@ -82,7 +82,7 @@ from clickhousebackup_spark.tables import load_table
     "mapper — and cumulative counts locate the one bucket holding "
     "each of the 6 needed global ranks; pass 2 re-scans, keeps only "
     "rows in a needed (type, bucket) via a broadcast join against "
-    "<= 18 bucket keys, and ranks INSIDE (type, bucket) — max task = "
+    "<= 6 bucket keys per type, and ranks INSIDE (type, bucket) — max task = "
     "one value-bucket of one type. The interpolation replays the "
     "flat expression tree verbatim (g = pos - floor(pos); "
     "lo + g*(hi - lo)), so outputs are bit-identical. Deliberate "

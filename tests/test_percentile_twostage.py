@@ -23,6 +23,11 @@ A hypothesis property compares the two-stage key against BOTH the
 flat engine key and a pure-Python brute force that replays the same
 double arithmetic, over adversarially small corpora (quantized values
 so ties and boundary hits are common).
+
+The tie-aware cousin ``win_cume_dist_nth_twostage`` (analytics17.py)
+is proven at the bottom of this file — it shares the events fixture
+helpers and the same value-bucket invariant, with peer-group ties
+and the rank-2 recovery as the extra surfaces under test.
 """
 
 from __future__ import annotations

@@ -183,7 +183,7 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     #                                   sketch itself is the scale path
     "quantile_timing_grid": 2,        # summary: per-ms grid counts
     "quantile_exact_weighted_grid": 2,  # rank (grid-exact outputs)
-    "stats_spearman": 4,              # rank: two value/ts rankings
+    "stats_spearman": 2,              # rank: two value/ts rankings
     "ts_autocorr_lag1": 1,            # series: per-type lag
     "agg_weighted_median": 2,         # rank
     "agg_delta_sum": 1,               # series: per-type lag
