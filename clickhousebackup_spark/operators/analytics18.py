@@ -60,6 +60,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhousebackup_spark.operators.analytics4 import (
+    NONNEG_DERIVATIVE_ORACLE,
+)
 from clickhousebackup_spark.operators.quantiles import (
     PERCENTILE_EXACT_ORACLE,
     QS,
@@ -209,3 +212,94 @@ def agg_percentile_exact_twostage(
         )
         out_aggs.append((lo + g * (hi - lo)).alias(qname))
     return picked.groupBy("event_type").agg(*out_aggs)
+
+
+#: Day-wide time buckets for the series-lag transplant below — the
+#: same salt the temporal families (analytics16) use; pure task
+#: sizing, exact for any width (bucketing epoch-µs is monotone, so
+#: within-bucket order is the global order restricted to the bucket).
+SERIES_BUCKET_US = 86_400_000_000
+
+
+@register(
+    "ts_nonneg_derivative_twostage",
+    oracle=NONNEG_DERIVATIVE_ORACLE,
+    doc="Skew-immune rewrite of ts_nonneg_derivative (per-second "
+    "clamped rate between consecutive points of each event_type "
+    "series), oracle-identical to the flat key — the SERIES-lag "
+    "decomposition (family three, path_transitions_twostage) "
+    "transplanted onto a STRUCTURAL key: a 5-value series column "
+    "means the flat lag window scans n/5 rows per task at any "
+    "scale. Within-bucket pairs come from the same lag inside "
+    "(type, day-bucket); each bucket's FIRST point pairs with the "
+    "previous NON-EMPTY bucket's LAST point via struct-min/max "
+    "bucket summaries lagged per type (summaries only exist for "
+    "non-empty buckets, so the previous summary row IS the previous "
+    "non-empty bucket); the rate expression replays the flat "
+    "subtraction/multiply/divide on identical operands. No "
+    "event-scale task holds more than one type-day; the seam window "
+    "runs over ~30 summary rows per type.",
+)
+def ts_nonneg_derivative_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+    ).withColumn(
+        "bucket",
+        F.floor(F.col("t_us") / F.lit(SERIES_BUCKET_US)).cast("long"),
+    )
+
+    # Stage 1: within-bucket lag — the event-scale exchange is keyed
+    # (type, bucket).
+    wloc = Window.partitionBy("event_type", "bucket").orderBy(
+        "t_us", "event_id"
+    )
+    local = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        "t_us",
+        F.lag("value").over(wloc).alias("pv"),
+        F.lag("t_us").over(wloc).alias("pt"),
+    ).filter(F.col("pt").isNotNull())
+
+    # Stage 2: seam pairs from one summary row per (type, bucket).
+    summary = ev.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("t_us", "event_id", "value")).alias("first_ev"),
+        F.max(F.struct("t_us", "event_id", "value")).alias("last_ev"),
+    )
+    wseam = Window.partitionBy("event_type").orderBy("bucket")
+    seams = (
+        summary.select(
+            "event_type",
+            F.col("first_ev.event_id").alias("event_id"),
+            F.col("first_ev.value").alias("value"),
+            F.col("first_ev.t_us").alias("t_us"),
+            F.lag(F.col("last_ev.value")).over(wseam).alias("pv"),
+            F.lag(F.col("last_ev.t_us")).over(wseam).alias("pt"),
+        )
+    ).filter(F.col("pt").isNotNull())
+
+    # The union is exactly the flat key's pair set; the rate replays
+    # the flat expression on identical operands.
+    pairs = local.unionByName(seams)
+    dt = F.col("t_us") - F.col("pt")
+    return pairs.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        dt.cast("long").alias("dt_us"),
+        F.when(dt <= 0, F.lit(0.0))
+        .otherwise(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("value") - F.col("pv"))
+                * F.lit(1000000.0)
+                / dt.cast("double"),
+            )
+        )
+        .alias("rate_per_sec"),
+    )

@@ -920,9 +920,9 @@ def str_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_nonneg_derivative",
-    oracle="""
+#: ONE oracle object shared by the flat key and its two-stage sibling
+#: (operators/analytics18.py) — the skew-playbook convention.
+NONNEG_DERIVATIVE_ORACLE = """
         WITH r AS (
             SELECT event_type, event_id, value,
                    epoch_us(ts) AS t_us,
@@ -939,7 +939,12 @@ def str_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (value - pv) * 1000000.0
                          / CAST(t_us - pt AS DOUBLE)) END AS rate_per_sec
         FROM r WHERE pt IS NOT NULL
-    """,
+"""
+
+
+@register(
+    "ts_nonneg_derivative",
+    oracle=NONNEG_DERIVATIVE_ORACLE,
     doc="ClickHouse nonNegativeDerivative: the per-second rate of "
     "change between consecutive points of each series, clamped at "
     "zero (the counter-reset guard every monitoring stack applies "

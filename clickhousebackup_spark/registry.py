@@ -202,6 +202,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "curation_percentile_gate_twostage",
     "win_ntile_firstlast_twostage",
     "win_cume_dist_nth_twostage",
+    "ts_nonneg_derivative_twostage",
 )
 
 

@@ -807,6 +807,7 @@ ZIPF_UNGATED_BASELINE = {
     "agg_percentile_exact",
     "win_ntile_firstlast",
     "win_cume_dist_nth",
+    "ts_nonneg_derivative",
 }
 
 #: Dispatch keys SWITCH plans between the arms (flat on uniform,
@@ -843,6 +844,8 @@ ZIPF_WINDOW_KEYS = (
     "win_ntile_firstlast_twostage",
     "win_cume_dist_nth",
     "win_cume_dist_nth_twostage",
+    "ts_nonneg_derivative",
+    "ts_nonneg_derivative_twostage",
 )
 
 

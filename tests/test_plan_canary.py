@@ -188,7 +188,12 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     "agg_weighted_median": 2,         # rank
     "agg_delta_sum": 1,               # series: per-type lag
     "ts_lttb_downsample": 1,          # summary: per-bucket triangle
-    "ts_nonneg_derivative": 1,        # series: per-type lag
+    "ts_nonneg_derivative": 1,        # series: per-type lag — HAS
+    #                                   the two-stage sibling
+    "ts_nonneg_derivative_twostage": 1,  # summary: the per-type seam
+    #                                   lag over ~30 day-summary rows;
+    #                                   event-scale windows key
+    #                                   (type, bucket)
     "topk_with_ties": 1,              # rank
     "win_cumulative_uniques": 1,      # summary: per-day firsts
     "ts_change_point_flags": 1,       # series

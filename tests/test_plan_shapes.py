@@ -1121,6 +1121,11 @@ R13_PLAN_BUDGET = {
     # pick); exactly 2 parquet scans — the declared two-pass
     # contract. The flat key's event_type window (5 groups = 5
     # whole-group sort tasks at any scale) never appears.
+    "ts_nonneg_derivative_twostage": (3, 0, False),  # family-three
+    # series transplant: (type, day-bucket) local lag exchange + the
+    # (type, bucket) summary agg + the per-type seam lag over ~30
+    # summary rows; the union is exactly the flat pair set. No
+    # event-scale exchange keys the bare event_type.
     "win_cume_dist_nth_twostage": (6, 2, False),  # tie-aware rank
     # decomposition: (type, unit-bucket) local rank + peer-max
     # windows, ascending COUNT offsets over summary rows, and the

@@ -115,6 +115,7 @@ DEFERRED: set[str] = {
     "curation_percentile_gate_twostage",
     "win_ntile_firstlast_twostage",
     "win_cume_dist_nth_twostage",
+    "ts_nonneg_derivative_twostage",
 }
 
 
