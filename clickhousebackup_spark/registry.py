@@ -118,78 +118,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 12 (union of CORRECTNESS_r01-r12, all twelve rounds
+#: after round 13 (union of CORRECTNESS_r01-r13, all thirteen rounds
 #: green): every registered oracled key carries a green driver row
-#: except the 3 round-12 additions that overflowed the round-12
-#: window (declared DEFERRED there; judge-sim exact-verified at three
-#: scales meanwhile, PLANS_r12). The round-13 window below is that
-#: 3-key DEFERRED queue, followed by 47 regression REFRESH refills —
-#: the stalest green keys in the registry (latest driver row =
-#: CORRECTNESS_r03/r04), chosen so the oldest evidence gets refreshed.
+#: except the 13 round-13 additions that overflowed the round-13
+#: window (declared DEFERRED there; judge-verified exact at three
+#: scales plus the sf1 arm meanwhile, PLANS_r13 / VERDICT round 13).
+#: The round-14 window below is that 13-key DEFERRED queue, followed
+#: by 37 regression REFRESH refills — the stalest green keys in the
+#: registry (latest driver row = CORRECTNESS_r04/r05), chosen so the
+#: oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-13 window positions 0-2: the three round-12 additions
-    # (two-stage sessionize/funnel rewrites + the adaptive sessionizer)
+    # -- round-14 window positions 0-12: the thirteen round-13
+    # additions (skew-playbook families 4-7 + exactness anchors)
     # declared DEFERRED last round; now getting driver rows --
-    "sessionize_gap_twostage",
-    "funnel_steps_twostage",
-    "sessionize_gap_adaptive",
-    # -- 47 regression REFRESH refills (window slots 3-49): stalest
-    # green keys (latest driver row = r3/r4), emitted by
-    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
-    "udtf_explode_props",
-    "udtf_python_native",
-    "union_by_name_evolved",
-    "agg_ema",
-    "agg_histogram",
-    "agg_mode",
-    "agg_topk_freq",
-    "agg_weighted_avg",
-    "bit_funcs",
-    "contamination_overlap",
-    "corpus_token_budget",
-    "curation_keep_set",
-    "emb_normalize_quantize",
-    "funnel_steps",
-    "join_asof_forward",
-    "multimodal_dedup",
-    "path_transitions",
-    "posexplode_words",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "retention_cohort",
-    "sample_stratified",
-    "sink_json_roundtrip",
-    "stream_stream_join",
-    "text_pii_mask",
-    "text_repetition_score",
-    "win_range_frame",
-    "agg_combinators",
-    "agg_skew_kurtosis",
-    "agg_topk_weighted",
-    # -- round-13 additions: past the 50-slot window, DEFERRED to
-    # lead the round-14 queue (tests/test_rotation.py DEFERRED) --
     "q1_pricing_summary_grid",
     "path_transitions_twostage",
     "win_running_sum_twostage",
@@ -203,6 +149,46 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_ntile_firstlast_twostage",
     "win_cume_dist_nth_twostage",
     "ts_nonneg_derivative_twostage",
+    # -- 37 regression REFRESH refills (window slots 13-49): stalest
+    # green keys (latest driver row = r4/r5), emitted by
+    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
+    "audio_fft_dominant",
+    "backup_verify_integrity",
+    "compaction_plan",
+    "corpus_mix_plan",
+    "date_fill_forward",
+    "date_fill_interpolate",
+    "dedup_passage",
+    "dedup_url_normalize",
+    "dict_encode_lowcard",
+    "encode_funcs",
+    "events_anomaly_zscore",
+    "geo_geohash",
+    "graph_pagerank",
+    "image_channel_stats",
+    "ip_funcs",
+    "join_null_safe",
+    "merge_aggregating_shards",
+    "merge_collapsing_final",
+    "multimodal_decode_stats",
+    "mv_incremental_refresh",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "quality_linear_score",
+    "rollup_time_hierarchy",
+    "sequence_count_pairs",
+    "sim_knn_join",
+    "sink_bucketed_sorted",
+    "sink_jdbc_roundtrip",
+    "sink_orc_roundtrip",
+    "skyline_orders",
+    "stats_cramers_v",
+    "stats_mannwhitney_u",
+    "stats_welch_ttest",
+    "text_chunk_passages",
+    "text_rarity_score",
+    "text_top_terms",
+    "topic_roundtrip",
 )
 
 

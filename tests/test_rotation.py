@@ -39,84 +39,60 @@ RECHECK: set[str] = set()
 #  REFRESH refill list below instead.)
 
 #: Regression refills: green keys whose evidence is the STALEST in the
-#: registry (latest driver row = CORRECTNESS_r01/r02), pulled back into
+#: registry (latest driver row = CORRECTNESS_r04/r05), pulled back into
 #: the window whenever fewer required keys exist than window slots.
 #: Unlike RECHECK these are not suspected-stale semantics — they are
 #: routine re-verification so no key's driver evidence ages without
-#: bound. This is the 47-key list emitted by scripts/make_rotation.py
-#: for round 13 (stalest greens: latest driver row = r3/r4).
+#: bound. This is the 37-key list emitted by scripts/make_rotation.py
+#: for round 14 (stalest greens: latest driver row = r4/r5).
 REFRESH: set[str] = {
-    "agg_combinators",
-    "agg_ema",
-    "agg_histogram",
-    "agg_mode",
-    "agg_skew_kurtosis",
-    "agg_topk_freq",
-    "agg_topk_weighted",
-    "agg_weighted_avg",
-    "bit_funcs",
-    "contamination_overlap",
-    "corpus_token_budget",
-    "curation_keep_set",
-    "emb_normalize_quantize",
-    "funnel_steps",
-    "join_asof_forward",
-    "multimodal_dedup",
-    "path_transitions",
-    "posexplode_words",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "retention_cohort",
-    "sample_stratified",
-    "sink_json_roundtrip",
-    "stream_stream_join",
-    "text_pii_mask",
-    "text_repetition_score",
-    "udtf_explode_props",
-    "udtf_python_native",
-    "union_by_name_evolved",
-    "win_range_frame",
+    "audio_fft_dominant",
+    "backup_verify_integrity",
+    "compaction_plan",
+    "corpus_mix_plan",
+    "date_fill_forward",
+    "date_fill_interpolate",
+    "dedup_passage",
+    "dedup_url_normalize",
+    "dict_encode_lowcard",
+    "encode_funcs",
+    "events_anomaly_zscore",
+    "geo_geohash",
+    "graph_pagerank",
+    "image_channel_stats",
+    "ip_funcs",
+    "join_null_safe",
+    "merge_aggregating_shards",
+    "merge_collapsing_final",
+    "multimodal_decode_stats",
+    "mv_incremental_refresh",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "quality_linear_score",
+    "rollup_time_hierarchy",
+    "sequence_count_pairs",
+    "sim_knn_join",
+    "sink_bucketed_sorted",
+    "sink_jdbc_roundtrip",
+    "sink_orc_roundtrip",
+    "skyline_orders",
+    "stats_cramers_v",
+    "stats_mannwhitney_u",
+    "stats_welch_ttest",
+    "text_chunk_passages",
+    "text_rarity_score",
+    "text_top_terms",
+    "topic_roundtrip",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 13 promoted the three round-12 DEFERRED keys into window
-#: positions 0-2 and filled slots 3-49 with the 47 REFRESH refills;
+#: Round 14 promoted the thirteen round-13 DEFERRED keys into window
+#: positions 0-12 and filled slots 13-49 with the 37 REFRESH refills;
 #: no key overflows the window this round (empty until new keys are
 #: registered mid-round, when they are added here and past slot 49).
-DEFERRED: set[str] = {
-    "q1_pricing_summary_grid",
-    "path_transitions_twostage",
-    "win_running_sum_twostage",
-    "topk_per_group_twostage",
-    "win_rank_dense_twostage",
-    "agg_percentile_exact_twostage",
-    "win_sliding_avg_twostage",
-    "stats_moments_grid",
-    "win_sliding_avg_adaptive",
-    "curation_percentile_gate_twostage",
-    "win_ntile_firstlast_twostage",
-    "win_cume_dist_nth_twostage",
-    "ts_nonneg_derivative_twostage",
-}
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
