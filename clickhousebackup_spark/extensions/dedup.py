@@ -1532,8 +1532,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("source_a"))
     sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("source_b"))
     return (
-        near.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        near.join(sa, "a_id")
+        .join(sb, "b_id")
         .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
@@ -1690,7 +1690,7 @@ def dedup_minhash_estimate_vs_truth(
         .union(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    sh = sh.join(cand_docs, "doc_id", "semi")
     inter = (
         pairs.select("a_id", "b_id")
         .join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))

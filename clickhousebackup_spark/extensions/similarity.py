@@ -835,7 +835,7 @@ def emb_vector_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(
         (F.col("vec_id") - 1).alias("join_key"), F.col("e").alias("eb")
     )
-    j = v.join(F.broadcast(b), F.col("vec_id") == F.col("join_key"))
+    j = v.join(b, F.col("vec_id") == F.col("join_key"))
     diffs = F.zip_with("e", "eb", lambda x, y: x - y)
     absd = F.transform(diffs, F.abs)
     fold = lambda arr: F.aggregate(  # noqa: E731

@@ -444,7 +444,7 @@ def _bizdays_sql(col: str) -> str:
     "self-consistent f(b)-f(a) measure). Everything is exact "
     "integer arithmetic; output grain priority x latency is "
     "calendar-span-bounded. Plan: "
-    "one join (orders broadcast at fixture scale; co-partitioned "
+    "one UNHINTED join (size-based broadcast at fixture scale; AQE "
     "shuffle join at 100 TB) + one map-side-combined hash agg.",
 )
 def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,7 +458,7 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) + F.least(F.pmod(dd, F.lit(7)).cast("long"), F.lit(5))
 
     lat = li.join(
-        F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]
+        o, li["l_orderkey"] == o["o_orderkey"]
     ).select(
         "o_orderpriority",
         (bizdays(F.col("l_shipdate")) - bizdays(F.col("o_orderdate")))

@@ -11,12 +11,17 @@ min-per-group argmin joins — the full relational vocabulary a
 ClickHouse analytics user exercises (reference delegates it all behind
 backup.sh:38-45; BASELINE.json north star owns it).
 
-Scale conventions: every dimension join broadcasts (part/customer/
-supplier/nation/region); the only shuffles are fact-fact joins on
-their natural keys and the pre-aggregations, which all run partial+
-final (map-side combine). Scalar-subquery thresholds are computed as
-1-row aggregates and broadcast — never a driver-side collect. All
-checked doubles follow the exprs.py decimal-sum conventions.
+Scale conventions: only CONSTANT-size dims (nation/region, 1-row
+scalar frames) carry explicit broadcast hints; part/customer/supplier
+grow linearly with scale factor, so their joins are UNHINTED — the
+planner broadcasts them from size statistics at fixture scale and AQE
+degrades to a shuffled join at 100 TB instead of OOMing on a forced
+broadcast (tests/test_plan_canary.py pins this registry-wide). The
+only shuffles are fact-fact joins on their natural keys and the
+pre-aggregations, which all run partial+final (map-side combine).
+Scalar-subquery thresholds are computed as 1-row aggregates and
+broadcast — never a driver-side collect. All checked doubles follow
+the exprs.py decimal-sum conventions.
 """
 
 from __future__ import annotations
@@ -187,7 +192,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") >= 40) & (F.col("p_type") == "STANDARD")
     )
     costs = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -202,7 +207,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         costs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
     )
 
@@ -285,9 +290,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -323,7 +328,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part revenue sold into ASIA per year. Share-of-total via two "
     "decimal sums in ONE aggregation pass (conditional numerator), "
     "then a single exact double division — never a self-join against "
-    "the total. Five broadcast dims, one fact-fact shuffle.",
+    "the total. Constant dims hinted, SF-scaling dims unhinted, one "
+    "fact-fact shuffle.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -344,12 +350,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col()
     num = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((dsum(num) / dsum(rev)).alias("mkt_share"))
@@ -382,8 +388,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     profit = _rev_col() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -424,7 +430,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("l_partkey")
@@ -496,7 +502,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * (dsum(promo) / dsum(rev))).alias("promo_revenue"))
     )
 
@@ -571,8 +577,8 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -608,7 +614,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20)
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem")
-    lf = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey).select(
+    lf = li.join(pk, li.l_partkey == pk.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thr = lf.groupBy("l_partkey").agg(
@@ -661,7 +667,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(band)
         .agg(dsum(_rev_col()).alias("revenue"))
     )
@@ -697,14 +703,14 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 300)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
@@ -761,7 +767,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         agg.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(s, F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

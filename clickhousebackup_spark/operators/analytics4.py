@@ -879,8 +879,8 @@ def agg_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the per-row-pair shape of typo/variant detection. Trigram "
     "sets are built with JVM transform/substring lambdas (no UDF); "
     "counts are exact integers and the similarity is one final "
-    "division. The successor join is a broadcast of the "
-    "dimension-sized part table; at corpus scale this becomes "
+    "division. The successor join is unhinted (part scales with SF; "
+    "size-based broadcast at fixture scale); at corpus scale this becomes "
     "dedup_fuzzy_blocked's blocked self-join — this key is the "
     "per-pair primitive.",
 )
@@ -903,7 +903,7 @@ def str_ngram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("grams").alias("grams_b"),
     ).alias("b")
-    j = a.join(F.broadcast(b), F.col("a.p_partkey") == F.col("b.join_key"))
+    j = a.join(b, F.col("a.p_partkey") == F.col("b.join_key"))
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("grams_b")))
     na = F.size(F.col("a.grams"))
     nb = F.size(F.col("grams_b"))

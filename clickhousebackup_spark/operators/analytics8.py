@@ -411,7 +411,7 @@ def join_bitset_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bitset), "_b"
     )
     exact = prefiltered.join(
-        F.broadcast(urgent),
+        urgent,
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )

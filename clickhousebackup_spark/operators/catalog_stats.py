@@ -177,7 +177,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_cust = o.filter(F.col("o_custkey").isNull())
     bad_price = o.filter(F.col("o_totalprice") <= 0.0)
     orphans = o.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         o.o_custkey == F.col("c_custkey"),
         "left_anti",
     )

@@ -142,3 +142,101 @@ def count_shuffles(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
         df
     ).count("Exchange rangepartitioning")
+
+
+#: Fixture tables whose row count grows LINEARLY with scale factor,
+#: identified by a marker column that only that table's parquet scan
+#: emits (the analyzed plan's LogicalRelation keeps original column
+#: names even when projections above it rename everything). nation
+#: (25 rows) and region (5 rows) are constant-size and deliberately
+#: absent: hinting them broadcast is always safe.
+SCALING_TABLE_MARKERS = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_linenumber": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+#: Logical nodes that bound the cardinality of a hinted subtree
+#: enough that a broadcast hint below them is not automatically an
+#: at-scale OOM: explicit limits and aggregates/distincts (a 1-row
+#: scalar frame, a bounded-key groupBy). NOTE an Aggregate whose
+#: grouping key itself scales (groupBy l_suppkey) is NOT truly
+#: bounded — such hints must not rely on this exemption; the de-hint
+#: sweep of round 14 removed every one of them, and new ones need a
+#: justified entry in the canary's allowlist.
+_CARDINALITY_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+
+def broadcast_hinted_scaling_tables(df: DataFrame) -> list[str]:
+    """SF-scaling fixture tables scanned under an explicit broadcast
+    hint with no cardinality-bounding node between hint and scan —
+    the 'forced OOM at scale-up' shape (an explicit hint overrides
+    AQE's size check, so at the 100 TB design point the executor must
+    materialize a table that grew 1000x since the hint was written).
+
+    Parses the ANALYZED logical plan via toJSON (pre-order nodes with
+    num-children), so it sees ResolvedHint nodes before the optimizer
+    folds them into join strategies. The JSON does not serialize the
+    hint strategy, but toString() renders the same tree in the same
+    pre-order — the k-th ResolvedHint line there carries the k-th
+    JSON hint's ``(strategy=...)``, so merge/shuffle hints are
+    skipped. Returns one table name per offending (hint, scan) pair,
+    e.g. ['customer', 'customer', 'supplier'] for three bad hints
+    across the plan.
+    """
+    import json as _json
+    import re as _re
+
+    analyzed = df._jdf.queryExecution().analyzed()
+    nodes = _json.loads(analyzed.toJSON())
+    strategies = _re.findall(
+        r"ResolvedHint \(strategy=(\w+)", analyzed.toString()
+    )
+
+    def subtree(i: int) -> tuple[list[int], int]:
+        """Indices of the subtree rooted at pre-order index i, and the
+        index just past it."""
+        out, j, remaining = [i], i + 1, nodes[i].get("num-children", 0)
+        for _ in range(remaining):
+            child, j = subtree(j)
+            out.extend(child)
+        return out, j
+
+    def scan_tables(i: int) -> list[str]:
+        """Scaling tables scanned at-or-below node i, NOT descending
+        through cardinality-bounding nodes."""
+        cls = nodes[i]["class"].rsplit(".", 1)[-1]
+        if cls in _CARDINALITY_BOUNDING:
+            return []
+        if "Relation" in cls:
+            cols = {
+                a[0].get("name")
+                for a in (nodes[i].get("output") or [])
+                if isinstance(a, list) and a and isinstance(a[0], dict)
+            }
+            return [
+                t for m, t in SCALING_TABLE_MARKERS.items() if m in cols
+            ]
+        found, j = [], i + 1
+        for _ in range(nodes[i].get("num-children", 0)):
+            found.extend(scan_tables(j))
+            _, j = subtree(j)
+        return found
+
+    offenders: list[str] = []
+    hint_idx = 0
+    for i, n in enumerate(nodes):
+        if n["class"].rsplit(".", 1)[-1] == "ResolvedHint":
+            strategy = (
+                strategies[hint_idx] if hint_idx < len(strategies) else "broadcast"
+            )
+            hint_idx += 1
+            if strategy != "broadcast":
+                continue
+            offenders.extend(scan_tables(i + 1))
+    return offenders

@@ -138,7 +138,12 @@ TPCH_R3_PLAN_BUDGET = {
     "q16_parts_suppliers": (2, 2, False),
     "q17_small_quantity": (2, 2, False),
     "q19_discounted_revenue": (0, 1, False),
-    "q20_part_promotion": (1, 3, False),
+    # q20: the heavy-supplier frame (groupBy l_suppkey) lost its
+    # broadcast hint in the round-14 SF-scaling de-hint sweep — the
+    # static plan now shuffle-semi-joins it on s_suppkey (AQE converts
+    # to broadcast at fixture scale; the shuffle IS the 100 TB plan,
+    # since the frame scales with supplier).
+    "q20_part_promotion": (2, 2, False),
     "q21_waiting_suppliers": (3, 2, False),
     "q22_global_sales": (1, 1, True),  # 1-row avg-threshold broadcast
 }
@@ -644,7 +649,12 @@ R7_PLAN_BUDGET = {
     "win_range_interval_frame": (1, 0, False),  # 1 type exchange
     "func_datetime64_precision": (2, 0, False),  # agg + distinct expand
     # batch 11: estimator calibration + MRL curve
-    "dedup_minhash_estimate_vs_truth": (6, 2, False),  # sig agg + band
+    # cand_docs (distinct of LSH pair ids) lost its broadcast hint in
+    # the round-14 SF-scaling de-hint sweep: +2 static exchanges for
+    # the shuffle semi join (AQE re-broadcasts at fixture scale; at
+    # corpus scale the frame scales with dup count, so the shuffle is
+    # correct).
+    "dedup_minhash_estimate_vs_truth": (8, 1, False),  # sig agg + band
     # join + candidate-pruned shingle intersection (bounded by LSH)
     "emb_mrl_overlap_curve": (1, 0, True),  # 5-row query bcast NLJ
     "text_dedup_span_removal": (4, 2, False),  # dup-set agg +
