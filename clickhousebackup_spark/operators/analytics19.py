@@ -257,9 +257,10 @@ def win_sliding_avg_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a bounded frame per row, so the hot user's task costs "
     "O(rows x frame_rows)); the two-stage sibling inverts both. This "
     "key reads the SAME memoized hot-share probe "
-    "(analytics16._events_hot_share: one bounded two-phase aggregate "
-    "over the pruned user_id column, cached on the events table's "
-    "file identity, side-effect free after the first action) and "
+    "(analytics16._events_hot_share: sidecar stats file when "
+    "present, else a bounded driver-side pyarrow read of the pruned "
+    "user_id column, cached on the events table's file identity — "
+    "NO Spark job at plan construction, ever) and "
     "returns whichever branch fits — both branches are "
     "oracle-identical (ONE shared SLIDING_AVG_ORACLE across all "
     "three keys), so the physical choice is invisible to "

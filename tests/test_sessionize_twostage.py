@@ -241,24 +241,25 @@ def test_adaptive_dispatch_boundary(spark, tmp_path, monkeypatch):
 
 
 def test_adaptive_probe_is_memoized(spark, tmp_path, monkeypatch):
-    """The adaptive key's hot-share probe job runs ONCE per dataset:
-    the two-integer result is memoized on the events file's identity,
-    so repeated plan construction (explain loops, plan-shape tests)
-    is side-effect free after the first action. Proven by poisoning
-    the probe's loader after the first call — a second probe job
-    would raise."""
+    """The adaptive key's hot-share probe runs ONCE per dataset: the
+    two-integer result is memoized on the events file's identity, so
+    repeated plan construction (explain loops, plan-shape tests) never
+    re-reads the table. Proven by poisoning the probe after the first
+    call — a second probe would raise. The first call itself is also
+    Spark-free: it is made with spark=None, which only a pure
+    driver-side (pyarrow / sidecar-stats) probe survives."""
     from clickhousebackup_spark.operators import analytics16
 
     uniform = [(i, i * GAP, i, "a") for i in range(40)]
     d = _mk(uniform, tmp_path / "memo", spark)
     analytics16._HOT_SHARE_CACHE.clear()
-    first = analytics16._events_hot_share(spark, d)
+    first = analytics16._events_hot_share(None, d)
     assert first == (1, 40)
 
     def _boom(*a, **k):
-        raise AssertionError("probe job re-ran for a cached dataset")
+        raise AssertionError("probe re-ran for a cached dataset")
 
-    monkeypatch.setattr(analytics16, "load_table", _boom)
+    monkeypatch.setattr(analytics16, "_hot_share_probe", _boom)
     assert analytics16._events_hot_share(spark, d) == first
     # Full plan construction re-probes through the cache; the uniform
     # corpus dispatches to the flat branch (analytics5's loader), so
@@ -268,3 +269,50 @@ def test_adaptive_probe_is_memoized(spark, tmp_path, monkeypatch):
         for r in analytics16.sessionize_gap_adaptive(spark, d).collect()
     )
     assert got == _brute(uniform)
+
+
+def test_adaptive_probe_sidecar_stats(spark, tmp_path):
+    """A ``events.parquet.stats.json`` sidecar short-circuits the probe
+    entirely — the production hook where a 100 TB deployment
+    materializes the two dispatch integers at ingest. The sidecar's
+    numbers win even when they contradict the data, proving no scan
+    happened."""
+    import json
+
+    from clickhousebackup_spark.operators import analytics16
+
+    uniform = [(i, i * GAP, i, "a") for i in range(40)]
+    d = _mk(uniform, tmp_path / "sidecar", spark)
+    import os
+
+    sidecar = os.path.join(d, "events.parquet.stats.json")
+    with open(sidecar, "w") as fh:
+        json.dump({"hot_user_events": 999, "total_events": 1000}, fh)
+    analytics16._HOT_SHARE_CACHE.clear()
+    assert analytics16._events_hot_share(None, d) == (999, 1000)
+    analytics16._HOT_SHARE_CACHE.clear()
+
+
+def test_adaptive_probe_sampling_bound(spark, tmp_path, monkeypatch):
+    """Past the row budget the probe samples row groups by even stride
+    instead of reading the column whole: with the cap forced below the
+    fixture size, the basis shrinks but the hot/basis ratio still
+    dispatches the 75%-hot corpus to the two-stage branch (sampling can
+    only misdispatch on near-threshold shares — and both branches are
+    oracle-identical anyway)."""
+    from clickhousebackup_spark.operators import analytics16
+
+    skewed = [(i, i * GAP * 2, 7, "a") for i in range(30)] + [
+        (100 + i, i * GAP * 2, 100 + i, "b") for i in range(10)
+    ]
+    d = _mk(skewed, tmp_path / "sample", spark)
+    analytics16._HOT_SHARE_CACHE.clear()
+    exact_hot, exact_basis = analytics16._events_hot_share(None, d)
+    assert (exact_hot, exact_basis) == (30, 40)
+
+    monkeypatch.setattr(analytics16, "_PROBE_ROWS_CAP", 8)
+    analytics16._HOT_SHARE_CACHE.clear()
+    hot, basis = analytics16._events_hot_share(None, d)
+    assert 0 < basis <= 40
+    assert 0 < hot <= basis
+    analytics16._HOT_SHARE_CACHE.clear()
