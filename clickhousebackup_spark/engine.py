@@ -215,11 +215,18 @@ class BackupEngine:
 
         Matches on the catalog's ``table_name`` column (NOT a path
         substring — 'orders' must never swallow 'orders-archive'
-        snapshots). Snapshots are unioned with
-        ``unionByName(allowMissingColumns=True)`` so a column added
-        between base and delta restores as null in pre-evolution rows;
-        pass ``until_period_key`` for a point-in-time restore of the
-        state as of that snapshot (inclusive).
+        snapshots). Pass ``until_period_key`` for a point-in-time
+        restore of the state as of that snapshot (inclusive).
+
+        Plan shape: when every snapshot carries the same schema (the
+        overwhelmingly common case — checked driver-side from the
+        parquet footers, no Spark job), all paths go into ONE
+        multi-path ``spark.read.parquet(*paths)`` scan, so an
+        N-snapshot chain plans O(1) deep regardless of N. Only a chain
+        with schema evolution falls back to the per-snapshot
+        ``unionByName(allowMissingColumns=True)`` ladder, which is
+        what makes a column added between base and delta restore as
+        null in pre-evolution rows.
         """
         cat = self.catalog().filter(
             (F.col("db") == db) & (F.col("table_name") == table)
@@ -237,12 +244,44 @@ class BackupEngine:
         ]
         if not paths:
             raise FileNotFoundError(f"no snapshots for ({db}, {table})")
+        if len(paths) == 1 or self._snapshot_schemas_identical(paths):
+            return self.spark.read.parquet(*paths)
         out = self.spark.read.parquet(paths[0])
         for p in paths[1:]:
             out = out.unionByName(
                 self.spark.read.parquet(p), allowMissingColumns=True
             )
         return out
+
+    @staticmethod
+    def _snapshot_schemas_identical(paths: list[str]) -> bool:
+        """True iff every snapshot directory's parquet footer schema
+        is byte-identical (names, types, order). Driver-side pyarrow
+        footer reads — one small metadata read per snapshot, no Spark
+        job; at catalog scale this is the cheap gate that keeps the
+        restore plan O(1) deep. Any unreadable/ambiguous layout
+        returns False (fall back to the always-correct union ladder).
+        """
+        import pyarrow.parquet as pq
+
+        def footer_schema(path):
+            if os.path.isdir(path):
+                for e in sorted(os.scandir(path), key=lambda e: e.name):
+                    if e.is_file() and e.name.endswith(".parquet"):
+                        return pq.ParquetFile(e.path).schema_arrow
+                return None
+            return pq.ParquetFile(path).schema_arrow
+
+        try:
+            first = footer_schema(paths[0])
+            if first is None:
+                return False
+            return all(
+                (s := footer_schema(p)) is not None and s.equals(first)
+                for p in paths[1:]
+            )
+        except Exception:
+            return False
 
     # -- catalog state (the reference's directory listing, explicit) --
 
