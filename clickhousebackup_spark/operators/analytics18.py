@@ -53,6 +53,15 @@ role the value buckets play here.
 Family rules carried from analytics16/17: every order carries the
 unique-key (event_id) tiebreak; integer outputs CAST BIGINT; no
 per-row Python anywhere.
+
+NON-NULL assumption (this module and its gate/cume_dist siblings):
+the ranked column is assumed NON-NULL. The monotone-bucket argument
+buckets by floor(value), so a NULL value would land in a NULL vbucket
+where Spark's NULLS FIRST default ordering diverges from DuckDB's
+NULLS LAST — the bit-identical claim holds only for non-null ranked
+columns (true of the fixture's ``value``). A nullable corpus needs an
+explicit isNotNull pre-filter (changing the question: ranks among
+non-null values) or a NULL-bucket convention agreed with the oracle.
 """
 
 from __future__ import annotations

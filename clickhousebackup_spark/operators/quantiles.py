@@ -400,18 +400,64 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_floor_decimal(x):
+    """floor(x) of a DOUBLE column as a binary-exact DECIMAL(38,0) —
+    matching DuckDB's ``CAST(floor(x) AS DECIMAL(38,0))`` for every
+    finite |x| < ~1e38, not just int64.
+
+    Two traps in the naive spellings: Spark's floor(DOUBLE) returns
+    LONG and silently wraps (non-ANSI) past ±2^63, and Spark's
+    DOUBLE->DECIMAL cast goes through Java's shortest round-trip
+    string, so it loses the binary-exact value past 17 significant
+    digits (DuckDB's cast is exact). Split on 2^53:
+
+    - |x| < 2^53: long-floor is exact and fits, one cast up to decimal.
+    - |x| >= 2^53: the double is already integral; decompose it into
+      three limbs with power-of-two shifts, each step IEEE-exact:
+      a/2^90 and a/2^45 are exponent shifts (no rounding), each limb
+      is < 2^53 so its long-floor and double round-trip are exact, and
+      each remainder (a mod 2^90, then mod 2^45) is representable —
+      its significant bits are a suffix of a's 53-bit mantissa — so
+      exactly-rounded subtraction returns it exactly. Reassembling
+      the limbs in DECIMAL(38,0) arithmetic reproduces the double's
+      exact integer value up to ~1e38 (ANSI overflow past it, same as
+      the oracle's decimal cast).
+    """
+    two53 = F.lit(9007199254740992.0)
+    a = F.abs(x)
+    sign = F.when(x < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    limb0 = F.floor(a / F.lit(float(2**90)))
+    r1 = a - limb0.cast("double") * F.lit(float(2**90))
+    limb1 = F.floor(r1 / F.lit(float(2**45)))
+    r2 = r1 - limb1.cast("double") * F.lit(float(2**45))
+    p45 = F.lit(2**45).cast("decimal(38,0)")
+    big = (
+        limb0.cast("decimal(38,0)") * p45 + limb1.cast("decimal(38,0)")
+    ) * p45 + F.floor(r2).cast("decimal(38,0)")
+    return F.when(a < two53, F.floor(x).cast("decimal(38,0)")).otherwise(
+        sign * big
+    )
+
+
 def _moment_grid_sum(k: int):
     """SUM(floor(value^k * 1e6)) in DECIMAL(38,0) — the exact,
     order-free, mergeable raw-moment accumulator. value^k is ONE
     chain of IEEE multiplies on identical parquet doubles (both
     engines produce the same double), the 1e6 scale is one more, and
     floor is exact — the q1_pricing_summary_grid determinism argument
-    applied to each power."""
+    applied to each power.
+
+    Floor domain: Spark's floor(DOUBLE) returns LONG, so a bare floor
+    would silently wrap (non-ANSI) once |value^k·1e6| exceeds int64 —
+    |value| ≳ 1742 at k=4 — while the DuckDB oracle floors to double
+    and casts to decimal binary-exactly. _exact_floor_decimal extends
+    the per-row bound to the decimal's 38 digits (~1e38), same as the
+    documented sum headroom, not int64."""
     v = F.col("value")
     p = v
     for _ in range(k - 1):
         p = p * v
-    return F.sum(F.floor(p * F.lit(1000000.0)).cast("decimal(38,0)"))
+    return F.sum(_exact_floor_decimal(p * F.lit(1000000.0)))
 
 
 def _moment_ogrid_sum(k: int) -> str:

@@ -132,6 +132,17 @@ def window_partition_columns(df: DataFrame) -> list[set]:
         cols = set(
             re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part)
         )
+        # A NON-empty partition group that parses to zero column refs
+        # means the window is partitioned solely by computed
+        # expressions with no surviving attribute refs — a shape this
+        # parser can't attribute, and silently auditing it as
+        # "unpartitioned" would let it evade the LOWCARD audit. Test
+        # infrastructure must fail loudly on inputs it can't read.
+        if part.strip("[] \t") and not cols:
+            raise AssertionError(
+                "window_partition_columns: non-empty partition group "
+                f"yielded no parsable column refs: {part!r}"
+            )
         out.append(cols)
     return out
 

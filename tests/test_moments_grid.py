@@ -106,3 +106,44 @@ def test_rerun_stable_and_nonvacuous(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_grid_survives_int64_floor_overflow(spark, tmp_path):
+    """Values whose 4th-power grid exceeds int64 (|v^4·1e6| > 9.2e18,
+    i.e. |v| ≳ 1742) must NOT wrap: Spark's floor(DOUBLE)->LONG is
+    non-ANSI and wraps silently, so the accumulator splits on 2^53 —
+    long-floor below (exact, fits), direct DECIMAL(38,0) cast at or
+    above (a double there is already integral). The hand model uses
+    Python's unbounded floor, so any wrap shows up as a mismatch.
+    Cross-engine parity for the same rows is pinned by DuckDB, whose
+    floor stays in double."""
+    import duckdb
+
+    rows = [
+        ("A", 5000.0),      # 5000^4·1e6 = 6.25e20 — wraps a bare long
+        ("A", -4321.75),    # negative branch past the long ceiling
+        ("A", 0.7),         # below-2^53 path in the same group
+        ("B", 1742.0),      # right at the advice's wrap frontier
+        ("B", 9.9e7),       # ~9.6e37·1e6 overflows... no: 9.9e7^4=9.6e31,
+                            # ·1e6=9.6e37 — the last safe decade of DECIMAL(38,0)
+    ]
+    d = _mk(rows, tmp_path, spark)
+    got = {
+        r["event_type"]: (r["s1_grid"], r["s2_grid"], r["s3_grid"], r["s4_grid"])
+        for r in all_specs()["stats_moments_grid"].fn(spark, d).collect()
+    }
+    for et in ("A", "B"):
+        vals = [v for t, v in rows if t == et]
+        assert got[et] == tuple(_hand_grid(vals, k) for k in (1, 2, 3, 4)), et
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    spec = all_specs()["stats_moments_grid"]
+    oracle = {
+        r[0]: tuple(r[2:6])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert oracle == got
