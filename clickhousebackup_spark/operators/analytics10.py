@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC, dsum
+from clickhousebackup_spark.exprs import DEC, dsum, gsum, gsum_dec, ogsum, ogsum_dec
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
@@ -144,20 +144,25 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_anova_oneway",
-    oracle="""
+    oracle=f"""
         WITH g AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
-                   SUM(CAST(value AS DECIMAL(38,6))) AS s1d,
-                   SUM(CAST(value * value AS DECIMAL(38,6))) AS s2d
+                   {ogsum_dec('value')} AS s1d,
+                   {ogsum_dec('value * value')} AS s2d
             FROM events GROUP BY event_type
         ), t AS (
             SELECT CAST(SUM(n_g) AS BIGINT) AS n,
                    CAST(COUNT(*) AS BIGINT) AS k,
-                   CAST(SUM(s1d) AS DOUBLE) AS s1,
-                   CAST(SUM(s2d) AS DOUBLE) AS s2,
+                   (CAST(CAST(SUM(s1d) AS VARCHAR) AS DOUBLE)
+                    / 1000000.0) AS s1,
+                   (CAST(CAST(SUM(s2d) AS VARCHAR) AS DOUBLE)
+                    / 1000000.0) AS s2,
                    list_reduce(
                        list_prepend(CAST(0 AS DOUBLE),
-                           list(CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE)
+                           list((CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                                 / 1000000.0)
+                                * (CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                                   / 1000000.0)
                                 / CAST(n_g AS DOUBLE)
                                 ORDER BY event_type)),
                        (a, b) -> a + b) AS ssb_raw
@@ -175,11 +180,13 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="One-way ANOVA of events.value across event types (ClickHouse "
     "`analysisOfVariance`/anova): F = (SSB/(k-1))/(SSW/(n-k)). "
-    "Per-group moment sums stay DECIMAL(38,6) end-to-end (the global "
-    "s1/s2 are decimal sums of decimal partials — order-free), and "
-    "the one genuinely order-sensitive reduction — summing the k "
-    "per-group s1^2/n terms — is an explicit left-to-right fold over "
-    "the event_type-sorted array, mirrored by DuckDB list_reduce "
+    "Per-group moment sums are exact DECIMAL(38,0) floor-grid "
+    "integers end-to-end (exprs.gsum_dec — round-14 migration; the "
+    "global s1/s2 are decimal sums of decimal partials, order-free, "
+    "rendered to double through a VARCHAR), and the one genuinely "
+    "order-sensitive reduction — summing the k per-group s1^2/n "
+    "terms — is an explicit left-to-right fold over the "
+    "event_type-sorted array, mirrored by DuckDB list_reduce "
     "over list(... ORDER BY event_type), so the F chain is pure IEEE "
     "and hashes raw (f_stat NULL-guarded on SSW=0). Plan: one "
     "map-side-combined moment agg to k rows, then a k-row collect — "
@@ -188,25 +195,25 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
+    mio = F.lit(1000000.0)
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum(v.cast(DEC)).alias("s1d"),
-        F.sum((v * v).cast(DEC)).alias("s2d"),
+        gsum_dec(v).alias("s1d"),
+        gsum_dec(v * v).alias("s2d"),
     )
+    s1d_dbl = F.col("s1d").cast("string").cast("double") / mio
     t = g.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("s1d").cast("double").alias("s1"),
-        F.sum("s2d").cast("double").alias("s2"),
+        (F.sum("s1d").cast("string").cast("double") / mio).alias("s1"),
+        (F.sum("s2d").cast("string").cast("double") / mio).alias("s2"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(
                     F.struct(
                         F.col("event_type"),
                         (
-                            F.col("s1d").cast("double")
-                            * F.col("s1d").cast("double")
-                            / F.col("n_g").cast("double")
+                            s1d_dbl * s1d_dbl / F.col("n_g").cast("double")
                         ).alias("term"),
                     )
                 )
@@ -232,22 +239,14 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_jarque_bera",
-    oracle="""
+    oracle=f"""
         WITH m AS (
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                       AS s1,
-                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                        AS DOUBLE) AS s2,
-                   CAST(SUM(CAST(FLOOR(value * value * value
-                                       * CAST(1000000 AS DOUBLE))
-                                 AS DECIMAL(38,0))) AS DOUBLE)
-                       / CAST(1000000 AS DOUBLE) AS s3,
-                   CAST(SUM(CAST(FLOOR(value * value * value * value
-                                       * CAST(1000000 AS DOUBLE))
-                                 AS DECIMAL(38,0))) AS DOUBLE)
-                       / CAST(1000000 AS DOUBLE) AS s4
+                   {ogsum('value')} AS s1,
+                   {ogsum('value * value')} AS s2,
+                   {ogsum('value * value * value')} AS s3,
+                   {ogsum('value * value * value * value')} AS s4
             FROM events GROUP BY event_type
         ), c AS (
             SELECT event_type, CAST(n AS BIGINT) AS n_obs,
@@ -282,33 +281,23 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(S^2 + K^2/4) from population skewness S and excess kurtosis K "
     "— the composite ClickHouse users assemble from skewPop/kurtPop "
     "to flag non-Gaussian metric drift. Moment sums follow the "
-    "agg_skew_kurtosis discipline exactly (s1/s2 decimal-exact; "
-    "s3/s4 on the floor-micro integer grid so the cube/quartic "
-    "partials are order-free), making the whole JB chain pure IEEE "
-    "on deterministic doubles — hashed raw, NULL-guarded on zero "
-    "variance. Plan: one map-side-combined moment agg; per-type "
-    "state is five mergeable numbers at any scale.",
+    "agg_skew_kurtosis discipline exactly (round-14: ALL four on the "
+    "exprs.gsum floor grid — exact DECIMAL(38,0) integers rendered "
+    "to double through a VARCHAR, the exact-at-any-scale form), "
+    "making the whole JB chain pure IEEE on deterministic doubles — "
+    "hashed raw, NULL-guarded on zero variance. Plan: one "
+    "map-side-combined moment agg; per-type state is five mergeable "
+    "numbers at any scale.",
 )
 def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
-    mio = F.lit(1000000.0)
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(v.cast(DEC)).cast("double").alias("s1"),
-        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
-        (
-            F.sum(F.floor(v * v * v * mio).cast("decimal(38,0)")).cast(
-                "double"
-            )
-            / mio
-        ).alias("s3"),
-        (
-            F.sum(
-                F.floor(v * v * v * v * mio).cast("decimal(38,0)")
-            ).cast("double")
-            / mio
-        ).alias("s4"),
+        gsum(v).alias("s1"),
+        gsum(v * v).alias("s2"),
+        gsum(v * v * v).alias("s3"),
+        gsum(v * v * v * v).alias("s4"),
     )
     n = F.col("n")
     mu = F.col("s1") / n

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.exprs import DEC, gsum_dec, ogsum_dec
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
@@ -34,7 +34,7 @@ def _micro(col):
 
 @register(
     "stats_levene_bf",
-    oracle="""
+    oracle=f"""
         WITH ranked AS (
             SELECT event_type, value,
                    ROW_NUMBER() OVER (PARTITION BY event_type
@@ -51,17 +51,22 @@ def _micro(col):
             FROM events e JOIN med m ON e.event_type = m.event_type
         ), g AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
-                   SUM(CAST(dv AS DECIMAL(38,6))) AS s1d,
-                   SUM(CAST(dv * dv AS DECIMAL(38,6))) AS s2d
+                   {ogsum_dec('dv')} AS s1d,
+                   {ogsum_dec('dv * dv')} AS s2d
             FROM dev GROUP BY event_type
         ), t AS (
             SELECT CAST(SUM(n_g) AS BIGINT) AS n,
                    CAST(COUNT(*) AS BIGINT) AS k,
-                   CAST(SUM(s1d) AS DOUBLE) AS s1,
-                   CAST(SUM(s2d) AS DOUBLE) AS s2,
+                   (CAST(CAST(SUM(s1d) AS VARCHAR) AS DOUBLE)
+                    / 1000000.0) AS s1,
+                   (CAST(CAST(SUM(s2d) AS VARCHAR) AS DOUBLE)
+                    / 1000000.0) AS s2,
                    list_reduce(
                        list_prepend(CAST(0 AS DOUBLE),
-                           list(CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE)
+                           list((CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                                 / 1000000.0)
+                                * (CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                                   / 1000000.0)
                                 / CAST(n_g AS DOUBLE)
                                 ORDER BY event_type)),
                        (a, b) -> a + b) AS ssb_raw
@@ -85,7 +90,8 @@ def _micro(col):
     "interpolation — value-identical in both engines), picked via "
     "the agg_percentile_exact window pattern; deviations are exact "
     "IEEE |x - med|; the downstream moment/fold discipline is "
-    "stats_anova_oneway's verbatim (decimal sums, sorted "
+    "stats_anova_oneway's verbatim (round-14: exact exprs.gsum_dec "
+    "floor-grid sums rendered to double through a VARCHAR, sorted "
     "left-to-right SSB fold, SSW NULL guard). Plan: one partitioned "
     "rank window + 5-row median broadcast join + one moment agg; at "
     "100 TB the rank window would move to the value-histogram "
@@ -117,23 +123,23 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.col("dv")
     g = dev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum(dv.cast(DEC)).alias("s1d"),
-        F.sum((dv * dv).cast(DEC)).alias("s2d"),
+        gsum_dec(dv).alias("s1d"),
+        gsum_dec(dv * dv).alias("s2d"),
     )
+    mio = F.lit(1000000.0)
+    s1d_dbl = F.col("s1d").cast("string").cast("double") / mio
     t = g.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("s1d").cast("double").alias("s1"),
-        F.sum("s2d").cast("double").alias("s2"),
+        (F.sum("s1d").cast("string").cast("double") / mio).alias("s1"),
+        (F.sum("s2d").cast("string").cast("double") / mio).alias("s2"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(
                     F.struct(
                         F.col("event_type"),
                         (
-                            F.col("s1d").cast("double")
-                            * F.col("s1d").cast("double")
-                            / F.col("n_g").cast("double")
+                            s1d_dbl * s1d_dbl / F.col("n_g").cast("double")
                         ).alias("term"),
                     )
                 )

@@ -23,20 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC
+from clickhousebackup_spark.exprs import DEC, gsum, ogsum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
 
 @register(
     "stats_welch_anova",
-    oracle="""
+    oracle=f"""
         WITH g AS (
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_g,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                        AS DOUBLE) AS s2
+                   {ogsum('value')} AS s1,
+                   {ogsum('value * value')} AS s2
             FROM events GROUP BY event_type
         ), w AS (
             SELECT event_type, n_g,
@@ -82,7 +81,9 @@ from clickhousebackup_spark.tables import load_table
     "across event types — the unequal-variance sibling of "
     "stats_anova_oneway (and the k-group generalization of "
     "stats_welch_ttest): per-group weights w_j = n_j / s_j^2 from "
-    "decimal-exact moments, weighted grand mean, F* = "
+    "exact floor-grid moments (round-14: exprs.gsum — DECIMAL(38,0) "
+    "integers rendered to double through a VARCHAR), weighted grand "
+    "mean, F* = "
     "[Σw(m-m̄w)²/(k-1)] / [1 + 2(k-2)/(k²-1)·Λ] and the "
     "Welch-Satterthwaite df2 = (k²-1)/(3Λ) with "
     "Λ = Σ(1-w/W)²/(n-1). EVERY cross-group sum (W, Σwm, the "
@@ -98,8 +99,8 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum(v.cast(DEC)).cast("double").alias("s1"),
-        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+        gsum(v).alias("s1"),
+        gsum(v * v).alias("s2"),
     )
     m = F.col("s1") / F.col("n_g")
     wj = F.col("n_g").cast("double") / (

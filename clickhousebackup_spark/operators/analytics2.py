@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import dsum, osum
+from clickhousebackup_spark.exprs import dsum, gsum, ogsum, osum
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
 
@@ -44,13 +44,13 @@ def _rev_col() -> F.Column:
     "q1_pricing_summary",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               {osum('l_quantity')} AS sum_qty,
-               {osum('l_extendedprice')} AS sum_base_price,
-               {osum(_REV)} AS sum_disc_price,
-               {osum(_REV + ' * (1 + l_tax)')} AS sum_charge,
-               ({osum('l_quantity')} / COUNT(*)) AS avg_qty,
-               ({osum('l_extendedprice')} / COUNT(*)) AS avg_price,
-               ({osum('l_discount')} / COUNT(*)) AS avg_disc,
+               {ogsum('l_quantity')} AS sum_qty,
+               {ogsum('l_extendedprice')} AS sum_base_price,
+               {ogsum(_REV)} AS sum_disc_price,
+               {ogsum(_REV + ' * (1 + l_tax)')} AS sum_charge,
+               ({ogsum('l_quantity')} / COUNT(*)) AS avg_qty,
+               ({ogsum('l_extendedprice')} / COUNT(*)) AS avg_price,
+               ({ogsum('l_discount')} / COUNT(*)) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -60,8 +60,12 @@ def _rev_col() -> F.Column:
     "dominated aggregate: one pushed filter, one two-phase hash agg "
     "over 6 groups, eight aggregates computed in a single pass. At "
     "scale this is bandwidth-bound and the plan cannot be beaten: no "
-    "shuffle moves more than 6 rows per partition. Averages are "
-    "decimal-sum / count per exprs.py.",
+    "shuffle moves more than 6 rows per partition. Round-14: all "
+    "eight aggregates ride the exprs.gsum floor grid (exact "
+    "DECIMAL(38,0) sums rendered to double through a VARCHAR) — "
+    "sum_charge's computed-product DECIMAL(38,6) cast was this "
+    "key's sf1 1-ulp divergence; its grid sibling "
+    "q1_pricing_summary_grid pins the same sums as VARCHAR.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -70,13 +74,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col()
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        dsum(rev).alias("sum_disc_price"),
-        dsum(rev * (1 + F.col("l_tax"))).alias("sum_charge"),
-        (dsum("l_quantity") / n).alias("avg_qty"),
-        (dsum("l_extendedprice") / n).alias("avg_price"),
-        (dsum("l_discount") / n).alias("avg_disc"),
+        gsum("l_quantity").alias("sum_qty"),
+        gsum("l_extendedprice").alias("sum_base_price"),
+        gsum(rev).alias("sum_disc_price"),
+        gsum(rev * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (gsum("l_quantity") / n).alias("avg_qty"),
+        (gsum("l_extendedprice") / n).alias("avg_price"),
+        (gsum("l_discount") / n).alias("avg_disc"),
         n.alias("count_order"),
     )
 

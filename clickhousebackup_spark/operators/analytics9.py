@@ -292,16 +292,10 @@ def stats_contingency_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS BIGINT) AS n1,
                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                      AS BIGINT) AS n2,
-                CAST(SUM(CASE WHEN event_type = 'click'
-                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
-                CAST(SUM(CASE WHEN event_type = 'view'
-                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2,
-                CAST(SUM(CASE WHEN event_type = 'click'
-                     THEN CAST(value * value AS DECIMAL(38,6)) END)
-                     AS DOUBLE) AS q1,
-                CAST(SUM(CASE WHEN event_type = 'view'
-                     THEN CAST(value * value AS DECIMAL(38,6)) END)
-                     AS DOUBLE) AS q2
+                (CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(floor((value) * 1000000.0) AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) / 1000000.0) AS s1,
+                (CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(floor((value) * 1000000.0) AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) / 1000000.0) AS s2,
+                (CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(floor((value * value) * 1000000.0) AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) / 1000000.0) AS q1,
+                (CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(floor((value * value) * 1000000.0) AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) / 1000000.0) AS q2
             FROM events WHERE event_type IN ('click', 'view')
         )
         SELECT n1, n2,
@@ -320,26 +314,39 @@ def stats_contingency_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value (ClickHouse `studentTTest`; the equal-variance sibling "
     "of stats_welch_ttest): sp2 = (ss1 + ss2)/(n1+n2-2), "
     "t = (m1-m2)/sqrt(sp2 (1/n1 + 1/n2)). All moments come from "
-    "DECIMAL(38,6) sums in ONE conditional-aggregation pass (no "
-    "join, no second scan); the downstream chain is pure IEEE on "
-    "deterministic doubles, hashed raw. Single map-side-combined "
-    "aggregation — nothing in the plan grows with data.",
+    "exact floor-grid DECIMAL(38,0) sums (round-14 migration off "
+    "DECIMAL(38,6); rendered to double through a VARCHAR — the "
+    "exact-at-any-scale exprs.gsum discipline) in ONE "
+    "conditional-aggregation pass (no join, no second scan); the "
+    "downstream chain is pure IEEE on deterministic doubles, hashed "
+    "raw. Single map-side-combined aggregation — nothing in the "
+    "plan grows with data.",
 )
 def stats_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhousebackup_spark.exprs import DEC
+    from clickhousebackup_spark.exprs import exact_floor_decimal
 
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
     is1 = F.col("event_type") == "click"
     v = F.col("value")
+    mio = F.lit(1000000.0)
+
+    def cgsum(cond, col):
+        return (
+            F.sum(F.when(cond, exact_floor_decimal(col * mio)))
+            .cast("string")
+            .cast("double")
+            / mio
+        )
+
     m = e.agg(
         F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
-        F.sum(F.when(is1, v.cast(DEC))).cast("double").alias("s1"),
-        F.sum(F.when(~is1, v.cast(DEC))).cast("double").alias("s2"),
-        F.sum(F.when(is1, (v * v).cast(DEC))).cast("double").alias("q1"),
-        F.sum(F.when(~is1, (v * v).cast(DEC))).cast("double").alias("q2"),
+        cgsum(is1, v).alias("s1"),
+        cgsum(~is1, v).alias("s2"),
+        cgsum(is1, v * v).alias("q1"),
+        cgsum(~is1, v * v).alias("q2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC, dsum
+from clickhousebackup_spark.exprs import DEC, gsum, ogsum
 from clickhousebackup_spark.operators.distrank import (
     global_order_scan,
     global_positions_multi,
@@ -297,24 +297,25 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_weighted_avg",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag,
-               (CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
-                     AS DOUBLE)
-                / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE))
-                   AS avg_price_weighted
+               ({ogsum('l_extendedprice * l_quantity')}
+                / {ogsum('l_quantity')}) AS avg_price_weighted
         FROM lineitem GROUP BY l_returnflag
     """,
     doc="avgWeighted analog: quantity-weighted mean price per return "
     "flag. Both the weighted sum and the weight sum go through exact "
-    "decimals (order-free), then one double division — deterministic "
-    "across engines and partition orders. Single two-phase hash agg.",
+    "floor-grid decimals (exprs.gsum — round-14 migration off "
+    "DECIMAL(38,6), whose per-row ROUND of the computed p*q and "
+    "DuckDB's hugeint->double double-rounding were this key's sf1 "
+    "frontier), then one double division — deterministic across "
+    "engines and partition orders. Single two-phase hash agg.",
 )
 def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p, q = F.col("l_extendedprice"), F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
-        (dsum(p * q) / dsum(q)).alias("avg_price_weighted")
+        (gsum(p * q) / gsum(q)).alias("avg_price_weighted")
     )
 
 
@@ -476,18 +477,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_anomaly_zscore",
-    oracle="""
+    oracle=f"""
         WITH stats AS (
             SELECT event_type,
-                   (CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                    / COUNT(value)) AS mu,
+                   ({ogsum('value')} / COUNT(value)) AS mu,
                    sqrt(greatest(
-                       (CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                             AS DOUBLE) / COUNT(value))
-                       - ((CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                                AS DOUBLE) / COUNT(value))
-                          * (CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                                  AS DOUBLE) / COUNT(value))),
+                       ({ogsum('value * value')} / COUNT(value))
+                       - (({ogsum('value')} / COUNT(value))
+                          * ({ogsum('value')} / COUNT(value))),
                        0.0)) AS sigma
             FROM events GROUP BY event_type
         )
@@ -496,19 +493,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE abs(e.value - s.mu) > 2.5 * s.sigma
     """,
     doc="Population z-score anomaly detection: per-type mean and "
-    "stddev from exact decimal sums (order-free; population variance "
-    "as E[x^2]-E[x]^2 with a greatest(...,0) clamp, sqrt is "
+    "stddev from exact floor-grid sums (exprs.gsum — round-14 "
+    "migration off DECIMAL(38,6); population variance as "
+    "E[x^2]-E[x]^2 with a greatest(...,0) clamp, sqrt is "
     "exact-IEEE), broadcast back onto the stream, keep |value-mu| > "
-    "2.5 sigma. One two-phase agg + one broadcast join — the "
-    "monitoring-table shape (ClickHouse users run exactly this over "
-    "system.metrics); emitted rows carry the stats that flagged "
-    "them, deterministic to the bit in both engines.",
+    "2.5 sigma. Both engines derive bit-identical mu/sigma, so the "
+    "selection boundary is engine-identical too. One two-phase agg "
+    "+ one broadcast join — the monitoring-table shape (ClickHouse "
+    "users run exactly this over system.metrics); emitted rows "
+    "carry the stats that flagged them.",
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     v = F.col("value")
-    mu = dsum(v) / F.count(v)
-    ex2 = dsum(v * v) / F.count(v)
+    mu = gsum(v) / F.count(v)
+    ex2 = gsum(v * v) / F.count(v)
     stats = ev.groupBy("event_type").agg(mu.alias("mu"), ex2.alias("ex2"))
     stats = stats.select(
         "event_type",

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import DEC, dsum, osum
+from clickhousebackup_spark.exprs import (
+    DEC,
+    dsum,
+    exact_floor_decimal,
+    gsum,
+    ogsum,
+    osum,
+)
 from clickhousebackup_spark.operators.distrank import global_order_scan
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
@@ -312,20 +319,14 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_skew_kurtosis",
-    oracle="""
+    oracle=f"""
         WITH m AS (
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                        AS DOUBLE) AS s2,
-                   (CAST(SUM(CAST(floor(value * value * value * 1000000.0)
-                                  AS DECIMAL(38,0))) AS DOUBLE)
-                    / 1000000.0) AS s3,
-                   (CAST(SUM(CAST(floor(value * value * value * value
-                                        * 1000000.0)
-                                  AS DECIMAL(38,0))) AS DOUBLE)
-                    / 1000000.0) AS s4
+                   {ogsum('value')} AS s1,
+                   {ogsum('value * value')} AS s2,
+                   {ogsum('value * value * value')} AS s3,
+                   {ogsum('value * value * value * value')} AS s4
             FROM events GROUP BY event_type
         ), c AS (
             SELECT event_type, n, s1 / n AS mu,
@@ -346,38 +347,27 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Higher-moment statistics (ClickHouse skewPop/kurtPop): "
     "population skewness and excess kurtosis per event type from "
     "RAW moment sums, combined with the standard central-moment "
-    "identities. The 1st/2nd moments use the usual decimal-exact "
-    "sums; the 3rd/4th are summed on a FLOOR grid "
-    "(floor(v^k * 1e6), exact integers) because casting a computed "
-    "v^4 double to DECIMAL(38,6) ROUNDS at 1e-6 and Spark/DuckDB "
-    "disagreed on a boundary row (found by the parity suite — the "
-    "exprs.py never-ROUND rule in action); floor of an exact double "
-    "is unambiguous in both engines. Every post-agg step is plain "
-    "IEEE +,-,*,/ and sqrt on identical doubles — pow() is "
-    "deliberately written as m2*sqrt(m2), since pow itself is a "
-    "libm call engines may round differently. One two-phase hash "
-    "agg; moment sums are the mergeable state (shards combine by "
-    "addition, same contract as merge_aggregating_shards).",
+    "identities. ALL four moments are summed on the exact FLOOR grid "
+    "(exprs.gsum: floor(v^k * 1e6) in DECIMAL(38,0), rendered to "
+    "double through a VARCHAR) — the round-14 migration off "
+    "DECIMAL(38,6), whose per-row ROUND at 1e-6 of computed doubles "
+    "and whose hugeint->double double-rounding in DuckDB were the "
+    "two mechanisms of this key's sf1 float-frontier divergence. "
+    "Every post-agg step is plain IEEE +,-,*,/ and sqrt on identical "
+    "doubles — pow() is deliberately written as m2*sqrt(m2), since "
+    "pow itself is a libm call engines may round differently. One "
+    "two-phase hash agg; moment sums are the mergeable state (shards "
+    "combine by addition, same contract as merge_aggregating_shards).",
 )
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(v.cast(DEC)).cast("double").alias("s1"),
-        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
-        (
-            F.sum(
-                F.floor(v * v * v * F.lit(1000000.0)).cast("decimal(38,0)")
-            ).cast("double")
-            / F.lit(1000000.0)
-        ).alias("s3"),
-        (
-            F.sum(
-                F.floor(v * v * v * v * F.lit(1000000.0)).cast("decimal(38,0)")
-            ).cast("double")
-            / F.lit(1000000.0)
-        ).alias("s4"),
+        gsum(v).alias("s1"),
+        gsum(v * v).alias("s2"),
+        gsum(v * v * v).alias("s3"),
+        gsum(v * v * v * v).alias("s4"),
     )
     mu = F.col("s1") / F.col("n")
     m2 = (F.col("s2") / F.col("n")) - (mu * mu)
@@ -400,43 +390,9 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_floor_decimal(x):
-    """floor(x) of a DOUBLE column as a binary-exact DECIMAL(38,0) —
-    matching DuckDB's ``CAST(floor(x) AS DECIMAL(38,0))`` for every
-    finite |x| < ~1e38, not just int64.
-
-    Two traps in the naive spellings: Spark's floor(DOUBLE) returns
-    LONG and silently wraps (non-ANSI) past ±2^63, and Spark's
-    DOUBLE->DECIMAL cast goes through Java's shortest round-trip
-    string, so it loses the binary-exact value past 17 significant
-    digits (DuckDB's cast is exact). Split on 2^53:
-
-    - |x| < 2^53: long-floor is exact and fits, one cast up to decimal.
-    - |x| >= 2^53: the double is already integral; decompose it into
-      three limbs with power-of-two shifts, each step IEEE-exact:
-      a/2^90 and a/2^45 are exponent shifts (no rounding), each limb
-      is < 2^53 so its long-floor and double round-trip are exact, and
-      each remainder (a mod 2^90, then mod 2^45) is representable —
-      its significant bits are a suffix of a's 53-bit mantissa — so
-      exactly-rounded subtraction returns it exactly. Reassembling
-      the limbs in DECIMAL(38,0) arithmetic reproduces the double's
-      exact integer value up to ~1e38 (ANSI overflow past it, same as
-      the oracle's decimal cast).
-    """
-    two53 = F.lit(9007199254740992.0)
-    a = F.abs(x)
-    sign = F.when(x < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
-    limb0 = F.floor(a / F.lit(float(2**90)))
-    r1 = a - limb0.cast("double") * F.lit(float(2**90))
-    limb1 = F.floor(r1 / F.lit(float(2**45)))
-    r2 = r1 - limb1.cast("double") * F.lit(float(2**45))
-    p45 = F.lit(2**45).cast("decimal(38,0)")
-    big = (
-        limb0.cast("decimal(38,0)") * p45 + limb1.cast("decimal(38,0)")
-    ) * p45 + F.floor(r2).cast("decimal(38,0)")
-    return F.when(a < two53, F.floor(x).cast("decimal(38,0)")).otherwise(
-        sign * big
-    )
+#: Shared with exprs.py — kept under the historical private name so
+#: existing call sites and tests keep working.
+_exact_floor_decimal = exact_floor_decimal
 
 
 def _moment_grid_sum(k: int):
@@ -511,13 +467,12 @@ def stats_moments_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_welch_ttest",
-    oracle="""
+    oracle=f"""
         WITH g AS (
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                        AS DOUBLE) AS s2
+                   {ogsum('value')} AS s1,
+                   {ogsum('value * value')} AS s2
             FROM events WHERE event_type IN ('click', 'view')
             GROUP BY event_type
         ), st AS (
@@ -536,7 +491,8 @@ def stats_moments_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Welch two-sample t-test (ClickHouse welchTTest): click vs "
     "view values — sample means and squared standard errors from "
-    "decimal-exact sums, t statistic and Welch-Satterthwaite degrees "
+    "exact floor-grid sums (round-14: exprs.gsum, DECIMAL(38,0) "
+    "integers rendered to double through a VARCHAR), t statistic and Welch-Satterthwaite degrees "
     "of freedom as pure IEEE arithmetic (no pow, no distribution "
     "lookup — the p-value belongs client-side). One filtered "
     "two-group agg + a 1x1 cross of the two stat rows; at any scale "
@@ -550,8 +506,8 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(v.cast(DEC)).cast("double").alias("s1"),
-        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+        gsum(v).alias("s1"),
+        gsum(v * v).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     sem2 = ((F.col("s2") - (mean * F.col("s1"))) / (F.col("n") - F.lit(1.0))) / F.col(

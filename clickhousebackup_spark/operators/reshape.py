@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clickhousebackup_spark.exprs import osum
+from clickhousebackup_spark.exprs import ogsum
 from clickhousebackup_spark.operators.distrank import global_order_scan, ntile_from_pos
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
@@ -77,25 +77,29 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle=f"""
         SELECT event_type,
-               ({osum('value * value')}
-                - {osum('value')} * {osum('value')} / COUNT(value))
+               ({ogsum('value * value')}
+                - {ogsum('value')} * {ogsum('value')} / COUNT(value))
                    / (COUNT(value) - 1) AS var_value,
-               sqrt(({osum('value * value')}
-                - {osum('value')} * {osum('value')} / COUNT(value))
+               sqrt(({ogsum('value * value')}
+                - {ogsum('value')} * {ogsum('value')} / COUNT(value))
                    / (COUNT(value) - 1)) AS stddev_value,
-               {osum('value')} / COUNT(value) AS mean_value
+               {ogsum('value')} / COUNT(value) AS mean_value
         FROM events GROUP BY event_type
     """,
-    doc="Sample variance/stddev from exact decimal sums (engine-native "
+    doc="Sample variance/stddev from exact grid sums (engine-native "
     "STDDEV folds doubles in partition order — nondeterministic; the "
-    "sum-of-squares formula is order-free and bit-identical).",
+    "sum-of-squares formula is order-free and bit-identical). "
+    "Round-14: migrated from DECIMAL(38,6) dsum to the exprs.gsum "
+    "floor-grid (exact-at-any-scale — the DECIMAL(38,6) per-row "
+    "ROUND of the computed v² and DuckDB's hugeint->double "
+    "double-rounding were this key's sf1 frontier).",
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhousebackup_spark.exprs import dsum
+    from clickhousebackup_spark.exprs import gsum
 
     ev = load_table(spark, sf_dir, "events")
-    s1 = dsum("value")
-    s2 = dsum(F.col("value") * F.col("value"))
+    s1 = gsum("value")
+    s2 = gsum(F.col("value") * F.col("value"))
     n = F.count("value")
     var = (s2 - s1 * s1 / n) / (n - 1)
     return ev.groupBy("event_type").agg(

@@ -39,10 +39,15 @@ def test_welch_anova_matches_pure_python(spark, sf_dir):
     lam = sum((1 - w[t] / W) ** 2 / (n[t] - 1) for t in groups)
     f = (between / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * lam)
     df2 = (k * k - 1) / (3 * lam)
+    # rel=1e-6: the engine's moments ride the exprs.gsum floor grid
+    # (round-14 sf1-exactness migration), truncating each value^k at
+    # 1e-6 — so the third-engine pin can only hold to the grid
+    # truncation envelope, not to double ulps (observed drift ~8e-9;
+    # the pre-migration 1e-9 band was tighter than the grid allows).
     assert out["k"] == k
-    assert out["weight_sum"] == pytest.approx(W, rel=1e-9)
-    assert out["f_welch"] == pytest.approx(f, rel=1e-9)
-    assert out["df2_welch"] == pytest.approx(df2, rel=1e-9)
+    assert out["weight_sum"] == pytest.approx(W, rel=1e-6)
+    assert out["f_welch"] == pytest.approx(f, rel=1e-6)
+    assert out["df2_welch"] == pytest.approx(df2, rel=1e-6)
 
 
 import pytest  # noqa: E402  (used in approx above)
