@@ -357,9 +357,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-@register(
-    "sim_knn_join",
-    oracle=f"""
+def _knn_oracle(pair_where: str = "") -> str:
+    """The brute-force kNN truth, optionally restricted to a query
+    slice BEFORE the ranking window (restricting queries ``a`` keeps
+    every candidate ``b``, so the sliced rows are exactly the full
+    result's rows for those queries)."""
+    return f"""
         WITH normed AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -380,8 +383,30 @@ KNN_K = 3
                                 / (a.nrm * b.nrm) DESC,
                                 b.vec_id) AS rank_nbr
             FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+            {pair_where}
         ) WHERE rank_nbr <= {KNN_K}
-    """,
+    """
+
+
+#: Bounded-slice compare spec for the sf1 clone arms (driver_sim
+#: BOUNDED_SLICE): the SAME brute-force truth restricted to the
+#: deterministic 1-in-97 query slice BEFORE the ranking window, so
+#: DuckDB's pair count drops from N^2 (temp-spill IOException at the
+#: 10x arm — the round-13 exclusion) to N^2/97 while every compared
+#: row is still exact. The engine side is filtered to the same
+#: queries AFTER its full computation — the slice bounds the COMPARE,
+#: never the engine plan.
+SIM_KNN_JOIN_BOUNDED = {
+    "engine_filter": "vec_id % 97 = 0",
+    "oracle_sql": _knn_oracle("WHERE a.vec_id % 97 = 0"),
+    "why": "DuckDB O(N^2) kNN truth temp-spills past free disk at "
+           "the 10x arm; 1-in-97 query slice, every candidate kept",
+}
+
+
+@register(
+    "sim_knn_join",
+    oracle=_knn_oracle(),
     doc=f"Batch k-NN self-join: the top-{KNN_K} cosine neighbors of "
     "EVERY vector (the all-vectors shape behind near-dup clustering "
     "and retrieval eval, vs sim_topk_*'s single query). Exact "

@@ -1428,6 +1428,38 @@ def intervals_open_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bounded-slice compare spec for the sf1 clone arms (driver_sim
+#: BOUNDED_SLICE): the clone arm duplicates orders into the SAME time
+#: span, so pairwise overlaps grow ~x100 and the exact row-by-row
+#: compare of the full output reached ~55 GB RSS (the round-13
+#: exclusion). The bounded form tightens the deterministic PROBE
+#: predicate from 1-in-97 to 1-in-9700 — restricting probes a keeps
+#: every build-side candidate b, so the sliced rows are exactly the
+#: full result's rows for those probes; the engine side applies the
+#: same predicate to its full output AFTER computation.
+JOIN_INTERVAL_OVERLAP_BOUNDED = {
+    "engine_filter": "probe_okey % 9700 = 0",
+    "oracle_sql": """
+        WITH iv AS (
+            SELECT o_orderpriority AS pri, o_orderkey AS okey,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+            FROM orders
+        )
+        SELECT a.pri,
+               CAST(a.okey AS BIGINT) AS probe_okey,
+               CAST(b.okey AS BIGINT) AS build_okey
+        FROM iv a JOIN iv b
+          ON a.pri = b.pri
+         AND a.okey <> b.okey
+         AND a.s < b.e AND b.s < a.e
+        WHERE a.okey % 9700 = 0
+    """,
+    "why": "~x100 pair OUTPUT on the clone arm (55 GB compare RSS); "
+           "probe slice tightened 97 -> 9700, every candidate kept",
+}
+
+
 @register(
     "join_interval_overlap",
     oracle="""

@@ -59,6 +59,27 @@ FUNNEL_ORACLE = """
 """
 
 
+#: Shared by sequence_count_pairs and its skew-immune two-stage
+#: sibling (analytics20.py) — the one-oracle-per-family convention:
+#: the rewrite must be hash-identical, and a shared constant cannot
+#: drift the way a copied string can.
+SEQUENCE_PAIRS_ORACLE = """
+        SELECT user_id, CAST(SUM(vb) AS BIGINT) AS n_pairs
+        FROM (
+            SELECT user_id, event_type,
+                   COALESCE(SUM(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS vb
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+"""
+
+
 @register(
     "funnel_steps",
     oracle=FUNNEL_ORACLE,
@@ -244,9 +265,10 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMA_HORIZON = 100
 
 
-@register(
-    "agg_ema",
-    oracle=f"""
+#: Shared by agg_ema and agg_ema_twostage (analytics20.py): both
+#: select the SAME trailing-EMA_HORIZON rows under the same total
+#: order and run the SAME left fold, so one oracle pins both.
+EMA_ORACLE = f"""
         WITH recent AS (
             SELECT user_id, ts, event_id, value,
                    row_number() OVER (
@@ -258,7 +280,12 @@ EMA_HORIZON = 100
                list_reduce(list(value ORDER BY ts, event_id),
                            (acc, x) -> acc * 0.5 + x * 0.5) AS ema_value
         FROM recent WHERE rn <= {EMA_HORIZON} GROUP BY user_id
-    """,
+"""
+
+
+@register(
+    "agg_ema",
+    oracle=EMA_ORACLE,
     doc="exponentialMovingAverage analog (alpha=0.5): per-user ordered "
     "left fold over the TRAILING-100 event values (older terms carry "
     "weight ≤ 2^-100, below double ulp — same EMA, bounded state). The "
@@ -321,21 +348,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_count_pairs",
-    oracle="""
-        SELECT user_id, CAST(SUM(vb) AS BIGINT) AS n_pairs
-        FROM (
-            SELECT user_id, event_type,
-                   COALESCE(SUM(CASE WHEN event_type = 'view'
-                                     THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING), 0) AS vb
-            FROM events
-        )
-        WHERE event_type = 'purchase'
-        GROUP BY user_id
-    """,
+    oracle=SEQUENCE_PAIRS_ORACLE,
     doc="sequenceCount('(?1).*(?2)') analog: per user, the number of "
     "(view, later purchase) ordered pairs. ClickHouse materializes "
     "the per-user event list; the scale-safe Spark form is a running "

@@ -66,6 +66,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics17",
     "clickhousebackup_spark.operators.analytics18",
     "clickhousebackup_spark.operators.analytics19",
+    "clickhousebackup_spark.operators.analytics20",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",

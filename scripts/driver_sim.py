@@ -44,6 +44,31 @@ from tests.compare import assert_same_result  # noqa: E402
 
 SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
 
+#: Bounded-slice compare registry (CBS_SIM_BOUNDED=1, the sf1-arm
+#: mode): for keys whose EXACT COMPARE — not the engine plan — is
+#: infeasible at the 10x clone arms, the engine's FULL output is
+#: filtered to a deterministic query slice and compared exactly
+#: against a slice-restricted oracle (restricting the probe/query
+#: side keeps every candidate, so sliced rows equal the full result's
+#: rows for those queries). The full engine row count is recorded in
+#: the status line for accounting. Each entry lives next to its key
+#: (reviewed there); tests/test_sweep_artifacts.py allows the
+#: resulting status only for these enumerated keys. This mechanism
+#: closed the round-13 sf1 exclusions (VERDICT r13 item 6).
+def _bounded_slice() -> dict:
+    from clickhousebackup_spark.extensions.similarity import (
+        SIM_KNN_JOIN_BOUNDED,
+    )
+    from clickhousebackup_spark.operators.analytics4 import (
+        JOIN_INTERVAL_OVERLAP_BOUNDED,
+    )
+
+    return {
+        "sim_knn_join": SIM_KNN_JOIN_BOUNDED,
+        "join_interval_overlap": JOIN_INTERVAL_OVERLAP_BOUNDED,
+    }
+
+
 
 def _latest_driver_rows() -> dict[str, dict]:
     rows: dict[str, dict] = {}
@@ -206,9 +231,30 @@ def main(argv: list[str]) -> int:
         # sf0.1) can't masquerade as an engine-side scale regression
         # in the committed sweep artifacts (VERDICT r10 item 2).
         engine_wall = oracle_wall = None
+        bounded = (
+            os.environ.get("CBS_SIM_BOUNDED") == "1"
+            and key in _bounded_slice()
+        )
         try:
             df = spec.fn(spark, SF_DIR)
-            if spec.oracle is None:
+            if bounded:
+                b = _bounded_slice()[key]
+                full_rows = df.count()
+                sliced = df.filter(b["engine_filter"])
+                raw_rows = sliced.collect()
+                engine_wall = time.time() - t0
+                t1 = time.time()
+                assert_same_result(
+                    sliced, con, b["oracle_sql"], name=key,
+                    raw_rows=raw_rows,
+                )
+                oracle_wall = time.time() - t1
+                rows = len(raw_rows)
+                status = (
+                    f"pass (bounded-slice: {b['engine_filter']}; "
+                    f"engine_full_rows={full_rows})"
+                )
+            elif spec.oracle is None:
                 rows = df.count()
                 engine_wall = time.time() - t0
                 status = f"rows-only ({rows} rows)"
@@ -263,7 +309,8 @@ def main(argv: list[str]) -> int:
         print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
         sweep[key] = {
             "sf": SF_DIR,
-            "match": "rows-only" if spec.oracle is None else "pass",
+            "match": status if status.startswith("pass (bounded-slice")
+            else ("rows-only" if spec.oracle is None else "pass"),
             "rows": rows,
             "wall": round(time.time() - t0, 2),
             "engine_wall": round(engine_wall, 2),

@@ -846,6 +846,11 @@ ZIPF_WINDOW_KEYS = (
     "win_cume_dist_nth_twostage",
     "ts_nonneg_derivative",
     "ts_nonneg_derivative_twostage",
+    # round-14 family 8/9 additions (analytics20.py)
+    "sequence_count_pairs",
+    "sequence_count_pairs_twostage",
+    "agg_ema",
+    "agg_ema_twostage",
 )
 
 
@@ -1014,7 +1019,10 @@ def main_zipf_window() -> None:
         max_task, seen = _stage_task_stats(spark, seen)
         return {"wall_s": wall, "rows": row["n"], "max_task_s": max_task}
 
-    for k in ZIPF_WINDOW_KEYS:
+    # optional key filter: --zipf-window sf mult key1 key2 ...
+    only = [a for a in sys.argv[4:] if not a.startswith("-")]
+    probe_keys = [k for k in ZIPF_WINDOW_KEYS if not only or k in only]
+    for k in probe_keys:
         row = {
             "uniform": run_one(k, uniform_dir),
             "zipf": run_one(k, zipf_dir),

@@ -1175,6 +1175,37 @@ R13_PLAN_BUDGET = {
 }
 
 
+R14_PLAN_BUDGET = {
+    "sequence_count_pairs_twostage": (3, 1, False),  # family eight:
+    # (user, bucket) local running-count exchange + its purchase agg,
+    # the (user, bucket) summary agg + user-ordered seam prefix over
+    # summaries, and the final per-user agg; the summary-to-local
+    # join is broadcast at fixture scale (hash at scale — still keyed
+    # (user, bucket)). Two more exchanges than the flat key's single
+    # user_id window; no event-scale task holds more than one
+    # user-day.
+    "agg_ema_twostage": (4, 1, False),  # family nine, trailing-K
+    # selection decomposed: the (user, bucket) count agg + the
+    # per-user DESC prefix over bucket summaries, the (user, bucket)
+    # local rank exchange on surviving-bucket rows (needed-buckets
+    # join broadcast at fixture scale), and the final <=K-row
+    # per-user fold agg. The flat key's bare-user rank window (the
+    # measured ~x8 max-task shape) never appears.
+}
+
+
+@pytest.mark.parametrize("key", sorted(R14_PLAN_BUDGET))
+def test_r14_plan_budgets(spark, sf_dir, key):
+    max_shuffles, min_bcast, allow_nlj = R14_PLAN_BUDGET[key]
+    df = SPECS[key].fn(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.count_shuffles(df) <= max_shuffles, plan
+    assert plan.count("BroadcastHashJoin") >= min_bcast, plan
+    assert "CartesianProduct" not in plan
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 @pytest.mark.parametrize("key", sorted(R13_PLAN_BUDGET))
 def test_r13_plan_budgets(spark, sf_dir, key):
     max_shuffles, min_bcast, allow_nlj = R13_PLAN_BUDGET[key]

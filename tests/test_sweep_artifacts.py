@@ -101,6 +101,13 @@ KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
 }
 
 
+#: Keys whose sf1-arm compare may run as an exact bounded slice
+#: (driver_sim BOUNDED_SLICE — each spec lives next to its key and is
+#: reviewed there). The engine still computes its FULL plan; only the
+#: row-by-row compare is restricted to a deterministic query slice.
+BOUNDED_SLICE_KEYS = {"sim_knn_join", "join_interval_overlap"}
+
+
 def test_sweep_artifacts_are_honest():
     specs = all_specs()
     rows_only_keys = {k for k, s in specs.items() if s.oracle is None}
@@ -120,12 +127,34 @@ def test_sweep_artifacts_are_honest():
                 or status.startswith("env-gated")
                 or status.startswith("FAIL")
                 or status.startswith("excluded")
+                or status.startswith("pass (bounded-slice")
             )
             assert known, (
                 f"{name}: {k} carries unknown status {status!r} — the "
                 f"tripwire only certifies artifacts whose every row is "
                 f"one of the reviewed status classes"
             )
+            if status.startswith("pass (bounded-slice"):
+                # An EXACT compare over a deterministic query slice
+                # (driver_sim BOUNDED_SLICE — the mechanism that
+                # closed the round-13 sf1 exclusions). Allowed only on
+                # beyond-gate slice/probe artifacts, and only for the
+                # keys enumerated here: the slice restricts the
+                # probe/query side, so compared rows equal the full
+                # result's rows for those queries; the status line
+                # must carry the full engine row count for accounting.
+                assert "slice" in name or "probe" in name, (
+                    f"{name}: {k} = {status} — bounded-slice rows are "
+                    f"never acceptable in a driver-gate sweep artifact"
+                )
+                assert k in BOUNDED_SLICE_KEYS, (
+                    f"{name}: {k} uses a bounded-slice compare but is "
+                    f"not enumerated in BOUNDED_SLICE_KEYS"
+                )
+                assert "engine_full_rows=" in status, (
+                    f"{name}: {k} bounded-slice status lacks the "
+                    f"full-row accounting field"
+                )
             if status.startswith("excluded"):
                 # A compare that is INFEASIBLE on this box (oracle
                 # temp-spill past free disk, quadratic-output compare
