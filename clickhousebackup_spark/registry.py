@@ -190,6 +190,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_rarity_score",
     "text_top_terms",
     "topic_roundtrip",
+    # -- past slot 49: mid-round-14 additions, DEFERRED to the
+    # round-15 window (tests/test_rotation.py DEFERRED) --
+    "sequence_count_pairs_twostage",
+    "agg_ema_twostage",
 )
 
 

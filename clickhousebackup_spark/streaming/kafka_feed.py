@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from typing import Iterator, NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clickhousebackup_spark.sources.readers import ConnectorUnavailable
 
@@ -288,11 +289,51 @@ class KafkaPythonFeed:
         finally:
             c.close()
 
+    def publish_bulk(self, df: DataFrame) -> None:
+        """Produce a DATA-SCALE batch through the Spark Kafka
+        connector sink (``df.write.format("kafka")``): the write runs
+        on the EXECUTORS — one producer per task, records partitioned
+        with the DataFrame — so nothing funnels through the driver.
+        This is the 100 TB publish path; :meth:`publish` below remains
+        the bounded control-plane path (client-library producer,
+        driver-side by nature).
+
+        Gated like the Delta/Iceberg sources: the
+        spark-sql-kafka-0-10 connector jar is not in this image, so
+        the failed datasource lookup raises a loud
+        ConnectorUnavailable with the jar recipe instead of a cryptic
+        ClassNotFound. The row shape follows the connector contract:
+        a ``value`` string column (JSON here), optional ``key``.
+        """
+        payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        try:
+            (
+                payload.write.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers)
+                .option("topic", self.topic)
+                .save()
+            )
+        except Exception as e:
+            msg = str(e)
+            if "kafka" in msg.lower() and (
+                "Failed to find data source" in msg
+                or "ClassNotFound" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+            ):
+                raise ConnectorUnavailable(
+                    "spark-sql-kafka-0-10 connector jar not on the "
+                    "classpath; launch with --packages org.apache."
+                    "spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                    "(or use publish() for bounded control-plane "
+                    "batches / FileTopic for brokerless staging)"
+                ) from e
+            raise
+
     def publish(self, df: DataFrame) -> str:
         """Produce one batch of JSON records. Driver-side by nature of
         a client-library producer; bounded use (control-plane batches)
-        — bulk data paths should publish parquet via FileTopic or a
-        connector-jar sink."""
+        — bulk data paths publish via :meth:`publish_bulk` (executor-
+        side connector sink) or stage parquet via FileTopic."""
         producer = self.client.KafkaProducer(
             bootstrap_servers=self.bootstrap_servers
         )

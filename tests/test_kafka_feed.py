@@ -261,3 +261,20 @@ def test_dot_tmp_dirs_are_invisible_to_readers(spark, sf_dir, feed):
     assert spark.read.parquet(tmp).count() == 4  # readable directly...
     assert feed.read_all(spark).count() == 5  # ...but invisible to the glob
     shutil.rmtree(feed.staging_dir, ignore_errors=True)
+
+
+def test_publish_bulk_is_gated_without_connector_jar(spark, sf_dir, feed):
+    """publish_bulk routes through the Spark Kafka connector sink
+    (executor-side, the data-scale path); this image has no
+    spark-sql-kafka jar, so the failed datasource lookup must raise
+    the loud ConnectorUnavailable gate with the jar recipe — the same
+    contract as the Delta/Iceberg sources — never a cryptic
+    ClassNotFound."""
+    import pytest
+
+    from clickhousebackup_spark.sources.readers import ConnectorUnavailable
+    from clickhousebackup_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders").limit(5)
+    with pytest.raises(ConnectorUnavailable, match="spark-sql-kafka"):
+        feed.publish_bulk(df)
