@@ -76,28 +76,19 @@ def _latest_sweeps() -> list[str]:
 #: non-float entry: its contract is one row per physical file, and
 #: the sf1 arm's tables are multi-part Spark directories.
 KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
-    ("sf1_slice", "q1_pricing_summary"): "known float-summation bound",
-    ("sf1_slice", "agg_skew_kurtosis"): "known float-summation bound",
-    ("sf1_slice", "agg_stats"): "known float-summation bound",
-    ("sf1_slice", "agg_weighted_avg"): "known float-summation bound",
-    ("sf1_slice", "events_anomaly_zscore"): "known float-summation bound",
-    ("sf1_slice", "stats_anova_oneway"): "known float-summation bound",
-    ("sf1_slice", "stats_jarque_bera"): "known float-summation bound",
-    ("sf1_slice", "stats_levene_bf"): "known float-summation bound",
-    ("sf1_slice", "stats_student_ttest"): "known float-summation bound",
-    ("sf1_slice", "stats_welch_anova"): "known float-summation bound",
-    ("sf1_slice", "stats_welch_ttest"): "known float-summation bound",
     ("sf1_slice", "scan_file_metadata"): "known physical-layout bound",
-    # excluded rows (compare infeasible on this box, measured and
-    # documented in-artifact; the engine keys stay exact at every
-    # driver-gate scale):
-    ("sf1_slice", "sim_knn_join"): "known oracle-capacity bound",
-    ("sf1_slice", "join_interval_overlap"):
-        "known quadratic-output compare bound",
-    # dedup_fuzzy_blocked left this list in round 13: the
-    # threshold-banded levenshtein + the provably-invariant
-    # |length-gap| <= 3 pre-filter brought the clone arm's x100
-    # verify-pair cost from past-420s to a 187s exact pass.
+    # Round-14 removals, each closed by making the compare exact
+    # rather than by widening the allowance:
+    # - the 11 float-frontier moment/t-stat rows (q1_pricing_summary,
+    #   agg_stats, agg_skew_kurtosis, agg_weighted_avg,
+    #   events_anomaly_zscore, stats_{anova_oneway, jarque_bera,
+    #   levene_bf, student_ttest, welch_anova, welch_ttest}) migrated
+    #   to the exprs.gsum floor-grid (exact DECIMAL(38,0) sums
+    #   rendered through VARCHAR) — hash-exact on the sf1 arm;
+    # - sim_knn_join and join_interval_overlap moved from excluded
+    #   rows to EXACT bounded-slice compares (driver_sim
+    #   BOUNDED_SLICE; see BOUNDED_SLICE_KEYS below);
+    # - dedup_fuzzy_blocked left in round 13 (banded levenshtein).
 }
 
 
