@@ -1,0 +1,107 @@
+"""Round-14 skew-playbook family TEN: exact WEIGHTED order statistics
+under a low-cardinality group key.
+
+``agg_weighted_median`` (stats.py — ClickHouse quantileExactWeighted)
+computes its cumulative-weight window partitioned by the bare 5-value
+``event_type``: the same STRUCTURAL straggler as agg_percentile_exact
+(each task sorts n/5 of the table at ANY data scale — no skew needed),
+carried as LOWCARD_WINDOW_ALLOWED debt until now. This module applies
+the family-six two-pass histogram selection to WEIGHTS:
+
+- **Pass 1 (weight histogram).** Sum integer weights per (event_type,
+  floor(value)) bucket — monotone buckets, so bucket order IS value
+  order and cumulative bucket weights bracket the weighted-median
+  rank exactly. The only event-scale exchange is this hash agg
+  (map-side combined, ≤ #cells rows per mapper).
+- **Pass 2 (selection).** Rescan only rows in the ONE bucket per type
+  whose inclusive cumulative weight crosses half the total (broadcast
+  bucket filter); the cumulative-weight window runs inside
+  (event_type, vbucket) — never the bare type — with the bucket's
+  preceding weight as offset. Max task = one bucket of one type.
+
+The crossing test is the flat key's ``2·cw >= tw`` verbatim (pure
+integer arithmetic) under the same (value, event_id) total order, and
+the reported median is a SELECTED raw parquet double — so the rewrite
+is value-identical, not merely close, and registers with the SAME
+oracle object (stats.WEIGHTED_MEDIAN_ORACLE).
+
+Reference anchor: the reference delegates queries to ClickHouse
+(backup.sh:45); quantileExactWeighted/medianExactWeighted is the
+exact weighted quantile its users run over restored metric tables,
+and ClickHouse's own implementation aggregates a value→weight hash
+map per group — the same histogram grain as pass 1 here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhousebackup_spark.operators.stats import WEIGHTED_MEDIAN_ORACLE
+from clickhousebackup_spark.registry import register
+from clickhousebackup_spark.tables import load_table
+
+
+@register(
+    "agg_weighted_median_twostage",
+    oracle=WEIGHTED_MEDIAN_ORACLE,
+    doc="Skew-immune rewrite of agg_weighted_median (ClickHouse "
+    "quantileExactWeighted(0.5), integer weights user_id%5+1), "
+    "value-identical to the flat key — family TEN: the two-pass "
+    "histogram selection applied to WEIGHTS. Pass 1 sums weights per "
+    "(event_type, floor(value)) — monotone buckets, cumulative "
+    "bucket weights locate the single median bucket per type; pass 2 "
+    "rescans only that bucket (broadcast filter), runs the "
+    "cumulative-weight window inside (event_type, vbucket), and "
+    "applies the flat key's exact integer crossing test 2·cw >= tw "
+    "with the bucket's preceding weight as offset. The flat key's "
+    "whole-type sort (5 groups = n/5 rows per task at any scale) "
+    "never appears; the median is a selected raw parquet double. "
+    "Shares stats.WEIGHTED_MEDIAN_ORACLE.",
+)
+def agg_weighted_median_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).cast("long").alias("w"),
+    ).withColumn("vbucket", F.floor("value").cast("long"))
+
+    # Pass 1: weight histogram per (type, value-bucket); the only
+    # event-scale exchange, map-side combined.
+    hist = ev.groupBy("event_type", "vbucket").agg(
+        F.sum("w").alias("bw")
+    )
+    wb = Window.partitionBy("event_type").orderBy("vbucket")
+    cum = hist.withColumn("cum_incl", F.sum("bw").over(wb)).withColumn(
+        "cum_excl", F.col("cum_incl") - F.col("bw")
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("bw").alias("tw"))
+    # the single bucket where the flat key's crossing 2·cw >= tw
+    # first happens: 2·cum_excl < tw <= 2·cum_incl
+    target = (
+        cum.join(F.broadcast(totals), "event_type")
+        .filter(
+            (2 * F.col("cum_excl") < F.col("tw"))
+            & (2 * F.col("cum_incl") >= F.col("tw"))
+        )
+        .select("event_type", "vbucket", "cum_excl", "tw")
+    )
+
+    # Pass 2: the flat cumulative window, but inside (type, vbucket)
+    # — one bucket per type, never the bare 5-value key.
+    wloc = (
+        Window.partitionBy("event_type", "vbucket")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inside = (
+        ev.join(F.broadcast(target), ["event_type", "vbucket"])
+        .withColumn("cw", F.col("cum_excl") + F.sum("w").over(wloc))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+    )
+    return inside.groupBy("event_type").agg(
+        F.min("value").alias("wmedian")
+    )

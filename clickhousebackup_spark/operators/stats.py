@@ -328,9 +328,9 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_weighted_median",
-    oracle="""
+#: Shared by agg_weighted_median and its skew-immune two-stage
+#: sibling (analytics21.py) — the one-oracle-per-family convention.
+WEIGHTED_MEDIAN_ORACLE = """
         WITH weighted AS (
             SELECT event_type, value, event_id,
                    CAST(user_id % 5 + 1 AS BIGINT) AS w
@@ -347,7 +347,12 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, MIN(value) AS wmedian
         FROM cum WHERE 2 * cw >= tw
         GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "agg_weighted_median",
+    oracle=WEIGHTED_MEDIAN_ORACLE,
     doc="quantileExactWeighted(0.5) / medianExactWeighted: the "
     "smallest value whose cumulative INTEGER weight reaches half the "
     "total (weights = user_id%5+1, deterministic). One window sort "

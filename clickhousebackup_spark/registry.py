@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
     "clickhousebackup_spark.operators.analytics18",
     "clickhousebackup_spark.operators.analytics19",
     "clickhousebackup_spark.operators.analytics20",
+    "clickhousebackup_spark.operators.analytics21",
     "clickhousebackup_spark.operators.sqlsurface",
     "clickhousebackup_spark.operators.behavior",
     "clickhousebackup_spark.operators.mergetree",
@@ -194,6 +195,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # round-15 window (tests/test_rotation.py DEFERRED) --
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
+    "agg_weighted_median_twostage",
 )
 
 

@@ -187,7 +187,14 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     "quantile_exact_weighted_grid": 2,  # rank (grid-exact outputs)
     "stats_spearman": 2,              # rank: two value/ts rankings
     "ts_autocorr_lag1": 1,            # series: per-type lag
-    "agg_weighted_median": 2,         # rank
+    "agg_weighted_median": 2,         # rank — HAS the two-stage
+    #                                   sibling (family ten)
+    "agg_weighted_median_twostage": 1,  # summary: the per-type
+    #                                   cumulative window over
+    #                                   <= ~500 value-bucket
+    #                                   histogram rows; the
+    #                                   event-scale window keys
+    #                                   (event_type, vbucket)
     "agg_delta_sum": 1,               # series: per-type lag
     "ts_lttb_downsample": 1,          # summary: per-bucket triangle
     "ts_nonneg_derivative": 1,        # series: per-type lag — HAS

@@ -1191,6 +1191,14 @@ R14_PLAN_BUDGET = {
     # join broadcast at fixture scale), and the final <=K-row
     # per-user fold agg. The flat key's bare-user rank window (the
     # measured ~x8 max-task shape) never appears.
+    "agg_weighted_median_twostage": (6, 2, False),  # family ten:
+    # the pass-1 (type, vbucket) weight-histogram exchange + its
+    # bounded per-type cumulative window over histogram rows, the
+    # 5-row totals agg, and the pass-2 (type, vbucket) selection
+    # window on only the median buckets' rows; both event-scale
+    # joins (bucket filter, totals) must broadcast. Two scans —
+    # the declared two-pass trade; the flat key's whole-type sort
+    # never appears.
 }
 
 

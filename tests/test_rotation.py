@@ -90,16 +90,18 @@ REFRESH: set[str] = {
 #: right after the window, so they lead the next round's rotation).
 #: Round 14 promoted the thirteen round-13 DEFERRED keys into window
 #: positions 0-12 and filled slots 13-49 with the 37 REFRESH refills.
-#: The two keys registered mid-round-14 (analytics20.py, skew
-#: families 8/9) defer to the round-15 window; both carry judge-grade
+#: The keys registered mid-round-14 (analytics20/21.py, skew
+#: families 8-10) defer to the round-15 window; all carry judge-grade
 #: evidence meanwhile: exact vs the SHARED flat oracles at
-#: sf0.001/0.01/0.1 (driver_sim), crafted seam tests + a brute-force
-#: hypothesis property (tests/test_pairs_ema_twostage.py), pinned
-#: plan budgets (R14_PLAN_BUDGET), and zipf-probe rows in
+#: sf0.001/0.01/0.1 (driver_sim), crafted seam tests + brute-force
+#: hypothesis properties (tests/test_pairs_ema_twostage.py,
+#: tests/test_weighted_median_twostage.py), pinned plan budgets
+#: (R14_PLAN_BUDGET), and zipf-probe rows (families 8/9) in
 #: scripts/zipf_window_results.json.
 DEFERRED: set[str] = {
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
+    "agg_weighted_median_twostage",
 }
 
 
