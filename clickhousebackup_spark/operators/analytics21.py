@@ -1,5 +1,6 @@
-"""Round-14 skew-playbook family TEN: exact WEIGHTED order statistics
-under a low-cardinality group key.
+"""Round-14 skew-playbook families TEN and ELEVEN: exact weighted
+order statistics and the percent_rank pair under low-cardinality
+group keys.
 
 ``agg_weighted_median`` (stats.py — ClickHouse quantileExactWeighted)
 computes its cumulative-weight window partitioned by the bare 5-value
@@ -37,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhousebackup_spark.operators.reshape import PERCENT_RANK_ORACLE
 from clickhousebackup_spark.operators.stats import WEIGHTED_MEDIAN_ORACLE
 from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table
@@ -104,4 +106,82 @@ def agg_weighted_median_twostage(
     )
     return inside.groupBy("event_type").agg(
         F.min("value").alias("wmedian")
+    )
+
+
+@register(
+    "win_percent_rank_twostage",
+    oracle=PERCENT_RANK_ORACLE,
+    doc="Skew-immune percent_rank + cume_dist over orders — family "
+    "ELEVEN, the rank decomposition transplanted to the "
+    "percent_rank pair and the 3-value o_orderstatus key, "
+    "value-identical to win_percent_rank (SHARED "
+    "reshape.PERCENT_RANK_ORACLE). The flat window orders by "
+    "(o_totalprice, o_orderkey) — a UNIQUE total order, so both "
+    "functions degenerate to row-position arithmetic (no peer "
+    "groups: every row is its own peer). Stage 1: row_number inside "
+    "(status, price-kilobucket) under the same order; stage 2: "
+    "ascending count offsets + per-status totals over the "
+    "bucket-summary rows; fold: global position rn = offset + "
+    "rn_loc, percent_rank = (rn-1)/(n-1), cume = rn/n — the same "
+    "two-BIGINT double divisions the engine-native functions "
+    "perform, so outputs hash raw (single-row partitions guard the "
+    "n=1 zero denominator to 0.0, engine-native semantics). The "
+    "flat key's whole-status sort (n/3 rows per task at ANY scale) "
+    "never appears; the only order-scale window keys "
+    "(status, kilobucket).",
+)
+def win_percent_rank_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.floor(F.col("o_totalprice") / F.lit(1000.0))).cast("long").alias(
+            "kb"
+        ),
+    )
+
+    # Stage 1: local position inside (status, kilobucket) under the
+    # unique (price, orderkey) total order — no peer machinery
+    # needed, the order key is unique.
+    wloc = Window.partitionBy("o_orderstatus", "kb").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    local = o.withColumn("rn_loc", F.row_number().over(wloc))
+
+    # Stage 2: ascending count offsets + per-status totals over the
+    # bucket summaries (~bounded by the price domain / 1000).
+    counts = local.groupBy("o_orderstatus", "kb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wseam = Window.partitionBy("o_orderstatus").orderBy("kb")
+    wstat = Window.partitionBy("o_orderstatus")
+    offsets = counts.select(
+        "o_orderstatus",
+        "kb",
+        F.coalesce(
+            F.sum("cnt").over(
+                wseam.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(wstat).alias("n_stat"),
+    )
+
+    folded = local.join(offsets, ["o_orderstatus", "kb"])
+    rank = F.col("offset") + F.col("rn_loc")  # global position
+    peers = rank  # unique order: every row is its own peer group
+    n = F.col("n_stat")
+    return folded.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(
+            n > 1, (rank - 1).cast("double") / (n - 1).cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (peers.cast("double") / n.cast("double")).alias("cume"),
     )

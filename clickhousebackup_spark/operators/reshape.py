@@ -109,16 +109,21 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_percent_rank",
-    oracle="""
+#: Shared by win_percent_rank and its skew-immune two-stage sibling
+#: (analytics21.py) — the one-oracle-per-family convention.
+PERCENT_RANK_ORACLE = """
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                PERCENT_RANK() OVER w AS pct_rank,
                CUME_DIST() OVER w AS cume
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice, o_orderkey)
-    """,
+"""
+
+
+@register(
+    "win_percent_rank",
+    oracle=PERCENT_RANK_ORACLE,
     doc="percent_rank ((rank-1)/(n-1)) and cume_dist — exact rational "
     "doubles, identical in both engines.",
 )

@@ -196,6 +196,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
     "agg_weighted_median_twostage",
+    "win_percent_rank_twostage",
 )
 
 

@@ -178,7 +178,13 @@ LOWCARD_WINDOW_ALLOWED: dict[str, int] = {
     "win_ratio_to_report": 1,         # summary-ish: type-total share;
     #                                   groupBy-sum + broadcast is the
     #                                   trivial scale rewrite
-    "win_percent_rank": 1,            # rank
+    "win_percent_rank": 1,            # rank — HAS the two-stage
+    #                                   sibling (family eleven)
+    "win_percent_rank_twostage": 2,   # summary: the per-status
+    #                                   offset/total windows over
+    #                                   <= ~600 kilobucket-summary
+    #                                   rows; the order-scale window
+    #                                   keys (status, kilobucket)
     "agg_percentile_exact": 2,        # rank — HAS the two-stage
     #                                   sibling (family six)
     "agg_percentile_approx": 2,       # rank: count-only window; the

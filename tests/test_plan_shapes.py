@@ -1191,6 +1191,12 @@ R14_PLAN_BUDGET = {
     # join broadcast at fixture scale), and the final <=K-row
     # per-user fold agg. The flat key's bare-user rank window (the
     # measured ~x8 max-task shape) never appears.
+    "win_percent_rank_twostage": (3, 1, False),  # family eleven:
+    # the (status, kilobucket) local position exchange (reused by
+    # the bucket-count agg) + the per-status offset/total windows
+    # over <= ~600 bucket-summary rows + the fold join back on the
+    # stage-1 keys (broadcast at fixture scale). The flat key's
+    # whole-status sort never appears.
     "agg_weighted_median_twostage": (6, 2, False),  # family ten:
     # the pass-1 (type, vbucket) weight-histogram exchange + its
     # bounded per-type cumulative window over histogram rows, the

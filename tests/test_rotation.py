@@ -102,6 +102,7 @@ DEFERRED: set[str] = {
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
     "agg_weighted_median_twostage",
+    "win_percent_rank_twostage",
 }
 
 
