@@ -120,14 +120,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 13 (union of CORRECTNESS_r01-r13, all thirteen rounds
+#: after round 14 (union of CORRECTNESS_r01-r14, all fourteen rounds
 #: green): every registered oracled key carries a green driver row
-#: except the 13 round-13 additions that overflowed the round-13
+#: except the 4 round-14 additions that overflowed the round-14
 #: window (declared DEFERRED there; judge-verified exact at three
-#: scales plus the sf1 arm meanwhile, PLANS_r13 / VERDICT round 13).
-#: The round-14 window below is that 13-key DEFERRED queue, followed
-#: by 37 regression REFRESH refills — the stalest green keys in the
-#: registry (latest driver row = CORRECTNESS_r04/r05), chosen so the
+#: scales plus the sf1 arm meanwhile, PLANS_r14 / VERDICT round 14).
+#: The round-15 window below is that 4-key DEFERRED queue, followed
+#: by 46 regression REFRESH refills — the stalest green keys in the
+#: registry (latest driver row = CORRECTNESS_r05), chosen so the
 #: oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
@@ -135,68 +135,62 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-14 window positions 0-12: the thirteen round-13
-    # additions (skew-playbook families 4-7 + exactness anchors)
-    # declared DEFERRED last round; now getting driver rows --
-    "q1_pricing_summary_grid",
-    "path_transitions_twostage",
-    "win_running_sum_twostage",
-    "topk_per_group_twostage",
-    "win_rank_dense_twostage",
-    "agg_percentile_exact_twostage",
-    "win_sliding_avg_twostage",
-    "stats_moments_grid",
-    "win_sliding_avg_adaptive",
-    "curation_percentile_gate_twostage",
-    "win_ntile_firstlast_twostage",
-    "win_cume_dist_nth_twostage",
-    "ts_nonneg_derivative_twostage",
-    # -- 37 regression REFRESH refills (window slots 13-49): stalest
-    # green keys (latest driver row = r4/r5), emitted by
-    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
-    "audio_fft_dominant",
-    "backup_verify_integrity",
-    "compaction_plan",
-    "corpus_mix_plan",
-    "date_fill_forward",
-    "date_fill_interpolate",
-    "dedup_passage",
-    "dedup_url_normalize",
-    "dict_encode_lowcard",
-    "encode_funcs",
-    "events_anomaly_zscore",
-    "geo_geohash",
-    "graph_pagerank",
-    "image_channel_stats",
-    "ip_funcs",
-    "join_null_safe",
-    "merge_aggregating_shards",
-    "merge_collapsing_final",
-    "multimodal_decode_stats",
-    "mv_incremental_refresh",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "quality_linear_score",
-    "rollup_time_hierarchy",
-    "sequence_count_pairs",
-    "sim_knn_join",
-    "sink_bucketed_sorted",
-    "sink_jdbc_roundtrip",
-    "sink_orc_roundtrip",
-    "skyline_orders",
-    "stats_cramers_v",
-    "stats_mannwhitney_u",
-    "stats_welch_ttest",
-    "text_chunk_passages",
-    "text_rarity_score",
-    "text_top_terms",
-    "topic_roundtrip",
-    # -- past slot 49: mid-round-14 additions, DEFERRED to the
-    # round-15 window (tests/test_rotation.py DEFERRED) --
+    # -- round-15 window positions 0-3: the four round-14 additions
+    # (skew-playbook families 8-11) declared DEFERRED last round;
+    # now getting driver rows --
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
     "agg_weighted_median_twostage",
     "win_percent_rank_twostage",
+    # -- 46 regression REFRESH refills (window slots 4-49): stalest
+    # green keys (latest driver row = r5), emitted by
+    # scripts/make_rotation.py; see tests/test_rotation.py REFRESH --
+    "agg_argminmax",
+    "agg_delta_sum",
+    "agg_gini_diversity",
+    "agg_group_concat",
+    "agg_sum_map",
+    "agg_weighted_median",
+    "array_cumsum",
+    "array_difference",
+    "array_enumerate_uniq",
+    "array_join_parallel",
+    "backup_incremental_roundtrip",
+    "bpe_merge_candidates",
+    "cdc_apply_changelog",
+    "corpus_split_train_eval",
+    "date_bucket_custom",
+    "dedup_fuzzy_blocked",
+    "dedup_semantic",
+    "dict_get_join",
+    "dict_hierarchy_flatten",
+    "explode_outer_empty",
+    "funnel_steps_windowed",
+    "geo_cell_radius_join",
+    "intervals_max_concurrent",
+    "join_any_left",
+    "join_asof_tolerance",
+    "limit_by",
+    "merge_replacing_final",
+    "merge_summing_final",
+    "merge_upsert_cow",
+    "merge_versioned_collapsing",
+    "mutation_delete_update",
+    "orders_pareto_8020",
+    "part_fuzzy_levenshtein",
+    "scan_parquet",
+    "scan_projected",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_csv_roundtrip",
+    "stats_linregress",
+    "str_keyvalue_parse",
+    "table_column_stats",
+    "url_funcs",
+    "user_active_streaks",
+    "win_cume_dist_nth",
+    "win_moving_median",
+    "zorder_layout",
 )
 
 

@@ -46,64 +46,62 @@ RECHECK: set[str] = set()
 #: bound. This is the 37-key list emitted by scripts/make_rotation.py
 #: for round 14 (stalest greens: latest driver row = r4/r5).
 REFRESH: set[str] = {
-    "audio_fft_dominant",
-    "backup_verify_integrity",
-    "compaction_plan",
-    "corpus_mix_plan",
-    "date_fill_forward",
-    "date_fill_interpolate",
-    "dedup_passage",
-    "dedup_url_normalize",
-    "dict_encode_lowcard",
-    "encode_funcs",
-    "events_anomaly_zscore",
-    "geo_geohash",
-    "graph_pagerank",
-    "image_channel_stats",
-    "ip_funcs",
-    "join_null_safe",
-    "merge_aggregating_shards",
-    "merge_collapsing_final",
-    "multimodal_decode_stats",
-    "mv_incremental_refresh",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "quality_linear_score",
-    "rollup_time_hierarchy",
-    "sequence_count_pairs",
-    "sim_knn_join",
-    "sink_bucketed_sorted",
-    "sink_jdbc_roundtrip",
-    "sink_orc_roundtrip",
-    "skyline_orders",
-    "stats_cramers_v",
-    "stats_mannwhitney_u",
-    "stats_welch_ttest",
-    "text_chunk_passages",
-    "text_rarity_score",
-    "text_top_terms",
-    "topic_roundtrip",
+    "agg_argminmax",
+    "agg_delta_sum",
+    "agg_gini_diversity",
+    "agg_group_concat",
+    "agg_sum_map",
+    "agg_weighted_median",
+    "array_cumsum",
+    "array_difference",
+    "array_enumerate_uniq",
+    "array_join_parallel",
+    "backup_incremental_roundtrip",
+    "bpe_merge_candidates",
+    "cdc_apply_changelog",
+    "corpus_split_train_eval",
+    "date_bucket_custom",
+    "dedup_fuzzy_blocked",
+    "dedup_semantic",
+    "dict_get_join",
+    "dict_hierarchy_flatten",
+    "explode_outer_empty",
+    "funnel_steps_windowed",
+    "geo_cell_radius_join",
+    "intervals_max_concurrent",
+    "join_any_left",
+    "join_asof_tolerance",
+    "limit_by",
+    "merge_replacing_final",
+    "merge_summing_final",
+    "merge_upsert_cow",
+    "merge_versioned_collapsing",
+    "mutation_delete_update",
+    "orders_pareto_8020",
+    "part_fuzzy_levenshtein",
+    "scan_parquet",
+    "scan_projected",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_csv_roundtrip",
+    "stats_linregress",
+    "str_keyvalue_parse",
+    "table_column_stats",
+    "url_funcs",
+    "user_active_streaks",
+    "win_cume_dist_nth",
+    "win_moving_median",
+    "zorder_layout",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 14 promoted the thirteen round-13 DEFERRED keys into window
-#: positions 0-12 and filled slots 13-49 with the 37 REFRESH refills.
-#: The keys registered mid-round-14 (analytics20/21.py, skew
-#: families 8-10) defer to the round-15 window; all carry judge-grade
-#: evidence meanwhile: exact vs the SHARED flat oracles at
-#: sf0.001/0.01/0.1 (driver_sim), crafted seam tests + brute-force
-#: hypothesis properties (tests/test_pairs_ema_twostage.py,
-#: tests/test_weighted_median_twostage.py), pinned plan budgets
-#: (R14_PLAN_BUDGET), and zipf-probe rows (families 8/9) in
-#: scripts/zipf_window_results.json.
-DEFERRED: set[str] = {
-    "sequence_count_pairs_twostage",
-    "agg_ema_twostage",
-    "agg_weighted_median_twostage",
-    "win_percent_rank_twostage",
-}
+#: Round 15 promoted the four round-14 DEFERRED keys into window
+#: positions 0-3 and filled slots 4-49 with the 46 REFRESH refills
+#: (stalest greens, latest driver row = r5). Empty unless keys are
+#: registered mid-round after the window is frozen.
+DEFERRED: set[str] = set()
 
 
 def _latest_driver_rows() -> dict[str, dict]:
