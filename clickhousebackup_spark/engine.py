@@ -260,14 +260,25 @@ class BackupEngine:
         footer reads — one small metadata read per snapshot, no Spark
         job; at catalog scale this is the cheap gate that keeps the
         restore plan O(1) deep. Any unreadable/ambiguous layout
-        returns False (fall back to the always-correct union ladder).
+        returns False (fall back to the always-correct union ladder) —
+        including pyarrow itself being absent (no pinned manifest).
         """
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return False
 
         def footer_schema(path):
             if os.path.isdir(path):
                 for e in sorted(os.scandir(path), key=lambda e: e.name):
-                    if e.is_file() and e.name.endswith(".parquet"):
+                    # skip dot/underscore entries (_SUCCESS, staging
+                    # temps): Spark's reader ignores them, so the gate
+                    # must read the same files Spark will.
+                    if (
+                        e.is_file()
+                        and e.name.endswith(".parquet")
+                        and not e.name.startswith((".", "_"))
+                    ):
                         return pq.ParquetFile(e.path).schema_arrow
                 return None
             return pq.ParquetFile(path).schema_arrow

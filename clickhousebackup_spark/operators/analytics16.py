@@ -269,6 +269,10 @@ def funnel_steps_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: wins on BOTH wall and max-task; below it the flat plan's single
 #: exchange is cheaper (the probe's uniform arms: flat 3.96 s vs
 #: two-stage 6.98 s). 5% sits well inside both measured regimes.
+#: Near-threshold caveat: past _PROBE_ROWS_CAP the probe's stride
+#: sampling can understate a hot user whose rows cluster in unsampled
+#: row groups, so a dataset sitting right at 5% may be misdispatched —
+#: both branches are oracle-identical, so the cost is wall time only.
 ADAPTIVE_HOT_SHARE = 0.05
 
 #: Memoized hot-share probe results, keyed by the events table's file
@@ -436,8 +440,10 @@ def _events_hot_share(spark: SparkSession, sf_dir: str):
 def sessionize_gap_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.operators.analytics5 import sessionize_gap
 
-    hot, total = _events_hot_share(spark, sf_dir)
-    skewed = total > 0 and hot / total > ADAPTIVE_HOT_SHARE
+    # (hot, basis): hot-in-sample over sampled-row basis once the
+    # table exceeds the probe cap — an estimate, not (hot, total).
+    hot, basis = _events_hot_share(spark, sf_dir)
+    skewed = basis > 0 and hot / basis > ADAPTIVE_HOT_SHARE
     branch = sessionize_gap_twostage if skewed else sessionize_gap
     return branch(spark, sf_dir)
 

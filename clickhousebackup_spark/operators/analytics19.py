@@ -275,7 +275,9 @@ def win_sliding_avg_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from clickhousebackup_spark.operators.windows import win_sliding_avg
 
-    hot, total = _events_hot_share(spark, sf_dir)
-    skewed = total > 0 and hot / total > ADAPTIVE_HOT_SHARE
+    # (hot, basis): hot-in-sample over sampled-row basis once the
+    # table exceeds the probe cap — an estimate, not (hot, total).
+    hot, basis = _events_hot_share(spark, sf_dir)
+    skewed = basis > 0 and hot / basis > ADAPTIVE_HOT_SHARE
     branch = win_sliding_avg_twostage if skewed else win_sliding_avg
     return branch(spark, sf_dir)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clickhousebackup_spark.exprs import exact_floor_decimal
 from clickhousebackup_spark.operators.reshape import PERCENT_RANK_ORACLE
 from clickhousebackup_spark.operators.stats import WEIGHTED_MEDIAN_ORACLE
 from clickhousebackup_spark.registry import register
@@ -69,7 +70,16 @@ def agg_weighted_median_twostage(
         "value",
         "event_id",
         (F.col("user_id") % 5 + 1).cast("long").alias("w"),
-    ).withColumn("vbucket", F.floor("value").cast("long"))
+    ).withColumn(
+        # exact_floor_decimal, not floor().cast(long): LONG floor
+        # silently wraps past |value| ~ 9.2e18 (non-ANSI), breaking
+        # bucket monotonicity and thus median selection; the decimal
+        # form stays monotone over the full double range. NON-NULL
+        # assumption (as documented on analytics18's family): a NULL
+        # value would bucket NULLS FIRST here vs NULLS LAST in DuckDB.
+        "vbucket",
+        exact_floor_decimal(F.col("value")),
+    )
 
     # Pass 1: weight histogram per (type, value-bucket); the only
     # event-scale exchange, map-side combined.

@@ -314,12 +314,38 @@ class KafkaPythonFeed:
                 .save()
             )
         except Exception as e:
+            # Classify by Spark error class first (stable across
+            # versions/locales), falling back to the message substring
+            # only for error-class-less exceptions (old Spark, raw
+            # java ClassNotFoundException surfaced through py4j).
+            error_class = None
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                try:
+                    error_class = get_cls()
+                except Exception:
+                    error_class = None
+            try:
+                from pyspark.errors import AnalysisException
+            except Exception:  # very old Spark layout
+                from pyspark.sql.utils import AnalysisException
             msg = str(e)
-            if "kafka" in msg.lower() and (
-                "Failed to find data source" in msg
-                or "ClassNotFound" in msg
-                or "DATA_SOURCE_NOT_FOUND" in msg
-            ):
+            missing_source = error_class == "DATA_SOURCE_NOT_FOUND" or (
+                # fallback for Spark versions whose lookup failure
+                # carries a legacy/absent error class (4.x raises
+                # AnalysisException with a _LEGACY_ERROR_TEMP class);
+                # restrict the substring match to resolution-time
+                # AnalysisException so runtime kafka errors that merely
+                # mention these words are never misrouted
+                isinstance(e, AnalysisException)
+                and "kafka" in msg.lower()
+                and (
+                    "Failed to find data source" in msg
+                    or "ClassNotFound" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                )
+            )
+            if missing_source:
                 raise ConnectorUnavailable(
                     "spark-sql-kafka-0-10 connector jar not on the "
                     "classpath; launch with --packages org.apache."
