@@ -472,7 +472,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan: rare-gram prefixes keep candidate buckets small because "
     "frequent grams never enter the index.",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, probe_mod: int | None = None
+) -> DataFrame:
+    """``probe_mod`` (keyword, calibration callers only — the registry
+    always calls with 2 args): restrict the pair A-SIDE to
+    ``a_id % probe_mod == 0`` INSIDE the prefix join, so the candidate
+    count (and the exact verify) drops by ~probe_mod× while every
+    emitted pair is byte-identical to the full result's pair for that
+    a_id. sketch_recall_probe uses this to bound its exact pair truth
+    at clone-arm scale; the registered key itself never slices."""
     t = 0.8
     d = parallelize(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), r"\s+")
@@ -516,8 +525,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate rows BEFORE the distinct and the array verify, it
     # removes the size-mismatched bulk of each prefix bucket for the
     # cost of one comparison per candidate row.
+    prefix_a = prefix
+    if probe_mod is not None:
+        # calibration probe slice: shrink only the a-side; the b-side
+        # stays full so kept pairs keep their exact full-result values
+        prefix_a = prefix.filter(F.col("doc_id") % probe_mod == 0)
     cand = (
-        prefix.alias("pa")
+        prefix_a.alias("pa")
         .join(prefix.alias("pb"), "gram")
         .filter(
             (F.col("pa.doc_id") < F.col("pb.doc_id"))

@@ -42,6 +42,18 @@ from clickhousebackup_spark.registry import register
 #: so every tripwire stays meaningful.
 RECALL_FLOOR = {"ivf": 0.8, "lsh": 0.15, "minhash": 0.9, "simhash": 0.4}
 
+#: Exact-truth scale cap: above this many document rows (footer
+#: metadata count, no Spark job) the bigram-Jaccard pair truth is
+#: computed only for pairs whose a_id % RECALL_PROBE_MOD == 0 — a
+#: deterministic 1-in-13 probe slice of the quadratic-by-nature
+#: ground truth. Sliced truth pairs keep their exact full-result
+#: values (the slice shrinks the prefix join's A-SIDE only), so the
+#: minhash/simhash rows become sliced-estimate recalls; the ANN rows
+#: (single-query, linear) never slice. Every driver/test scale
+#: (≤ 5000 documents) sits below the cap.
+RECALL_TRUTH_DOCS_CAP = 10_000
+RECALL_PROBE_MOD = 13
+
 
 def _recall_row(
     method: str, approx_ids: DataFrame, truth_ids: DataFrame
@@ -75,7 +87,13 @@ def _recall_row(
     "floor, so a recall regression in ANY of the four sketches removes "
     "a row and the driver's rows-only check (expected 4) catches it. "
     "The sketch keys themselves are exact-hash-checked since r9; this "
-    "probe remains the QUALITY gate (recall, not parity).",
+    "probe remains the QUALITY gate (recall, not parity). "
+    "CALIBRATION-ONLY at scale — the exact bigram-Jaccard pair truth "
+    "is O(n^2/buckets) by nature: past RECALL_TRUTH_DOCS_CAP document "
+    "rows the truth self-bounds to pairs whose a_id lands on the "
+    "deterministic 1-in-RECALL_PROBE_MOD slice (sliced pairs keep "
+    "their exact full-result values; pair recall is then the sliced "
+    "estimate). Full-fidelity at every driver/test scale.",
 )
 def sketch_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.extensions.dedup import (
@@ -88,12 +106,19 @@ def sketch_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_ivf,
         sim_topk_lsh,
     )
+    from clickhousebackup_spark.tables import table_rows_metadata
 
     sim_truth = (
         sim_topk_cosine(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
     )
+    n_docs = table_rows_metadata(sf_dir, "documents")
+    probe_mod = (
+        RECALL_PROBE_MOD
+        if n_docs is not None and n_docs > RECALL_TRUTH_DOCS_CAP
+        else None
+    )
     pair_truth = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        dedup_ngram_jaccard(spark, sf_dir, probe_mod=probe_mod)
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )

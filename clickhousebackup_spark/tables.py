@@ -53,6 +53,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows_metadata(sf_dir: str, name: str) -> int | None:
+    """Row count of one fixture table from parquet FOOTER metadata —
+    driver-side pyarrow, no Spark job, directory-aware (skips
+    dot/underscore entries Spark's reader ignores). Returns None when
+    the count cannot be established (missing pyarrow, unreadable
+    layout); callers use it only for scale-dispatch decisions (e.g.
+    exact-baseline probe caps), so None must mean "take the exact
+    path", never an error. Same plan-construction-side-effect-free
+    discipline as analytics16's adaptive hot-share probe.
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = [
+                e.path
+                for e in os.scandir(path)
+                if e.is_file()
+                and e.name.endswith(".parquet")
+                and not e.name.startswith((".", "_"))
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure a scan fans out to the full core count.
 
