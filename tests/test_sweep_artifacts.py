@@ -133,7 +133,10 @@ def test_sweep_artifacts_are_honest():
                 # keys enumerated here: the slice restricts the
                 # probe/query side, so compared rows equal the full
                 # result's rows for those queries; the status line
-                # must carry the full engine row count for accounting.
+                # must carry a row-accounting field (engine_full_rows=
+                # in pre-r15 artifacts; sliced_rows= once the keys
+                # self-bound past their scale caps and the full count
+                # would re-run the whole plan just for accounting).
                 assert "slice" in name or "probe" in name, (
                     f"{name}: {k} = {status} — bounded-slice rows are "
                     f"never acceptable in a driver-gate sweep artifact"
@@ -142,9 +145,12 @@ def test_sweep_artifacts_are_honest():
                     f"{name}: {k} uses a bounded-slice compare but is "
                     f"not enumerated in BOUNDED_SLICE_KEYS"
                 )
-                assert "engine_full_rows=" in status, (
+                assert (
+                    "engine_full_rows=" in status
+                    or "sliced_rows=" in status
+                ), (
                     f"{name}: {k} bounded-slice status lacks the "
-                    f"full-row accounting field"
+                    f"row-accounting field"
                 )
             if status.startswith("excluded"):
                 # A compare that is INFEASIBLE on this box (oracle
