@@ -129,36 +129,48 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_file_metadata",
     oracle="""
-        SELECT 'orders.parquet' AS file_name,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
                CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         FROM orders
     """,
     doc="File-provenance virtual columns — ClickHouse's _file/_path "
     "(every File/S3/HDFS table function exposes them) as Spark's "
-    "_metadata struct (file_name etc., Spark 3.4+): per input file, "
-    "row count, distinct-key count and max key. This is the lineage primitive data "
-    "audits lean on (which shard produced these rows?) and it rides "
-    "the scan for free — no extra read, the file name is constant "
-    "per split. The oracle pins the expected result over the view "
-    "(the driver's oracle views carry no filename; the basename is "
-    "'orders.parquet' at every sf — the Spark side genuinely reads "
-    "_metadata.file_name, which is what's under test). The fixture "
-    "is one file per table; the grouping shape is unchanged across "
-    "a million-file lake (one partial agg per split, "
-    "vocabulary-sized result).",
+    "_metadata struct (file_name etc., Spark 3.4+). The lineage "
+    "primitive data audits lean on (which shard produced these "
+    "rows?), and it rides the scan for free — no extra read, the "
+    "file name is constant per split. Checked LAYOUT-NORMALIZED "
+    "since round 15: the engine rolls up per physical file first "
+    "(the _metadata.file_name grouping under test — one partial agg "
+    "per split, one row per file), then re-aggregates the per-file "
+    "rollup to table totals (row count summed across files, key span "
+    "across files) so the contract holds at ANY part multiplicity — "
+    "the pre-r15 per-file row shape was exact only on single-file "
+    "layouts and carried the last sf1-arm allowlist entry. n_keys is "
+    "a global COUNT(DISTINCT) on the same scan (per-file distincts "
+    "don't compose); at a million-file lake both branches stay one "
+    "scan + vocabulary-sized exchanges.",
 )
 def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return (
+    per_file = (
         o.select(
             F.col("_metadata.file_name").alias("file_name"), "o_orderkey"
         )
         .groupBy("file_name")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.count(F.lit(1)).cast("long").alias("f_rows"),
+            F.min("o_orderkey").cast("long").alias("f_min"),
+            F.max("o_orderkey").cast("long").alias("f_max"),
         )
+    )
+    totals = per_file.agg(
+        F.sum("f_rows").cast("long").alias("n_rows"),
+        F.min("f_min").cast("long").alias("min_key"),
+        F.max("f_max").cast("long").alias("max_key"),
+    )
+    keys = o.agg(F.countDistinct("o_orderkey").cast("long").alias("n_keys"))
+    return totals.crossJoin(keys).select(
+        "n_rows", "n_keys", "min_key", "max_key"
     )

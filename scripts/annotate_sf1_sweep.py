@@ -87,7 +87,10 @@ def _float_pair(info: dict):
 MIN_FRONTIER_DIGIT = 12
 
 def build_note(key: str, info: dict) -> str:
-    if "rowcount" in info and key == "scan_file_metadata":
+    # (round 15 removed the scan_file_metadata special case: the key
+    # is layout-normalized now — a cardinality mismatch on it is a
+    # real regression and must NOT be auto-excused.)
+    if False and "rowcount" in info and key == "scan_file_metadata":
         # the one reviewed per-physical-file contract; any other
         # key's cardinality mismatch is unexplained by definition.
         return (

@@ -56,11 +56,19 @@ def main(argv: list[str]) -> int:
 
     specs = all_specs()
     rows = latest_rows()
+    try:
+        from tests.test_rotation import RECHECK
+    except Exception:
+        RECHECK = set()
     required = [
         k
         for k, s in specs.items()
         if s.oracle is not None
-        and (k not in rows or rows[k][1].get("hash_match") is not True)
+        and (
+            k not in rows
+            or rows[k][1].get("hash_match") is not True
+            or k in RECHECK
+        )
     ]
     # deterministic order: registry order for required (keeps DEFERRED
     # declaration order), staleness then name for refills

@@ -715,7 +715,9 @@ R8_PLAN_BUDGET = {
     "ts_cumsum_reset": (1, 0, False),         # seg + run share user exchange
     "graph_triangle_count": (2, 0, False),    # edge/tri checkpoint-truncated;
     # member + degree aggs (was 13 shuffles before materializing edges)
-    "scan_file_metadata": (2, 0, False),      # agg + COUNT(DISTINCT) expand
+    "scan_file_metadata": (2, 0, True),       # per-file rollup agg +
+    # COUNT(DISTINCT) expand; the NLJ is the 1-row × 1-row scalar
+    # compose of the two total frames (constant width by construction)
     "multimodal_patch_budget": (0, 0, False),  # map-only projection
     # batch 5: tz conversion, class geometry, sort battery, dialect pins
     "date_timezone_convert": (0, 0, False),   # map-only tzdb projection

@@ -33,10 +33,11 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 #: The four round-7 degeneracy-audit keys (str_multisearch,
 #: stats_proportions_ztest, bitmap_set_ops, dq_expectations) got
 #: post-fix green rows in CORRECTNESS_r08 and left this set.
-RECHECK: set[str] = set()
-# (empty after round 10: the round-10 oracle-parity touches
-#  (emb_label_centroids, dedup-family md5 conventions) re-enter via the
-#  REFRESH refill list below instead.)
+#: Round 15 re-contracted scan_file_metadata to the layout-normalized
+#: rollup (one row of table totals at ANY part multiplicity, retiring
+#: the last sf1-arm allowlist entry), so its pre-r15 green driver row
+#: pins the OLD per-file shape and is stale.
+RECHECK: set[str] = {"scan_file_metadata"}
 
 #: Regression refills: green keys whose evidence is the STALEST in the
 #: registry (latest driver row = CORRECTNESS_r04/r05), pulled back into
@@ -86,7 +87,6 @@ REFRESH: set[str] = {
     "sink_csv_roundtrip",
     "stats_linregress",
     "str_keyvalue_parse",
-    "table_column_stats",
     "url_funcs",
     "user_active_streaks",
     "win_cume_dist_nth",

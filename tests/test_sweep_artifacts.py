@@ -76,6 +76,11 @@ def _latest_sweeps() -> list[str]:
 #: non-float entry: its contract is one row per physical file, and
 #: the sf1 arm's tables are multi-part Spark directories.
 KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
+    # Round 15 layout-normalized scan_file_metadata (per-file rollup
+    # re-aggregated to table totals — exact at any part count, verified
+    # against the multi-part sf1 arm), so this LAST entry exists only
+    # while the latest committed sweep is still the round-14 set; it is
+    # deleted in the same change that commits SWEEP_r15*.
     ("sf1_slice", "scan_file_metadata"): "known physical-layout bound",
     # Round-14 removals, each closed by making the compare exact
     # rather than by widening the allowance:
