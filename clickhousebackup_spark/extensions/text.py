@@ -171,17 +171,36 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
-    oracle=None,  # per-engine hash() primitives differ → rows-only;
-    # determinism of the rolling hash is unit-tested instead.
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(
+                       string_split_regex(lower(text), '\\s+'),
+                       w -> CAST(concat('0x', substr(md5(w), 1, 15))
+                                 AS BIGINT) % 1000000007),
+                   (acc, h) -> (acc * 31 + h) % 1000000007
+               ) AS fingerprint
+        FROM documents
+    """,
     doc="Document fingerprint: rolling hash (base-31 mod 1e9+7) over "
-    "xxhash64 token hashes — order-sensitive near-identity for "
-    "shingle-level dedup.",
+    "per-token hashes — order-sensitive near-identity for "
+    "shingle-level dedup. Token hashes ride the portable "
+    "md5-15-hex-digit grid (text_minhash_export convention, the r9 "
+    "migration that made minhash/simhash exact-checkable) so the "
+    "driver pins actual fingerprint VALUES, not just row counts — "
+    "this closed the key's rows-only debt in round 15. The fold "
+    "starts at 0, so both engines' reduce agrees on non-empty token "
+    "lists (split of any string yields >= 1 token); all arithmetic "
+    "stays < 2^35, far inside exact BIGINT.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
     token_hashes = F.transform(
         F.split(F.lower("text"), r"\s+"),
-        lambda w: (F.xxhash64(w) % 1000000007 + 1000000007) % 1000000007,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 1000000007,
     )
     return d.select(
         "doc_id",

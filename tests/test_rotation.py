@@ -86,7 +86,6 @@ REFRESH: set[str] = {
     "set_intersect_all",
     "sink_csv_roundtrip",
     "stats_linregress",
-    "str_keyvalue_parse",
     "url_funcs",
     "user_active_streaks",
     "win_cume_dist_nth",
