@@ -286,6 +286,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bounded-slice compare spec for the clone arms (driver_sim
+#: BOUNDED_SLICE, same contract as similarity.SIM_KNN_JOIN_BOUNDED):
+#: the registered oracle's truth is an ALL-PAIRS banded join in
+#: DuckDB — O(N^2) comparisons, ~2.5e11 at the sf10 arm's 500k docs —
+#: so arms ≥ sf1 compare the engine's FULL banded output restricted
+#: to pairs whose a_id sits on the deterministic 1-in-97 slice
+#: against the same-sliced oracle (the slice is on the pair join's
+#: a-side, so every compared pair keeps its exact full-result sim).
+#: ``oracle_replace`` is applied to the registered oracle text by
+#: driver_sim, keeping one source of truth for the banded predicate.
+DEDUP_MINHASH_BOUNDED = {
+    "engine_filter": "a_id % 97 = 0",
+    "oracle_replace": (
+        "ON a.doc_id < b.doc_id",
+        "ON a.doc_id < b.doc_id AND a.doc_id % 97 = 0",
+    ),
+    "why": "DuckDB all-pairs banded truth is O(N^2) at clone-arm doc "
+           "counts; 1-in-97 a_id pair slice, exact sims kept",
+}
+
+
 #: Runtime simhash width: 60 bits — the full portable md5-grid hash
 #: width (15 hex chars), split into 4 pigeonhole chunks of 15 bits
 #: (any pair with Hamming ≤ 3 shares at least one chunk).

@@ -74,6 +74,13 @@ def build(base_sf: str, out_dir: str) -> None:
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cbs_sf1_arm"
+    # --copies=N builds a larger clone arm with the same construction
+    # (round 15 uses --copies=100 from sf0.1 for the sf10 arm: 60M
+    # lineitem / 10M events; key blocks stay disjoint since
+    # 100 * BLOCK = 1e10 << int64).
+    for a in sys.argv[2:]:
+        if a.startswith("--copies="):
+            COPIES = int(a.split("=", 1)[1])
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     build(base, out)
     print("arm at", out)

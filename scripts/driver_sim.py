@@ -56,6 +56,9 @@ SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
 #: resulting status only for these enumerated keys. This mechanism
 #: closed the round-13 sf1 exclusions (VERDICT r13 item 6).
 def _bounded_slice() -> dict:
+    from clickhousebackup_spark.extensions.dedup import (
+        DEDUP_MINHASH_BOUNDED,
+    )
     from clickhousebackup_spark.extensions.similarity import (
         SIM_KNN_JOIN_BOUNDED,
     )
@@ -66,6 +69,7 @@ def _bounded_slice() -> dict:
     return {
         "sim_knn_join": SIM_KNN_JOIN_BOUNDED,
         "join_interval_overlap": JOIN_INTERVAL_OVERLAP_BOUNDED,
+        "dedup_minhash": DEDUP_MINHASH_BOUNDED,
     }
 
 
@@ -239,6 +243,12 @@ def main(argv: list[str]) -> int:
             df = spec.fn(spark, SF_DIR)
             if bounded:
                 b = _bounded_slice()[key]
+                if "oracle_sql" not in b:
+                    # entry derives its sliced oracle from the
+                    # registered text (one source of truth)
+                    frm, to = b["oracle_replace"]
+                    assert frm in spec.oracle, key
+                    b = dict(b, oracle_sql=spec.oracle.replace(frm, to))
                 # engine_filter is idempotent when the key self-bounds
                 # past its scale cap (sim_knn_join past
                 # EXACT_KNN_ROWS_CAP computes exactly this slice); no
