@@ -41,8 +41,20 @@ def davg(col: Column | str) -> Column:
 
 
 def osum(sql_expr: str) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    """DuckDB oracle twin of :func:`dsum` — rendered to DOUBLE through
+    a VARCHAR, the same route :func:`ogsum` uses: DuckDB's direct
+    DECIMAL→DOUBLE double-rounds through hugeint limbs once the
+    internal integer passes ~2^53 (measured at the sf10 arm:
+    SUM = 738594256915.000000 exactly, direct cast rendered
+    ...915.0001 — an integer < 2^53 whose double is exact), while
+    DuckDB's decimal→string→strtod is correctly rounded and matches
+    Spark's correctly-rounded DECIMAL→DOUBLE bit for bit. At driver
+    scales the two routes agree (the band starts ~18 significant
+    digits), so every recorded driver hash is unchanged."""
+    return (
+        f"CAST(CAST(SUM(CAST({sql_expr} AS DECIMAL(38,6)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def oavg(sql_expr: str) -> str:
