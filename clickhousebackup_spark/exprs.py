@@ -51,9 +51,12 @@ def osum(sql_expr: str) -> str:
     Spark's correctly-rounded DECIMAL→DOUBLE bit for bit. At driver
     scales the two routes agree (the band starts ~18 significant
     digits), so every recorded driver hash is unchanged."""
+    # STRING, not VARCHAR: some keys parse this same text through
+    # Spark SQL (with_totals, agg_grouping_sets), where bare VARCHAR
+    # needs a length; DuckDB treats STRING as a VARCHAR alias.
     return (
         f"CAST(CAST(SUM(CAST({sql_expr} AS DECIMAL(38,6)))"
-        " AS VARCHAR) AS DOUBLE)"
+        " AS STRING) AS DOUBLE)"
     )
 
 

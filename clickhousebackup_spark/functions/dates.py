@@ -90,7 +90,7 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (epoch_us(ts) // 900000000) * 900
                ) AT TIME ZONE 'UTC' AS bucket_15m,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS total_value
         FROM events
         GROUP BY bucket_15m

@@ -110,7 +110,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_grouped",
     oracle="""
         SELECT user_id,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    / COUNT(value) AS mean_value,
                COUNT(*) AS n_events
         FROM events GROUP BY user_id

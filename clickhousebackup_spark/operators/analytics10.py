@@ -331,7 +331,7 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        / COUNT(*) AS z
             FROM events GROUP BY event_type, day
         ), series AS (

@@ -192,7 +192,7 @@ def seq_rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(dayofweek(ts) AS BIGINT) AS dow,
                CAST(hour(ts) AS BIGINT) AS hr,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    / COUNT(*) AS mean_value
         FROM events
         GROUP BY event_type, dayofweek(ts), hour(ts)

@@ -122,7 +122,7 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH cells AS (
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    CAST(COUNT(*) AS BIGINT) AS x,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS y
             FROM events GROUP BY 1, 2
         ), pairs AS (
             SELECT a.event_type,
@@ -535,11 +535,11 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, measure, val FROM (
             SELECT l_returnflag,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        AS sum_price,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        AS sum_disc
             FROM lineitem_unpv_v GROUP BY l_returnflag
         ) UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))

@@ -218,7 +218,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(date_diff('day', o_orderdate, ref.maxd) // 180, 4)
                     AS BIGINT) AS age_bucket,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS backlog_value
         FROM orders CROSS JOIN ref
         WHERE o_orderstatus <> 'F'

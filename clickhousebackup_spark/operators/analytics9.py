@@ -1951,7 +1951,7 @@ _KAL_Q = 1.0
     oracle=f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        / COUNT(*) AS z
             FROM events GROUP BY event_type, day
         ), series AS (
@@ -2121,7 +2121,7 @@ def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        / COUNT(*) AS z
             FROM events GROUP BY event_type, day
         ), series AS (

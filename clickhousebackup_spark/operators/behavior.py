@@ -651,7 +651,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type, user_id, weight FROM (
             SELECT event_type, user_id,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                        AS weight,
                    ROW_NUMBER() OVER (
                        PARTITION BY event_type

@@ -88,7 +88,7 @@ def merge_collapsing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS total_value,
                MIN(value) AS min_value,
                MAX(value) AS max_value
@@ -129,7 +129,7 @@ def merge_aggregating_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS total_value
         FROM events
         GROUP BY event_type
@@ -267,18 +267,18 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS total_value
         FROM events GROUP BY 2
         UNION ALL
         SELECT 'day', date_trunc('day', ts),
                CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
         FROM events GROUP BY 2
         UNION ALL
         SELECT 'month', date_trunc('month', ts),
                CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
         FROM events GROUP BY 2
     """,
     doc="Hierarchical time rollup (continuous-aggregate / hypertable "
@@ -482,7 +482,7 @@ def merge_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_summing_final",
     oracle="""
         SELECT user_id, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS sum_value,
                CAST(COUNT(*) AS BIGINT) AS n_merged,
                MIN(props) AS any_props
@@ -925,7 +925,7 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, tier, CAST(bucket_us AS BIGINT) AS bucket_us,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS v_sum,
                MIN(value) AS v_min, MAX(value) AS v_max
         FROM tiered GROUP BY event_type, tier, bucket_us
     """,
@@ -1003,7 +1003,7 @@ def merge_graphite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN age_days <= ttl_days THEN 'live'
                     ELSE 'rolled' END AS state,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS v_sum
         FROM cls GROUP BY event_type, day,
               CASE WHEN age_days <= ttl_days THEN 'live' ELSE 'rolled' END
     """,

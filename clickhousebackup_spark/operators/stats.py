@@ -72,11 +72,11 @@ _FLOOR_SUM_SQL = (
             FROM events
         ), m AS (
             SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-                   CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy
+                   CAST(CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS syy
             FROM r GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n,
@@ -273,8 +273,8 @@ def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), m AS (
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(pv AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(pv AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sy,
                    {_FLOOR_SUM_SQL.format(expr='v * pv')} AS sxy,
                    {_FLOOR_SUM_SQL.format(expr='v * v')} AS sxx,
                    {_FLOOR_SUM_SQL.format(expr='pv * pv')} AS syy

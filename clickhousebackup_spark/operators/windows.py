@@ -277,7 +277,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
         ), daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS day_value
             FROM events WHERE user_id % 7 = 0
             GROUP BY user_id, day
         )
@@ -341,7 +341,7 @@ def date_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
         ), daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS day_value
             FROM events WHERE user_id % 7 = 0
             GROUP BY user_id, day
         ), dense AS (
