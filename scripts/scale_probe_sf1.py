@@ -808,6 +808,10 @@ ZIPF_UNGATED_BASELINE = {
     "win_ntile_firstlast",
     "win_cume_dist_nth",
     "ts_nonneg_derivative",
+    # round-15: families 10/11 flat forms (5-type weight histogram /
+    # 3-status percent_rank) — same bounded-domain structural class
+    "agg_weighted_median",
+    "win_percent_rank",
 }
 
 #: Dispatch keys SWITCH plans between the arms (flat on uniform,
@@ -851,6 +855,11 @@ ZIPF_WINDOW_KEYS = (
     "sequence_count_pairs_twostage",
     "agg_ema",
     "agg_ema_twostage",
+    # round-15: families 10/11 (analytics21.py) join the probe
+    "agg_weighted_median",
+    "agg_weighted_median_twostage",
+    "win_percent_rank",
+    "win_percent_rank_twostage",
 )
 
 
