@@ -72,16 +72,12 @@ def _latest_sweeps() -> list[str]:
 #: convention for new keys is the integer floor-grid family
 #: (q1_pricing_summary_grid; stats_moments_grid is the moment
 #: family's anchor — its VARCHAR power sums stay hash-exact on the
-#: same sf1 arm where every allowlisted row below diverges). scan_file_metadata is the one
-#: non-float entry: its contract is one row per physical file, and
-#: the sf1 arm's tables are multi-part Spark directories.
+#: same sf1 arm where every allowlisted row below diverges).
 KNOWN_LIMIT_FAILS: dict[tuple[str, str], str] = {
-    # Round 15 layout-normalized scan_file_metadata (per-file rollup
-    # re-aggregated to table totals — exact at any part count, verified
-    # against the multi-part sf1 arm), so this LAST entry exists only
-    # while the latest committed sweep is still the round-14 set; it is
-    # deleted in the same change that commits SWEEP_r15*.
-    ("sf1_slice", "scan_file_metadata"): "known physical-layout bound",
+    # EMPTY since round 15. The last entry — scan_file_metadata's
+    # per-physical-file cardinality on multi-part arms — was retired
+    # by layout-normalizing the key (per-file rollup re-aggregated to
+    # table totals, exact at any part count; operators/scans.py).
     # Round-14 removals, each closed by making the compare exact
     # rather than by widening the allowance:
     # - the 11 float-frontier moment/t-stat rows (q1_pricing_summary,
