@@ -60,6 +60,8 @@ NLJ_ALLOWED: dict[str, int] = {
     "mv_incremental_refresh": 2,  # 1-row refresh watermarks
     "stream_late_data": 1,       # 1-row watermark anchor
     "backup_retention_plan": 1,  # 1-row policy row
+    "scan_file_metadata": 1,     # 1-row x 1-row totals compose (r15
+    # layout normalization: per-file rollup totals x global distinct)
     "sim_topk_cosine": 1,        # 1-row query vector
     "sim_topk_lsh": 1,           # 1-row query signature
     "sim_topk_ivf": 3,           # 1-row query + 2 probe lists
