@@ -139,7 +139,7 @@ def _main_sharded(argv: list[str], keys: list[str], n: int) -> int:
         print(f"shard {i}: exit {rc} — log {out}.log")
     bad = sorted(
         k for k, v in merged.items()
-        if v["match"] not in ("pass",)
+        if not v["match"].startswith("pass")  # incl. bounded-slice
         and not v["match"].startswith("rows-only")
         and not v["match"].startswith("env-gated")
     )
