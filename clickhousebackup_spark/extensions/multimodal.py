@@ -179,18 +179,73 @@ def fake_features(payload: bytes, n: int = 4) -> list[float]:
     total = float(len(b))
     mean = sum(b) / total
     feats = [total, mean]
-    for p in (2, 3):
-        feats.append(sum((x - mean) ** p for x in b) / total)
+    # explicit products, not **p: x*x is THE correctly-rounded IEEE
+    # product, while pow(x, 2.0) is libm-dependent — and the oracle's
+    # left-fold replication (see the multimodal_features oracle) needs
+    # every elementary op to be the same exact operation in both
+    # engines.
+    feats.append(sum((x - mean) * (x - mean) for x in b) / total)
+    feats.append(
+        sum((x - mean) * (x - mean) * (x - mean) for x in b) / total
+    )
     return feats[:n]
 
 
 @register(
     "multimodal_features",
-    oracle=None,  # Python feature extraction → rows-only; determinism
-    # and batch plumbing are unit-tested.
+    # Exact-checkable since round 15 (was the last non-probe rows-only
+    # key): the deterministic stub's byte moments are replicated in
+    # SQL. The fixture text is pure ASCII at every scale (verified:
+    # octet_length(encode(text)) == length(text)), so payload bytes ==
+    # codepoints and DuckDB's unicode(substr(...)) enumerates them;
+    # f2/f3 are LEFT FOLDS (list_reduce) of the same exact elementary
+    # ops Python's sum() performs left-to-right — identical doubles,
+    # not just close. The REAL decode path stays Python (mapInPandas);
+    # only the stub's arithmetic is SQL-replicable.
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   list_transform(
+                       range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))) AS cs
+            FROM documents
+        ), m AS (
+            SELECT *,
+                   CAST(n_bytes AS DOUBLE) AS total,
+                   CAST(list_reduce(cs, (a, x) -> a + x) AS DOUBLE)
+                       / CAST(n_bytes AS DOUBLE) AS mean
+            FROM b WHERE n_bytes > 0
+        )
+        SELECT doc_id, media_type, n_bytes,
+               total AS f0,
+               mean AS f1,
+               list_reduce(
+                   list_transform(cs,
+                       x -> (CAST(x AS DOUBLE) - mean)
+                          * (CAST(x AS DOUBLE) - mean)),
+                   (a, y) -> a + y) / total AS f2,
+               list_reduce(
+                   list_transform(cs,
+                       x -> (CAST(x AS DOUBLE) - mean)
+                          * (CAST(x AS DOUBLE) - mean)
+                          * (CAST(x AS DOUBLE) - mean)),
+                   (a, y) -> a + y) / total AS f3
+        FROM m
+        UNION ALL
+        SELECT doc_id, media_type, n_bytes,
+               0.0 AS f0, 0.0 AS f1, 0.0 AS f2, 0.0 AS f3
+        FROM b WHERE n_bytes = 0
+    """,
     doc="mapInPandas feature extraction over opaque binary payloads: "
     "Arrow-batched, per-partition, schema-typed — the real plumbing "
-    "with the decode step stubbed deterministically.",
+    "with the decode step stubbed deterministically (byte moments). "
+    "Exact-checked since r15: the stub's moments are left-fold "
+    "replicated in SQL over the ASCII fixture's codepoints, so the "
+    "driver pins the actual Arrow-batch outputs bit-for-bit.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(parallelize(load_table(spark, sf_dir, "documents")))

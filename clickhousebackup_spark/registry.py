@@ -125,32 +125,35 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: except the 4 round-14 additions that overflowed the round-14
 #: window (declared DEFERRED there; judge-verified exact at three
 #: scales plus the sf1 arm meanwhile, PLANS_r14 / VERDICT round 14).
-#: The round-15 window below is that 4-key DEFERRED queue plus the two
-#: round-15 contract upgrades — scan_file_metadata (layout-normalized
-#: rollup; RECHECK, its green row predates the change) and
-#: text_fingerprint (md5-grid migration, rows-only → exact oracle) —
-#: followed by 44 regression REFRESH refills: the stalest green keys
-#: in the registry (latest driver row = CORRECTNESS_r05), chosen so
-#: the oldest evidence gets refreshed.
+#: The round-15 window below is that 4-key DEFERRED queue plus the
+#: three round-15 contract upgrades — scan_file_metadata
+#: (layout-normalized rollup; RECHECK, its green row predates the
+#: change), text_fingerprint (md5-grid migration) and
+#: multimodal_features (left-fold byte-moment oracle), the latter two
+#: rows-only → exact promotions — followed by 43 regression REFRESH
+#: refills: the stalest green keys in the registry (latest driver
+#: row = CORRECTNESS_r05), chosen so the oldest evidence gets
+#: refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-15 window positions 0-5: the four round-14
+    # -- round-15 window positions 0-6: the four round-14
     # additions (skew-playbook families 8-11) declared DEFERRED
-    # last round, plus the two round-15 contract upgrades —
-    # scan_file_metadata (layout-normalized rollup, RECHECK) and
-    # text_fingerprint (md5-grid migration: rows-only -> exact
-    # oracle) --
+    # last round, plus the three round-15 contract upgrades —
+    # scan_file_metadata (layout-normalized rollup, RECHECK),
+    # text_fingerprint and multimodal_features (md5-grid /
+    # left-fold oracle promotions: rows-only -> exact) --
     "sequence_count_pairs_twostage",
     "agg_ema_twostage",
     "agg_weighted_median_twostage",
     "win_percent_rank_twostage",
     "scan_file_metadata",
     "text_fingerprint",
-    # -- 44 regression REFRESH refills (window slots 6-49):
+    "multimodal_features",
+    # -- 43 regression REFRESH refills (window slots 7-49):
     # stalest green keys (latest driver row = r5), emitted by
     # scripts/make_rotation.py; see tests/test_rotation.py --
     "agg_argminmax",
@@ -191,7 +194,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "set_intersect_all",
     "sink_csv_roundtrip",
-    "stats_linregress",
     "url_funcs",
     "user_active_streaks",
     "win_cume_dist_nth",

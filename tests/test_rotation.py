@@ -85,7 +85,6 @@ REFRESH: set[str] = {
     "set_except_all",
     "set_intersect_all",
     "sink_csv_roundtrip",
-    "stats_linregress",
     "url_funcs",
     "user_active_streaks",
     "win_cume_dist_nth",
