@@ -306,6 +306,86 @@ DEDUP_MINHASH_BOUNDED = {
            "counts; 1-in-97 a_id pair slice, exact sims kept",
 }
 
+#: Exact-baseline scale cap shared by the three quadratic-class
+#: document-pair keys (dedup_ngram_jaccard, dedup_containment) and
+#: the embedding-pair key (dedup_embedding_cosine): above this many
+#: rows (footer metadata count, no Spark job — tables.
+#: table_rows_metadata) the key self-bounds to the deterministic
+#: 1-in-DEDUP_PAIR_PROBE_MOD probe slice instead of the full exact
+#: pair set. Every driver/test scale (≤ 5000 documents / ≤ 2000
+#: embeddings at sf0.1) sits far below the cap, so registered-oracle
+#: parity is untouched; the sf1+ clone arms compute exactly the rows
+#: their bounded-slice compares check. The slice filters a PROBE
+#: side only (prefix a-side / probe prefixes / exploded query side)
+#: — the index/candidate side stays full, so every sliced pair keeps
+#: its exact full-result values. The round-14/15 sim_knn_join
+#: pattern (similarity.EXACT_KNN_ROWS_CAP) applied to the four
+#: remaining exact-baseline long-poles (VERDICT r15 item 1).
+DEDUP_PAIR_DOCS_CAP = 10_000
+DEDUP_PAIR_PROBE_MOD = 97
+
+#: Bounded-slice compare specs for the self-bounding pair keys: the
+#: registered oracle restricted to the same deterministic slice the
+#: engine computes past its cap. dedup_ngram_jaccard emits a_id <
+#: b_id from the prefix join's a-side, so the slice predicate is in
+#: the OUTPUT domain (pairs whose smaller doc_id lands on the 1-in-97
+#: class) and the oracle restricts the same way.
+DEDUP_NGRAM_JACCARD_BOUNDED = {
+    "engine_filter": "a_id % 97 = 0",
+    "oracle_replace": (
+        "WHERE a.doc_id < b.doc_id",
+        "WHERE a.doc_id < b.doc_id\n"
+        "              AND a.doc_id % 97 = 0",
+    ),
+    "why": "exact pair verify is O(candidates) with quadratic-in-"
+           "clones candidates at the arms; 1-in-97 a_id pair slice, "
+           "exact jaccards kept (engine self-bounds past "
+           "DEDUP_PAIR_DOCS_CAP to exactly this slice)",
+}
+
+#: dedup_containment's pigeonhole guarantee is one-sided — a
+#: qualifying pair is caught when its FEWER-GRAMS doc probes (ties
+#: broken to the smaller doc_id, which the engine emits as a_id), so
+#: the slice predicate selects pairs whose guaranteed-probing doc
+#: lands on the 1-in-97 class. The oracle has na/nb in scope and
+#: restricts with the identical CASE.
+DEDUP_CONTAINMENT_BOUNDED = {
+    # The exact slice is "the pigeonhole-guaranteed doc (fewer grams,
+    # tie -> smaller id) lands on the 1-in-97 class" — na/nb are not
+    # output columns, so the filter below is the NECESSARY output-
+    # level condition every sliced row satisfies (the guaranteed doc
+    # is one of the two endpoints). It is idempotent on the
+    # self-bounded output; if the self-bound ever regressed to the
+    # full pair set, this keeps a strict superset of the oracle's
+    # exact slice and the compare fails LOUDLY instead of masking.
+    "engine_filter": "a_id % 97 = 0 OR b_id % 97 = 0",
+    "oracle_replace": (
+        "WHERE 10 * i >= 9 * least(na, nb)",
+        "WHERE 10 * i >= 9 * least(na, nb)\n"
+        "          AND (CASE WHEN na < nb THEN a_id\n"
+        "                    WHEN nb < na THEN b_id\n"
+        "                    ELSE a_id END) % 97 = 0",
+    ),
+    "why": "one-sided prefix probe is quadratic-in-clones at the "
+           "arms; slice keeps pairs whose pigeonhole-guaranteed "
+           "(fewer-grams, tie->smaller-id) doc is on the 1-in-97 "
+           "class — exact integer outputs kept (engine self-bounds "
+           "past DEDUP_PAIR_DOCS_CAP to exactly the oracle's CASE "
+           "slice)",
+}
+
+DEDUP_EMBEDDING_COSINE_BOUNDED = {
+    "engine_filter": "a_id % 97 = 0",
+    "oracle_replace": (
+        "ON a.vec_id < b.vec_id",
+        "ON a.vec_id < b.vec_id AND a.vec_id % 97 = 0",
+    ),
+    "why": "blocked all-pairs verify is O(N^2/16) at the arms; "
+           "1-in-97 a-side slice (smaller vec_id), exact cosines "
+           "kept (engine self-bounds past DEDUP_PAIR_DOCS_CAP "
+           "embeddings to exactly this slice)",
+}
+
 
 #: Runtime simhash width: 60 bits — the full portable md5-grid hash
 #: width (15 hex chars), split into 4 pigeonhole chunks of 15 bits
@@ -491,7 +571,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every candidate is verified with the exact set Jaccard. Same "
     "result as brute force (the oracle stays all-pairs), scale-safe "
     "plan: rare-gram prefixes keep candidate buckets small because "
-    "frequent grams never enter the index.",
+    "frequent grams never enter the index. CALIBRATION-ONLY at scale "
+    "— exact pair output is quadratic-in-duplicates by nature: past "
+    "DEDUP_PAIR_DOCS_CAP document rows the key self-bounds to the "
+    "deterministic 1-in-97 a_id probe slice (sliced pairs keep exact "
+    "full-result jaccards; full-fidelity below the cap). The "
+    "PRODUCTION near-dup path at 100 TB is dedup_minhash's banded "
+    "LSH — this operator is its oracle-checkable exact truth.",
 )
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, probe_mod: int | None = None
@@ -502,8 +588,25 @@ def dedup_ngram_jaccard(
     count (and the exact verify) drops by ~probe_mod× while every
     emitted pair is byte-identical to the full result's pair for that
     a_id. sketch_recall_probe uses this to bound its exact pair truth
-    at clone-arm scale; the registered key itself never slices."""
+    at clone-arm scale. Past DEDUP_PAIR_DOCS_CAP document rows (footer
+    metadata, no Spark job) the registered key itself self-bounds to
+    probe_mod = DEDUP_PAIR_PROBE_MOD — the slice
+    DEDUP_NGRAM_JACCARD_BOUNDED compares; full-fidelity at every
+    driver/test scale."""
     t = 0.8
+    if probe_mod is None:
+        from clickhousebackup_spark.tables import (
+            table_rows_metadata,
+            warn_probe_slice,
+        )
+
+        n_docs = table_rows_metadata(sf_dir, "documents")
+        if n_docs is not None and n_docs > DEDUP_PAIR_DOCS_CAP:
+            warn_probe_slice(
+                "dedup_ngram_jaccard", "documents", n_docs,
+                DEDUP_PAIR_DOCS_CAP, DEDUP_PAIR_PROBE_MOD,
+            )
+            probe_mod = DEDUP_PAIR_PROBE_MOD
     d = parallelize(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), r"\s+")
     n = F.size(words)
@@ -627,7 +730,12 @@ def dedup_ngram_jaccard(
     "hyperplanes); the sub-quadratic SCALE path is the approximate "
     "sketch family (dedup_simhash / sim_topk_lsh, exact-checked r9 + "
     "recall-tested), while this operator is the oracle-checkable exact "
-    "baseline. Left-fold dot products match bitwise across engines.",
+    "baseline. Left-fold dot products match bitwise across engines. "
+    "CALIBRATION-ONLY at scale: past DEDUP_PAIR_DOCS_CAP embedding "
+    "rows the key self-bounds to the deterministic 1-in-97 probe "
+    "slice (only the exploded query side shrinks — every candidate "
+    "for a sliced probe is still verified, so sliced pairs keep "
+    "exact full-result cosines; full-fidelity below the cap).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhousebackup_spark.extensions.similarity import lsh_bucket_expr
@@ -659,7 +767,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.array(
         *[F.lit(b).cast("long") for b in range(1 << n_buckets_bits)]
     )
-    a = normed.select(
+    # CALIBRATION-ONLY self-bound (DEDUP_PAIR_DOCS_CAP): past the cap
+    # only the exploded PROBE side shrinks to the 1-in-97 class — the
+    # bucketed candidate side stays full, and the emitted pair keeps
+    # a_id < b_id with a_id the probing vector, so kept pairs are
+    # byte-identical to the full result's pairs whose smaller vec_id
+    # is on the class (DEDUP_EMBEDDING_COSINE_BOUNDED's slice).
+    from clickhousebackup_spark.tables import (
+        table_rows_metadata,
+        warn_probe_slice,
+    )
+
+    probe_src = normed
+    n_vecs = table_rows_metadata(sf_dir, "embeddings")
+    if n_vecs is not None and n_vecs > DEDUP_PAIR_DOCS_CAP:
+        warn_probe_slice(
+            "dedup_embedding_cosine", "embeddings", n_vecs,
+            DEDUP_PAIR_DOCS_CAP, DEDUP_PAIR_PROBE_MOD,
+        )
+        probe_src = normed.filter(
+            F.col("vec_id") % DEDUP_PAIR_PROBE_MOD == 0
+        )
+    a = probe_src.select(
         "vec_id", "v", "nrm", F.explode(probes).alias("probe")
     ).alias("a")
     b = normed.alias("b")
@@ -1046,7 +1175,11 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket sizes remain df-bounded. Emitted columns are pure "
     "integers (count, min-size, floor percent) — no float hazard. "
     "The oracle is the brute-force all-pairs statement of the same "
-    "predicate.",
+    "predicate. CALIBRATION-ONLY at scale: past DEDUP_PAIR_DOCS_CAP "
+    "document rows the key self-bounds to pairs whose pigeonhole-"
+    "guaranteed (fewer-grams, tie->smaller-id) doc lands on the "
+    "1-in-97 class — sliced pairs keep exact full-result values; "
+    "full-fidelity below the cap.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.9
@@ -1081,6 +1214,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # CALIBRATION-ONLY self-bound (DEDUP_PAIR_DOCS_CAP): past the cap
+    # only docs on the 1-in-97 class PROBE, and the output keeps only
+    # pairs whose pigeonhole-guaranteed doc (fewer grams, tie ->
+    # smaller id — the doc whose probe provably hits) is on that
+    # class. Sliced pairs keep exact full-result values: the index
+    # side (toks) and the verify arrays stay full. Full-fidelity at
+    # every driver/test scale (≤ 5000 docs).
+    from clickhousebackup_spark.tables import (
+        table_rows_metadata,
+        warn_probe_slice,
+    )
+
+    n_docs = table_rows_metadata(sf_dir, "documents")
+    slice_mod = None
+    if n_docs is not None and n_docs > DEDUP_PAIR_DOCS_CAP:
+        warn_probe_slice(
+            "dedup_containment", "documents", n_docs,
+            DEDUP_PAIR_DOCS_CAP, DEDUP_PAIR_PROBE_MOD,
+        )
+        slice_mod = DEDUP_PAIR_PROBE_MOD
+        probe = probe.filter(F.col("p_id") % slice_mod == 0)
     cand = (
         probe.join(toks.select(F.col("doc_id").alias("i_id"), "gram"), "gram")
         .filter(F.col("p_id") != F.col("i_id"))
@@ -1095,11 +1249,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gs_b"))
     inter = F.size(F.array_intersect("gs_a", "gs_b"))
     min_sz = F.least(F.size("gs_a"), F.size("gs_b"))
-    return (
+    out = (
         cand.join(a, "a_id")
         .repartition(spark.sparkContext.defaultParallelism, "b_id")
         .join(b, "b_id")
-        .select(
+    )
+    if slice_mod is not None:
+        # the guaranteed-probing doc: fewer grams, tie -> a_id (the
+        # smaller id) — must land on the slice class. Matches the
+        # DEDUP_CONTAINMENT_BOUNDED oracle CASE verbatim.
+        guaranteed = (
+            F.when(F.size("gs_a") < F.size("gs_b"), F.col("a_id"))
+            .when(F.size("gs_b") < F.size("gs_a"), F.col("b_id"))
+            .otherwise(F.col("a_id"))
+        )
+        out = out.filter(guaranteed % slice_mod == 0)
+    return (
+        out.select(
             "a_id",
             "b_id",
             inter.cast("long").alias("n_shared"),

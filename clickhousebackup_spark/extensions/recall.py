@@ -78,19 +78,101 @@ def _recall_row(
     )
 
 
+def _recall_oracle() -> str:
+    """Composed DuckDB oracle (round 16, retiring the registry's last
+    rows-only row): every candidate program the probe measures has
+    been an exact-hash-checked SQL set since r9 — the approx sets
+    (sim_topk_lsh / sim_topk_ivf / dedup_minhash / dedup_simhash) and
+    both truths (sim_topk_cosine, dedup_ngram_jaccard's pair program)
+    — so recall is a semi-join count over registered oracle texts,
+    composed here verbatim (one source of truth per program; a change
+    to any constituent's oracle flows into this one automatically).
+    Floats are safe: recall = COUNT/COUNT (small-integer IEEE
+    division, identical both engines); floors are shared decimal
+    literals.
+    """
+    # registration side effects — idempotent when the registry already
+    # imported the modules (the normal path: dedup and similarity
+    # precede recall in registry._OPERATOR_MODULES)
+    import clickhousebackup_spark.extensions.dedup  # noqa: F401
+    import clickhousebackup_spark.extensions.similarity  # noqa: F401
+    from clickhousebackup_spark.registry import oracle_text
+
+    subs = (
+        ("sim_truth", "sim_topk_cosine", "vec_id"),
+        ("lsh_approx", "sim_topk_lsh", "vec_id"),
+        ("ivf_approx", "sim_topk_ivf", "vec_id"),
+        ("pair_truth", "dedup_ngram_jaccard", "a_id, b_id"),
+        ("mh_approx", "dedup_minhash", "a_id, b_id"),
+        ("sh_approx", "dedup_simhash", "a_id, b_id"),
+    )
+    ctes = ",\n".join(
+        f"{name} AS (SELECT {cols} FROM (\n{oracle_text(key)}\n))"
+        for name, key, cols in subs
+    )
+
+    def method_sql(method: str, approx: str, truth: str, cols: list[str]) -> str:
+        on = " AND ".join(f"a.{c} = t.{c}" for c in cols)
+        return (
+            f"SELECT '{method}' AS method,\n"
+            f"       CAST((SELECT COUNT(*) FROM {truth} t WHERE EXISTS\n"
+            f"             (SELECT 1 FROM {approx} a WHERE {on}))\n"
+            f"            AS DOUBLE)\n"
+            f"       / (SELECT COUNT(*) FROM {truth}) AS recall,\n"
+            f"       CAST({RECALL_FLOOR[method]} AS DOUBLE) AS \"floor\""
+        )
+
+    rows = "\nUNION ALL\n".join(
+        (
+            method_sql("ivf", "ivf_approx", "sim_truth", ["vec_id"]),
+            method_sql("lsh", "lsh_approx", "sim_truth", ["vec_id"]),
+            method_sql("minhash", "mh_approx", "pair_truth", ["a_id", "b_id"]),
+            method_sql("simhash", "sh_approx", "pair_truth", ["a_id", "b_id"]),
+        )
+    )
+    return (
+        f"WITH {ctes},\n_rows AS (\n{rows}\n)\n"
+        'SELECT method, recall, "floor" FROM _rows\n'
+        "WHERE recall >= \"floor\" ORDER BY method"
+    )
+
+
+#: Bounded-slice compare spec for the sf1+ clone arms: the engine
+#: self-bounds its pair TRUTH to the 1-in-RECALL_PROBE_MOD a_id slice
+#: past RECALL_TRUTH_DOCS_CAP (see above), so the arm compare applies
+#: the identical slice to the composed oracle's pair_truth CTE (the
+#: jaccard program is the only place that WHERE clause appears in the
+#: composed text). The output shape (≤ 4 method rows) never slices —
+#: the engine_filter is the output's own tautology, kept so a
+#: self-bound regression (unsliced truth vs sliced oracle) fails the
+#: compare loudly instead of being masked.
+SKETCH_RECALL_PROBE_BOUNDED = {
+    "engine_filter": "recall >= `floor`",
+    "oracle_replace": (
+        "WHERE a.doc_id < b.doc_id",
+        f"WHERE a.doc_id < b.doc_id\n"
+        f"              AND a.doc_id % {RECALL_PROBE_MOD} = 0",
+    ),
+    "why": "the exact bigram-Jaccard pair truth is O(n^2/buckets); "
+           "the engine self-bounds it to the 1-in-29 a_id slice past "
+           "RECALL_TRUTH_DOCS_CAP and the oracle slices identically "
+           "— recall rows compare exactly on the sliced truth",
+}
+
+
 @register(
     "sketch_recall_probe",
-    oracle=None,  # recall of an algorithm-specific candidate walk is
-    # not SQL-re-derivable; the row COUNT is the contract (one row per
-    # method clearing its floor) and pytest pins the exact values.
+    oracle=_recall_oracle(),
     doc="Sketch-family quality probe: recall@k of sim_topk_lsh / "
     "sim_topk_ivf against exact sim_topk_cosine, and pair-recall of "
     "dedup_minhash / dedup_simhash against the exact bigram-Jaccard "
     ">= 0.8 pair set — one output row per method WITH recall >= its "
     "floor, so a recall regression in ANY of the four sketches removes "
-    "a row and the driver's rows-only check (expected 4) catches it. "
-    "The sketch keys themselves are exact-hash-checked since r9; this "
-    "probe remains the QUALITY gate (recall, not parity). "
+    "a row. Exact-oracled since r16: every candidate program is an "
+    "exact-checked SQL set, so the recall walk itself is a semi-join "
+    "count composed from the constituents' registered oracle texts "
+    "(_recall_oracle) and the driver hash-checks values, not just the "
+    "row count. The probe remains the QUALITY gate (recall floors). "
     "CALIBRATION-ONLY at scale — the exact bigram-Jaccard pair truth "
     "is O(n^2/buckets) by nature: past RECALL_TRUTH_DOCS_CAP document "
     "rows the truth self-bounds to pairs whose a_id lands on the "
@@ -120,6 +202,13 @@ def sketch_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_docs is not None and n_docs > RECALL_TRUTH_DOCS_CAP
         else None
     )
+    if probe_mod is not None:
+        from clickhousebackup_spark.tables import warn_probe_slice
+
+        warn_probe_slice(
+            "sketch_recall_probe", "documents", n_docs,
+            RECALL_TRUTH_DOCS_CAP, RECALL_PROBE_MOD,
+        )
     pair_truth = (
         dedup_ngram_jaccard(spark, sf_dir, probe_mod=probe_mod)
         .select("a_id", "b_id")

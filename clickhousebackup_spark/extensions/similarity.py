@@ -457,6 +457,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # calibration-only probe slice past the cap: ONLY the query
         # side shrinks — the candidate side stays full, so every kept
         # query's neighbors are byte-identical to the full result's.
+        from clickhousebackup_spark.tables import warn_probe_slice
+
+        warn_probe_slice(
+            "sim_knn_join", "embeddings", n_vecs, EXACT_KNN_ROWS_CAP,
+            KNN_PROBE_MOD,
+        )
         queries = normed.filter(F.col("vec_id") % KNN_PROBE_MOD == 0)
     a = queries.select(
         "vec_id", "v", "nrm", F.explode(probes).alias("probe")

@@ -1073,12 +1073,57 @@ def part_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_blocked_pairs(blocked: DataFrame) -> DataFrame:
+#: Exact-baseline scale cap for dedup_fuzzy_blocked: above this many
+#: part rows (footer metadata count, no Spark job) the key
+#: self-bounds to the deterministic 1-in-FUZZY_PROBE_MOD probe slice.
+#: Every driver/test scale (sf0.001-0.1 = 200-20k parts) sits far
+#: below the cap; the sf1+ clone arms (200k+ parts, quadratic
+#: within-block duplication across byte-identical name clones)
+#: compute exactly the slice DEDUP_FUZZY_BLOCKED_BOUNDED compares.
+FUZZY_PART_ROWS_CAP = 100_000
+FUZZY_PROBE_MOD = 97
+
+#: Bounded-slice compare spec (driver_sim BOUNDED_SLICE): pairs whose
+#: smaller key (the probing side — the join keeps a.p_partkey <
+#: b.p_partkey) lands on the 1-in-97 class, against the registered
+#: oracle restricted the same way. Sliced pairs keep exact distances:
+#: only the probe side shrinks, the index side stays full.
+DEDUP_FUZZY_BLOCKED_BOUNDED = {
+    "engine_filter": "a_key % 97 = 0",
+    "oracle_replace": (
+        "AND a.p_partkey < b.p_partkey",
+        "AND a.p_partkey < b.p_partkey\n"
+        "         AND a.p_partkey % 97 = 0",
+    ),
+    "why": "within-block pair count grows quadratically in clone "
+           "copies at the arms (byte-identical p_name clones); "
+           "1-in-97 smaller-key slice, exact banded levenshtein "
+           "distances kept (engine self-bounds past "
+           "FUZZY_PART_ROWS_CAP to exactly this slice)",
+}
+
+
+def _fuzzy_blocked_pairs(
+    blocked: DataFrame, probe_mod: int | None = None
+) -> DataFrame:
     """Core of dedup_fuzzy_blocked over a pre-blocked frame with
     columns (p_partkey, p_name, p_brand, len_bucket). Exposed so the
     boundary-straddle recall property can be unit-tested on synthetic
-    rows (tests/test_behavior.py)."""
-    a = blocked.withColumn(
+    rows (tests/test_behavior.py).
+
+    ``probe_mod`` (calibration self-bound only): restrict the
+    PROBING side to ``p_partkey % probe_mod == 0`` before the 3×
+    bucket explode. Every emitted pair has a_key < b_key with a_key
+    the probing record, so kept pairs = pairs whose smaller key is
+    on the slice class, each byte-identical to the full result's
+    pair (the index side stays full)."""
+    if probe_mod is not None:
+        blocked_probe = blocked.filter(
+            F.col("p_partkey") % probe_mod == 0
+        )
+    else:
+        blocked_probe = blocked
+    a = blocked_probe.withColumn(
         "probe_bucket",
         F.explode(
             F.array(
@@ -1169,9 +1214,20 @@ def _fuzzy_blocked_pairs(blocked: DataFrame) -> DataFrame:
     "candidates from a pure equi-key self-join, every emitted pair "
     "exactly verified. The oracle applies the identical overlapping "
     "blocks, so the hash pins both the recall upgrade and the "
-    "exactly-once pair emission.",
+    "exactly-once pair emission. CALIBRATION-ONLY at scale: past "
+    "FUZZY_PART_ROWS_CAP part rows the key self-bounds to pairs "
+    "whose smaller key is on the deterministic 1-in-97 class (only "
+    "the probing side shrinks — sliced pairs keep exact full-result "
+    "distances; full-fidelity below the cap). The PRODUCTION path "
+    "at 100 TB keeps the same blocked plan — clone arms inflate "
+    "within-block duplication quadratically, real corpora don't.",
 )
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhousebackup_spark.tables import (
+        table_rows_metadata,
+        warn_probe_slice,
+    )
+
     part = load_table(spark, sf_dir, "part")
     blocked = part.select(
         "p_partkey",
@@ -1179,4 +1235,12 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.expr("length(p_name) div 4").alias("len_bucket"),
     )
-    return _fuzzy_blocked_pairs(blocked)
+    probe_mod = None
+    n_parts = table_rows_metadata(sf_dir, "part")
+    if n_parts is not None and n_parts > FUZZY_PART_ROWS_CAP:
+        warn_probe_slice(
+            "dedup_fuzzy_blocked", "part", n_parts,
+            FUZZY_PART_ROWS_CAP, FUZZY_PROBE_MOD,
+        )
+        probe_mod = FUZZY_PROBE_MOD
+    return _fuzzy_blocked_pairs(blocked, probe_mod=probe_mod)

@@ -106,6 +106,21 @@ class QuerySpec:
     doc: str = ""
 
 
+def oracle_text(name: str) -> str:
+    """Registered oracle SQL for ``name``, read from the in-process
+    registry WITHOUT importing the full module list — callers import
+    the registering module(s) themselves first (the composition use
+    case: sketch_recall_probe derives its oracle from the five
+    constituent keys' registered texts, one source of truth for each
+    candidate program). Raises KeyError for unregistered or
+    rows-only keys so a silent None can never leak into a composed
+    statement."""
+    spec = _REGISTRY.get(name)
+    if spec is None or spec.oracle is None:
+        raise KeyError(name)
+    return spec.oracle
+
+
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
@@ -120,85 +135,83 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Explicit key ordering for the verification driver, which checks the
 #: FIRST 50 keys of ``all_specs()`` per round. Cumulative driver state
-#: after round 14 (union of CORRECTNESS_r01-r14, all fourteen rounds
-#: green): every registered oracled key carries a green driver row
-#: except the 4 round-14 additions that overflowed the round-14
-#: window (declared DEFERRED there; judge-verified exact at three
-#: scales plus the sf1 arm meanwhile, PLANS_r14 / VERDICT round 14).
-#: The round-15 window below is that 4-key DEFERRED queue plus the
-#: three round-15 contract upgrades — scan_file_metadata
-#: (layout-normalized rollup; RECHECK, its green row predates the
-#: change), text_fingerprint (md5-grid migration) and
-#: multimodal_features (left-fold byte-moment oracle), the latter two
-#: rows-only → exact promotions — followed by 43 regression REFRESH
-#: refills: the stalest green keys in the registry (latest driver
-#: row = CORRECTNESS_r05), chosen so the oldest evidence gets
-#: refreshed.
+#: after round 15 (union of CORRECTNESS_r01-r15, all fifteen rounds
+#: green): every registered key carries a driver row — 504 hash-pass
+#: plus sketch_recall_probe's rows-only row, which round 16 retires
+#: by composing an exact oracle from its constituents' registered
+#: texts. The round-16 window below is the 4-key dedup RECHECK queue
+#: (scale self-bounds landed this round; driver-gate outputs argued
+#: unchanged but the code changed) plus that oracle promotion,
+#: followed by 45 regression REFRESH refills: the stalest green keys
+#: in the registry (latest driver row = CORRECTNESS_r06), chosen so
+#: the oldest evidence gets refreshed.
 #: Keys listed here come first, in this order; any registered key not
 #: listed follows in module registration order.
 #: ``tests/test_rotation.py`` derives the required window mechanically
 #: from the committed CORRECTNESS_r*.json files and fails if this
 #: tuple ever goes stale; scripts/make_rotation.py emitted this block.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # -- round-15 window positions 0-6: the four round-14
-    # additions (skew-playbook families 8-11) declared DEFERRED
-    # last round, plus the three round-15 contract upgrades —
-    # scan_file_metadata (layout-normalized rollup, RECHECK),
-    # text_fingerprint and multimodal_features (md5-grid /
-    # left-fold oracle promotions: rows-only -> exact) --
-    "sequence_count_pairs_twostage",
-    "agg_ema_twostage",
-    "agg_weighted_median_twostage",
-    "win_percent_rank_twostage",
-    "scan_file_metadata",
-    "text_fingerprint",
-    "multimodal_features",
-    # -- 43 regression REFRESH refills (window slots 7-49):
-    # stalest green keys (latest driver row = r5), emitted by
-    # scripts/make_rotation.py; see tests/test_rotation.py --
-    "agg_argminmax",
-    "agg_delta_sum",
-    "agg_gini_diversity",
-    "agg_group_concat",
-    "agg_sum_map",
-    "agg_weighted_median",
-    "array_cumsum",
-    "array_difference",
-    "array_enumerate_uniq",
-    "array_join_parallel",
-    "backup_incremental_roundtrip",
-    "bpe_merge_candidates",
-    "cdc_apply_changelog",
-    "corpus_split_train_eval",
-    "date_bucket_custom",
+    # -- round-16 window positions 0-4 (required): the four
+    # exact-baseline dedup long-poles re-earning driver rows after
+    # their scale self-bounds landed (RECHECK: driver-gate outputs
+    # argued unchanged — probe slices engage only past the footer-
+    # metadata caps — but the code changed, so the green rows must
+    # be re-earned), plus sketch_recall_probe's rows-only -> exact
+    # oracle promotion (composed from its five constituents'
+    # registered texts; retires the registry's last rows-only row) --
     "dedup_fuzzy_blocked",
-    "dedup_semantic",
-    "dict_get_join",
-    "dict_hierarchy_flatten",
-    "explode_outer_empty",
-    "funnel_steps_windowed",
-    "geo_cell_radius_join",
-    "intervals_max_concurrent",
-    "join_any_left",
-    "join_asof_tolerance",
-    "limit_by",
-    "merge_replacing_final",
-    "merge_summing_final",
-    "merge_upsert_cow",
-    "merge_versioned_collapsing",
-    "mutation_delete_update",
-    "orders_pareto_8020",
-    "part_fuzzy_levenshtein",
-    "scan_parquet",
-    "scan_projected",
-    "set_except_all",
-    "set_intersect_all",
-    "sink_csv_roundtrip",
-    "url_funcs",
-    "user_active_streaks",
-    "win_cume_dist_nth",
-    "win_moving_median",
-    "zorder_layout",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "sketch_recall_probe",
+    # -- 45 regression REFRESH refills (window slots 5-49): the
+    # stalest green keys (latest driver row = r06 cohort), emitted
+    # by scripts/make_rotation.py; see tests/test_rotation.py --
+    "stats_linregress",
+    "str_keyvalue_parse",
+    "table_column_stats",
+    "text_ngram_lm_score",
+    "ts_autocorr_lag1",
+    "win_ratio_to_report",
+    "with_totals",
+    "agg_array_intersect",
+    "agg_bit_group",
+    "agg_group_array_last",
+    "agg_hll_set_ops",
+    "agg_minmax_map",
+    "agg_retention_flags",
+    "agg_sparkbar",
+    "agg_uniq_array",
+    "agg_uniq_upto",
+    "array_compact_dedup",
+    "array_fill_forward",
+    "array_moving_agg",
+    "array_rotate_zip",
+    "corpus_pack_sequences",
+    "curation_funnel_report",
+    "date_timeslots",
+    "emb_dim_slice_search",
+    "emb_vector_distances",
+    "funnel_time_to_convert",
+    "graph_bfs_hops",
+    "intervals_open_per_day",
+    "intervals_union_length",
+    "join_interval_overlap",
+    "json_schema_stats",
+    "quantile_timing_grid",
+    "sequence_match_flag",
+    "sequence_next_node",
+    "stats_ks_test",
+    "stats_mad",
+    "stats_mean_ci",
+    "stats_roc_auc",
+    "str_extract_groups",
+    "str_ngram_similarity",
+    "str_normalized_query_hash",
+    "text_cdc_chunks",
+    "text_minhash_export",
+    "text_simhash_export",
+    "text_word_cooccurrence",
 )
 
 

@@ -316,8 +316,12 @@ class KafkaPythonFeed:
         except Exception as e:
             # Classify by Spark error class first (stable across
             # versions/locales), falling back to the message substring
-            # only for error-class-less exceptions (old Spark, raw
-            # java ClassNotFoundException surfaced through py4j).
+            # only for resolution-time AnalysisException without a
+            # usable error class (4.x _LEGACY_ERROR_TEMP lookups). A
+            # py4j-wrapped raw java ClassNotFoundException is NOT an
+            # AnalysisException and deliberately re-raises unclassified
+            # — runtime kafka errors mentioning these words must never
+            # be misrouted to ConnectorUnavailable.
             error_class = None
             get_cls = getattr(e, "getErrorClass", None)
             if callable(get_cls):

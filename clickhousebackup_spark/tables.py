@@ -86,6 +86,36 @@ def table_rows_metadata(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def warn_probe_slice(
+    key: str, table: str, n_rows: int, cap: int, mod: int
+) -> None:
+    """Runtime marker that a CALIBRATION-ONLY probe slice engaged.
+
+    The exact-baseline keys (sim_knn_join, dedup_ngram_jaccard,
+    sketch_recall_probe, dedup_containment, dedup_embedding_cosine,
+    dedup_fuzzy_blocked) self-bound to a deterministic 1-in-``mod``
+    slice past their footer-metadata row caps. The docstrings document
+    the behavior; this warning makes a sliced run distinguishable AT
+    RUN TIME — a consumer above the cap who expected the full exact
+    baseline sees exactly which slice they got and why, instead of
+    silently receiving 1/mod of the output. Routed through the stdlib
+    ``warnings`` machinery (category ``RuntimeWarning``) so operators
+    can escalate it to an error with -W error::RuntimeWarning, plus a
+    mirrored ``logging`` record for log-aggregating deployments.
+    """
+    import logging
+    import warnings
+
+    msg = (
+        f"{key}: {table} has {n_rows} rows > exact-baseline cap {cap}; "
+        f"self-bounding to the deterministic 1-in-{mod} probe slice "
+        f"(sliced rows keep exact full-result values; see the "
+        f"registration docstring for the slice contract)"
+    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    logging.getLogger("clickhousebackup_spark.bounds").warning(msg)
+
+
 def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure a scan fans out to the full core count.
 

@@ -90,18 +90,6 @@ def build_note(key: str, info: dict) -> str:
     # (round 15 removed the scan_file_metadata special case: the key
     # is layout-normalized now — a cardinality mismatch on it is a
     # real regression and must NOT be auto-excused.)
-    if False and "rowcount" in info and key == "scan_file_metadata":
-        # the one reviewed per-physical-file contract; any other
-        # key's cardinality mismatch is unexplained by definition.
-        return (
-            "known physical-layout bound, not an engine defect: the sf1 "
-            "arm's tables are Spark-written multi-part DIRECTORIES while "
-            "every driver-gate scale is a single parquet file, and this "
-            "key's contract is one row per physical file — "
-            f"({info['rowcount'].split(': ', 1)[1]}); both engines read "
-            "the same bytes, the cardinality of per-file metadata is the "
-            "deployment's file count by design. Exact at sf0.001/0.01/0.1."
-        )
     fp = _float_pair(info)
     if fp and fp[0] >= MIN_FRONTIER_DIGIT:
         worst, a, b = fp

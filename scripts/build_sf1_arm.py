@@ -50,7 +50,7 @@ COPIES = 10
 BLOCK = 100_000_000
 
 
-def build(base_sf: str, out_dir: str) -> None:
+def build(base_sf: str, out_dir: str, copies: int = COPIES) -> None:
     spark = get_spark()
     os.makedirs(out_dir, exist_ok=True)
     for t in CONSTANT_TABLES:
@@ -59,28 +59,33 @@ def build(base_sf: str, out_dir: str) -> None:
         print(f"{t}: {df.count()} rows (constant, copied)")
     for t, cols in OFFSET_COLS.items():
         df = spark.read.parquet(f"{base_sf}/{t}.parquet")
-        copies = []
-        for i in range(COPIES):
+        clones = []
+        for i in range(copies):
             c = df
             for col in cols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * BLOCK))
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
+            clones.append(c)
+        out = clones[0]
+        for c in clones[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-        print(f"{t}: {COPIES} offset-key copies written")
+        print(f"{t}: {copies} offset-key copies written")
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cbs_sf1_arm"
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "out_dir", nargs="?", default="/tmp/cbs_sf1_arm",
+        help="output directory (default /tmp/cbs_sf1_arm)",
+    )
     # --copies=N builds a larger clone arm with the same construction
     # (round 15 uses --copies=100 from sf0.1 for the sf10 arm: 60M
     # lineitem / 10M events; key blocks stay disjoint since
     # 100 * BLOCK = 1e10 << int64).
-    for a in sys.argv[2:]:
-        if a.startswith("--copies="):
-            COPIES = int(a.split("=", 1)[1])
+    p.add_argument("--copies", type=int, default=COPIES)
+    args = p.parse_args()
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    build(base, out)
-    print("arm at", out)
+    build(base, args.out_dir, copies=args.copies)
+    print("arm at", args.out_dir)

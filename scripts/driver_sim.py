@@ -57,10 +57,19 @@ SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
 #: closed the round-13 sf1 exclusions (VERDICT r13 item 6).
 def _bounded_slice() -> dict:
     from clickhousebackup_spark.extensions.dedup import (
+        DEDUP_CONTAINMENT_BOUNDED,
+        DEDUP_EMBEDDING_COSINE_BOUNDED,
         DEDUP_MINHASH_BOUNDED,
+        DEDUP_NGRAM_JACCARD_BOUNDED,
+    )
+    from clickhousebackup_spark.extensions.recall import (
+        SKETCH_RECALL_PROBE_BOUNDED,
     )
     from clickhousebackup_spark.extensions.similarity import (
         SIM_KNN_JOIN_BOUNDED,
+    )
+    from clickhousebackup_spark.operators.analytics2 import (
+        DEDUP_FUZZY_BLOCKED_BOUNDED,
     )
     from clickhousebackup_spark.operators.analytics4 import (
         JOIN_INTERVAL_OVERLAP_BOUNDED,
@@ -70,6 +79,18 @@ def _bounded_slice() -> dict:
         "sim_knn_join": SIM_KNN_JOIN_BOUNDED,
         "join_interval_overlap": JOIN_INTERVAL_OVERLAP_BOUNDED,
         "dedup_minhash": DEDUP_MINHASH_BOUNDED,
+        # round 16: the four exact-baseline long-poles self-bound past
+        # their scale caps (VERDICT r15 item 1) — each spec lives next
+        # to its key and is reviewed there.
+        "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_BOUNDED,
+        "dedup_containment": DEDUP_CONTAINMENT_BOUNDED,
+        "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_BOUNDED,
+        "dedup_fuzzy_blocked": DEDUP_FUZZY_BLOCKED_BOUNDED,
+        # round 16: sketch_recall_probe gained a composed exact oracle
+        # (rows-only debt retired); at arm scale its pair truth
+        # self-bounds, so the arm compare slices the oracle's
+        # pair_truth CTE identically.
+        "sketch_recall_probe": SKETCH_RECALL_PROBE_BOUNDED,
     }
 
 

@@ -34,71 +34,83 @@ WINDOW = 50  # the driver checks the first 50 keys of all_specs()
 #: stats_proportions_ztest, bitmap_set_ops, dq_expectations) got
 #: post-fix green rows in CORRECTNESS_r08 and left this set.
 #: Round 15 re-contracted scan_file_metadata to the layout-normalized
-#: rollup (one row of table totals at ANY part multiplicity, retiring
-#: the last sf1-arm allowlist entry), so its pre-r15 green driver row
-#: pins the OLD per-file shape and is stale.
-RECHECK: set[str] = {"scan_file_metadata"}
+#: rollup; its post-normalization green row landed in CORRECTNESS_r15,
+#: clearing that entry. Round 16 gave the four exact-baseline dedup
+#: long-poles scale self-bounds (probe-slice past their footer-
+#: metadata caps — VERDICT r15 item 1). Driver-gate scales sit far
+#: below every cap, so the sf0.01 outputs are argued unchanged — but
+#: the functions' code changed, so each must re-earn its green row
+#: rather than silently keep the pre-change one.
+RECHECK: set[str] = {
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_blocked",
+}
 
 #: Regression refills: green keys whose evidence is the STALEST in the
-#: registry (latest driver row = CORRECTNESS_r04/r05), pulled back into
+#: registry (latest driver row = CORRECTNESS_r06), pulled back into
 #: the window whenever fewer required keys exist than window slots.
 #: Unlike RECHECK these are not suspected-stale semantics — they are
 #: routine re-verification so no key's driver evidence ages without
-#: bound. This is the 37-key list emitted by scripts/make_rotation.py
-#: for round 14 (stalest greens: latest driver row = r4/r5).
+#: bound. This is the 45-key list emitted by scripts/make_rotation.py
+#: for round 16 (stalest greens: latest driver row = r6).
 REFRESH: set[str] = {
-    "agg_argminmax",
-    "agg_delta_sum",
-    "agg_gini_diversity",
-    "agg_group_concat",
-    "agg_sum_map",
-    "agg_weighted_median",
-    "array_cumsum",
-    "array_difference",
-    "array_enumerate_uniq",
-    "array_join_parallel",
-    "backup_incremental_roundtrip",
-    "bpe_merge_candidates",
-    "cdc_apply_changelog",
-    "corpus_split_train_eval",
-    "date_bucket_custom",
-    "dedup_fuzzy_blocked",
-    "dedup_semantic",
-    "dict_get_join",
-    "dict_hierarchy_flatten",
-    "explode_outer_empty",
-    "funnel_steps_windowed",
-    "geo_cell_radius_join",
-    "intervals_max_concurrent",
-    "join_any_left",
-    "join_asof_tolerance",
-    "limit_by",
-    "merge_replacing_final",
-    "merge_summing_final",
-    "merge_upsert_cow",
-    "merge_versioned_collapsing",
-    "mutation_delete_update",
-    "orders_pareto_8020",
-    "part_fuzzy_levenshtein",
-    "scan_parquet",
-    "scan_projected",
-    "set_except_all",
-    "set_intersect_all",
-    "sink_csv_roundtrip",
-    "url_funcs",
-    "user_active_streaks",
-    "win_cume_dist_nth",
-    "win_moving_median",
-    "zorder_layout",
+    "agg_array_intersect",
+    "agg_bit_group",
+    "agg_group_array_last",
+    "agg_hll_set_ops",
+    "agg_minmax_map",
+    "agg_retention_flags",
+    "agg_sparkbar",
+    "agg_uniq_array",
+    "agg_uniq_upto",
+    "array_compact_dedup",
+    "array_fill_forward",
+    "array_moving_agg",
+    "array_rotate_zip",
+    "corpus_pack_sequences",
+    "curation_funnel_report",
+    "date_timeslots",
+    "emb_dim_slice_search",
+    "emb_vector_distances",
+    "funnel_time_to_convert",
+    "graph_bfs_hops",
+    "intervals_open_per_day",
+    "intervals_union_length",
+    "join_interval_overlap",
+    "json_schema_stats",
+    "quantile_timing_grid",
+    "sequence_match_flag",
+    "sequence_next_node",
+    "stats_ks_test",
+    "stats_linregress",
+    "stats_mad",
+    "stats_mean_ci",
+    "stats_roc_auc",
+    "str_extract_groups",
+    "str_keyvalue_parse",
+    "str_ngram_similarity",
+    "str_normalized_query_hash",
+    "table_column_stats",
+    "text_cdc_chunks",
+    "text_minhash_export",
+    "text_ngram_lm_score",
+    "text_simhash_export",
+    "text_word_cooccurrence",
+    "ts_autocorr_lag1",
+    "win_ratio_to_report",
+    "with_totals",
 }
 
 #: Keys that require a slot but are consciously pushed past position
 #: ``WINDOW`` this round (they must still appear in _CHECK_PRIORITY,
 #: right after the window, so they lead the next round's rotation).
-#: Round 15 promoted the four round-14 DEFERRED keys into window
-#: positions 0-3 and filled slots 4-49 with the 46 REFRESH refills
-#: (stalest greens, latest driver row = r5). Empty unless keys are
-#: registered mid-round after the window is frozen.
+#: Round 16 put the four dedup RECHECK keys and sketch_recall_probe's
+#: oracle promotion in window positions 0-4 and filled slots 5-49
+#: with the 45 REFRESH refills (stalest greens, latest driver row =
+#: r6). Empty unless keys are registered mid-round after the window
+#: is frozen.
 DEFERRED: set[str] = set()
 
 

@@ -105,6 +105,19 @@ BOUNDED_SLICE_KEYS = {
     # compare slices to a_id % 97 = 0 pairs with exact sims
     # (dedup.DEDUP_MINHASH_BOUNDED)
     "dedup_minhash",
+    # round 16: the four exact-baseline long-poles (VERDICT r15 item
+    # 1) self-bound past their scale caps to deterministic 1-in-97
+    # slices, each compared exactly against the same-sliced oracle;
+    # specs live next to their keys (dedup.py / analytics2.py).
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_blocked",
+    # round 16: exact-oracled (composed from its constituents'
+    # registered texts); past RECALL_TRUTH_DOCS_CAP the engine's pair
+    # truth self-bounds and the arm compare slices the oracle's
+    # pair_truth CTE identically (recall.SKETCH_RECALL_PROBE_BOUNDED).
+    "sketch_recall_probe",
 }
 
 
