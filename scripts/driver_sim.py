@@ -29,6 +29,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 import traceback
 
@@ -228,6 +229,19 @@ def main(argv: list[str]) -> int:
         builder = builder.config("spark.executorEnv.PYTHONPATH", REPO)
     spark = builder.getOrCreate()
     con = duckdb.connect()
+    # Arm-scale oracles (events/lineitem window functions at 10-60M
+    # rows) peak 25-28 GB of DuckDB state (NOTES r15 trap). An
+    # in-memory connection has no temp directory, so those peaks are
+    # hard OOMs; giving it one lets DuckDB spill and bounds resident
+    # memory instead (CBS_SIM_DUCK_MEM, e.g. "16GB", enables both).
+    duck_mem = os.environ.get("CBS_SIM_DUCK_MEM")
+    if duck_mem:
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"cbs_duck_spill_{os.getpid()}"
+        )
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory = '{tmp}'")
+        con.execute(f"SET memory_limit = '{duck_mem}'")
     for t in TABLES:
         # fixture tables are single files; probe-built scale dirs
         # (e.g. the sf1 arms under /tmp) are Spark-written DIRECTORIES
