@@ -367,6 +367,15 @@ def main(argv: list[str]) -> int:
             if oracle_wall is not None
             else None,
         }
+        if emit_path:
+            # incremental checkpoint: arm-scale keys can run for an
+            # hour each, and a shard killed (or OOM-killed) mid-key
+            # used to lose EVERY completed row (the round-16 sf10
+            # lesson). The .partial file makes completed work
+            # harvestable at any instant; the final write below stays
+            # the authoritative artifact.
+            with open(emit_path + ".partial", "w") as fh:
+                json.dump(sweep, fh, indent=1, sort_keys=True)
     print(
         f"\n{len(keys) - len(failed)}/{len(keys)} pass in "
         f"{time.time()-t_all:.0f}s at {SF_DIR}"
