@@ -386,6 +386,25 @@ DEDUP_EMBEDDING_COSINE_BOUNDED = {
            "embeddings to exactly this slice)",
 }
 
+#: dedup_simhash's pair OUTPUT is quadratic in clone copies at the
+#: arms (byte-identical texts -> identical signatures -> every clone
+#: pair emits a Hamming-0 row: ~25M pairs at the sf10 arm), so the
+#: full compare collect is the bound even though the banded engine
+#: plan is fine. Same a-side slice as DEDUP_MINHASH_BOUNDED: the
+#: chunk join keeps a.doc_id < b.doc_id, so the slice predicate is
+#: output-level (smaller id on the 1-in-97 class) and the oracle
+#: pushes it to the a-side scan.
+DEDUP_SIMHASH_BOUNDED = {
+    "engine_filter": "a_id % 97 = 0",
+    "oracle_replace": (
+        "ON a.doc_id < b.doc_id",
+        "ON a.doc_id < b.doc_id AND a.doc_id % 97 = 0",
+    ),
+    "why": "clone-quadratic pair OUTPUT (~25M rows at the sf10 arm) "
+           "makes the full collect-and-sort compare the bound; "
+           "1-in-97 a_id pair slice, exact hammings kept",
+}
+
 
 #: Runtime simhash width: 60 bits — the full portable md5-grid hash
 #: width (15 hex chars), split into 4 pigeonhole chunks of 15 bits

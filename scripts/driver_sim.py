@@ -62,6 +62,7 @@ def _bounded_slice() -> dict:
         DEDUP_EMBEDDING_COSINE_BOUNDED,
         DEDUP_MINHASH_BOUNDED,
         DEDUP_NGRAM_JACCARD_BOUNDED,
+        DEDUP_SIMHASH_BOUNDED,
     )
     from clickhousebackup_spark.extensions.recall import (
         SKETCH_RECALL_PROBE_BOUNDED,
@@ -87,6 +88,10 @@ def _bounded_slice() -> dict:
         "dedup_containment": DEDUP_CONTAINMENT_BOUNDED,
         "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_BOUNDED,
         "dedup_fuzzy_blocked": DEDUP_FUZZY_BLOCKED_BOUNDED,
+        # round 16 late add: simhash's pair OUTPUT is clone-quadratic
+        # at the arms (the compare collect, not the engine, is the
+        # bound) — same a-side slice as dedup_minhash.
+        "dedup_simhash": DEDUP_SIMHASH_BOUNDED,
         # round 16: sketch_recall_probe gained a composed exact oracle
         # (rows-only debt retired); at arm scale its pair truth
         # self-bounds, so the arm compare slices the oracle's

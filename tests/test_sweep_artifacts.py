@@ -113,6 +113,11 @@ BOUNDED_SLICE_KEYS = {
     "dedup_containment",
     "dedup_embedding_cosine",
     "dedup_fuzzy_blocked",
+    # round 16: simhash's pair OUTPUT is quadratic in clone copies
+    # (~25M rows at the sf10 arm) — the compare collect is the bound;
+    # 1-in-97 a_id slice with exact hammings (dedup.
+    # DEDUP_SIMHASH_BOUNDED), same model as dedup_minhash.
+    "dedup_simhash",
     # round 16: exact-oracled (composed from its constituents'
     # registered texts); past RECALL_TRUTH_DOCS_CAP the engine's pair
     # truth self-bounds and the arm compare slices the oracle's
