@@ -126,6 +126,23 @@ BOUNDED_SLICE_KEYS = {
 }
 
 
+#: Keys that GAINED an oracle in round N after shipping rows-only
+#: rounds first: committed artifacts from rounds < N legitimately
+#: record them rows-only (the row was honest when the sweep ran;
+#: re-running history to upgrade it would fabricate evidence). A
+#: CURRENT-round sweep recording rows-only for an oracle-bearing key
+#: still trips — that is the downgrade this assertion exists to catch.
+ORACLE_PROMOTIONS = {
+    "sketch_recall_probe": 16,
+}
+
+
+def _artifact_round(name: str) -> int:
+    m = re.match(r"SWEEP_r(\d+)", name)
+    assert m, f"unparseable sweep artifact name: {name}"
+    return int(m.group(1))
+
+
 def test_sweep_artifacts_are_honest():
     specs = all_specs()
     rows_only_keys = {k for k, s in specs.items() if s.oracle is None}
@@ -235,7 +252,12 @@ def test_sweep_artifacts_are_honest():
                         f"divergence the allowlist entry reviewed"
                     )
             if status.startswith("rows-only"):
-                assert k in rows_only_keys, (
+                promoted = ORACLE_PROMOTIONS.get(k)
+                historical = (
+                    promoted is not None
+                    and _artifact_round(name) < promoted
+                )
+                assert k in rows_only_keys or historical, (
                     f"{name}: {k} recorded rows-only but has an oracle"
                 )
             if status.startswith("env-gated"):
