@@ -279,6 +279,38 @@ def main(argv: list[str]) -> int:
             os.environ.get("CBS_SIM_BOUNDED") == "1"
             and key in _bounded_slice()
         )
+        # Per-key watchdog (CBS_SIM_KEY_TIMEOUT seconds, 0/unset = off):
+        # at the clone arms a single oracle whose cost class is
+        # quadratic in rows can spill DuckDB state to disk without
+        # bound (dedup_clusters_neardup's recursive CTE over 500k docs
+        # wrote 59 GB before the round-16 sf10 sweep was killed by
+        # hand — and the full disk then failed three UNRELATED keys'
+        # engine spills). The watchdog interrupts the DuckDB
+        # connection AND cancels the key's Spark job group, records a
+        # loud `excluded (key timeout...)` row, and moves on — one
+        # runaway can no longer take the box (or the artifact) down.
+        timeout_s = float(os.environ.get("CBS_SIM_KEY_TIMEOUT", "0") or 0)
+        timed_out = [False]
+        timer = None
+        if timeout_s > 0:
+            import threading
+
+            spark.sparkContext.setJobGroup(key, f"driver_sim {key}", True)
+
+            def _fire(k=key, flag=timed_out):
+                flag[0] = True
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+                try:
+                    spark.sparkContext.cancelJobGroup(k)
+                except Exception:
+                    pass
+
+            timer = threading.Timer(timeout_s, _fire)
+            timer.daemon = True
+            timer.start()
         try:
             df = spec.fn(spark, SF_DIR)
             if bounded:
@@ -328,6 +360,31 @@ def main(argv: list[str]) -> int:
                 ConnectorUnavailable,
             )
 
+            if timed_out[0]:
+                # Watchdog row: the allowed `excluded` status class —
+                # a named, per-arm infeasibility record, never a
+                # silent pass and never a FAIL that would trip the
+                # artifact tripwire for an understood cost-class bound.
+                status = (
+                    f"excluded (key timeout: wall exceeded "
+                    f"{timeout_s:.0f}s at {SF_DIR}; DuckDB interrupted"
+                    f" + Spark job group cancelled)"
+                )
+                print(f"[{i}/{len(keys)}] {key}: {status} "
+                      f"({time.time()-t0:.1f}s)")
+                sweep[key] = {
+                    "sf": SF_DIR,
+                    "match": status,
+                    "rows": rows,
+                    "wall": round(time.time() - t0, 2),
+                    "engine_wall": round(engine_wall, 2)
+                    if engine_wall else None,
+                    "oracle_wall": None,
+                }
+                if emit_path:
+                    with open(emit_path + ".partial", "w") as fh:
+                        json.dump(sweep, fh, indent=1, sort_keys=True)
+                continue
             if isinstance(e, ConnectorUnavailable):
                 # loud environment gate (same contract as the Delta/
                 # Iceberg two-armed gates): the key's backend cannot
@@ -360,6 +417,9 @@ def main(argv: list[str]) -> int:
                 "oracle_wall": round(oracle_wall, 2) if oracle_wall else None,
             }
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         print(f"[{i}/{len(keys)}] {key}: {status} ({time.time()-t0:.1f}s)")
         sweep[key] = {
             "sf": SF_DIR,
