@@ -43,12 +43,18 @@ _GEOHASH8 = "concat(" + ", ".join(
     for k in range(7, -1, -1)
 ) + ")"
 
+#: user_id is reduced mod the modulus BEFORE the Knuth-constant
+#: multiply: (a mod m)·k mod m ≡ a·k mod m, so the coordinates are
+#: unchanged, but the int64 product is now bounded by m·k < 6.5e17 —
+#: the unreduced form overflowed ANSI Spark at the 100x clone arm
+#: (user_id ~1e10 × 2654435761 > 2^63; DuckDB hid it by promoting to
+#: HUGEINT). Same discipline as web.py's ip_num grid.
 _COORD_CTE = """
     SELECT user_id,
-           (CAST((user_id * 2654435761) % 180000000 AS DOUBLE)
-            / 1000000.0) - 90.0 AS lat,
-           (CAST((user_id * 1779033703) % 360000000 AS DOUBLE)
-            / 1000000.0) - 180.0 AS lon
+           (CAST(((user_id % 180000000) * 2654435761) % 180000000
+                 AS DOUBLE) / 1000000.0) - 90.0 AS lat,
+           (CAST(((user_id % 360000000) * 1779033703) % 360000000
+                 AS DOUBLE) / 1000000.0) - 180.0 AS lon
     FROM (SELECT DISTINCT user_id FROM events)
 """
 
@@ -80,12 +86,18 @@ _COORD_CTE = """
 def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
     lat = (
-        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(180000000)).cast("double")
+        F.pmod(
+            F.pmod(F.col("user_id"), F.lit(180000000)) * F.lit(2654435761),
+            F.lit(180000000),
+        ).cast("double")
         / F.lit(1000000.0)
         - F.lit(90.0)
     )
     lon = (
-        F.pmod(F.col("user_id") * F.lit(1779033703), F.lit(360000000)).cast("double")
+        F.pmod(
+            F.pmod(F.col("user_id"), F.lit(360000000)) * F.lit(1779033703),
+            F.lit(360000000),
+        ).cast("double")
         / F.lit(1000000.0)
         - F.lit(180.0)
     )
@@ -236,8 +248,8 @@ BBOX_N = 20
 
 _PT_SQL = """
     SELECT user_id,
-           (user_id * 2654435761) % 180000000 AS ulat,
-           (user_id * 1779033703) % 360000000 AS ulon
+           ((user_id % 180000000) * 2654435761) % 180000000 AS ulat,
+           ((user_id % 360000000) * 1779033703) % 360000000 AS ulon
     FROM (SELECT DISTINCT user_id FROM events)
 """
 
@@ -294,8 +306,10 @@ def geo_grid_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
     pts = ev.select(
         "user_id",
-        ((F.col("user_id") * 2654435761) % 180000000).alias("ulat"),
-        ((F.col("user_id") * 1779033703) % 360000000).alias("ulon"),
+        (((F.col("user_id") % 180000000) * 2654435761) % 180000000)
+        .alias("ulat"),
+        (((F.col("user_id") % 360000000) * 1779033703) % 360000000)
+        .alias("ulon"),
     )
     boxes = spark.range(BBOX_N).select(
         F.col("id").alias("box_id"),
@@ -412,8 +426,10 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
     pts = ev.select(
         "user_id",
-        ((F.col("user_id") * 2654435761) % 180000000).cast("long").alias("ulat"),
-        ((F.col("user_id") * 1779033703) % 360000000).cast("long").alias("ulon"),
+        (((F.col("user_id") % 180000000) * 2654435761) % 180000000)
+        .cast("long").alias("ulat"),
+        (((F.col("user_id") % 360000000) * 1779033703) % 360000000)
+        .cast("long").alias("ulon"),
     )
     return pts.select(
         "user_id",

@@ -48,9 +48,17 @@ def _floor_grid_sum(col: F.Column) -> F.Column:
     )
 
 
+#: DuckDB side renders the exact decimal sum to DOUBLE through STRING
+#: (the exprs.osum route): the direct DECIMAL→DOUBLE cast
+#: double-rounds through hugeint limbs once the scaled integer passes
+#: ~2^53 — at the sf10 arm Σ floor(x·y·1e6) ≈ 4e19 and the moment
+#: doubles differed from Spark's correctly-rounded cast in the last
+#: ulp, throwing stats_linregress's slope off at 1e-13 relative.
+#: Below that band both routes agree, so driver-scale hashes are
+#: unchanged.
 _FLOOR_SUM_SQL = (
-    "(CAST(SUM(CAST(floor({expr} * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)"
-    " / 1000000.0)"
+    "(CAST(CAST(SUM(CAST(floor({expr} * 1000000.0) AS DECIMAL(38,0)))"
+    " AS STRING) AS DOUBLE) / 1000000.0)"
 )
 
 
@@ -153,12 +161,12 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                        AS STRING) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity
+                        AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        AS STRING) AS DOUBLE) AS sy,
                    {_FLOOR_SUM_SQL.format(expr='l_quantity * l_extendedprice')}
                        AS sxy,
                    {_FLOOR_SUM_SQL.format(expr='l_extendedprice * l_extendedprice')}
