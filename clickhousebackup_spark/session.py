@@ -32,17 +32,40 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already configured — each conf.set is a py4j round-trip
+#: (~1-2 ms), and the table loader calls this on EVERY load, so an
+#: un-memoized apply costs real driver wall on plan-construction-heavy
+#: paths. Confs are never unset mid-session, so once is enough.
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Best-effort apply of runtime confs to an externally-built session.
 
     The verification driver owns its own SparkSession; queries must
-    work there too, so the table loader routes through this.
+    work there too, so the table loader routes through this. Applied
+    once per session (memoized): the confs are static for the life of
+    the process and nothing in the engine unsets them.
     """
+    global _CONFIGURED_SESSIONS
+    if _CONFIGURED_SESSIONS is None:
+        import weakref
+
+        _CONFIGURED_SESSIONS = weakref.WeakSet()
+    try:
+        if spark in _CONFIGURED_SESSIONS:
+            return spark
+    except TypeError:
+        pass  # non-weak-referenceable mock: fall through, apply every time
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this build — builder-set sessions already have it
+    try:
+        _CONFIGURED_SESSIONS.add(spark)
+    except TypeError:
+        pass
     return spark
 
 

@@ -13,6 +13,8 @@ parallelizes across the cluster. Nothing here collects to the driver.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,8 +34,44 @@ TABLES = (
 )
 
 
+#: Session-scoped TABLE-PLAN cache: (sf_dir, name) → analyzed DataFrame.
+#:
+#: What is cached is the *logical plan* (file index + inferred schema +
+#: the ts normalization projection) — NEVER data or results: every
+#: action on a cached DataFrame still scans the parquet files in full.
+#: Why: ``spark.read.parquet`` pays ~100-300 ms of driver-side work per
+#: call (Hadoop conf clone, file listing, footer schema inference), and
+#: the engine re-loads the same handful of fixture tables for every
+#: operator — measured at sf0.1, table loading was the single largest
+#: slice of per-query plan-construction wall (OPTIMIZATION_r16.md §2).
+#: This is the same lever as the guide's file-listing cache (§6): a
+#: production deployment gets it from the metastore catalog; a
+#: path-based engine has to memoize the resolved relation itself.
+#: Keyed weakly by SparkSession so a stopped session's entries are
+#: collected and a fresh session re-lists/re-infers (files may have
+#: changed between sessions); ``invalidate_table_cache`` is the
+#: explicit refresh hook for callers that rewrite a fixture dir
+#: mid-session.
+_TABLE_PLANS: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def invalidate_table_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached table plans — all sessions, or one session's."""
+    if spark is None:
+        _TABLE_PLANS.clear()
+    else:
+        _TABLE_PLANS.pop(spark, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; normalizes events.ts to a µs timestamp."""
+    try:
+        per_session = _TABLE_PLANS.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mock in tests)
+        per_session = {}
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -47,9 +85,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pure retype — same wall values — and keeps every downstream
     # unix_micros/window expression on the TIMESTAMP type the whole
     # engine (and the recorded driver hashes) were built against.
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # one select, not N withColumns: each withColumn call re-resolves
+        # the whole projection (~70 ms of driver wall per call at this
+        # plan size); a single select does it once.
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+    per_session[(sf_dir, name)] = df
     return df
 
 
