@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table, parallelize
+from clickhousebackup_spark.tables import (
+    load_table,
+    parallelize,
+    table_rows_metadata,
+)
 
 N_MINHASH = 16
 N_BANDS = 4  # rows-per-band = 4
@@ -88,6 +92,16 @@ _MINHASH_B = [(0x51E2D1FB * k) % (1 << 31) for k in range(N_MINHASH)]
 
 _MERSENNE31 = (1 << 31) - 1
 
+#: Corpus size above which dedup_minhash materializes the signature
+#: sketch with an eager localCheckpoint before the band self-join.
+#: Below it, the identical sig subplans on both join sides share one
+#: exchange (Spark exchange reuse) and the checkpoint's extra job +
+#: block registration are pure overhead (measured 1.39 s → 1.10 s at
+#: sf0.1's 5k docs); above it, recomputing signatures per side would
+#: be two full passes over the raw text, so the sketch is pinned.
+#: Footer-metadata probe, no Spark job; unknown → checkpoint.
+MINHASH_CKPT_DOCS_MIN = 25_000
+
 #: DuckDB rendering of the same affine minhash family over the same
 #: portable 32-bit md5-prefix base hash (column `h`).
 _RT_MINS_SQL = ",\n               ".join(
@@ -135,11 +149,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # and nested HOF lambdas (which drop off the codegen path entirely)
     # — and it is the shape that scales: no per-doc array ever
     # materializes, and the shuffle carries K longs per doc.
-    hs = docs.select(
+    # The whole stage is built from SQL STRINGS (selectExpr), not the
+    # Column API: the nested HOF + 16 affine expressions cost ~380 ms
+    # of py4j round-trips per invocation through Column operators vs
+    # ~110 ms as three parsed strings — pure driver-side plan-
+    # construction wall, measured warm at sf0.1 (OPTIMIZATION_r16.md
+    # §3). The parsed plan is expression-identical (verified
+    # row-for-row against the Column build), so codegen/oracle parity
+    # are untouched. array_distinct matches the oracle's DISTINCT
+    # shingle set; min() is duplicate-insensitive, so values are
+    # unchanged and the 16-permutation projection sees fewer rows.
+    w = "split(lower(text), '\\\\s+')"
+    hs = docs.selectExpr(
         "doc_id",
-        F.explode(
-            F.transform(_shingles(), lambda s: _md5_long32(s))
-        ).alias("h"),
+        f"explode(transform(array_distinct(transform("
+        f"sequence(1, greatest(size({w}) - {SHINGLE_K - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({w}, i, {SHINGLE_K})))), "
+        f"s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as long))) AS h",
     )
     # mod 2^31-1 (Mersenne prime) — without the reduction the affine map
     # is monotone and every permutation would share one argmin,
@@ -147,24 +173,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # in a PROJECTION so the aggregate codegen sees 16 plain min(col)
     # updates — smaller generated aggregate code (Janino compile is the
     # dominant cold cost of this query, NOTES.md §4), same plan shape.
-    p = F.lit((1 << 31) - 1).cast("long")
-    projected = hs.select(
+    projected = hs.selectExpr(
         "doc_id",
         *[
-            F.pmod(
-                F.col("h") * F.lit(_MINHASH_A[k]).cast("long")
-                + F.lit(_MINHASH_B[k]).cast("long"),
-                p,
-            ).alias(f"p{k}")
+            f"pmod(h * {_MINHASH_A[k]}L + {_MINHASH_B[k]}L, "
+            f"{_MERSENNE31}L) AS p{k}"
             for k in range(N_MINHASH)
         ],
     )
     return (
         projected.groupBy("doc_id")
         .agg(*[F.min(f"p{k}").alias(f"m{k}") for k in range(N_MINHASH)])
-        .select(
+        .selectExpr(
             "doc_id",
-            F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
+            "array(" + ", ".join(f"m{k}" for k in range(N_MINHASH)) + ") AS sig",
         )
     )
 
@@ -217,16 +239,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(load_table(spark, sf_dir, "documents"))
-    # Materialize the sketch stage once: the self-join would otherwise
-    # recompute every signature per side. localCheckpoint stores the
-    # K-longs-per-doc signature blocks on the executors — no
-    # filesystem committer in the loop (a parquet roundtrip costs a
-    # full write job; see scratch.roundtrip_parquet for the pattern
-    # when the artifact must outlive the query). Executor loss →
-    # recompute-from-scratch, an acceptable trade for a sketch that is
-    # ~1000× smaller than its input. (Not .persist(): InMemoryRelation
-    # builds fall back to interpreted expression eval for this plan.)
-    sigs = minhash_signatures(d).localCheckpoint(eager=True)
+    # Materialize the sketch stage once ABOVE the corpus cap: the
+    # self-join would otherwise recompute every signature per side —
+    # at corpus scale that is two full passes over the raw text.
+    # localCheckpoint stores the K-longs-per-doc signature blocks on
+    # the executors — no filesystem committer in the loop (a parquet
+    # roundtrip costs a full write job; see scratch.roundtrip_parquet
+    # for the pattern when the artifact must outlive the query).
+    # Executor loss → recompute-from-scratch, an acceptable trade for
+    # a sketch ~1000× smaller than its input. (Not .persist():
+    # InMemoryRelation builds fall back to interpreted expression
+    # eval for this plan.) BELOW the cap the barrier costs more than
+    # it saves: the two band sides are the identical subplan, so
+    # Spark's exchange reuse computes the signature aggregate once
+    # anyway, and skipping the checkpoint removes an eager job + the
+    # executor block registration (1.39 s → 1.10 s at sf0.1). The
+    # probe is parquet footer metadata — no Spark job; unknown size →
+    # checkpoint (the conservative, scale-safe branch).
+    sigs = minhash_signatures(d)
+    n_docs = table_rows_metadata(sf_dir, "documents")
+    if n_docs is None or n_docs > MINHASH_CKPT_DOCS_MIN:
+        sigs = sigs.localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
     # The band key is the signature SLICE itself (array<long> is a
     # valid hash-join key) — tuple equality the oracle replicates

@@ -163,7 +163,11 @@ def warn_probe_slice(
     logging.getLogger("clickhousebackup_spark.bounds").warning(msg)
 
 
-def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+def parallelize(
+    df: DataFrame,
+    min_parallelism: int | None = None,
+    by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Ensure a scan fans out to the full core count.
 
     The fixture files carry a single parquet row group, so Spark reads
@@ -171,6 +175,18 @@ def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     1 of 32 cores. This repartitions ONLY when the scan's input file
     count is below the session's parallelism; on production data (many
     files / row groups) the check is a no-op and no shuffle is added.
+
+    ``by``: optional clustering columns for the fan-out. When the
+    downstream operator groups/windows on these keys (or a superset),
+    a HASH repartition on them is strictly better than round-robin:
+    it skips round-robin's sort-before-repartition pass AND the
+    aggregation reuses the exchange (ClusteredDistribution is
+    satisfied by hash partitioning on a key subset), so the plan has
+    the same single shuffle as the no-fan-out shape — just placed
+    below the expensive map work instead of above it. Only meaningful
+    under the same files < parallelism guard: at production file
+    counts the call remains a no-op and the classic partial+final
+    aggregate does the map-side reduction before the exchange.
 
     The probe is ``df.inputFiles()`` — a driver-side file listing —
     NOT ``df.rdd.getNumPartitions()``, which forces a full plan→RDD
@@ -186,6 +202,8 @@ def parallelize(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     except Exception:  # non-file-backed plan (e.g. in-memory fixture)
         return df
     if 0 < n_files < target:
+        if by:
+            return df.repartition(target, *by)
         return df.repartition(target)
     return df
 
