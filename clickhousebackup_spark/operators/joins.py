@@ -233,21 +233,21 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # Right side deduped to newest event_id per (user, ts) so at-equal-ts
-    # ties resolve identically to DuckDB's ASOF (which sees one candidate).
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
-        F.col("event_id").desc()
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.col("event_id").alias("c_event_id"),
-            F.lit(0).alias("is_left"),
-        )
+    # The oracle dedups clicks to the newest event_id per (user, ts) so
+    # DuckDB's ASOF sees one candidate at equal ts. Here that dedup is
+    # FOLDED INTO THE MAIN WINDOW'S ORDER instead of a separate
+    # row_number window partitioned by (user_id, ts): ordering clicks
+    # ascending by c_event_id makes the running last() at any given ts
+    # resolve to the max event_id — the same single candidate — while
+    # every window in the plan is now partitioned by user_id alone, so
+    # the whole query runs on ONE exchange instead of two (guide §2.4:
+    # same-keyed operations share the partitioning; 2 Exchange → 1,
+    # plan diff in plans/r16/join_asof_*.txt).
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("c_event_id"),
+        F.lit(0).alias("is_left"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -262,11 +262,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "ts", "p_event_id", "c_event_id", "is_left"
         )
     )
-    # At equal ts the right row sorts first (is_left=0) → "at-or-before"
-    # includes it, matching ASOF's p.ts >= c.ts.
+    # At equal ts the right rows sort first (is_left=0) → "at-or-before"
+    # includes them, matching ASOF's p.ts >= c.ts; among equal-ts clicks
+    # the ascending c_event_id puts the max last, so last() picks it —
+    # exactly the oracle's ROW_NUMBER ... ORDER BY event_id DESC dedup.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_left")
+        .orderBy("ts", "is_left", F.asc_nulls_first("c_event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_match = unioned.select(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from clickhousebackup_spark.exprs import dsum, osum
 from clickhousebackup_spark.registry import register
-from clickhousebackup_spark.tables import load_table
+from clickhousebackup_spark.tables import load_table, parallelize
 
 
 @register(
@@ -108,7 +108,11 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch = the gaps-and-islands oracle; streaming form is stateful).",
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Keyed fan-out (user_id = the session key): the session-window
+    # merge reuses the same exchange, and the gap-merge map work runs
+    # core-parallel instead of on the fixture's one scan task
+    # (0.49 s → 0.43 s at sf0.1); no-op at production file counts.
+    ev = parallelize(load_table(spark, sf_dir, "events"), by=("user_id",))
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
