@@ -344,7 +344,16 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over 64 groups), observed stats ride a 1-row broadcast frame.",
 )
 def stats_permutation_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
+    # Fan out the single-row-group fixture scan BEFORE the 64× explode:
+    # each surviving event row pays 64 md5+conv evaluations, and on the
+    # one-task scan that whole Monte-Carlo grid ran on 1 of 32 cores
+    # (measured 4.7 s → 1.0 s at sf0.1). Round-robin is right here —
+    # the permutation buckets (b) don't exist before the explode, and
+    # the pstat aggregate is map-side-combinable either way. No-op at
+    # production file counts (tables.parallelize).
+    from clickhousebackup_spark.tables import parallelize
+
+    ev = parallelize(
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
         .select("event_id", "event_type", "value")

@@ -244,21 +244,48 @@ def _register_queries() -> None:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            updates.writeStream.format("memory")
-            .queryName("sst_updates")
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # State-store partition count is pinned at checkpoint creation
+        # from spark.sql.shuffle.partitions — a streaming DESIGN
+        # parameter that should track feed volume and key cardinality,
+        # not default to the batch shuffle width: every micro-batch
+        # schedules one stateful Python task PER state partition, so an
+        # oversized count multiplies fixed per-task pandas/worker cost
+        # across all four batches (32 partitions → 7.1 s, 8 → 5.6 s at
+        # sf0.1's 100k-row feed, identical output). Sized from parquet
+        # footer metadata (no Spark job): one partition per ~12.5k feed
+        # rows, floor 8, capped at the session's shuffle width so
+        # larger arms scale back up; unknown size → leave the session
+        # conf untouched. Restored in finally — the checkpoint has
+        # already pinned the stream's own value by then.
+        from clickhousebackup_spark.tables import table_rows_metadata
+
+        n_rows = table_rows_metadata(sf_dir, "events")
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        if n_rows is not None:
+            state_parts = min(
+                int(old_parts), max(8, n_rows // 12_500)
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+        q = None
         try:
+            q = (
+                updates.writeStream.format("memory")
+                .queryName("sst_updates")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
             if not q.awaitTermination(300):
                 raise TimeoutError(
                     "stream_stateful_totals: feed did not drain in 300s"
                 )
         finally:
-            if q.isActive:
+            # restore only after the drain: the micro-batch thread
+            # reads the conf when it plans the first batch, which can
+            # happen after start() returns
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            if q is not None and q.isActive:
                 q.stop()
         # the memory table holds one update row per (user, batch it
         # appeared in); n_events is strictly monotone per user, so the
