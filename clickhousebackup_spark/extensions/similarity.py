@@ -611,8 +611,11 @@ def _km_oracle_round(prev_c: str, idx: int, last: bool) -> str:
     "driver-hash contract (VERDICT r9 item 3). The production layout "
     "for IVF/clustering at 100 TB is unchanged: centroids are kBs "
     "broadcast everywhere, each round is one linear pass + one "
-    "(cluster, dim) shuffle, assignments localCheckpoint between "
-    "rounds so lineage stays flat; the 1e-9 grid changes centroids "
+    "(cluster, dim) shuffle, and only the k-row CENTROID table is "
+    "localCheckpointed between rounds (that alone keeps lineage "
+    "flat — each round's assignment is consumed exactly once, so "
+    "materializing it never saved a recompute); the 1e-9 grid "
+    "changes centroids "
     "by <1e-9 per dim vs exact means, far below any real cluster "
     "geometry.",
 )

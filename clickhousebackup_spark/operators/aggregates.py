@@ -41,18 +41,16 @@ from clickhousebackup_spark.tables import load_table, parallelize
     doc="TPC-H Q1-style pricing summary: partial+final hash agg.",
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fan out the single-row-group fixture scan ON THE GROUP KEYS: the
-    # expensive part of this query is the five DECIMAL(38,6) partial
-    # sums (double→decimal cast is a toString+BigDecimal per cell —
-    # measured 0.55 s single-task vs 0.07 s for double sums at sf0.1),
-    # and a keyed fan-out runs them core-parallel while the groupBy
-    # reuses the same exchange — still exactly one shuffle (the plan
-    # canary pins it). Production file counts: no-op, classic
-    # partial+final agg with map-side reduction before the exchange.
-    li = parallelize(
-        load_table(spark, sf_dir, "lineitem"),
-        by=("l_returnflag", "l_linestatus"),
-    )
+    # Plain scan, partial+final hash agg (guide §2.1): the round-16
+    # keyed fan-out on (l_returnflag, l_linestatus) was REVERTED in
+    # round 17 — the group-key domain is ~4 combos, so the repartition
+    # filled ≤4 of 32 partitions AND shipped every raw row across the
+    # exchange instead of ~4 partial rows; the driver measured it
+    # 0.94 → 1.25 s on BOTH core arms (VERDICT r16 item 2). The
+    # map-side partial aggregation below the single exchange is the
+    # shape that scales: the exchange carries |groups| rows per map
+    # task regardless of input volume.
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))

@@ -147,6 +147,35 @@ def window_partition_columns(df: DataFrame) -> list[set]:
     return out
 
 
+def lowcard_repartition_exchanges(df: DataFrame, lowcard: frozenset) -> list[str]:
+    """USER-INJECTED hash repartitions keyed only on bounded-domain
+    columns — the round-16 agg_basic regression shape (VERDICT r16
+    items 2/3): ``repartition(target, keys)`` with |key domain| ≪
+    target fills a handful of partitions AND ships raw rows across an
+    exchange that a partial+final aggregate would have crossed with a
+    few partial rows. Planner-inserted exchanges are exempt: Spark
+    tags shuffle origin in the plan text, and a final-agg exchange on
+    the same low-card keys (``ENSURE_REQUIREMENTS``) carries only the
+    partial-agg output, which is exactly the scalable shape. Only
+    ``REPARTITION_BY_NUM`` / ``REPARTITION_BY_COL`` (the
+    ``df.repartition`` family) are audited."""
+    import re
+
+    out: list[str] = []
+    for line in physical_plan(df).splitlines():
+        m = re.search(
+            r"Exchange hashpartitioning\((.*)\), "
+            r"(REPARTITION_BY_NUM|REPARTITION_BY_COL)",
+            line,
+        )
+        if not m:
+            continue
+        cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", m.group(1)))
+        if cols and cols <= lowcard:
+            out.append(line.strip())
+    return out
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency; every one is a full network rewrite of its input."""

@@ -163,6 +163,29 @@ def warn_probe_slice(
     logging.getLogger("clickhousebackup_spark.bounds").warning(msg)
 
 
+#: Fixture columns whose domain is BOUNDED (a handful of distinct
+#: values independent of row count). A keyed ``parallelize(by=...)``
+#: on ONLY these columns is a structural straggler, not a fan-out:
+#: ``repartition(target, keys)`` fills at most |domain| of the target
+#: partitions AND converts the exchange from a few partial-agg rows
+#: to every raw row (the round-16 agg_basic regression, driver-
+#: measured 0.94 → 1.25 s on both core arms — VERDICT r16 item 2/3).
+#: The same set drives the plan canary's low-card window check and
+#: its repartition-exchange check (tests/test_plan_canary.py), so a
+#: new call site repeating the shape fails the suite the day it is
+#: written.
+LOW_CARDINALITY_COLUMNS = frozenset(
+    {
+        "event_type", "o_orderstatus", "o_orderpriority", "l_returnflag",
+        "l_linestatus", "l_shipmode", "lang", "source", "label",
+        "r_name", "n_name", "p_brand", "p_type", "measure",
+        # bounded key domains (keys of tables whose row count is a
+        # constant of the schema, not of SF)
+        "r_regionkey", "n_nationkey",
+    }
+)
+
+
 def parallelize(
     df: DataFrame,
     min_parallelism: int | None = None,
@@ -197,6 +220,20 @@ def parallelize(
     """
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
+    if by and set(by) <= LOW_CARDINALITY_COLUMNS:
+        # Cardinality guard (VERDICT r16 item 4): hash-repartitioning
+        # on a bounded-domain key set fills at most |domain| partitions
+        # — a structural straggler plus a raw-row exchange where a
+        # partial+final agg would have shuffled a handful of rows.
+        # This is a programming error at the call site, so fail loudly
+        # instead of silently degrading.
+        raise ValueError(
+            f"parallelize(by={by!r}): every key is low-cardinality "
+            f"(LOW_CARDINALITY_COLUMNS) — a keyed fan-out on a bounded "
+            f"domain is a structural straggler; drop `by` (round-robin) "
+            f"or key on a high-cardinality column the downstream "
+            f"operator still reuses"
+        )
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plan (e.g. in-memory fixture)

@@ -55,10 +55,13 @@ def test_cached_plan_still_scans_files(spark, sf_dir):
 
 
 def test_keyed_fanout_shares_the_aggregation_exchange(spark, sf_dir):
-    # agg_basic fans the scan out ON the group keys; the groupBy reuses
-    # that exchange, so the plan keeps exactly one shuffle (the same
-    # count as the un-fanned partial+final shape).
-    df = get_spec("agg_basic").fn(spark, sf_dir)
+    # win_keep_newest fans the scan out ON user_id (a subset of the
+    # window's partition keys); the window reuses that exchange, so
+    # the plan keeps exactly one shuffle — the same count as the
+    # un-fanned shape. (Round 17 moved this pin off agg_basic: its
+    # low-card group-key fan-out was reverted per VERDICT r16 item 2,
+    # and parallelize(by=) now rejects bounded-domain keys outright.)
+    df = get_spec("win_keep_newest").fn(spark, sf_dir)
     assert ins.count_shuffles(df) == 1
 
 

@@ -29,6 +29,7 @@ pytestmark = pytest.mark.slow  # registry-wide sweep; see pytest.ini
 
 from clickhousebackup_spark.plans import inspect
 from clickhousebackup_spark.registry import all_specs
+from clickhousebackup_spark.tables import LOW_CARDINALITY_COLUMNS
 
 from .test_oracle_types import _DECLARED_SCHEMA
 
@@ -36,6 +37,15 @@ from .test_oracle_types import _DECLARED_SCHEMA
 #: entry is a constant-width probe documented in the key's doc).
 NLJ_ALLOWED: dict[str, int] = {
     "emb_pq_codes": 1,           # 1-row codebook
+    "emb_kmeans": 1,             # k-row (k=8) centroid broadcast: the
+    # per-round assignment is e ⋈ broadcast(centroids) with no join
+    # condition (every vector scores every centroid — that IS the
+    # Lloyd assignment step), a constant-width probe bounded by k.
+    # The shape existed in every prior round but was hidden from
+    # final-plan inspection by a per-round assignment localCheckpoint
+    # that round 16 removed as pure overhead (consumed-once analysis,
+    # OPTIMIZATION_r16.md); pinning it here is bookkeeping, not a new
+    # runtime shape.
     "sim_range_search": 1,       # 3-row query set
     "merge_graphite_rollup": 1,  # 1-row time anchor
     "mergetree_ttl_expire": 1,   # 1-row TTL horizon
@@ -306,6 +316,20 @@ def test_no_cartesian_only_pinned_nljs_and_unpart_windows(spark, sf_dir):
                 f"(allowed {LOWCARD_WINDOW_ALLOWED.get(key, 0)}) — the "
                 f"structural-straggler shape; bucket the partition "
                 f"(families 5-7) or justify in LOWCARD_WINDOW_ALLOWED"
+            )
+            continue
+        lce = inspect.lowcard_repartition_exchanges(
+            df, LOW_CARDINALITY_COLUMNS
+        )
+        if lce:
+            offenders[key] = (
+                f"{len(lce)} user-injected repartition exchange(s) "
+                f"keyed only on bounded-domain columns ({lce[0]}) — "
+                f"the agg_basic-r16 structural-straggler shape (≤|key "
+                f"domain| non-empty partitions, raw rows across the "
+                f"exchange); drop the keyed fan-out or key it on a "
+                f"high-cardinality column (no allowlist: this shape "
+                f"is never right)"
             )
             continue
         sbc = len(inspect.broadcast_hinted_scaling_tables(df))
