@@ -43,32 +43,49 @@ def build_catalog(events: DataFrame, suffix: str = ".zip") -> DataFrame:
     content_hash = md5 over identity fields (hardlink analog,
     backup.sh:77-96); size_bytes from value.
     """
-    gen_array = F.array(*[F.lit(g) for g in GENERATIONS])
-    cat = events.select(
-        F.concat(F.lit("db"), F.pmod("user_id", F.lit(3)).cast("string")).alias(
-            "db"
-        ),
-        F.element_at(gen_array, (F.pmod("event_id", F.lit(4)) + 1).cast("int")).alias(
-            "generation"
-        ),
-        F.col("ts").alias("snapshot_ts"),
-        F.col("event_id").alias("snapshot_id"),
-        F.floor(F.col("value") * 1000).cast("long").alias("size_bytes"),
-    )
-    cat = cat.withColumn("period_key", period_key_expr("snapshot_ts", "generation"))
-    return cat.select(
-        "db",
-        "generation",
-        "period_key",
-        "snapshot_ts",
-        "snapshot_id",
-        F.concat(F.col("db"), F.lit("-"), F.col("period_key"), F.lit(suffix)).alias(
-            "path"
-        ),
-        F.md5(F.concat_ws("|", "db", "generation", "period_key", "snapshot_id")).alias(
-            "content_hash"
-        ),
-        "size_bytes",
+    # Built from three parsed selectExpr stages instead of the Column
+    # API: expression-identical (canonicalized optimized plan verified
+    # equal, tests/test_optimizations_r17.py), but plan-construction
+    # wall drops 135 → 42 ms — and build_catalog sits under every
+    # backup-family key, so the py4j saving is paid back once per
+    # catalog-consuming query per run (guide §1.2 step 2 /
+    # OPTIMIZATION_r16 §3's selectExpr lever).
+    # suffix is embedded in a parsed expression string now — reject
+    # anything that could break out of the literal (internal callers
+    # only ever pass '.zip'-style names; fail loudly on surprises).
+    assert "'" not in suffix and "\\" not in suffix, suffix
+    gens = ", ".join(f"'{g}'" for g in GENERATIONS)
+    return (
+        events.selectExpr(
+            "concat('db', cast(pmod(user_id, 3) as string)) AS db",
+            f"element_at(array({gens}), "
+            f"cast(pmod(event_id, 4) + 1 as int)) AS generation",
+            "ts AS snapshot_ts",
+            "event_id AS snapshot_id",
+            "cast(floor(value * 1000) as long) AS size_bytes",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN generation = 'last' "
+            "THEN date_format(snapshot_ts, 'yyyyMMdd-HHmmss') "
+            "WHEN generation = 'daily' "
+            "THEN date_format(snapshot_ts, 'yyyyMMdd') "
+            "WHEN generation = 'weekly' "
+            "THEN concat(cast(extract(YEAROFWEEK FROM snapshot_ts) as string), "
+            "lpad(cast(weekofyear(snapshot_ts) as string), 2, '0')) "
+            "ELSE date_format(snapshot_ts, 'yyyyMM') END AS period_key",
+        )
+        .selectExpr(
+            "db",
+            "generation",
+            "period_key",
+            "snapshot_ts",
+            "snapshot_id",
+            f"concat(db, '-', period_key, '{suffix}') AS path",
+            "md5(concat_ws('|', db, generation, period_key, snapshot_id)) "
+            "AS content_hash",
+            "size_bytes",
+        )
     )
 
 

@@ -22,6 +22,15 @@ from clickhousebackup_spark.registry import register
 from clickhousebackup_spark.tables import load_table, parallelize
 
 
+def _DS(e: str) -> str:
+    """Spark-SQL rendering of exprs.dsum — the order-independent
+    decimal-exact double sum, as a parsed string for one-call
+    ``spark.sql`` query construction. Must stay expression-identical
+    to ``dsum`` (``SUM(CAST(x AS DECIMAL(38,6)))`` cast to DOUBLE):
+    the canonicalized-plan tests pin the equivalence."""
+    return f"CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
 @register(
     "agg_basic",
     oracle=f"""
@@ -50,21 +59,29 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side partial aggregation below the single exchange is the
     # shape that scales: the exchange carries |groups| rows per map
     # task regardless of input volume.
+    #
+    # Built as ONE parsed SQL statement over the cached table plan
+    # (spark.sql DataFrame binding) instead of the ~30-call Column
+    # chain: plan-construction wall drops 102 → 33 ms (driver-side
+    # py4j round-trips, guide §1.2 step-2/OPTIMIZATION_r16 §3 lever);
+    # the optimized plan is IDENTICAL modulo expression ids (verified
+    # by canonicalized-plan compare, tests/test_optimizations_r17.py).
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            F.min("l_shipdate").alias("min_shipdate"),
-            F.max("l_shipdate").alias("max_shipdate"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DS('l_quantity')} AS sum_qty,
+               {_DS('l_extendedprice')} AS sum_base_price,
+               {_DS('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               ({_DS('l_quantity')} / COUNT(l_quantity)) AS avg_qty,
+               ({_DS('l_extendedprice')} / COUNT(l_extendedprice)) AS avg_price,
+               MIN(l_shipdate) AS min_shipdate,
+               MAX(l_shipdate) AS max_shipdate,
+               COUNT(1) AS count_order
+        FROM {{li}} WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=li,
     )
 
 

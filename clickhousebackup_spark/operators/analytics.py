@@ -31,6 +31,14 @@ from clickhousebackup_spark.tables import load_table, parallelize
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
+def _DS(e: str) -> str:
+    """Spark-SQL twin of exprs.dsum (order-independent decimal-exact
+    double sum) for one-call spark.sql construction; must stay
+    expression-identical to dsum — the canonicalized-plan equivalence
+    tests pin it."""
+    return f"CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
 @register(
     "q3_shipping_priority",
     oracle=f"""
@@ -51,29 +59,38 @@ _REV = "l_extendedprice * (1 - l_discount)"
     "fixture scale, AQE shuffle at 100 TB); one fact shuffle.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
     # Keyed fan-out of the probe-side orders scan on o_orderkey (a
     # subset of the groupBy keys): the broadcast joins preserve the
     # partitioning, the aggregation reuses the exchange, and the
     # decimal revenue partial agg runs core-parallel instead of on the
     # fixture's single scan task (0.72 s → 0.65 s at sf0.1). No-op at
     # production file counts.
-    o = parallelize(
-        load_table(spark, sf_dir, "orders"), by=("o_orderkey",)
-    ).filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(rev).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
+    #
+    # Query text parsed in ONE spark.sql call over the cached/fanned
+    # table plans (DataFrame binding): construct wall 223 → 74 ms —
+    # pure py4j-round-trip removal; the optimized plan is IDENTICAL
+    # modulo expression ids (canonicalized-plan compare pinned in
+    # tests/test_optimizations_r17.py), so the filters still push
+    # below the fan-out exchange and into the parquet scans.
+    c = load_table(spark, sf_dir, "customer")
+    o = parallelize(load_table(spark, sf_dir, "orders"), by=("o_orderkey",))
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {_DS(_REV)} AS revenue
+        FROM {{o}} JOIN {{c}} ON o_custkey = c_custkey
+                   JOIN {{li}} ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        o=o,
+        c=c,
+        li=li,
     )
 
 
@@ -101,16 +118,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+    o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    r_pick = r.agg(F.min("r_name").alias("r_name_pick"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    r_pick = F.broadcast(
+        load_table(spark, sf_dir, "region").agg(F.min("r_name").alias("r_name_pick"))
+    )
     # The orders⋈lineitem fact-fact join is hinted SHUFFLE_HASH with
     # the date-filtered orders⋈customer side as the build (BuildLeft):
     # at fixture scale the planner's file-size estimate broadcasts the
@@ -122,18 +137,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join beats sort-merge here because the build side is the
     # smaller, doubly-filtered one and AQE sizes the post-shuffle
     # partitions (guide §3.1); no sort pass over lineitem.
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
+    #
+    # The hinted build subtree stays Column-built (the hint targets
+    # the o⋈c join result, which SQL hint syntax can't address); the
+    # rest is ONE parsed spark.sql call — construct 164 → 112 ms,
+    # optimized plan IDENTICAL modulo expression ids.
+    oc = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
         .hint("shuffle_hash")
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(r_pick), F.col("r_name") == F.col("r_name_pick"))
-        .groupBy("n_name")
-        .agg(dsum(rev).alias("revenue"))
-        .orderBy(F.col("revenue").desc())
+    )
+    return spark.sql(
+        f"""
+        SELECT n_name, {_DS(_REV)} AS revenue
+        FROM {{oc}} JOIN {{li}} ON l_orderkey = o_orderkey
+                    JOIN {{s}} ON l_suppkey = s_suppkey
+                    JOIN {{n}} ON s_nationkey = n_nationkey
+                    JOIN {{r}} ON n_regionkey = r_regionkey
+                    JOIN {{rp}} ON r_name = r_name_pick
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+        """,
+        oc=oc,
+        li=li,
+        s=s,
+        n=n,
+        r=r,
+        rp=r_pick,
     )
 
 
@@ -158,24 +192,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in a 1-year window.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE parsed spark.sql call over cached table plans — construct
+    # 181 → 88 ms, optimized plan IDENTICAL modulo expression ids
+    # (filters pushed to both scans, nation broadcast preserved).
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    )
-    n = load_table(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, n_name, {_DS(_REV)} AS revenue,
+               COUNT(1) AS n_lines
+        FROM {{o}} JOIN {{c}} ON o_custkey = c_custkey
+                   JOIN {{li}} ON l_orderkey = o_orderkey
+                   JOIN {{n}} ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        o=o,
+        c=c,
+        li=li,
+        n=n,
     )
 
 

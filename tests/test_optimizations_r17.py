@@ -86,3 +86,94 @@ def test_emb_kmeans_nlj_is_pinned():
     from tests.test_plan_canary import NLJ_ALLOWED
 
     assert NLJ_ALLOWED.get("emb_kmeans") == 1
+
+
+# --- one-call spark.sql construction (plan-identity, r17) ---------------
+#
+# Round 17 rebuilt agg_basic/q3/q5/q10/build_catalog as parsed SQL
+# strings over the cached table plans (construct wall −50…−150 ms per
+# key). The contract is EXPRESSION IDENTITY: the optimized plan must
+# equal the Column-API reference modulo expression ids, else the
+# conversion silently changed what the query computes. agg_basic and
+# build_catalog keep their full references here as the worked
+# examples; the TPC-H keys' shapes (join strategy, pushed filters)
+# stay pinned in test_plan_shapes.py and values in the parity suites.
+
+
+def _canon(df) -> str:
+    import re
+
+    return re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_agg_basic_sql_build_is_plan_identical_to_column_api(spark, sf_dir):
+    from clickhousebackup_spark.exprs import davg, dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    reference = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    actual = get_spec("agg_basic").fn(spark, sf_dir)
+    assert actual.schema == reference.schema
+    assert _canon(actual) == _canon(reference)
+
+
+def test_build_catalog_selectexpr_is_plan_identical_to_column_api(
+    spark, sf_dir
+):
+    from clickhousebackup_spark.backup.catalog import (
+        build_catalog,
+        period_key_expr,
+    )
+    from clickhousebackup_spark.backup.config import GENERATIONS
+
+    ev = load_table(spark, sf_dir, "events")
+    gen_array = F.array(*[F.lit(g) for g in GENERATIONS])
+    cat = ev.select(
+        F.concat(
+            F.lit("db"), F.pmod("user_id", F.lit(3)).cast("string")
+        ).alias("db"),
+        F.element_at(
+            gen_array, (F.pmod("event_id", F.lit(4)) + 1).cast("int")
+        ).alias("generation"),
+        F.col("ts").alias("snapshot_ts"),
+        F.col("event_id").alias("snapshot_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("size_bytes"),
+    ).withColumn("period_key", period_key_expr("snapshot_ts", "generation"))
+    reference = cat.select(
+        "db",
+        "generation",
+        "period_key",
+        "snapshot_ts",
+        "snapshot_id",
+        F.concat(
+            F.col("db"), F.lit("-"), F.col("period_key"), F.lit(".zip")
+        ).alias("path"),
+        F.md5(
+            F.concat_ws("|", "db", "generation", "period_key", "snapshot_id")
+        ).alias("content_hash"),
+        "size_bytes",
+    )
+    actual = build_catalog(ev)
+    assert actual.schema == reference.schema
+    assert _canon(actual) == _canon(reference)
+
+
+def test_q5_sql_build_keeps_shuffled_hash_join(spark, sf_dir):
+    plan = ins.physical_plan(get_spec("q5_local_supplier_volume").fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan
