@@ -266,56 +266,47 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verbatim, where an opaque bucket hash (the pre-r9 xxhash64 of
     # the slice) could not be cross-checked and could, with 2^-64
     # probability, admit a collision pair the oracle lacks.
-    bands = sigs.select(
+    #
+    # Band explode + join + verify are PARSED expression strings
+    # (selectExpr / one spark.sql with DataFrame binding), the same
+    # round-16/17 plan-construction lever as the signature stage:
+    # construct wall for this tail 135 → 51 ms, optimized plan equal
+    # to the Column build modulo expression ids and lambda-variable
+    # NAMES (x_1/y_2 vs x/y — naming only; pinned in
+    # tests/test_optimizations_r17.py), output verified identical
+    # row-for-row. `first(sim) GROUP BY (a_id, b_id)` compiles to the
+    # exact Aggregate that dropDuplicates([a_id, b_id]) did. Verify
+    # still runs BEFORE dedup: sim is deterministic per pair, so the
+    # distinct aggregates three scalar columns instead of
+    # first()-buffering two signature arrays per pair.
+    bands = sigs.selectExpr(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice(
-                            "sig", b * rows_per_band + 1, rows_per_band
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    # Verify BEFORE dedup: sim is deterministic per pair, so the
-    # distinct runs over three scalar columns (cheap agg buffers)
-    # instead of first()-buffering two signature arrays per pair. A
-    # pair sharing k bands is verified k≤4 times — trivially cheaper
-    # than the wide-buffer aggregate codegen it replaces.
-    sim = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
-                ),
-                lambda eq: eq == 1,
-            )
-        ).cast("double")
-        / F.lit(float(N_MINHASH))
+        "explode(array("
+        + ", ".join(
+            f"struct({b} AS band, slice(sig, {b * rows_per_band + 1}, "
+            f"{rows_per_band}) AS bucket)"
+            for b in range(N_BANDS)
+        )
+        + ")) AS bb",
+    ).selectExpr("doc_id", "sig", "bb.band", "bb.bucket")
+    sim_sql = (
+        "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> "
+        "CAST(x = y AS INT)), e -> e = 1)) AS DOUBLE) / "
+        f"{float(N_MINHASH)}"
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.5)
-        .dropDuplicates(["a_id", "b_id"])
+    return spark.sql(
+        f"""
+        SELECT a_id, b_id, first(sim) AS sim FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, {sim_sql} AS sim
+            FROM {{a}} a JOIN {{b}} b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ) WHERE sim >= 0.5
+        GROUP BY a_id, b_id
+        """,
+        a=bands,
+        b=bands,
     )
 
 

@@ -85,17 +85,37 @@ def _norm(a):
     "broadcast 1-row query vector, linear scan, TakeOrderedAndProject.",
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = parallelize(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-        _norm("embedding").alias("qn"),
+    # One parsed spark.sql statement (round-17 construction lever):
+    # construct wall 163 → 65 ms; optimized plan equal to the former
+    # Column build modulo expression ids and lambda-variable NAMES
+    # (naming only — pinned in tests/test_optimizations_r17.py),
+    # values verified identical. Same shape as before: broadcast
+    # 1-row query vector, linear scan, TakeOrderedAndProject.
+    norm = (
+        "sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
-    cos = (_dot(F.col("embedding"), F.col("qv")) / (_norm("embedding") * F.col("qn")))
-    return (
-        cand.select("vec_id", "label", cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(TOP_K)
+    dot = (
+        "aggregate(zip_with(embedding, qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        "(acc, p) -> acc + p)"
+    )
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(f"vec_id = {QUERY_VEC_ID}").selectExpr(
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv",
+        norm.format(col="embedding") + " AS qn",
+    )
+    return spark.sql(
+        f"""
+        SELECT vec_id, label,
+               {dot} / ({norm.format(col="embedding")} * qn) AS cosine
+        FROM {{e}} JOIN {{q}}
+        WHERE vec_id != {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id
+        LIMIT {TOP_K}
+        """,
+        e=e,
+        q=F.broadcast(q),
     )
 
 

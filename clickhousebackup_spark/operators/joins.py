@@ -243,51 +243,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole query runs on ONE exchange instead of two (guide §2.4:
     # same-keyed operations share the partitioning; 2 Exchange → 1,
     # plan diff in plans/r16/join_asof_*.txt).
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("c_event_id"),
-        F.lit(0).alias("is_left"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("p_event_id"),
-        F.lit(1).alias("is_left"),
-    )
-    unioned = clicks.withColumn("p_event_id", F.lit(None).cast("long")).select(
-        "user_id", "ts", "p_event_id", "c_event_id", "is_left"
-    ).unionByName(
-        purchases.withColumn("c_event_id", F.lit(None).cast("long")).select(
-            "user_id", "ts", "p_event_id", "c_event_id", "is_left"
-        )
-    )
+    #
     # At equal ts the right rows sort first (is_left=0) → "at-or-before"
     # includes them, matching ASOF's p.ts >= c.ts; among equal-ts clicks
     # the ascending c_event_id puts the max last, so last() picks it —
     # exactly the oracle's ROW_NUMBER ... ORDER BY event_id DESC dedup.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_left", F.asc_nulls_first("c_event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    with_match = unioned.select(
-        "user_id",
-        "ts",
-        "p_event_id",
-        "is_left",
-        F.last("c_event_id", ignorenulls=True).over(w).alias("c_id"),
-        F.last(
-            F.when(F.col("c_event_id").isNotNull(), F.col("ts")),
-            ignorenulls=True,
-        ).over(w).alias("c_ts"),
-    )
-    return with_match.filter(F.col("is_left") == 1).select(
-        F.col("p_event_id").alias("p_id"),
-        "user_id",
-        F.col("ts").alias("p_ts"),
-        "c_id",
-        "c_ts",
+    #
+    # Built as ONE parsed spark.sql statement (round-17 construction
+    # lever): construct wall 121 → 36 ms, optimized plan EXACTLY equal
+    # to the former Column build modulo expression ids (pinned in
+    # tests/test_optimizations_r17.py), values verified identical.
+    return spark.sql(
+        """
+        WITH u AS (
+            SELECT user_id, ts, CAST(NULL AS BIGINT) AS p_event_id,
+                   event_id AS c_event_id, 0 AS is_left
+            FROM {ev} WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, event_id AS p_event_id,
+                   CAST(NULL AS BIGINT) AS c_event_id, 1 AS is_left
+            FROM {ev} WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT user_id, ts, p_event_id, is_left,
+                   last(c_event_id, true) OVER w AS c_id,
+                   last(CASE WHEN c_event_id IS NOT NULL THEN ts END, true)
+                       OVER w AS c_ts
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, is_left, c_event_id ASC NULLS FIRST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT p_event_id AS p_id, user_id, ts AS p_ts, c_id, c_ts
+        FROM m WHERE is_left = 1
+        """,
+        ev=ev,
     )
 
 

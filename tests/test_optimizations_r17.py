@@ -177,3 +177,127 @@ def test_q5_sql_build_keeps_shuffled_hash_join(spark, sf_dir):
     plan = ins.physical_plan(get_spec("q5_local_supplier_volume").fn(spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan[:600]
     assert "SortMergeJoin" not in plan
+
+
+def _canon_mod_lambda(df) -> str:
+    # lambda-bound variable NAMES differ between SQL text ((x, y) -> …)
+    # and Column-API lambdas (x_1, y_2, …); they are pure naming —
+    # normalize them, keep everything else.
+    import re
+
+    return re.sub(r"lambda [A-Za-z_0-9]+#?L?", "lambda V", _canon(df))
+
+
+def test_join_asof_sql_build_is_plan_identical_to_column_api(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id"),
+        F.lit(0).alias("is_left"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"),
+        F.lit(1).alias("is_left"),
+    )
+    unioned = clicks.withColumn(
+        "p_event_id", F.lit(None).cast("long")
+    ).select(
+        "user_id", "ts", "p_event_id", "c_event_id", "is_left"
+    ).unionByName(
+        purchases.withColumn("c_event_id", F.lit(None).cast("long")).select(
+            "user_id", "ts", "p_event_id", "c_event_id", "is_left"
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", F.asc_nulls_first("c_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_match = unioned.select(
+        "user_id", "ts", "p_event_id", "is_left",
+        F.last("c_event_id", ignorenulls=True).over(w).alias("c_id"),
+        F.last(
+            F.when(F.col("c_event_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        ).over(w).alias("c_ts"),
+    )
+    reference = with_match.filter(F.col("is_left") == 1).select(
+        F.col("p_event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), "c_id", "c_ts",
+    )
+    actual = get_spec("join_asof").fn(spark, sf_dir)
+    assert actual.schema == reference.schema
+    assert _canon(actual) == _canon(reference)
+
+
+def test_sim_topk_cosine_sql_build_matches_column_api(spark, sf_dir):
+    from clickhousebackup_spark.extensions.similarity import (
+        _dot, _norm, QUERY_VEC_ID, TOP_K,
+    )
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        _norm("embedding").alias("qn"),
+    )
+    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm("embedding") * F.col("qn")
+    )
+    reference = (
+        cand.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+    actual = get_spec("sim_topk_cosine").fn(spark, sf_dir)
+    assert actual.schema == reference.schema
+    assert _canon_mod_lambda(actual) == _canon_mod_lambda(reference)
+
+
+def test_dedup_minhash_sql_tail_matches_column_api(spark, sf_dir):
+    from clickhousebackup_spark.extensions.dedup import (
+        N_BANDS, N_MINHASH, minhash_signatures,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(d)
+    rpb = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.slice("sig", b * rpb + 1, rpb).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    sim = (
+        F.size(F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            lambda eq: eq == 1,
+        )).cast("double") / F.lit(float(N_MINHASH))
+    )
+    reference = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.5)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    actual = get_spec("dedup_minhash").fn(spark, sf_dir)
+    assert actual.schema == reference.schema
+    assert _canon_mod_lambda(actual) == _canon_mod_lambda(reference)
