@@ -59,15 +59,48 @@ def retention_plan(
     ``keep`` per the per-generation windows of env.sh:26-29.
     """
     policy = policy or RetentionPolicy()
-    drop_now = False
-    if now_col is None:
+    windows = policy.window_minutes()
+    if now_col is None and all(
+        isinstance(v, int) and not isinstance(v, bool)
+        for v in windows.values()
+    ):
         # Anchor "now" at the newest snapshot via a 1-row broadcast —
         # a global window here would collapse to a single partition.
+        # Default path as parsed selectExpr stages (r17 construction
+        # lever): plan-identical to the Column build (canonicalized
+        # compare pinned in tests/test_optimizations_r17.py; note the
+        # 60000000.0D double literal — bare 60000000.0 parses as
+        # DECIMAL and would change age_minutes' type), construct
+        # 94 → 43 ms under every retention-consuming key.
+        mx = catalog.agg(F.max("snapshot_ts").alias("_now"))
+        keep_window = (
+            f"CASE WHEN generation = 'last' THEN {windows['last']} "
+            f"WHEN generation = 'daily' THEN {windows['daily']} "
+            f"WHEN generation = 'weekly' THEN {windows['weekly']} "
+            f"ELSE {windows['monthly']} END"
+        )
+        return (
+            catalog.join(F.broadcast(mx))
+            .selectExpr(
+                "*",
+                "(unix_micros(_now) - unix_micros(snapshot_ts)) "
+                "/ 60000000.0D AS age_minutes",
+            )
+            .selectExpr(
+                "*", f"CAST(age_minutes <= {keep_window} AS LONG) AS keep"
+            )
+            .drop("_now")
+        )
+    # caller-supplied anchor (a Column isn't nameable in a parsed
+    # string — engine.retention_plan(now_col=…)) or non-int policy
+    # windows (a float would parse as DECIMAL and change types): keep
+    # the Column build.
+    drop_now = False
+    if now_col is None:
         mx = catalog.agg(F.max("snapshot_ts").alias("_now"))
         catalog = catalog.join(F.broadcast(mx))
         now_col = F.col("_now")
         drop_now = True
-    windows = policy.window_minutes()
     age_min = (
         (F.unix_micros(now_col) - F.unix_micros(F.col("snapshot_ts")))
         / F.lit(60_000_000.0)

@@ -173,6 +173,50 @@ def test_build_catalog_selectexpr_is_plan_identical_to_column_api(
     assert _canon(actual) == _canon(reference)
 
 
+def test_retention_plan_selectexpr_is_plan_identical_to_column_api(
+    spark, sf_dir
+):
+    from clickhousebackup_spark.backup.catalog import build_catalog
+    from clickhousebackup_spark.backup.config import RetentionPolicy
+    from clickhousebackup_spark.backup.retention import retention_plan
+
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    policy = RetentionPolicy()
+    windows = policy.window_minutes()
+    mx = cat.agg(F.max("snapshot_ts").alias("_now"))
+    joined = cat.join(F.broadcast(mx))
+    age_min = (
+        F.unix_micros(F.col("_now")) - F.unix_micros(F.col("snapshot_ts"))
+    ) / F.lit(60_000_000.0)
+    keep_window = (
+        F.when(F.col("generation") == "last", F.lit(windows["last"]))
+        .when(F.col("generation") == "daily", F.lit(windows["daily"]))
+        .when(F.col("generation") == "weekly", F.lit(windows["weekly"]))
+        .otherwise(F.lit(windows["monthly"]))
+    )
+    reference = (
+        joined.withColumn("age_minutes", age_min)
+        .withColumn("keep", (F.col("age_minutes") <= keep_window).cast("long"))
+        .drop("_now")
+    )
+    actual = retention_plan(cat, policy)
+    assert actual.schema == reference.schema
+    assert _canon(actual) == _canon(reference)
+
+
+def test_retention_plan_float_windows_take_column_path(spark, sf_dir):
+    # a float window must not reach the parsed branch (a bare float
+    # literal parses as DECIMAL and would change age/keep types)
+    from clickhousebackup_spark.backup.catalog import build_catalog
+    from clickhousebackup_spark.backup.config import RetentionPolicy
+    from clickhousebackup_spark.backup.retention import retention_plan
+
+    cat = build_catalog(load_table(spark, sf_dir, "events"))
+    plan = retention_plan(cat, RetentionPolicy(keep_mins=1440.5))
+    assert dict(plan.dtypes)["age_minutes"] == "double"
+    assert dict(plan.dtypes)["keep"] == "bigint"
+
+
 def test_q5_sql_build_keeps_shuffled_hash_join(spark, sf_dir):
     plan = ins.physical_plan(get_spec("q5_local_supplier_volume").fn(spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan[:600]
