@@ -942,8 +942,19 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ti", "tj", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
-    rows_ = grid.groupBy("ti").agg(F.sum("c").cast("long").alias("rc"))
-    grid2 = grid.join(rows_, "ti").select(
+    # Row sums as a WINDOW over the |types|^2-bounded grid, not a
+    # grid ⋈ groupBy(grid) self-join: the join recomputed the whole
+    # grid subtree per side AND planned as a SortMergeJoin — a shape
+    # the repo bans registry-wide; it was invisible before r17 only
+    # because the per-step checkpoints truncated the returned plan.
+    # The window costs one exchange over ≤|types|^2 rows at any
+    # scale (8 → 4 shuffles total, SMJ gone, output bit-identical).
+    grid2 = grid.select(
+        "ti",
+        "tj",
+        "c",
+        F.sum("c").over(Window.partitionBy("ti")).cast("long").alias("rc"),
+    ).select(
         "ti",
         "tj",
         (F.col("c").cast("double") / F.col("rc")).alias("p"),
@@ -969,24 +980,27 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rcl", F.lit(0).cast("long"), lambda acc, t: acc + t
         ),
     )
-    one = one.withColumn(
-        "pi",
-        F.expr("transform(sequence(1, k), j -> cast(1.0 as double) / k)"),
-    )
-    step = (
-        "transform(sequence(1, k), j -> "
+    # All _MARKOV_ITERS pi <- pi P steps as ONE array fold: the outer
+    # aggregate's accumulator IS the pi vector, so each step
+    # references the previous pi as a lambda variable — no k^iters
+    # expression blowup, and no per-step eager localCheckpoint (the
+    # round-16 shape ran 8 checkpoint JOBS per invocation purely for
+    # lineage management; removing them cut the key 1.31 → 0.81 s at
+    # sf0.1 with BIT-IDENTICAL output — same left-to-right fold
+    # arithmetic, r17). The nested-HOF lambda falls back to
+    # interpreted eval, which is irrelevant here: it runs once, over
+    # one row, on a |types|-bounded array — at any corpus scale.
+    iter_expr = (
+        f"aggregate(sequence(1, {_MARKOV_ITERS}), "
+        "transform(sequence(1, k), j -> cast(1.0 as double) / k), "
+        "(pi, s) -> transform(sequence(1, k), j -> "
         "aggregate(sequence(1, k), cast(0.0 as double), "
         "(acc, i) -> acc + element_at(pi, i)"
-        " * element_at(pflat, (i - 1) * k + j)))"
+        " * element_at(pflat, (i - 1) * k + j))))"
     )
-    # each step's transform references element_at(pi, i) k times, so
-    # chaining Columns would embed the previous pi expression k times
-    # per step (k^iters tree) — cut the lineage at every step by
-    # materializing the 1-row frame
-    for _ in range(_MARKOV_ITERS):
-        one = one.select(
-            "tlist", "k", "pflat", "rcl", "tot", F.expr(step).alias("pi")
-        ).localCheckpoint(eager=True)
+    one = one.select(
+        "tlist", "k", "pflat", "rcl", "tot", F.expr(iter_expr).alias("pi")
+    )
     return one.select(
         F.posexplode("tlist").alias("j0", "event_type"),
         F.col("rcl"),

@@ -101,6 +101,9 @@ NLJ_ALLOWED: dict[str, int] = {
     "stats_permutation_test_hash": 1,   # 1-row observed-stat frame
     "stats_welch_anova": 1,       # 1-row weight-totals frame
     "events_wau_rolling": 1,      # 1-row max-day clip frame
+    "events_markov_stationary": 1,  # |types|^2 marginal cross (the
+    # key's documented NLJ) — previously hidden from final-plan
+    # inspection by the per-step checkpoints r17 removed
 }
 
 #: key -> max unpartitioned-WindowExec count (total-order windows,

@@ -788,7 +788,16 @@ R9B_PLAN_BUDGET = {
     "emb_power_iteration_pc1": (0, 0, False),  # checkpointed 1-row frame
     "sample_hash_consistent": (2, 0, False),  # distinct-expand agg
     "dq_benford_law": (2, 0, True),          # digit agg + 1-row totals
-    "events_markov_stationary": (0, 0, False),  # checkpointed 1-row frame
+    "events_markov_stationary": (4, 1, True),  # r17: the 8 per-step
+    # localCheckpoints were removed (single array-fold iteration), so
+    # the plan now SHOWS its real lineage instead of a checkpointed
+    # 1-row RDD: LEAD window + cells agg + types distinct + grid
+    # window + the collect-to-one-row agg = 4 exchanges at sf0.001,
+    # plus the deliberate |types|^2 marginal cross (the key's
+    # documented NLJ, also pinned in test_plan_canary.NLJ_ALLOWED).
+    # Shuffle count was never 0 — the work was merely invisible to
+    # final-plan inspection before; unhiding it also exposed (and
+    # r17 removed) a grid self-join that planned as SortMergeJoin.
     "emb_random_projection": (0, 0, True),   # 1-row matrix cross only
     "stats_wilcoxon_signed": (2, 1, False),  # pair agg + |d| hist scan
     "corpus_datasheet": (5, 1, True),        # source/lang aggs + window
