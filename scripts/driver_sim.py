@@ -41,7 +41,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from clickhousebackup_spark.registry import all_specs  # noqa: E402
 from clickhousebackup_spark.tables import TABLES  # noqa: E402
-from tests.compare import assert_same_result  # noqa: E402
+from tests.compare import assert_same_result, fast_collect  # noqa: E402
 
 SF_DIR = os.environ.get("CBS_SIM_SF_DIR", "/root/testdata/sf0.01")
 
@@ -327,7 +327,11 @@ def main(argv: list[str]) -> int:
                 # separate full count — that extra pass re-ran the
                 # whole plan just for accounting.
                 sliced = df.filter(b["engine_filter"])
-                raw_rows = sliced.collect()
+                # fast_collect: Arrow transport, cell-identical to collect()
+                # (tests/test_optimizations_r17.py pins the equivalence);
+                # engine_wall keeps the same meaning — plan + execution —
+                # minus pickled-Row transport overhead
+                raw_rows = fast_collect(sliced)
                 engine_wall = time.time() - t0
                 t1 = time.time()
                 assert_same_result(
@@ -347,7 +351,7 @@ def main(argv: list[str]) -> int:
                 if rows == 0:
                     status += " [WARN 0 rows]"
             else:
-                raw_rows = df.collect()
+                raw_rows = fast_collect(df)
                 engine_wall = time.time() - t0
                 t1 = time.time()
                 assert_same_result(

@@ -299,6 +299,72 @@ def test_sim_topk_cosine_sql_build_matches_column_api(spark, sf_dir):
     assert _canon_mod_lambda(actual) == _canon_mod_lambda(reference)
 
 
+# --- fast_collect: exact Row-equivalence of the Arrow transport ---------
+
+
+def _rows_equal_exact(fast, slow, cols):
+    assert len(fast) == len(slow)
+    for rf, rs in zip(fast, slow):
+        for c in cols:
+            a, b = rf[c], rs[c]
+            assert type(a) is type(b), (c, type(a), type(b), a, b)
+            if isinstance(a, float):
+                import math
+
+                assert (math.isnan(a) and math.isnan(b)) or a == b, (c, a, b)
+            else:
+                assert a == b, (c, a, b)
+
+
+@pytest.mark.parametrize(
+    "table",
+    ["region", "nation", "customer", "supplier", "part", "orders",
+     "lineitem", "events", "documents", "embeddings"],
+)
+def test_fast_collect_equals_collect_on_fixture_tables(spark, sf_dir, table):
+    from tests.compare import fast_collect
+
+    df = load_table(spark, "/root/testdata/sf0.01", table)
+    _rows_equal_exact(fast_collect(df), df.collect(), df.columns)
+
+
+def test_fast_collect_nullable_int_and_decimal_and_arrays(spark, sf_dir):
+    from tests.compare import _FastRow, fast_collect
+
+    # nullable bigint with a >2^53 value: the fast path must not route
+    # it through float64 (null_count > 0 → per-column to_pylist)
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 9007199254740995), (2, CAST(NULL AS BIGINT)) "
+        "AS t(id, big)"
+    )
+    fast = fast_collect(df)
+    _rows_equal_exact(fast, df.collect(), df.columns)
+    # decimal column exactness
+    dec = spark.sql(
+        "SELECT CAST(1.5 AS DECIMAL(38,6)) AS d UNION ALL "
+        "SELECT CAST(NULL AS DECIMAL(38,6))"
+    )
+    _rows_equal_exact(fast_collect(dec), dec.collect(), dec.columns)
+    # array output: whole-frame fallback to plain collect (Row objects)
+    arr = spark.sql("SELECT array(1, 2) AS a")
+    rows = fast_collect(arr)
+    assert not isinstance(rows[0], _FastRow) and rows[0]["a"] == [1, 2]
+
+
+def test_fast_collect_timestamps_match_collect(spark, sf_dir):
+    from tests.compare import fast_collect
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts"
+    )
+    _rows_equal_exact(fast_collect(ev), ev.collect(), ev.columns)
+    # with nulls (per-column to_pylist + tz-strip branch)
+    evn = ev.selectExpr(
+        "event_id", "CASE WHEN event_id % 3 = 0 THEN NULL ELSE ts END AS ts"
+    )
+    _rows_equal_exact(fast_collect(evn), evn.collect(), evn.columns)
+
+
 def test_dedup_minhash_sql_tail_matches_column_api(spark, sf_dir):
     from clickhousebackup_spark.extensions.dedup import (
         N_BANDS, N_MINHASH, minhash_signatures,
