@@ -140,16 +140,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # The hinted build subtree stays Column-built (the hint targets
     # the o⋈c join result, which SQL hint syntax can't address); the
-    # rest is ONE parsed spark.sql call — construct 164 → 112 ms,
-    # optimized plan IDENTICAL modulo expression ids.
-    oc = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .join(c, o.o_custkey == c.c_custkey)
-        .hint("shuffle_hash")
-    )
+    # rest — including the date predicates, which the optimizer pushes
+    # back through the hinted join into the orders scan — is ONE
+    # parsed spark.sql call: construct 164 → 94 ms, optimized plan
+    # IDENTICAL modulo expression ids.
+    oc = o.join(c, o.o_custkey == c.c_custkey).hint("shuffle_hash")
     return spark.sql(
         f"""
         SELECT n_name, {_DS(_REV)} AS revenue
@@ -159,6 +154,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN {{r}} ON n_regionkey = r_regionkey
                     JOIN {{rp}} ON r_name = r_name_pick
         WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC
         """,
